@@ -1,0 +1,194 @@
+"""Deterministic synthesis of the Common-Crawl-style ``pages`` table.
+
+BASELINE.json's input hint fixes the input shape:
+``(url: string, warc_ts: timestamp, html: binary, text: string,
+lang: string)``. No such table ships in /root/testdata, so it is
+derived *deterministically* (no wall clock, no RNG state) from the
+driver-generated ``documents`` table: each document's text gets
+``[[entity_id|mention]]`` markup inserted around every occurrence of a
+known alias, exactly the annotated-corpus convention the reference
+consumes (reference datatool/pipeline/prepare_standard_input.py:448,508).
+
+Determinism contract (relied on by the DuckDB oracles in
+``__ray_entry__.py``):
+
+* the alias dictionary is the fixed table below (aliases are chosen
+  from the generator's closed 31-word vocabulary; no alias is a
+  substring of any other vocabulary word, so substring counts equal
+  token counts),
+* markup is inserted at every occurrence in a single left-to-right
+  regex pass (insertions are never re-scanned),
+* the linked entity for all occurrences of alias ``m`` in document
+  ``d`` is ``candidates(m)[d.doc_id % len(candidates(m))]``,
+* stripping the markup returns the original ``documents.text``
+  byte-for-byte — which makes the byte-identity invariant directly
+  checkable against the source table.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+__all__ = [
+    "ALIAS_DICT",
+    "alias_rows",
+    "synth_pages",
+    "read_pages",
+    "synth_entity_dict",
+    "synth_embeddings",
+    "token_vector",
+]
+
+# alias → candidate entity ids (ambiguous aliases have >1 candidate).
+# Chosen from the fixed documents vocabulary; mutually non-substring.
+ALIAS_DICT: dict[str, list[str]] = {
+    "spark": ["ent_spark", "ent_spark_alt"],
+    "customer": ["ent_customer", "ent_customer_alt"],
+    "window": ["ent_window", "ent_window_alt"],
+    "stream": ["ent_stream"],
+    "merge": ["ent_merge"],
+    "filter": ["ent_filter"],
+    "query": ["ent_query"],
+    "vector": ["ent_vector"],
+    "table": ["ent_table"],
+    "hash": ["ent_hash"],
+    "order": ["ent_order"],
+    "batch": ["ent_batch"],
+}
+
+# one regex pass, longest alias first (no alias is a substring of
+# another, so ordering is belt-and-braces only)
+_ALIAS_RE = re.compile(
+    "|".join(re.escape(a) for a in sorted(ALIAS_DICT, key=len, reverse=True))
+)
+
+_TS_BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
+
+
+def alias_rows() -> list[tuple[str, str, int, int]]:
+    """Flat (mention, entity_id, slot, n_slots) rows — the relational
+    form of ALIAS_DICT used both by pipelines and by the SQL oracles."""
+    rows = []
+    for mention, cands in ALIAS_DICT.items():
+        for slot, eid in enumerate(cands):
+            rows.append((mention, eid, slot, len(cands)))
+    return rows
+
+
+def mark_text(text: str, doc_id: int) -> str:
+    """Insert [[entity_id|alias]] markup at every alias occurrence."""
+
+    def repl(m: re.Match) -> str:
+        cands = ALIAS_DICT[m.group(0)]
+        return f"[[{cands[doc_id % len(cands)]}|{m.group(0)}]]"
+
+    return _ALIAS_RE.sub(repl, text)
+
+
+def _pages_batch(batch: pa.Table) -> pa.Table:
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    texts = batch["text"].to_numpy(zero_copy_only=False)
+    sources = batch["source"].to_numpy(zero_copy_only=False)
+    langs = batch["lang"]
+
+    marked = [mark_text(t, int(d)) for t, d in zip(texts, doc_ids)]
+    urls = [f"https://crawl.example.org/{s}/{int(d):08d}" for s, d in zip(sources, doc_ids)]
+    html = [f"<html><body>{m}</body></html>".encode("utf-8") for m in marked]
+    ts = pa.array((doc_ids * 1_000_000 + _TS_BASE_US).astype("int64")).cast(
+        pa.timestamp("us")
+    )
+    return pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "warc_ts": ts,
+            "html": pa.array(html, type=pa.binary()),
+            "text": pa.array(marked, type=pa.string()),
+            "lang": langs,
+        }
+    )
+
+
+def synth_pages(sf_dir: str) -> "ray.data.Dataset":
+    """documents.parquet → pages Dataset (url, warc_ts, html, text, lang)."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+    return docs.map_batches(_pages_batch, batch_format="pyarrow")
+
+
+def read_pages(sf_dir: str) -> "ray.data.Dataset":
+    """Alias of synth_pages — the engine's page source for a scale dir."""
+    return synth_pages(sf_dir)
+
+
+def doc_id_of_url(urls: pa.Array) -> pa.Array:
+    """Recover the numeric doc_id from a synthesized page url."""
+    import pyarrow.compute as pc
+
+    tail = pc.utf8_slice_codeunits(urls, -8, 99)
+    return pc.cast(tail, pa.int64())
+
+
+def synth_entity_dict() -> pa.Table:
+    """Entity dictionary table for all synthesized entities."""
+    rows = []
+    for mention, cands in ALIAS_DICT.items():
+        for i, eid in enumerate(cands):
+            rows.append(
+                {
+                    "entity_id": eid,
+                    "title": mention,
+                    "sub_title": "" if i == 0 else f"alt{i}",
+                    "uris": [f"https://kb.example.org/{eid}"],
+                }
+            )
+    return pa.Table.from_pylist(rows)
+
+
+_VEC_DIM = 64
+
+
+def token_vector(token: str, dim: int = _VEC_DIM) -> np.ndarray:
+    """Deterministic pseudo-embedding for a token (SURVEY.md §7.5):
+    seeded from a stable string hash, uniform in [-0.5/dim, 0.5/dim)
+    like word2vec init (reference TrainJointModel/src/align.c:437-447)."""
+    import zlib
+
+    seed = zlib.crc32(token.encode("utf-8"))
+    rng = np.random.default_rng(seed)
+    return ((rng.random(dim, dtype=np.float32) - 0.5) / dim).astype(np.float32)
+
+
+def synth_embeddings() -> pa.Table:
+    """Word vectors for the corpus vocabulary + entity vectors.
+
+    Entity vector = mean of its alias-token vector and an id-salt
+    vector, mirroring the reference's "entity vector from abstract
+    words" mean-pool (calculate_entity_embedding.py:100-104).
+    """
+    vocab = sorted(
+        {
+            "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+            "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+            "order", "part", "query", "row", "scan", "slow", "small", "sort",
+            "spark", "stream", "table", "the", "value", "vector", "window",
+        }
+    )
+    rows = []
+    for w in vocab:
+        rows.append({"item": w, "kind": "word", "vec": token_vector(w).tolist()})
+    for mention, cands in ALIAS_DICT.items():
+        for eid in cands:
+            vec = (token_vector(mention) + token_vector(eid)) / 2.0
+            rows.append({"item": eid, "kind": "entity", "vec": vec.tolist()})
+    t = pa.Table.from_pylist(rows)
+    return t.set_column(
+        t.schema.get_field_index("vec"),
+        "vec",
+        t["vec"].cast(pa.list_(pa.float32())),
+    )
