@@ -1,16 +1,19 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship pipeline smoke on sf0.001.
+``queries()`` — one callable per implemented operator/pipeline
+(SURVEY.md §2); each takes ``sf_dir`` and returns a Dataset / DataFrame
+/ Arrow table. ``oracle_sql()`` — DuckDB-equivalent SQL over the
+pre-registered views (region nation customer supplier part orders
+lineitem events documents embeddings) for every SQL-expressible query.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; no
+``ray.init`` / ``ray.shutdown`` anywhere in the library.
+
+The synthesized ``pages`` table (BASELINE.json input_hint) is a pure
+deterministic function of ``documents`` (see xlink_ray/synth.py), which
+is what makes the page-pipeline queries oracle-checkable: the SQL
+recomputes the same quantities straight from ``documents``.
 """
 
 from __future__ import annotations
@@ -18,27 +21,151 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from xlink_ray.synth import ALIAS_DICT, alias_rows
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- helpers
+
+def _alias_values_sql() -> str:
+    rows = ", ".join(
+        f"('{m}', '{e}', {slot}, {n})" for (m, e, slot, n) in alias_rows()
+    )
+    return f"alias(mention, entity_id, slot, n_slots) AS (VALUES {rows})"
+
+
+def _occ_cte() -> str:
+    """Per-(doc, alias) occurrence counts with the doc's linked entity —
+    mirrors synth.mark_text + extraction (substring counts equal token
+    counts for this vocabulary; see xlink_ray/synth.py)."""
+    return f"""WITH {_alias_values_sql()},
+occ AS (
+  SELECT d.doc_id, d.source, a.mention, a.entity_id,
+         CAST((length(d.text) - length(replace(d.text, a.mention, ''))) / length(a.mention) AS BIGINT) AS cnt
+  FROM documents d JOIN alias a ON (d.doc_id % a.n_slots) = a.slot
+),
+ma AS (
+  SELECT mention, entity_id, CAST(sum(cnt) AS BIGINT) AS link_count
+  FROM occ WHERE cnt > 0 GROUP BY mention, entity_id
+)"""
+
+
+# ---------------------------------------------------------------- queries
+
+def _q_extract_text(sf_dir: str):
+    """M1 byte-identity surface: pages → markup-stripped text per doc."""
+    import pyarrow as pa
+
+    from xlink_ray.pipelines import dictbuild
+    from xlink_ray.synth import doc_id_of_url
+
+    def renumber(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": doc_id_of_url(batch["doc_id"]), "text": batch["text"]})
+
+    return dictbuild.corpus(sf_dir).map_batches(renumber, batch_format="pyarrow")
+
+
+def _q_mention_anchors(sf_dir: str):
+    from xlink_ray.pipelines import dictbuild
+
+    return dictbuild.mention_anchors(sf_dir)
+
+
+def _q_freq_m(sf_dir: str):
+    from xlink_ray.pipelines import dictbuild
+
+    return dictbuild.freq_m(sf_dir)
+
+
+def _q_e_given_m(sf_dir: str):
+    from xlink_ray.pipelines import dictbuild
+
+    return dictbuild.prob_tables(sf_dir).e_given_m
+
+
+def _q_m_given_e(sf_dir: str):
+    from xlink_ray.pipelines import dictbuild
+
+    return dictbuild.prob_tables(sf_dir).m_given_e
+
+
+def _q_entity_prior(sf_dir: str):
+    from xlink_ray.pipelines import dictbuild
+
+    return dictbuild.prob_tables(sf_dir).entity_prior
+
+
+def _q_link_prob(sf_dir: str):
+    from xlink_ray.pipelines import dictbuild
+
+    return dictbuild.prob_tables(sf_dir).link_prob
+
+
+def _q_out_links(sf_dir: str):
+    from xlink_ray.pipelines import dictbuild
+
+    return dictbuild.out_links(sf_dir)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: dictionary-build pipeline over synthesized pages at
+    sf0.001 → the 6-col link_prob table (reference link_prob.dat)."""
+    from xlink_ray.pipelines import dictbuild
+
+    return dictbuild.prob_tables(SF_SMOKE).link_prob
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_text": _q_extract_text,
+        "mention_anchors": _q_mention_anchors,
+        "freq_m": _q_freq_m,
+        "e_given_m": _q_e_given_m,
+        "m_given_e": _q_m_given_e,
+        "entity_prior": _q_entity_prior,
+        "link_prob": _q_link_prob,
+        "out_links": _q_out_links,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    occ = _occ_cte()
+    return {
+        "extract_text": "SELECT doc_id, text FROM documents",
+        "mention_anchors": f"{occ} SELECT mention, entity_id, link_count FROM ma",
+        "freq_m": f"""WITH {_alias_values_sql()}
+SELECT a.mention,
+       CAST(sum((length(d.text) - length(replace(d.text, a.mention, ''))) / length(a.mention)) AS BIGINT) AS freq
+FROM documents d CROSS JOIN (SELECT DISTINCT mention FROM alias) a
+GROUP BY a.mention
+HAVING sum((length(d.text) - length(replace(d.text, a.mention, ''))) / length(a.mention)) > 0""",
+        "e_given_m": f"""{occ}
+SELECT mention, entity_id,
+       CAST(link_count AS DOUBLE) / sum(link_count) OVER (PARTITION BY mention) AS e_given_m
+FROM ma""",
+        "m_given_e": f"""{occ}
+SELECT entity_id, mention,
+       CAST(link_count AS DOUBLE) / sum(link_count) OVER (PARTITION BY entity_id) AS prob
+FROM ma""",
+        "entity_prior": f"""{occ}
+SELECT entity_id,
+       CAST(sum(link_count) AS DOUBLE) / (SELECT sum(link_count) FROM ma) AS prior
+FROM ma GROUP BY entity_id""",
+        "link_prob": f"""{occ},
+link_m AS (SELECT mention, CAST(sum(link_count) AS BIGINT) AS link_m FROM ma GROUP BY mention),
+fm AS (
+  SELECT a.mention,
+         CAST(sum((length(d.text) - length(replace(d.text, a.mention, ''))) / length(a.mention)) AS BIGINT) AS freq_m
+  FROM documents d CROSS JOIN (SELECT DISTINCT mention FROM alias) a
+  GROUP BY a.mention)
+SELECT ma.mention, ma.entity_id, link_m.link_m, fm.freq_m,
+       CAST(link_m.link_m AS DOUBLE) / fm.freq_m AS link_prob,
+       CAST(ma.link_count AS DOUBLE) / link_m.link_m AS e_given_m
+FROM ma JOIN link_m ON ma.mention = link_m.mention
+        JOIN fm ON ma.mention = fm.mention""",
+        "out_links": f"""{occ}
+SELECT DISTINCT 'https://crawl.example.org/' || source || '/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS src,
+       entity_id AS dst
+FROM occ WHERE cnt > 0""",
+    }

@@ -1,0 +1,78 @@
+"""Offline dictionary-build pipeline (SURVEY.md §3.1) — the reference's
+``python main.py --source bd`` nine-step driver (reference
+main.py:405-481) as one lazy Ray Data DAG.
+
+Each function returns a Dataset; nothing materializes the corpus on
+the driver. Aggregate side tables (link totals, freq_m) are
+dictionary-sized and are broadcast back where the reference held them
+as in-memory dicts.
+"""
+
+from __future__ import annotations
+
+import ray
+from ray.data import Dataset
+
+from xlink_ray import synth
+from xlink_ray.stages import aggregates
+from xlink_ray.stages.extract import ExtractCorpusBatch, ExtractMentionsBatch
+from xlink_ray.stages.freq import freq_m as freq_m_stage
+from xlink_ray.stages.prob import ProbTables, build_prob_tables
+
+__all__ = [
+    "pages",
+    "corpus",
+    "mentions",
+    "mention_anchors",
+    "out_links",
+    "self_links",
+    "freq_m",
+    "prob_tables",
+]
+
+
+def pages(sf_dir: str) -> Dataset:
+    return synth.synth_pages(sf_dir)
+
+
+def corpus(sf_dir: str) -> Dataset:
+    """pages → (doc_id, text) with markup stripped; html column is
+    projected away before extraction (SURVEY.md §7.4 wide-row rule)."""
+    return (
+        pages(sf_dir)
+        .select_columns(["url", "text"])
+        .map_batches(ExtractCorpusBatch(), batch_format="pyarrow")
+    )
+
+
+def mentions(sf_dir: str) -> Dataset:
+    return (
+        pages(sf_dir)
+        .select_columns(["url", "text"])
+        .map_batches(ExtractMentionsBatch(), batch_format="pyarrow")
+    )
+
+
+def mention_anchors(sf_dir: str) -> Dataset:
+    return aggregates.mention_anchors(mentions(sf_dir))
+
+
+def out_links(sf_dir: str) -> Dataset:
+    return aggregates.out_links(mentions(sf_dir))
+
+
+def self_links(sf_dir: str) -> Dataset:
+    return aggregates.self_links(mentions(sf_dir))
+
+
+def dict_vocab_ref() -> "ray.ObjectRef":
+    """Broadcast the mention vocabulary once per job."""
+    return ray.put(sorted(synth.ALIAS_DICT.keys()))
+
+
+def freq_m(sf_dir: str, concurrency: int | tuple[int, int] = (1, 4)) -> Dataset:
+    return freq_m_stage(corpus(sf_dir), dict_vocab_ref(), concurrency=concurrency)
+
+
+def prob_tables(sf_dir: str) -> ProbTables:
+    return build_prob_tables(mention_anchors(sf_dir), freq_m(sf_dir))

@@ -1,0 +1,84 @@
+"""Corpus-wide mention frequency scan — A4 ``cal_freq_m``
+(reference datatool/pipeline/generate_prob_files.py:164-193).
+
+The reference builds one Aho-Corasick automaton per process and scans
+every lowercased plain document, counting every dictionary match.
+Ray-native shape: a stateful actor pool — the automaton (here a single
+compiled C-speed regex alternation over the broadcast mention
+vocabulary) is built ONCE per actor in ``__init__``; each batch is
+scanned in one pass and reduced to per-batch partial counts; a final
+tiny ``groupby("mention").sum`` merges partials (the reference's
+``merge_freq_m``, ibid. 233-240).
+
+Match semantics note: the reference automaton reports *every* match at
+every end position (overlapping included). The regex scan reports
+non-overlapping leftmost matches. For vocabularies where no mention is
+a substring of another (true of the synthesized dictionary, and of the
+normalized blocking keys), the two are identical; a pure-Python AC
+fallback (`xlink_ray.functions.ac.AhoCorasick`) provides exact
+overlapping semantics when a vocabulary needs it.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+from xlink_ray.stages.aggregates import grouped_sum
+
+__all__ = ["FreqScanActor", "freq_m"]
+
+
+class FreqScanActor:
+    """Actor-pool ``map_batches`` callable: plain text → partial
+    (mention, freq) counts for every dictionary mention in the batch."""
+
+    def __init__(self, vocab_ref: "ray.ObjectRef"):
+        vocab = ray.get(vocab_ref)
+        if isinstance(vocab, pa.Table):
+            vocab = vocab["mention"].to_pylist()
+        # longest-first so a longer mention wins at a shared start
+        pattern = "|".join(re.escape(m) for m in sorted(set(vocab), key=len, reverse=True))
+        self.rx = re.compile(pattern) if pattern else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.rx is None or batch.num_rows == 0:
+            return pa.table({"mention": pa.array([], pa.string()),
+                             "freq": pa.array([], pa.int64())})
+        texts = batch["text"].to_numpy(zero_copy_only=False)
+        # one C-speed scan over the whole batch (separator never matches:
+        # dictionary mentions contain no \x00)
+        blob = "\x00".join(t.lower() for t in texts)
+        counts = Counter(self.rx.findall(blob))
+        return pa.table(
+            {
+                "mention": pa.array(list(counts.keys()), pa.string()),
+                "freq": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+
+def freq_m(
+    corpus: Dataset,
+    vocab_ref: "ray.ObjectRef",
+    concurrency: int | tuple[int, int] = (1, 4),
+    batch_size: int = 1024,
+) -> Dataset:
+    # NOTE: an autoscaling pool (min 1) by default — a fixed pool sized
+    # to the whole CPU count starves the upstream read/extract stages
+    # and stalls the streaming executor on small sessions.
+    """corpus (doc_id, text) → (mention, freq) over the whole corpus."""
+    partials = corpus.map_batches(
+        FreqScanActor,
+        fn_constructor_args=(vocab_ref,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    return grouped_sum(partials, ["mention"], "freq", "freq")
