@@ -108,6 +108,25 @@ def _q_out_links(sf_dir: str):
     return dictbuild.out_links(sf_dir)
 
 
+def _q_er_pairs(sf_dir: str):
+    from xlink_ray.pipelines import er
+
+    return er.customer_pairs(sf_dir)
+
+
+def _q_er_clusters(sf_dir: str):
+    from xlink_ray.pipelines import er
+
+    return er.customer_clusters(sf_dir)
+
+
+def _q_er_clusters_dist(sf_dir: str):
+    """Same result via the distributed label-propagation path."""
+    from xlink_ray.pipelines import er
+
+    return er.customer_clusters(sf_dir, method="distributed")
+
+
 def entry() -> Any:
     """Flagship: dictionary-build pipeline over synthesized pages at
     sf0.001 → the 6-col link_prob table (reference link_prob.dat)."""
@@ -126,6 +145,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_prior": _q_entity_prior,
         "link_prob": _q_link_prob,
         "out_links": _q_out_links,
+        "er_pairs": _q_er_pairs,
+        "er_clusters": _q_er_clusters,
+        "er_clusters_dist": _q_er_clusters_dist,
     }
 
 
@@ -164,6 +186,38 @@ SELECT ma.mention, ma.entity_id, link_m.link_m, fm.freq_m,
        CAST(ma.link_count AS DOUBLE) / link_m.link_m AS e_given_m
 FROM ma JOIN link_m ON ma.mention = link_m.mention
         JOIN fm ON ma.mention = fm.mention""",
+        "er_pairs": """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1""",
+        "er_clusters": """
+WITH RECURSIVE e AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+sym AS (SELECT id_a AS u, id_b AS v FROM e UNION SELECT id_b, id_a FROM e),
+reach(u, v) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
+SELECT u AS member_id, CAST(min(v) AS BIGINT) AS cluster_id
+FROM reach GROUP BY u""",
+        "er_clusters_dist": """
+WITH RECURSIVE e AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+sym AS (SELECT id_a AS u, id_b AS v FROM e UNION SELECT id_b, id_a FROM e),
+reach(u, v) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
+SELECT u AS member_id, CAST(min(v) AS BIGINT) AS cluster_id
+FROM reach GROUP BY u""",
         "out_links": f"""{occ}
 SELECT DISTINCT 'https://crawl.example.org/' || source || '/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS src,
        entity_id AS dst

@@ -1,0 +1,79 @@
+"""Connected components: local union-find vs distributed star rounds."""
+
+import numpy as np
+import pytest
+
+import ray.data as rd
+
+from xlink_ray.stages.clustering import connected_components
+
+
+def _cc_dict(ds):
+    df = ds.to_pandas()
+    return dict(zip(df["member_id"], df["cluster_id"]))
+
+
+GRAPHS = {
+    "two_triangles": ([(1, 2), (2, 3), (3, 1), (10, 11), (11, 12)], None),
+    "chain": ([(i, i + 1) for i in range(1, 40)], None),  # path graph, diameter 39
+    "star": ([(100, i) for i in range(1, 20)], None),
+    "with_singletons": ([(5, 6)], [5, 6, 7, 8]),
+    "dup_edges": ([(1, 2), (2, 1), (1, 2)], None),
+}
+
+
+@pytest.mark.parametrize("name", list(GRAPHS))
+def test_local_cc(ray_session, name):
+    edges, nodes = GRAPHS[name]
+    eds = rd.from_items([{"id_a": a, "id_b": b} for a, b in edges])
+    nds = rd.from_items([{"n": x} for x in nodes]) if nodes else None
+    got = _cc_dict(
+        connected_components(eds, nodes=nds, node_col="n" if nodes else None, method="local")
+    )
+    exp = _oracle_cc(edges, nodes)
+    assert got == exp
+
+
+def test_distributed_cc_chain(ray_session):
+    """Path graph stresses the star-round convergence."""
+    edges, nodes = GRAPHS["chain"]
+    eds = rd.from_items([{"id_a": a, "id_b": b} for a, b in edges])
+    got = _cc_dict(connected_components(eds, method="distributed"))
+    assert got == _oracle_cc(edges, None)
+
+
+def test_distributed_cc_mixed(ray_session):
+    edges = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (50, 60)]
+    nodes = [1, 2, 3, 10, 11, 12, 50, 60, 99]
+    eds = rd.from_items([{"id_a": a, "id_b": b} for a, b in edges])
+    nds = rd.from_items([{"n": x} for x in nodes])
+    got = _cc_dict(connected_components(eds, nodes=nds, node_col="n", method="distributed"))
+    assert got == _oracle_cc(edges, nodes)
+
+
+def test_string_node_ids(ray_session):
+    edges = [("b", "a"), ("c", "b"), ("x", "y")]
+    eds = rd.from_items([{"id_a": a, "id_b": b} for a, b in edges])
+    got = _cc_dict(connected_components(eds, method="local"))
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def _oracle_cc(edges, nodes):
+    """Tiny reference union-find (independent of the implementation)."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    for x in nodes or []:
+        find(x)
+    return {x: find(x) for x in parent}

@@ -1,0 +1,67 @@
+"""Similarity kernels pinned against DuckDB scalar functions (ASCII)."""
+
+import duckdb
+import numpy as np
+import pytest
+
+from xlink_ray.functions.similarity import (
+    char_jaccard_pairs,
+    cosine_rows,
+    jaro_winkler_pairs,
+    levenshtein_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def random_pairs():
+    import random
+
+    random.seed(7)
+    chars = "abcdefgh #012"
+    a, b = [], []
+    for _ in range(1000):
+        a.append("".join(random.choice(chars) for _ in range(random.randint(1, 15))))
+        b.append("".join(random.choice(chars) for _ in range(random.randint(1, 15))))
+    return a, b
+
+
+def test_levenshtein_matches_duckdb(random_pairs):
+    a, b = random_pairs
+    con = duckdb.connect()
+    con.execute("create table t(a varchar, b varchar)")
+    con.executemany("insert into t values (?,?)", list(zip(a, b)))
+    exp = [r[0] for r in con.execute("select levenshtein(a,b) from t").fetchall()]
+    got = levenshtein_pairs(a, b)
+    assert got.tolist() == exp
+
+
+def test_levenshtein_empties():
+    assert levenshtein_pairs(["", "ab", "", "abc"], ["abc", "", "", "abc"]).tolist() == [3, 2, 0, 0]
+
+
+def test_jaro_winkler_matches_duckdb(random_pairs):
+    a, b = random_pairs
+    con = duckdb.connect()
+    con.execute("create table t(a varchar, b varchar)")
+    con.executemany("insert into t values (?,?)", list(zip(a, b)))
+    exp = np.array(
+        [r[0] for r in con.execute("select jaro_winkler_similarity(a,b) from t").fetchall()]
+    )
+    got = jaro_winkler_pairs(a, b)
+    assert np.allclose(got, exp, atol=1e-12)
+
+
+def test_char_jaccard_matches_duckdb(random_pairs):
+    a, b = random_pairs
+    con = duckdb.connect()
+    con.execute("create table t(a varchar, b varchar)")
+    con.executemany("insert into t values (?,?)", list(zip(a, b)))
+    exp = np.array([r[0] for r in con.execute("select jaccard(a,b) from t").fetchall()])
+    assert np.allclose(char_jaccard_pairs(a, b), exp, atol=1e-12)
+
+
+def test_cosine_rows():
+    x = np.array([[1.0, 0.0], [1.0, 1.0], [0.0, 0.0]])
+    y = np.array([[1.0, 0.0], [1.0, 0.0], [1.0, 1.0]])
+    got = cosine_rows(x, y)
+    assert np.allclose(got, [1.0, 1 / np.sqrt(2), 0.0])

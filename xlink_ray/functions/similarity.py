@@ -1,0 +1,166 @@
+"""String / vector similarity kernels (SURVEY.md §2.9, §7.1 step 5).
+
+Vectorized across the *pair axis*: each kernel takes parallel arrays of
+left/right strings and runs the DP / comparison as numpy operations
+over all pairs at once, so a blocking group's full pair grid is scored
+without a Python loop per pair. Semantics match DuckDB's scalar
+functions (``levenshtein``, ``jaro_winkler_similarity``, ``jaccard``)
+so pipeline stages are oracle-checkable; unit tests pin equality.
+
+Unit note: these kernels operate on Unicode CODEPOINTS; DuckDB's
+operate on UTF-8 BYTES. They agree exactly on ASCII (tests pin this on
+2000 random ASCII pairs); oracle-checked pipeline stages therefore use
+ASCII keys. Codepoint semantics is the deliberate engine-level choice
+for CJK mention strings (the reference's Python ``str`` ops are
+codepoint-based too, e.g. utils/dictionary.py:141-147).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "levenshtein_pairs",
+    "jaro_winkler_pairs",
+    "char_jaccard_pairs",
+    "cosine_rows",
+]
+
+
+def _to_codepoint_matrix(strings: "np.ndarray | list[str]") -> tuple[np.ndarray, np.ndarray]:
+    """Pad strings to a (n, maxlen) int32 codepoint matrix + lengths."""
+    lens = np.fromiter((len(s) for s in strings), dtype=np.int64, count=len(strings))
+    maxlen = int(lens.max()) if len(lens) else 0
+    mat = np.zeros((len(strings), maxlen), dtype=np.int32)
+    for i, s in enumerate(strings):
+        if s:
+            mat[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int32)
+    return mat, lens
+
+
+def levenshtein_pairs(a: "list[str] | np.ndarray", b: "list[str] | np.ndarray") -> np.ndarray:
+    """Unit-cost edit distance for each (a[i], b[i]) pair.
+
+    Classic DP with the row axis vectorized across all pairs: for pair
+    strings up to lengths (La, Lb) this is La*Lb numpy steps over an
+    n-vector, not n individual DPs. Equals DuckDB ``levenshtein``.
+    """
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    am, alens = _to_codepoint_matrix(a)
+    bm, blens = _to_codepoint_matrix(b)
+    la, lb = am.shape[1], bm.shape[1]
+    BIG = np.int64(1 << 30)
+
+    # dp[i, :, j] over pairs; maintain one DP row per b-position
+    prev = np.tile(np.arange(lb + 1, dtype=np.int64), (n, 1))  # row for a-prefix 0
+    # positions beyond the real b length are invalid; mask at the end
+    for i in range(1, la + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        ai = am[:, i - 1][:, None]  # (n,1)
+        # substitution cost matrix for this a-char vs all b-chars
+        sub = (ai != bm).astype(np.int64)  # (n, lb)
+        for j in range(1, lb + 1):
+            cur[:, j] = np.minimum(
+                np.minimum(cur[:, j - 1] + 1, prev[:, j] + 1),
+                prev[:, j - 1] + sub[:, j - 1],
+            )
+        # rows where i exceeds this pair's a-length keep the previous row
+        over = i > alens
+        if over.any():
+            cur[over] = prev[over]
+        prev = cur
+    out = prev[np.arange(n), blens]
+    # pairs where a is empty: distance = len(b); handled naturally (row 0)
+    return out.astype(np.int64, copy=False)
+
+
+def jaro_winkler_pairs(
+    a: "list[str] | np.ndarray",
+    b: "list[str] | np.ndarray",
+    prefix_scale: float = 0.1,
+    boost_threshold: float = 0.7,
+) -> np.ndarray:
+    """Jaro-Winkler similarity per pair (DuckDB-compatible: prefix bonus
+    applied when the Jaro score exceeds 0.7, prefix capped at 4)."""
+    n = len(a)
+    out = np.zeros(n, dtype=np.float64)
+    for i in range(n):
+        out[i] = _jaro_winkler(a[i], b[i], prefix_scale, boost_threshold)
+    return out
+
+
+def _jaro(s1: str, s2: str) -> float:
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 and l2 == 0:
+        return 1.0
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    match_window = max(l1, l2) // 2 - 1
+    if match_window < 0:
+        match_window = 0
+    m1 = np.zeros(l1, dtype=bool)
+    m2 = np.zeros(l2, dtype=bool)
+    matches = 0
+    for i, c in enumerate(s1):
+        lo = max(0, i - match_window)
+        hi = min(l2, i + match_window + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = True
+                m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (matches / l1 + matches / l2 + (matches - t) / matches) / 3.0
+
+
+def _jaro_winkler(s1: str, s2: str, prefix_scale: float, boost_threshold: float) -> float:
+    jaro = _jaro(s1, s2)
+    if jaro <= boost_threshold:
+        return jaro
+    prefix = 0
+    for c1, c2 in zip(s1[:4], s2[:4]):
+        if c1 != c2:
+            break
+        prefix += 1
+    return jaro + prefix * prefix_scale * (1.0 - jaro)
+
+
+def char_jaccard_pairs(a: "list[str]", b: "list[str]") -> np.ndarray:
+    """Character-set Jaccard similarity per pair (DuckDB ``jaccard``)."""
+    out = np.zeros(len(a), dtype=np.float64)
+    for i in range(len(a)):
+        sa, sb = set(a[i]), set(b[i])
+        u = len(sa | sb)
+        out[i] = (len(sa & sb) / u) if u else 1.0
+    return out
+
+
+def cosine_rows(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Row-wise cosine similarity of two (n, d) matrices; zero vectors → 0.
+
+    Matches the reference's candidate-context cosine (SURVEY.md P5/P6,
+    reference modules/prob_gm_predictors/xlink.py:318-336) but batched.
+    """
+    num = np.einsum("ij,ij->i", x, y)
+    nx = np.linalg.norm(x, axis=1)
+    ny = np.linalg.norm(y, axis=1)
+    den = nx * ny
+    out = np.zeros(len(x), dtype=np.float64)
+    nz = den > 0
+    out[nz] = num[nz] / den[nz]
+    return out

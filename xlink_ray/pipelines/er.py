@@ -1,0 +1,77 @@
+"""Record-linkage pipelines: blocking → pairwise scoring → transitive
+clustering (SURVEY.md §7.1 steps 4-6).
+
+Two instantiations:
+
+* ``customer_*`` — a fully SQL-checkable entity-resolution pipeline
+  over the TPC-H ``customer`` table (block on nation, Levenshtein
+  edit-distance scoring, connected components). This is the oracle
+  surface for the blocking/scoring/clustering operators.
+* the flagship web-pages ER pipeline lives in ``pipelines/flagship.py``
+  and reuses the same stages over the synthesized pages table.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data import Dataset
+
+from xlink_ray.functions.similarity import levenshtein_pairs
+from xlink_ray.stages.blocking import block_score_pairs
+from xlink_ray.stages.clustering import connected_components
+
+__all__ = ["customer_pairs", "customer_clusters"]
+
+LEV_THRESHOLD = 1
+
+
+def _customers(sf_dir: str) -> Dataset:
+    return rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    )
+
+
+def customer_pairs(sf_dir: str, threshold: int = LEV_THRESHOLD) -> Dataset:
+    """Blocking key = c_nationkey; edge iff levenshtein(name) <= threshold.
+
+    Output: (id_a, id_b, dist) with id_a < id_b, one row per pair.
+    """
+    edges = block_score_pairs(
+        _customers(sf_dir),
+        key_cols="c_nationkey",
+        id_col="c_custkey",
+        attr_col="c_name",
+        scorer=levenshtein_pairs,
+        keep=lambda s: s <= threshold,
+    )
+
+    def fmt(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "id_a": pc.cast(t["id_a"], pa.int64()),
+                "id_b": pc.cast(t["id_b"], pa.int64()),
+                "dist": pc.cast(t["score"], pa.int64()),
+            }
+        )
+
+    return edges.map_batches(fmt, batch_format="pyarrow")
+
+
+def customer_clusters(
+    sf_dir: str, threshold: int = LEV_THRESHOLD, method: str = "auto"
+) -> Dataset:
+    """Transitive closure of customer_pairs; singletons keep their own
+    cluster. cluster_id = min c_custkey of the component."""
+    return connected_components(
+        customer_pairs(sf_dir, threshold),
+        a="id_a",
+        b="id_b",
+        nodes=_customers(sf_dir),
+        node_col="c_custkey",
+        method=method,
+    )
