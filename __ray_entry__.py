@@ -127,12 +127,48 @@ def _q_er_clusters_dist(sf_dir: str):
     return er.customer_clusters(sf_dir, method="distributed")
 
 
-def entry() -> Any:
-    """Flagship: dictionary-build pipeline over synthesized pages at
-    sf0.001 → the 6-col link_prob table (reference link_prob.dat)."""
-    from xlink_ray.pipelines import dictbuild
+def _q_doc_mentions(sf_dir: str):
+    """Per-document mention occurrence counts (candidate-generation
+    surface, SQL-checkable)."""
+    import pyarrow as pa
 
-    return dictbuild.prob_tables(SF_SMOKE).link_prob
+    from xlink_ray.pipelines import dictbuild
+    from xlink_ray.stages.aggregates import grouped_count
+    from xlink_ray.synth import doc_id_of_url
+
+    ments = dictbuild.mentions(sf_dir).map_batches(
+        lambda t: pa.table(
+            {"doc_id": doc_id_of_url(t["doc_id"]), "mention": t["mention"]}
+        ),
+        batch_format="pyarrow",
+    )
+    return grouped_count(ments, ["doc_id", "mention"], "n")
+
+
+def _q_links(sf_dir: str):
+    """Resolved occurrence links (disambiguation output; embedding
+    scoring not SQL-expressible → rows-only check)."""
+    from xlink_ray.pipelines import flagship
+
+    return flagship.links(sf_dir).select_columns(
+        ["doc_id", "offset", "mention", "entity_id", "believe"]
+    )
+
+
+def _q_flagship_clusters(sf_dir: str):
+    """Full ER pipeline → clusters (rows-only; fidelity is gated by the
+    transcription-oracle pairwise-F1 test in tests/test_flagship.py)."""
+    from xlink_ray.pipelines import flagship
+
+    return flagship.clusters(sf_dir)
+
+
+def entry() -> Any:
+    """Flagship: full pages→links→blocking→clusters ER pipeline at
+    sf0.001 (north-star composition)."""
+    from xlink_ray.pipelines import flagship
+
+    return flagship.clusters(SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -148,6 +184,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_pairs": _q_er_pairs,
         "er_clusters": _q_er_clusters,
         "er_clusters_dist": _q_er_clusters_dist,
+        "doc_mentions": _q_doc_mentions,
+        "links": _q_links,
+        "flagship_clusters": _q_flagship_clusters,
     }
 
 
@@ -205,6 +244,11 @@ reach(u, v) AS (
   SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
 SELECT u AS member_id, CAST(min(v) AS BIGINT) AS cluster_id
 FROM reach GROUP BY u""",
+        "doc_mentions": f"""WITH {_alias_values_sql()}
+SELECT d.doc_id, a.mention,
+       CAST((length(d.text) - length(replace(d.text, a.mention, ''))) / length(a.mention) AS BIGINT) AS n
+FROM documents d CROSS JOIN (SELECT DISTINCT mention FROM alias) a
+WHERE (length(d.text) - length(replace(d.text, a.mention, ''))) / length(a.mention) > 0""",
         "er_clusters_dist": """
 WITH RECURSIVE e AS (
   SELECT a.c_custkey AS id_a, b.c_custkey AS id_b

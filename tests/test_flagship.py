@@ -1,0 +1,72 @@
+"""Flagship pipeline fidelity: Ray clusters == transcription-oracle
+clusters (pairwise F1 must hit 1.0, gate is ≥0.99); gold-label quality
+reported for context."""
+
+import pyarrow.parquet as pq
+
+from tests.oracle_flagship import oracle_clusters
+from xlink_ray.functions.eval import pairwise_f1
+from xlink_ray.synth import ALIAS_DICT
+
+
+def _cluster_dict(ds):
+    df = ds.to_pandas()
+    return dict(zip(df["member_id"], df["cluster_id"]))
+
+
+def test_flagship_matches_oracle(ray_session, sf_small):
+    from xlink_ray.pipelines import flagship
+
+    got = _cluster_dict(flagship.clusters(sf_small))
+    exp = oracle_clusters(sf_small)
+    assert set(got) == set(exp)
+    metrics = pairwise_f1(got, exp)
+    assert metrics["f1"] >= 0.99, metrics
+    assert metrics["f1"] == 1.0, metrics  # deterministic spec ⇒ exact
+
+
+def test_flagship_distributed_cc_agrees(ray_session, sf_small):
+    from xlink_ray.pipelines import flagship
+
+    local = _cluster_dict(flagship.clusters(sf_small, method="local"))
+    dist = _cluster_dict(flagship.clusters(sf_small, method="distributed"))
+    assert local == dist
+
+
+def test_flagship_gold_quality(ray_session, sf_small):
+    """Quality vs the synthesized gold labels (informative floor)."""
+    from xlink_ray.pipelines import flagship
+
+    got = _cluster_dict(flagship.clusters(sf_small))
+    docs = pq.read_table(f"{sf_small}/documents.parquet", columns=["doc_id", "source"])
+    url_of = {
+        d: f"https://crawl.example.org/{s}/{d:08d}"
+        for d, s in zip(docs["doc_id"].to_pylist(), docs["source"].to_pylist())
+    }
+    # gold: every occurrence of alias m in doc d belongs to entity
+    # cands[d % k]; occurrences are exactly the resolved members' offsets
+    gold = {}
+    for member in got:
+        url, _off = member.rsplit("#", 1)
+        doc_id = int(url[-8:])
+        # recover mention from the member's block via the predicted
+        # cluster — instead, recompute from text offsets is overkill;
+        # use alias whose occurrence region matches: encode via scan
+        gold[member] = None
+    import re
+
+    import pyarrow.parquet as pq2
+
+    texts = pq2.read_table(f"{sf_small}/documents.parquet", columns=["doc_id", "text"])
+    text_of = dict(zip(texts["doc_id"].to_pylist(), texts["text"].to_pylist()))
+    rx = __import__("re").compile("|".join(sorted(ALIAS_DICT, key=len, reverse=True)))
+    for d, text in text_of.items():
+        for m in rx.finditer(text):
+            cands = ALIAS_DICT[m.group(0)]
+            gold[f"{url_of[d]}#{m.start()}"] = cands[d % len(cands)]
+    gold = {k: v for k, v in gold.items() if v is not None}
+    metrics = pairwise_f1(got, gold)
+    # unambiguous aliases cluster perfectly; ambiguous ones split on
+    # noisy context ⇒ expect a solid but imperfect score
+    assert metrics["f1"] > 0.5, metrics
+    print("gold pairwise F1:", metrics)

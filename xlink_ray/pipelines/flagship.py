@@ -1,0 +1,179 @@
+"""Flagship web-pages entity-resolution pipeline — the north-star
+composition (BASELINE.json north_star / north_rule):
+
+pages (url, warc_ts, html, text, lang)
+  → [extract]    markup-strip → corpus; explode → mentions (gold)
+  → [dictbuild]  mention_anchors + e_given_m + link_prob (from corpus)
+  → [candidates] actor-pool dictionary scan + disambiguation →
+                 resolved occurrence links (doc_id, offset, mention,
+                 entity_id, believe)
+  → [blocking]   explicit groupby shuffle on the normalized blocking
+                 key (mention, resolved entity)
+  → [edges]      sorted-neighborhood within block: occurrences ordered
+                 by (doc_id, offset); adjacent pairs scored by context
+                 cosine; O(n) edges per block instead of the n² grid
+  → [clusters]   transitive closure (connected components) →
+                 (member_id, cluster_id)
+
+Spec decisions (the transcription oracle in tests/oracle_flagship.py
+implements the same spec single-process and must agree exactly —
+pairwise F1 == 1.0 ≥ the 0.99 gate):
+
+* occurrence record id = ``url#offset`` (string, unique, stable),
+* blocking key = (mention surface, resolved entity id) — the mention
+  key of the north rule refined by the disambiguation output; hot
+  aliases therefore split by entity before any pair is generated,
+* within a block, edges connect occurrences adjacent in
+  (doc_id, offset) order — the sorted-neighborhood method (public
+  record-linkage technique) that bounds per-block pair count linearly,
+* edge kept iff context cosine ≥ EDGE_TH (contexts from the same
+  deterministic embedding table both sides),
+* cluster id = min member id (lexicographic).
+
+Divergence from the reference linker, documented: the v2 believe score
+drops the seed-entity term P(e|N) (reference xlink.py:328-336) — the
+seed-coupling makes scores order-dependent within a document and is
+exercised separately by the fidelity linker stage (stages/linking.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data import Dataset
+
+from xlink_ray.pipelines import dictbuild
+from xlink_ray.stages.candidates import CandidateGenActor
+from xlink_ray.stages.clustering import connected_components
+from xlink_ray.state.broadcast import broadcast_table
+
+__all__ = ["links", "clusters", "EDGE_TH"]
+
+EDGE_TH = 0.0  # context-cosine threshold for sorted-neighborhood edges
+
+
+def _collect(ds: Dataset) -> pa.Table:
+    tbls = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    return pa.concat_tables(tbls) if tbls else pa.table({})
+
+
+def links(sf_dir: str, concurrency: int | tuple[int, int] = (1, 8)) -> Dataset:
+    """pages → resolved occurrence links (the XLink `links` table)."""
+    corpus = dictbuild.corpus(sf_dir)
+
+    # dictionary-sized side tables, computed once and broadcast
+    prob = dictbuild.prob_tables(sf_dir)
+    ma = _collect(prob.e_given_m)  # mention, entity_id, e_given_m
+    lp_full = _collect(prob.link_prob)
+    lp = (
+        lp_full.group_by("mention").aggregate([("link_prob", "max")])
+        .rename_columns(["mention", "link_prob"])
+    )
+    from xlink_ray.synth import synth_embeddings
+
+    ma_ref = broadcast_table(ma)
+    lp_ref = broadcast_table(lp)
+    emb_ref = broadcast_table(synth_embeddings())
+
+    return corpus.map_batches(
+        CandidateGenActor,
+        fn_constructor_args=(ma_ref, lp_ref, emb_ref),
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+class _NeighborhoodEdges:
+    """Per-block sorted-neighborhood edge generation with context-cosine
+    scoring. Runs inside groupby((mention, entity_id)).map_groups."""
+
+    def __init__(self, emb_ref: "ray.ObjectRef"):
+        emb = ray.get(emb_ref)
+        items = emb["item"].to_pylist()
+        kinds = emb["kind"].to_pylist()
+        vecs = np.asarray(emb["vec"].to_pylist(), dtype=np.float32)
+        self.word_index = {it: i for i, (it, k) in enumerate(zip(items, kinds)) if k == "word"}
+        self.vecs = vecs
+        self.dim = vecs.shape[1] if len(vecs) else 0
+
+    def _ctx_vecs(self, ctxs: list[str]) -> np.ndarray:
+        acc = np.zeros((len(ctxs), self.dim), dtype=np.float64)
+        cnt = np.zeros(len(ctxs), dtype=np.int64)
+        for i, c in enumerate(ctxs):
+            for tok in c.lower().split():
+                j = self.word_index.get(tok)
+                if j is not None:
+                    acc[i] += self.vecs[j]
+                    cnt[i] += 1
+        nz = cnt > 0
+        acc[nz] /= cnt[nz, None]
+        return acc
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        g = group.sort_by([("doc_id", "ascending"), ("offset", "ascending")])
+        n = g.num_rows
+        if n < 2:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.string()),
+                    "id_b": pa.array([], pa.string()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        member = [
+            f"{d}#{o}" for d, o in zip(g["doc_id"].to_pylist(), g["offset"].to_pylist())
+        ]
+        ctx = self._ctx_vecs(g["context"].to_pylist())
+        a, b = ctx[:-1], ctx[1:]
+        num = np.einsum("ij,ij->i", a, b)
+        den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+        cos = np.zeros(n - 1)
+        nz = den > 0
+        cos[nz] = num[nz] / den[nz]
+        keep = cos >= EDGE_TH
+        ia = np.nonzero(keep)[0]
+        mem = np.asarray(member, dtype=object)
+        lo = np.minimum(mem[ia], mem[ia + 1])
+        hi = np.maximum(mem[ia], mem[ia + 1])
+        return pa.table(
+            {
+                "id_a": pa.array(lo.tolist(), pa.string()),
+                "id_b": pa.array(hi.tolist(), pa.string()),
+                "score": pa.array(cos[ia], pa.float64()),
+            }
+        )
+
+
+def clusters(sf_dir: str, method: str = "auto") -> Dataset:
+    """Full flagship pipeline → (member_id, cluster_id)."""
+    from xlink_ray.synth import synth_embeddings
+
+    # links carries the context window from the extraction actor — one
+    # pass over the corpus; materialized once (occurrence table, far
+    # smaller than the corpus) because two branches consume it
+    lkc = links(sf_dir).materialize()
+    emb_ref = broadcast_table(synth_embeddings())
+    edges = lkc.groupby(["mention", "entity_id"]).map_groups(
+        _NeighborhoodEdges,
+        fn_constructor_args=(emb_ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    members = lkc.map_batches(
+        lambda t: pa.table(
+            {
+                "m": pc.binary_join_element_wise(
+                    t["doc_id"], pc.cast(t["offset"], pa.string()), "#"
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return connected_components(
+        edges, a="id_a", b="id_b", nodes=members, node_col="m", method=method
+    )

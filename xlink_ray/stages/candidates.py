@@ -1,0 +1,218 @@
+"""Candidate generation + disambiguation over plain text — the online
+linking path re-shaped as a batch actor stage (SURVEY.md §2.7 P1-P8).
+
+Reference semantics being matched (simplified v2 scorer, divergences
+documented in pipelines/flagship.py):
+
+* P1  candidate generation: dictionary automaton scan of the plain
+  document (reference generate_prob_files.py:65-82) — here one
+  compiled alternation regex built per actor from the broadcast
+  mention dictionary,
+* P4  context window: ±`window` chars around the mention, tokenized,
+  kept if in the embedding vocabulary (reference
+  modules/prob_gm_predictors/xlink.py:120-131),
+* P5  context-words cosine: cosine(entity_vec, mean(context word
+  vecs)); empty context → 0 (xlink.py:318-326),
+* P7  believe score v2 without the seed-entity term:
+  ``believe = e_given_m^0.02 * context_cosine`` (xlink.py:347-354),
+* P8  keep thresholds: ``link_prob(m) > 0.008`` and
+  ``(believe + link_prob)/2 > 0.2`` (xlink.py:27-30, 161-176),
+* ties in the argmax go to the lexicographically smallest entity id
+  (explicit rule replacing the reference's dict-order accident,
+  SURVEY.md §7.4.6).
+
+All state (automaton, candidate arrays, probability columns, vector
+matrices) is built ONCE per actor in ``__init__`` from broadcast
+refs; ``__call__`` is vectorized across every occurrence in the batch
+(token gather via np.add.at, segment-argmax across candidates).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+__all__ = ["LinkState", "build_link_state", "resolve_batch", "CandidateGenActor"]
+
+LINK_PROB_TH = 0.008
+BELIEVE_TH = 0.2
+POWER = 0.02
+WINDOW = 50
+
+
+class LinkState:
+    """Per-actor immutable linking state."""
+
+    def __init__(
+        self,
+        mention_anchors: pa.Table,  # mention, entity_id, e_given_m
+        link_prob: pa.Table,  # mention, link_prob (one row per mention)
+        embeddings: pa.Table,  # item, kind, vec
+    ):
+        ma = mention_anchors.sort_by([("mention", "ascending"), ("entity_id", "ascending")])
+        self.cand_mentions = np.asarray(ma["mention"].to_pylist())
+        self.cand_entities = np.asarray(ma["entity_id"].to_pylist())
+        self.cand_egm = np.asarray(ma["e_given_m"].to_pylist(), dtype=np.float64)
+
+        mentions = sorted(set(self.cand_mentions.tolist()))
+        self.mention_index = {m: i for i, m in enumerate(mentions)}
+        # candidate row span per mention (sorted ⇒ contiguous)
+        starts = np.searchsorted(self.cand_mentions, mentions, side="left")
+        ends = np.searchsorted(self.cand_mentions, mentions, side="right")
+        self.cand_start = np.asarray(starts, dtype=np.int64)
+        self.cand_end = np.asarray(ends, dtype=np.int64)
+
+        lp = dict(zip(link_prob["mention"].to_pylist(), link_prob["link_prob"].to_pylist()))
+        self.link_prob = np.asarray([lp.get(m, 0.0) for m in mentions], dtype=np.float64)
+
+        items = embeddings["item"].to_pylist()
+        kinds = embeddings["kind"].to_pylist()
+        vecs = np.asarray(embeddings["vec"].to_pylist(), dtype=np.float32)
+        self.dim = vecs.shape[1] if len(vecs) else 0
+        self.word_index = {it: i for i, (it, k) in enumerate(zip(items, kinds)) if k == "word"}
+        self.entity_index = {it: i for i, (it, k) in enumerate(zip(items, kinds)) if k == "entity"}
+        self.vecs = vecs
+        # entity vec row per candidate (missing → -1 ⇒ zero vector)
+        self.cand_vec_row = np.asarray(
+            [self.entity_index.get(e, -1) for e in self.cand_entities], dtype=np.int64
+        )
+
+        pattern = "|".join(re.escape(m) for m in sorted(mentions, key=len, reverse=True))
+        self.rx = re.compile(pattern) if pattern else None
+
+
+def build_link_state(mention_anchors: pa.Table, link_prob: pa.Table, embeddings: pa.Table) -> LinkState:
+    return LinkState(mention_anchors, link_prob, embeddings)
+
+
+def _context_vectors(
+    state: LinkState, texts: list[str], occ_doc: np.ndarray, occ_off: np.ndarray, occ_len: np.ndarray
+) -> np.ndarray:
+    """Mean word vector of the ±WINDOW-char context of each occurrence."""
+    n = len(occ_doc)
+    acc = np.zeros((n, state.dim), dtype=np.float64)
+    cnt = np.zeros(n, dtype=np.int64)
+    widx = state.word_index
+    vecs = state.vecs
+    for i in range(n):
+        text = texts[occ_doc[i]]
+        off = occ_off[i]
+        prev = text[max(0, off - WINDOW) : off]
+        after = text[off + occ_len[i] : off + occ_len[i] + WINDOW]
+        for tok in (prev + " " + after).lower().split():
+            j = widx.get(tok)
+            if j is not None:
+                acc[i] += vecs[j]
+                cnt[i] += 1
+    nz = cnt > 0
+    acc[nz] /= cnt[nz, None]
+    return acc
+
+
+def resolve_batch(state: LinkState, doc_ids: list, texts: list[str]) -> pa.Table:
+    """Plain docs → resolved occurrence links
+    (doc_id, offset, mention, entity_id, believe)."""
+    occ_doc: list[int] = []
+    occ_off: list[int] = []
+    occ_mid: list[int] = []
+    if state.rx is not None:
+        for d, text in enumerate(texts):
+            for mt in state.rx.finditer(text.lower()):
+                occ_doc.append(d)
+                occ_off.append(mt.start())
+                occ_mid.append(state.mention_index[mt.group(0)])
+    n = len(occ_doc)
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.string()),
+            "offset": pa.array([], pa.int64()),
+            "mention": pa.array([], pa.string()),
+            "entity_id": pa.array([], pa.string()),
+            "believe": pa.array([], pa.float64()),
+            "context": pa.array([], pa.string()),
+        }
+    )
+    if n == 0:
+        return empty
+
+    occ_doc_a = np.asarray(occ_doc, dtype=np.int64)
+    occ_off_a = np.asarray(occ_off, dtype=np.int64)
+    occ_mid_a = np.asarray(occ_mid, dtype=np.int64)
+    mentions_arr = np.asarray(sorted(state.mention_index.keys()))
+    occ_len_a = np.asarray([len(mentions_arr[m]) for m in occ_mid_a], dtype=np.int64)
+
+    ctx = _context_vectors(state, texts, occ_doc_a, occ_off_a, occ_len_a)  # (n, dim)
+
+    # expand (occurrence × candidate)
+    starts = state.cand_start[occ_mid_a]
+    ends = state.cand_end[occ_mid_a]
+    counts = ends - starts
+    occ_rep = np.repeat(np.arange(n), counts)
+    cand_rows = np.concatenate([np.arange(s, e) for s, e in zip(starts, ends)]) if n else np.array([], dtype=np.int64)
+
+    cvec_rows = state.cand_vec_row[cand_rows]
+    evecs = np.where(
+        (cvec_rows >= 0)[:, None], state.vecs[np.maximum(cvec_rows, 0)], 0.0
+    ).astype(np.float64)
+    cx = ctx[occ_rep]
+    num = np.einsum("ij,ij->i", evecs, cx)
+    den = np.linalg.norm(evecs, axis=1) * np.linalg.norm(cx, axis=1)
+    cws = np.zeros(len(num), dtype=np.float64)
+    nzd = den > 0
+    cws[nzd] = num[nzd] / den[nzd]
+
+    believe = (state.cand_egm[cand_rows] ** POWER) * cws
+
+    best_val = np.full(n, -np.inf)
+    best_row = np.zeros(n, dtype=np.int64)
+    # vectorized segment argmax per occurrence: order rows by
+    # (occ, believe desc, cand_row asc) → ties pick the smallest
+    # entity id (candidates are sorted by id within a mention)
+    order = np.lexsort((cand_rows, -believe, occ_rep))
+    occ_sorted = occ_rep[order]
+    first_of_occ = np.ones(len(order), dtype=bool)
+    first_of_occ[1:] = occ_sorted[1:] != occ_sorted[:-1]
+    sel = order[first_of_occ]
+    best_row[occ_rep[sel]] = cand_rows[sel]
+    best_val[occ_rep[sel]] = believe[sel]
+
+    lp = state.link_prob[occ_mid_a]
+    keep = (lp > LINK_PROB_TH) & ((best_val + lp) / 2.0 > BELIEVE_TH)
+    if not keep.any():
+        return empty
+
+    ki = np.nonzero(keep)[0]
+    contexts = []
+    for i in ki:
+        text = texts[occ_doc_a[i]]
+        off = int(occ_off_a[i])
+        ln = int(occ_len_a[i])
+        contexts.append(
+            text[max(0, off - WINDOW) : off] + " " + text[off + ln : off + ln + WINDOW]
+        )
+    return pa.table(
+        {
+            "doc_id": pa.array([doc_ids[occ_doc_a[i]] for i in ki], pa.string()),
+            "offset": pa.array(occ_off_a[ki]),
+            "mention": pa.array(mentions_arr[occ_mid_a[ki]], pa.string()),
+            "entity_id": pa.array(state.cand_entities[best_row[ki]], pa.string()),
+            "believe": pa.array(best_val[ki]),
+            "context": pa.array(contexts, pa.string()),
+        }
+    )
+
+
+class CandidateGenActor:
+    """Actor-pool stage: corpus (doc_id, text) → resolved links."""
+
+    def __init__(self, ma_ref: "ray.ObjectRef", lp_ref: "ray.ObjectRef", emb_ref: "ray.ObjectRef"):
+        self.state = build_link_state(ray.get(ma_ref), ray.get(lp_ref), ray.get(emb_ref))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        return resolve_batch(self.state, ids, texts)
