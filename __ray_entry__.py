@@ -163,6 +163,96 @@ def _q_flagship_clusters(sf_dir: str):
     return flagship.clusters(sf_dir)
 
 
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _q_exact_dedup(sf_dir: str):
+    from xlink_ray.stages.dedup import exact_dedup_keepers
+
+    return exact_dedup_keepers(_docs(sf_dir))
+
+
+def _q_token_counts(sf_dir: str):
+    from xlink_ray.stages.textstats import token_counts
+
+    return token_counts(_docs(sf_dir))
+
+
+def _q_quality_stats(sf_dir: str):
+    from xlink_ray.stages.textstats import quality_stats
+
+    return quality_stats(_docs(sf_dir))
+
+
+def _q_jaccard_partners(sf_dir: str):
+    from xlink_ray.stages.dedup import jaccard_partner_counts
+
+    return jaccard_partner_counts(_docs(sf_dir), block_col="lang", th=0.999)
+
+
+def _q_embedding_dup(sf_dir: str):
+    import ray.data as rd
+
+    from xlink_ray.stages.dedup import embedding_dup_pairs
+
+    return embedding_dup_pairs(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet"), th=0.35
+    )
+
+
+def _q_ann_topk(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from xlink_ray.stages.ann import brute_topk
+
+    q = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = q.sort_by("vec_id").slice(0, 5)
+    queries = np.asarray(q["embedding"].to_pylist(), dtype=np.float64)
+    return brute_topk(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), queries, k=10)
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from xlink_ray.stages.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(sf_dir), jaccard_th=0.5).select_columns(
+        ["id_a", "id_b"]
+    )
+
+
+def _q_simhash_pairs(sf_dir: str):
+    from xlink_ray.stages.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(sf_dir), max_hamming=3)
+
+
+def _q_lang_id(sf_dir: str):
+    from xlink_ray.stages.textstats import lang_id
+
+    return lang_id(_docs(sf_dir))
+
+
+def _q_fingerprints(sf_dir: str):
+    from xlink_ray.stages.textstats import fingerprints
+
+    return fingerprints(_docs(sf_dir))
+
+
+def _q_media_features(sf_dir: str):
+    import ray.data as rd
+
+    from xlink_ray.stages.multimodal import media_features, synth_media
+
+    return media_features(rd.from_arrow(synth_media())).select_columns(
+        ["media_id", "media_type"]
+    )
+
+
 def entry() -> Any:
     """Flagship: full pages→links→blocking→clusters ER pipeline at
     sf0.001 (north-star composition)."""
@@ -187,6 +277,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_mentions": _q_doc_mentions,
         "links": _q_links,
         "flagship_clusters": _q_flagship_clusters,
+        "exact_dedup": _q_exact_dedup,
+        "token_counts": _q_token_counts,
+        "quality_stats": _q_quality_stats,
+        "jaccard_partners": _q_jaccard_partners,
+        "embedding_dup": _q_embedding_dup,
+        "ann_topk": _q_ann_topk,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "lang_id": _q_lang_id,
+        "fingerprints": _q_fingerprints,
+        "media_features": _q_media_features,
     }
 
 
@@ -249,6 +350,42 @@ SELECT d.doc_id, a.mention,
        CAST((length(d.text) - length(replace(d.text, a.mention, ''))) / length(a.mention) AS BIGINT) AS n
 FROM documents d CROSS JOIN (SELECT DISTINCT mention FROM alias) a
 WHERE (length(d.text) - length(replace(d.text, a.mention, ''))) / length(a.mention) > 0""",
+        "exact_dedup": """
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, md5(text) AS h
+FROM documents GROUP BY md5(text)""",
+        "token_counts": """
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+FROM documents""",
+        "quality_stats": """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+       CAST(list_max(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT) AS max_token_len
+FROM documents""",
+        "jaccard_partners": """
+WITH pr AS (
+  SELECT a.doc_id AS u
+  FROM documents a JOIN documents b
+    ON a.lang = b.lang AND a.doc_id <> b.doc_id
+   AND jaccard(a.text, b.text) >= 0.999)
+SELECT d.doc_id, CAST(coalesce(c.cnt, 0) AS BIGINT) AS n_partners
+FROM documents d
+LEFT JOIN (SELECT u, count(*) AS cnt FROM pr GROUP BY u) c ON d.doc_id = c.u""",
+        "embedding_dup": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35""",
+        "ann_topk": """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+s AS (SELECT q.qid, e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS c
+      FROM embeddings e CROSS JOIN q),
+r AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rnk
+      FROM s)
+SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rank, vec_id
+FROM r WHERE rnk <= 10""",
         "er_clusters_dist": """
 WITH RECURSIVE e AS (
   SELECT a.c_custkey AS id_a, b.c_custkey AS id_b

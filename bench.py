@@ -1,0 +1,148 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) in this process with
+ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32).
+
+--scaling: run the headline pipeline twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and report both
+throughputs plus scaling efficiency (the sandbox proxy for the north
+rule's N vs 4N cluster sizes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _run_queries() -> dict[str, float]:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from xlink_ray.pipelines import dictbuild, er, flagship
+
+    # warm the page cache so we measure compute + shuffle, not cold reads
+    dictbuild.pages(SF_DIR).count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    timed("flagship_clusters", lambda: flagship.clusters(SF_DIR).count())
+    timed("links", lambda: flagship.links(SF_DIR).count())
+    timed("mention_anchors", lambda: dictbuild.mention_anchors(SF_DIR).count())
+    timed("freq_m", lambda: dictbuild.freq_m(SF_DIR).count())
+    timed("er_pairs", lambda: er.customer_pairs(SF_DIR).count())
+    timed("er_clusters", lambda: er.customer_clusters(SF_DIR).count())
+    return timings
+
+
+def _headline_only() -> tuple[float, int]:
+    """Headline pipeline once; returns (seconds, pages)."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from xlink_ray.pipelines import dictbuild, flagship
+
+    pages = dictbuild.pages(SF_DIR).count()  # warm cache, count pages
+    t0 = time.time()
+    flagship.clusters(SF_DIR).count()
+    dt = time.time() - t0
+    ray.shutdown()
+    return dt, pages
+
+
+def _scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__), "bench.py"), "--headline"],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_cpus, hi_cpus = 8, 32
+    lo = run(lo_cpus)
+    hi = run(hi_cpus)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
+    print(
+        json.dumps(
+            {
+                "metric": "flagship_scaling",
+                "sec_8": t_lo,
+                "sec_32": t_hi,
+                "pages": lo["pages"],
+                "pages_per_sec_8": round(lo["pages"] / t_lo, 1),
+                "pages_per_sec_32": round(hi["pages"] / t_hi, 1),
+                "scaling_efficiency": round(eff, 3),
+                "sf": SF_DIR,
+            }
+        )
+    )
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        _scaling()
+        return
+    if "--headline" in sys.argv:
+        dt, pages = _headline_only()
+        print(json.dumps({"metric": "flagship_e2e", "value": round(dt, 3),
+                          "unit": "sec", "pages": pages, "num_cpus": NUM_CPUS}))
+        return
+
+    import ray
+
+    t0 = time.time()
+    timings = _run_queries()
+    total = round(time.time() - t0, 3)
+    ray.shutdown()
+    print(
+        json.dumps(
+            {
+                "metric": "xlink_ray_bench",
+                "value": timings.get("flagship_clusters", total),
+                "unit": "sec",
+                "queries": timings,
+                "total_sec": total,
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

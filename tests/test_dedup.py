@@ -1,0 +1,126 @@
+"""Dedup family: exact, MinHash-LSH, SimHash, embedding cosine."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def _docs_ds(rows):
+    return rd.from_arrow(pa.Table.from_pylist(rows))
+
+
+def test_exact_dedup(ray_session):
+    from xlink_ray.stages.dedup import exact_dedup_keepers
+
+    rows = [
+        {"doc_id": 3, "text": "aaa"},
+        {"doc_id": 1, "text": "bbb"},
+        {"doc_id": 2, "text": "aaa"},
+        {"doc_id": 9, "text": "aaa"},
+    ]
+    got = exact_dedup_keepers(_docs_ds(rows)).to_pandas()
+    keep = set(got["doc_id"])
+    assert keep == {1, 2}  # min doc_id per distinct content
+
+
+def test_minhash_finds_near_dups(ray_session):
+    from xlink_ray.stages.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base[:-10] + "black cat "  # high shingle overlap
+    far = "completely different content with other words entirely " * 4
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": near},
+        {"doc_id": 3, "text": far},
+    ]
+    got = minhash_lsh_pairs(_docs_ds(rows), jaccard_th=0.5).to_pandas()
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    # verified jaccard is the exact shingle jaccard
+    j = got[(got["id_a"] == 1) & (got["id_b"] == 2)]["jaccard"].iloc[0]
+    assert 0.5 <= j < 1.0
+
+
+def test_simhash_near_dups(ray_session):
+    """SimHash is order-insensitive over the token multiset: a permuted
+    doc has hamming 0; an unrelated doc stays far outside the banding
+    guarantee (ham ≤ chunks-1 = 3)."""
+    from xlink_ray.stages.dedup import simhash_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    perm = "kappa iota theta eta zeta epsilon delta gamma beta alpha"
+    far = "one two three four five six seven eight nine ten"
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": perm},
+        {"doc_id": 3, "text": far},
+    ]
+    got = simhash_pairs(_docs_ds(rows), max_hamming=3).to_pandas()
+    if len(got) == 0:
+        pairs = set()
+    else:
+        pairs = set(zip(got["id_a"], got["id_b"]))
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_embedding_dup_pairs(ray_session):
+    from xlink_ray.stages.dedup import embedding_dup_pairs
+
+    v = np.eye(4).tolist()
+    rows = [
+        {"vec_id": 0, "embedding": v[0]},
+        {"vec_id": 1, "embedding": (np.array(v[0]) * 0.99 + 0.01).tolist()},
+        {"vec_id": 2, "embedding": v[1]},
+    ]
+    got = embedding_dup_pairs(_docs_ds(rows), th=0.95).to_pandas()
+    assert set(zip(got["id_a"], got["id_b"])) == {(0, 1)}
+
+
+def test_ann_brute_vs_lsh_recall(ray_session):
+    from xlink_ray.stages.ann import brute_topk, lsh_topk
+
+    rng = np.random.default_rng(3)
+    mat = rng.standard_normal((300, 16))
+    rows = [{"vec_id": i, "embedding": mat[i].tolist()} for i in range(300)]
+    ds = _docs_ds(rows)
+    queries = mat[:3]
+    exact = brute_topk(ds, queries, k=5).to_pandas()
+    approx = lsh_topk(ds, queries, k=5, n_planes=6).to_pandas()
+    # exact self-match at rank 1
+    r1 = exact[exact["rank"] == 1]
+    assert list(r1["vec_id"]) == [0, 1, 2]
+    # LSH recall@5 vs exact should be non-trivial
+    recall = 0
+    for q in range(3):
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        recall += len(e & a) / 5
+    assert recall / 3 >= 0.4
+
+
+def test_media_features_plumbing(ray_session):
+    import pytest
+
+    from xlink_ray.stages.multimodal import (
+        MediaFeatureActor,
+        media_features,
+        synth_media,
+    )
+
+    ds = rd.from_arrow(synth_media(64))
+    out = media_features(ds).to_pandas()
+    assert len(out) == 64
+    assert all(len(f) == MediaFeatureActor.DIM for f in out["feature"])
+    # determinism
+    out2 = media_features(rd.from_arrow(synth_media(64))).to_pandas()
+    a = out.sort_values("media_id").reset_index(drop=True)
+    b = out2.sort_values("media_id").reset_index(drop=True)
+    assert all(np.array_equal(x, y) for x, y in zip(a["feature"], b["feature"]))
+    # the real-decoder slot is explicitly not implemented
+    actor = MediaFeatureActor(backend="none")
+    with pytest.raises(NotImplementedError):
+        actor._decode(b"\x00\x01", "image")

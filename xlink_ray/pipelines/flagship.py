@@ -45,7 +45,6 @@ import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
-from xlink_ray.pipelines import dictbuild
 from xlink_ray.stages.candidates import CandidateGenActor
 from xlink_ray.stages.clustering import connected_components
 from xlink_ray.state.broadcast import broadcast_table
@@ -61,22 +60,59 @@ def _collect(ds: Dataset) -> pa.Table:
 
 
 def links(sf_dir: str, concurrency: int | tuple[int, int] = (1, 8)) -> Dataset:
-    """pages → resolved occurrence links (the XLink `links` table)."""
-    corpus = dictbuild.corpus(sf_dir)
+    """pages → resolved occurrence links (the XLink `links` table).
 
-    # dictionary-sized side tables, computed once and broadcast
-    prob = dictbuild.prob_tables(sf_dir)
-    ma = _collect(prob.e_given_m)  # mention, entity_id, e_given_m
-    lp_full = _collect(prob.link_prob)
-    lp = (
-        lp_full.group_by("mention").aggregate([("link_prob", "max")])
-        .rename_columns(["mention", "link_prob"])
+    Pass structure (each corpus pass counted once):
+      1. synth pages → (url, text), materialized (html projected away),
+      2. markup-strip → corpus, materialized (consumed by the freq scan
+         AND the candidate scan),
+      3. mention explode + grouped count → mention_anchors (dictionary-
+         sized, collected to the driver and broadcast),
+      4. freq scan actor pool over corpus → freq_m (dictionary-sized),
+      5. candidate/disambiguation actor pool over corpus → links.
+    The probability columns are derived locally from the two
+    dictionary-sized aggregates (C-speed Arrow group_by) — the fact
+    table is never shuffled twice.
+    """
+    import ray as _ray
+
+    from xlink_ray import synth
+    from xlink_ray.stages import aggregates
+    from xlink_ray.stages.extract import ExtractCorpusBatch, ExtractMentionsBatch
+    from xlink_ray.stages.freq import freq_m as freq_m_stage
+
+    pages = synth.synth_pages(sf_dir).select_columns(["url", "text"]).materialize()
+    corpus = pages.map_batches(ExtractCorpusBatch(), batch_format="pyarrow").materialize()
+
+    ma_tbl = _collect(
+        aggregates.mention_anchors(
+            pages.map_batches(ExtractMentionsBatch(), batch_format="pyarrow")
+        )
     )
-    from xlink_ray.synth import synth_embeddings
+    vocab_ref = _ray.put(sorted(set(ma_tbl["mention"].to_pylist())))
+    freq_tbl = _collect(freq_m_stage(corpus, vocab_ref))
+
+    # local derivation of the probability columns (dictionary-sized)
+    link_m = (
+        ma_tbl.group_by("mention").aggregate([("link_count", "sum")])
+        .rename_columns(["mention", "link_m"])
+    )
+    ma = ma_tbl.join(link_m, keys="mention", join_type="inner")
+    ma = ma.append_column(
+        "e_given_m",
+        pc.divide(
+            pc.cast(ma["link_count"], pa.float64()), pc.cast(ma["link_m"], pa.float64())
+        ),
+    ).select(["mention", "entity_id", "e_given_m"])
+    lp = link_m.join(freq_tbl, keys="mention", join_type="inner")
+    lp = lp.append_column(
+        "link_prob",
+        pc.divide(pc.cast(lp["link_m"], pa.float64()), pc.cast(lp["freq"], pa.float64())),
+    ).select(["mention", "link_prob"])
 
     ma_ref = broadcast_table(ma)
     lp_ref = broadcast_table(lp)
-    emb_ref = broadcast_table(synth_embeddings())
+    emb_ref = broadcast_table(synth.synth_embeddings())
 
     return corpus.map_batches(
         CandidateGenActor,
