@@ -1,0 +1,93 @@
+"""Checkpoint/resume: per-stage manifests, atomic completion, skip on
+rerun, recompute on fingerprint change, byte-identical results."""
+
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from xlink_ray.state.checkpoint import CheckpointManager, fingerprint
+
+
+@pytest.fixture
+def root(tmp_path):
+    return str(tmp_path / "ckpt")
+
+
+def _ds(n=10):
+    return rd.from_arrow(pa.table({"x": list(range(n))}))
+
+
+def test_stage_skip_and_lineage(ray_session, root):
+    cm = CheckpointManager(root)
+    calls = {"n": 0}
+
+    def make():
+        calls["n"] += 1
+        return _ds()
+
+    fp = fingerprint("stage-v1", "input-a")
+    out1 = cm.run_stage("s1", fp, make).to_pandas()
+    assert calls["n"] == 1 and cm.computed == ["s1"]
+
+    cm2 = CheckpointManager(root)
+    out2 = cm2.run_stage("s1", fp, make).to_pandas()
+    assert calls["n"] == 1  # skipped — fn never invoked
+    assert cm2.skipped == ["s1"]
+    assert sorted(out1["x"]) == sorted(out2["x"])
+
+    m = cm2.manifest("s1")
+    assert m["complete"] and m["rows"] == 10 and m["fingerprint"] == fp
+    assert sum(p["rows"] for p in m["partitions"]) == 10
+    assert all(p["bytes"] > 0 for p in m["partitions"])
+
+
+def test_fingerprint_change_recomputes(ray_session, root):
+    cm = CheckpointManager(root)
+    cm.run_stage("s1", fingerprint("v1"), lambda: _ds(5)).to_pandas()
+    out = cm.run_stage("s1", fingerprint("v2"), lambda: _ds(7)).to_pandas()
+    assert len(out) == 7
+    assert cm.manifest("s1")["rows"] == 7
+
+
+def test_incomplete_dir_not_trusted(ray_session, root):
+    """A stage dir without a manifest (simulated kill) is recomputed."""
+    cm = CheckpointManager(root)
+    fp = fingerprint("v1")
+    cm.run_stage("s1", fp, lambda: _ds(5))
+    os.remove(os.path.join(root, "s1", "manifest.json"))
+    cm2 = CheckpointManager(root)
+    out = cm2.run_stage("s1", fp, lambda: _ds(5)).to_pandas()
+    assert len(out) == 5 and cm2.computed == ["s1"]
+
+
+def test_flagship_resume(ray_session, sf_small, root):
+    from xlink_ray.pipelines import flagship
+
+    out1, cm1 = flagship.clusters_checkpointed(sf_small, root)
+    df1 = out1.to_pandas().sort_values("member_id").reset_index(drop=True)
+    assert set(cm1.computed) == {"links", "edges", "clusters"}
+
+    out2, cm2 = flagship.clusters_checkpointed(sf_small, root)
+    df2 = out2.to_pandas().sort_values("member_id").reset_index(drop=True)
+    assert set(cm2.skipped) == {"links", "edges", "clusters"}
+    assert cm2.computed == []
+    assert df1.equals(df2)
+
+    # kill-after-stage-1 simulation: only links checkpoint survives
+    shutil.rmtree(os.path.join(root, "edges"))
+    shutil.rmtree(os.path.join(root, "clusters"))
+    out3, cm3 = flagship.clusters_checkpointed(sf_small, root)
+    df3 = out3.to_pandas().sort_values("member_id").reset_index(drop=True)
+    assert cm3.skipped == ["links"]
+    assert set(cm3.computed) == {"edges", "clusters"}
+    assert df1.equals(df3)
+
+    # lineage manifests carry metrics for every stage
+    for stage in ("links", "edges", "clusters"):
+        m = json.load(open(os.path.join(root, stage, "manifest.json")))
+        assert m["rows"] > 0 and len(m["partitions"]) >= 1

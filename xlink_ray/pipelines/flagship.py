@@ -185,22 +185,21 @@ class _NeighborhoodEdges:
         )
 
 
-def clusters(sf_dir: str, method: str = "auto") -> Dataset:
-    """Full flagship pipeline → (member_id, cluster_id)."""
+def edges_from_links(lkc: Dataset) -> Dataset:
+    """links (+context) → sorted-neighborhood context-cosine edges."""
     from xlink_ray.synth import synth_embeddings
 
-    # links carries the context window from the extraction actor — one
-    # pass over the corpus; materialized once (occurrence table, far
-    # smaller than the corpus) because two branches consume it
-    lkc = links(sf_dir).materialize()
     emb_ref = broadcast_table(synth_embeddings())
-    edges = lkc.groupby(["mention", "entity_id"]).map_groups(
+    return lkc.groupby(["mention", "entity_id"]).map_groups(
         _NeighborhoodEdges,
         fn_constructor_args=(emb_ref,),
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
-    members = lkc.map_batches(
+
+
+def members_from_links(lkc: Dataset) -> Dataset:
+    return lkc.map_batches(
         lambda t: pa.table(
             {
                 "m": pc.binary_join_element_wise(
@@ -210,6 +209,52 @@ def clusters(sf_dir: str, method: str = "auto") -> Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+def clusters_from(lkc: Dataset, method: str = "auto") -> Dataset:
     return connected_components(
-        edges, a="id_a", b="id_b", nodes=members, node_col="m", method=method
+        edges_from_links(lkc),
+        a="id_a",
+        b="id_b",
+        nodes=members_from_links(lkc),
+        node_col="m",
+        method=method,
     )
+
+
+def clusters(sf_dir: str, method: str = "auto") -> Dataset:
+    """Full flagship pipeline → (member_id, cluster_id)."""
+    # links carries the context window from the extraction actor — one
+    # pass over the corpus; materialized once (occurrence table, far
+    # smaller than the corpus) because two branches consume it
+    return clusters_from(links(sf_dir).materialize(), method=method)
+
+
+def clusters_checkpointed(
+    sf_dir: str, ckpt_root: str, method: str = "auto"
+) -> tuple[Dataset, "object"]:
+    """Flagship with per-stage Parquet checkpoints + lineage manifests.
+
+    Stages: links → edges → clusters. A rerun with the same inputs
+    skips every complete stage (manifest fingerprint match); returns
+    (clusters Dataset, CheckpointManager) so callers can inspect
+    skipped/computed lineage.
+    """
+    from xlink_ray.state.checkpoint import CheckpointManager, fingerprint
+
+    cm = CheckpointManager(ckpt_root)
+    base = fingerprint("flagship-v1", sf_dir, EDGE_TH)
+
+    lkc = cm.run_stage("links", fingerprint(base, "links"), lambda: links(sf_dir))
+    edges = cm.run_stage(
+        "edges", fingerprint(base, "edges"), lambda: edges_from_links(lkc)
+    )
+    members = members_from_links(lkc)
+    out = cm.run_stage(
+        "clusters",
+        fingerprint(base, "clusters", method),
+        lambda: connected_components(
+            edges, a="id_a", b="id_b", nodes=members, node_col="m", method=method
+        ),
+    )
+    return out, cm
