@@ -253,6 +253,58 @@ def _q_media_features(sf_dir: str):
     )
 
 
+def _q_pricing_summary(sf_dir: str):
+    from xlink_ray.pipelines import relational
+
+    return relational.pricing_summary(sf_dir)
+
+
+def _q_nation_revenue(sf_dir: str):
+    from xlink_ray.pipelines import relational
+
+    return relational.nation_revenue(sf_dir)
+
+
+def _q_top_parts(sf_dir: str):
+    from xlink_ray.pipelines import relational
+
+    return relational.top_parts(sf_dir)
+
+
+def _q_mktsegments(sf_dir: str):
+    from xlink_ray.pipelines import relational
+
+    return relational.mktsegments(sf_dir)
+
+
+def _q_customers_without_orders(sf_dir: str):
+    from xlink_ray.pipelines import relational
+
+    return relational.customers_without_orders(sf_dir)
+
+
+def _q_vocab_counts(sf_dir: str):
+    from xlink_ray.pipelines import relational
+
+    return relational.vocab_counts(sf_dir)
+
+
+def _q_window_agg(sf_dir: str):
+    import ray.data as rd
+
+    from xlink_ray.stages.windows import tumbling_window_agg
+
+    return tumbling_window_agg(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_sessions(sf_dir: str):
+    import ray.data as rd
+
+    from xlink_ray.stages.windows import sessionize
+
+    return sessionize(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def entry() -> Any:
     """Flagship: full pages→links→blocking→clusters ER pipeline at
     sf0.001 (north-star composition)."""
@@ -288,6 +340,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
         "media_features": _q_media_features,
+        "pricing_summary": _q_pricing_summary,
+        "nation_revenue": _q_nation_revenue,
+        "top_parts": _q_top_parts,
+        "mktsegments": _q_mktsegments,
+        "customers_without_orders": _q_customers_without_orders,
+        "vocab_counts": _q_vocab_counts,
+        "window_agg": _q_window_agg,
+        "sessions": _q_sessions,
     }
 
 
@@ -386,6 +446,51 @@ r AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY c DESC, v
       FROM s)
 SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rank, vec_id
 FROM r WHERE rnk <= 10""",
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity) * 10000) AS BIGINT) AS sum_qty,
+       CAST(round(sum(l_extendedprice) * 10000) AS BIGINT) AS sum_base_price,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT) AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus""",
+        "nation_revenue": """
+SELECT n_name, CAST(round(sum(o_totalprice) * 10000) AS BIGINT) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n_name""",
+        "top_parts": """
+SELECT p_partkey, p_name, p_retailprice
+FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 10""",
+        "mktsegments": "SELECT DISTINCT c_mktsegment FROM customer",
+        "customers_without_orders": """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""",
+        "vocab_counts": """
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token HAVING count(*) >= 5""",
+        "window_agg": """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(value) * 10000) AS BIGINT) AS total_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+        "sessions": """
+WITH o AS (
+  SELECT user_id, ts, value, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events),
+m AS (SELECT *, CASE WHEN pts IS NULL OR ts - pts > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS brk FROM o),
+s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id, min(ts) AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(value) * 10000) AS BIGINT) AS total_value
+FROM s GROUP BY user_id, sid""",
         "er_clusters_dist": """
 WITH RECURSIVE e AS (
   SELECT a.c_custkey AS id_a, b.c_custkey AS id_b

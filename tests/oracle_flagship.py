@@ -86,9 +86,12 @@ def oracle_clusters(sf_dir: str, edge_th: float = 0.0) -> dict[str, str]:
                 cnt += 1
         return acc / cnt if cnt else acc
 
-    blocks: dict[tuple[str, str], list] = {}
+    from xlink_ray.pipelines.flagship import DOCS_PER_SALT
+
+    blocks: dict[tuple, list] = {}
     for row in rows:
-        blocks.setdefault((row[1], row[2]), []).append(row)
+        doc_num = int(row[3][-8:])  # url ends with the 8-digit doc id
+        blocks.setdefault((row[1], row[2], doc_num // DOCS_PER_SALT), []).append(row)
 
     parent: dict[str, str] = {r[0]: r[0] for r in rows}
 

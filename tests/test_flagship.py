@@ -25,12 +25,14 @@ def test_flagship_matches_oracle(ray_session, sf_small):
     assert metrics["f1"] == 1.0, metrics  # deterministic spec ⇒ exact
 
 
-def test_flagship_distributed_cc_agrees(ray_session, sf_small):
+def test_flagship_cc_paths_agree(ray_session, sf_small):
+    """Fused per-block clustering == generic CC (local and distributed)."""
     from xlink_ray.pipelines import flagship
 
+    block = _cluster_dict(flagship.clusters(sf_small, method="block"))
     local = _cluster_dict(flagship.clusters(sf_small, method="local"))
     dist = _cluster_dict(flagship.clusters(sf_small, method="distributed"))
-    assert local == dist
+    assert block == local == dist
 
 
 def test_flagship_gold_quality(ray_session, sf_small):

@@ -10,6 +10,8 @@ as in-memory dicts.
 
 from __future__ import annotations
 
+from xlink_ray.util import pool_size
+
 import ray
 from ray.data import Dataset
 
@@ -70,7 +72,7 @@ def dict_vocab_ref() -> "ray.ObjectRef":
     return ray.put(sorted(synth.ALIAS_DICT.keys()))
 
 
-def freq_m(sf_dir: str, concurrency: int | tuple[int, int] = (1, 4)) -> Dataset:
+def freq_m(sf_dir: str, concurrency: int | tuple[int, int] | None = None) -> Dataset:
     return freq_m_stage(corpus(sf_dir), dict_vocab_ref(), concurrency=concurrency)
 
 

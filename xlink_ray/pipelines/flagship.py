@@ -20,12 +20,16 @@ implements the same spec single-process and must agree exactly —
 pairwise F1 == 1.0 ≥ the 0.99 gate):
 
 * occurrence record id = ``url#offset`` (string, unique, stable),
-* blocking key = (mention surface, resolved entity id) — the mention
-  key of the north rule refined by the disambiguation output; hot
-  aliases therefore split by entity before any pair is generated,
+* blocking key = (mention surface, resolved entity id, salt) — the
+  mention key of the north rule refined by the disambiguation output,
+  plus a deterministic doc-range salt (``doc_num // DOCS_PER_SALT``)
+  that splits hot aliases so no block spans more than a bounded doc
+  range (skew handling; see DOCS_PER_SALT note below),
 * within a block, edges connect occurrences adjacent in
   (doc_id, offset) order — the sorted-neighborhood method (public
-  record-linkage technique) that bounds per-block pair count linearly,
+  record-linkage technique) that bounds per-block pair count linearly;
+  range (not hash) salting keeps that order contiguous within each
+  salt partition, forgoing only the range-boundary pair,
 * edge kept iff context cosine ≥ EDGE_TH (contexts from the same
   deterministic embedding table both sides),
 * cluster id = min member id (lexicographic).
@@ -38,6 +42,8 @@ exercised separately by the fidelity linker stage (stages/linking.py).
 
 from __future__ import annotations
 
+from xlink_ray.util import pool_size
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -49,9 +55,24 @@ from xlink_ray.stages.candidates import CandidateGenActor
 from xlink_ray.stages.clustering import connected_components
 from xlink_ray.state.broadcast import broadcast_table
 
-__all__ = ["links", "clusters", "EDGE_TH"]
+__all__ = ["links", "clusters", "EDGE_TH", "DOCS_PER_SALT"]
 
 EDGE_TH = 0.0  # context-cosine threshold for sorted-neighborhood edges
+
+# hot-key skew splitting: a block (mention, entity) spans the whole
+# corpus — at scale that is one giant group per alias. Blocks are
+# salted by contiguous doc-id RANGES (not hashes), so the
+# sorted-neighborhood order inside each salt partition is a contiguous
+# slice of the unsalted order and only the S-1 range-boundary pairs
+# are forgone. Deterministic: salt = doc_num // DOCS_PER_SALT.
+DOCS_PER_SALT = 2000
+
+
+def _add_salt(t: pa.Table) -> pa.Table:
+    num = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], -8, 99), pa.int64())
+    return t.append_column(
+        "salt", pc.divide(num, pa.scalar(DOCS_PER_SALT, pa.int64()))
+    )
 
 
 def _collect(ds: Dataset) -> pa.Table:
@@ -59,7 +80,7 @@ def _collect(ds: Dataset) -> pa.Table:
     return pa.concat_tables(tbls) if tbls else pa.table({})
 
 
-def links(sf_dir: str, concurrency: int | tuple[int, int] = (1, 8)) -> Dataset:
+def links(sf_dir: str, concurrency: int | tuple[int, int] | None = None, repeat: int = 1) -> Dataset:
     """pages → resolved occurrence links (the XLink `links` table).
 
     Pass structure (each corpus pass counted once):
@@ -81,12 +102,19 @@ def links(sf_dir: str, concurrency: int | tuple[int, int] = (1, 8)) -> Dataset:
     from xlink_ray.stages.extract import ExtractCorpusBatch, ExtractMentionsBatch
     from xlink_ray.stages.freq import freq_m as freq_m_stage
 
-    pages = synth.synth_pages(sf_dir).select_columns(["url", "text"]).materialize()
-    corpus = pages.map_batches(ExtractCorpusBatch(), batch_format="pyarrow").materialize()
+    def pages_slim():
+        return synth.synth_pages(sf_dir, repeat).select_columns(["url", "text"])
+
+    # one fused synth→strip execution; the mention-anchor pass re-runs
+    # the (cheap, fully parallel) synth instead of materializing the
+    # marked pages — one fewer barrier, no second copy in the store
+    corpus = pages_slim().map_batches(
+        ExtractCorpusBatch(), batch_format="pyarrow"
+    ).materialize()
 
     ma_tbl = _collect(
         aggregates.mention_anchors(
-            pages.map_batches(ExtractMentionsBatch(), batch_format="pyarrow")
+            pages_slim().map_batches(ExtractMentionsBatch(), batch_format="pyarrow")
         )
     )
     vocab_ref = _ray.put(sorted(set(ma_tbl["mention"].to_pylist())))
@@ -114,6 +142,11 @@ def links(sf_dir: str, concurrency: int | tuple[int, int] = (1, 8)) -> Dataset:
     lp_ref = broadcast_table(lp)
     emb_ref = broadcast_table(synth.synth_embeddings())
 
+    if concurrency is None:
+        # upstream is materialized — a fixed pool can't starve anything,
+        # and skipping the autoscaler ramp saves seconds of idle CPUs
+        k = pool_size()[1]
+        concurrency = (k, k)
     return corpus.map_batches(
         CandidateGenActor,
         fn_constructor_args=(ma_ref, lp_ref, emb_ref),
@@ -124,31 +157,35 @@ def links(sf_dir: str, concurrency: int | tuple[int, int] = (1, 8)) -> Dataset:
     )
 
 
-class _NeighborhoodEdges:
-    """Per-block sorted-neighborhood edge generation with context-cosine
-    scoring. Runs inside groupby((mention, entity_id)).map_groups."""
+class _AddContextVec:
+    """Parallel pre-stage: context string → mean-word-vector column
+    (fixed_size_list<double>), so the per-block group task does no
+    token work at all."""
 
     def __init__(self, emb_ref: "ray.ObjectRef"):
+        from xlink_ray.functions.context import ContextEmbedder
+
         emb = ray.get(emb_ref)
         items = emb["item"].to_pylist()
         kinds = emb["kind"].to_pylist()
         vecs = np.asarray(emb["vec"].to_pylist(), dtype=np.float32)
-        self.word_index = {it: i for i, (it, k) in enumerate(zip(items, kinds)) if k == "word"}
-        self.vecs = vecs
-        self.dim = vecs.shape[1] if len(vecs) else 0
+        words = [it for it, k in zip(items, kinds) if k == "word"]
+        rows = [i for i, k in enumerate(kinds) if k == "word"]
+        self.embedder = ContextEmbedder(words, vecs[rows])
+        self.dim = self.embedder.dim
 
-    def _ctx_vecs(self, ctxs: list[str]) -> np.ndarray:
-        acc = np.zeros((len(ctxs), self.dim), dtype=np.float64)
-        cnt = np.zeros(len(ctxs), dtype=np.int64)
-        for i, c in enumerate(ctxs):
-            for tok in c.lower().split():
-                j = self.word_index.get(tok)
-                if j is not None:
-                    acc[i] += self.vecs[j]
-                    cnt[i] += 1
-        nz = cnt > 0
-        acc[nz] /= cnt[nz, None]
-        return acc
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ctx = self.embedder(batch["context"])
+        col = pa.FixedSizeListArray.from_arrays(
+            pa.array(ctx.ravel(), pa.float64()), self.dim
+        )
+        return batch.append_column("ctxvec", col)
+
+
+class _NeighborhoodEdges:
+    """Per-block sorted-neighborhood edge generation over precomputed
+    context vectors. Runs inside groupby((mention, entity_id)).map_groups;
+    pure numpy — sort + adjacent-pair cosine."""
 
     def __call__(self, group: pa.Table) -> pa.Table:
         g = group.sort_by([("doc_id", "ascending"), ("offset", "ascending")])
@@ -161,10 +198,15 @@ class _NeighborhoodEdges:
                     "score": pa.array([], pa.float64()),
                 }
             )
-        member = [
-            f"{d}#{o}" for d, o in zip(g["doc_id"].to_pylist(), g["offset"].to_pylist())
-        ]
-        ctx = self._ctx_vecs(g["context"].to_pylist())
+        member = pc.binary_join_element_wise(
+            pc.cast(g["doc_id"], pa.string()),
+            pc.cast(g["offset"], pa.string()),
+            "#",
+        ).to_numpy(zero_copy_only=False)
+        vec_col = g["ctxvec"].combine_chunks()
+        dim = vec_col.type.list_size
+        # zero-copy: fixed_size_list values buffer → (n, dim) matrix
+        ctx = vec_col.flatten().to_numpy(zero_copy_only=False).reshape(n, dim)
         a, b = ctx[:-1], ctx[1:]
         num = np.einsum("ij,ij->i", a, b)
         den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
@@ -186,15 +228,23 @@ class _NeighborhoodEdges:
 
 
 def edges_from_links(lkc: Dataset) -> Dataset:
-    """links (+context) → sorted-neighborhood context-cosine edges."""
+    """links (+context) → sorted-neighborhood context-cosine edges.
+
+    Context vectors are computed in a fully parallel ``map_batches``
+    BEFORE the blocking groupby; the per-block task (few, large groups)
+    then only sorts and scores adjacent pairs with numpy."""
     from xlink_ray.synth import synth_embeddings
 
     emb_ref = broadcast_table(synth_embeddings())
-    return lkc.groupby(["mention", "entity_id"]).map_groups(
-        _NeighborhoodEdges,
+    with_vec = lkc.map_batches(
+        _AddContextVec,
         fn_constructor_args=(emb_ref,),
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=pool_size(),
+        num_cpus=1,
+    ).map_batches(_add_salt, batch_format="pyarrow")
+    return with_vec.groupby(["mention", "entity_id", "salt"]).map_groups(
+        _NeighborhoodEdges, batch_format="pyarrow", concurrency=pool_size()
     )
 
 
@@ -211,7 +261,92 @@ def members_from_links(lkc: Dataset) -> Dataset:
     )
 
 
-def clusters_from(lkc: Dataset, method: str = "auto") -> Dataset:
+class _BlockClusters:
+    """Per-block transitive clustering fused into the block task.
+
+    Flagship edges connect only occurrences adjacent within a block
+    (sorted-neighborhood), so components NEVER span blocks — the
+    transitive closure of chain edges is exactly the maximal runs of
+    consecutive passing edges. Clustering therefore runs inside the
+    same groupby((mention, entity_id)) task: no global CC stage, no
+    driver-side edge collection, fully parallel across blocks. Context
+    vectors are computed in-task from the ~100-byte context strings
+    (vectorized embedder) — shuffling precomputed 512-byte vectors
+    costs more than recomputing them after the shuffle. The generic
+    connected_components operator (used by ``method != 'block'`` and
+    the customer-ER pipeline) produces identical output — tests pin
+    the equivalence.
+    """
+
+    def __init__(self, emb_ref: "ray.ObjectRef"):
+        from xlink_ray.functions.context import ContextEmbedder
+
+        emb = ray.get(emb_ref)
+        items = emb["item"].to_pylist()
+        kinds = emb["kind"].to_pylist()
+        vecs = np.asarray(emb["vec"].to_pylist(), dtype=np.float32)
+        words = [it for it, k in zip(items, kinds) if k == "word"]
+        rows = [i for i, k in enumerate(kinds) if k == "word"]
+        self.embedder = ContextEmbedder(words, vecs[rows])
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        g = group.sort_by([("doc_id", "ascending"), ("offset", "ascending")])
+        n = g.num_rows
+        member = pc.binary_join_element_wise(
+            pc.cast(g["doc_id"], pa.string()),
+            pc.cast(g["offset"], pa.string()),
+            "#",
+        ).to_numpy(zero_copy_only=False)
+        if n == 0:
+            return pa.table(
+                {"member_id": pa.array([], pa.string()),
+                 "cluster_id": pa.array([], pa.string())}
+            )
+        if n == 1:
+            return pa.table(
+                {"member_id": pa.array(member, pa.string()),
+                 "cluster_id": pa.array(member, pa.string())}
+            )
+        ctx = self.embedder(g["context"])
+        a, b = ctx[:-1], ctx[1:]
+        num = np.einsum("ij,ij->i", a, b)
+        den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+        cos = np.zeros(n - 1)
+        nz = den > 0
+        cos[nz] = num[nz] / den[nz]
+        # run id per row: break where the adjacent edge fails
+        brk = np.ones(n, dtype=np.int64)
+        brk[1:] = (cos < EDGE_TH).astype(np.int64)
+        run = np.cumsum(brk) - 1
+        # cluster id = min member string within the run (runs are
+        # contiguous ascending → groupby.min + repeat, no transform)
+        import pandas as pd
+
+        run_min = pd.Series(member).groupby(run, sort=True).min().to_numpy()
+        counts = np.bincount(run, minlength=len(run_min))
+        labels = np.repeat(run_min, counts)
+        return pa.table(
+            {
+                "member_id": pa.array(member, pa.string()),
+                "cluster_id": pa.array(labels, pa.string()),
+            }
+        )
+
+
+def clusters_from(lkc: Dataset, method: str = "block") -> Dataset:
+    if method == "block":
+        from xlink_ray.synth import synth_embeddings
+
+        emb_ref = broadcast_table(synth_embeddings())
+        slim = lkc.select_columns(
+            ["doc_id", "offset", "mention", "entity_id", "context"]
+        ).map_batches(_add_salt, batch_format="pyarrow")
+        return slim.groupby(["mention", "entity_id", "salt"]).map_groups(
+            _BlockClusters,
+            fn_constructor_args=(emb_ref,),
+            batch_format="pyarrow",
+            concurrency=pool_size(),
+        )
     return connected_components(
         edges_from_links(lkc),
         a="id_a",
@@ -222,12 +357,12 @@ def clusters_from(lkc: Dataset, method: str = "auto") -> Dataset:
     )
 
 
-def clusters(sf_dir: str, method: str = "auto") -> Dataset:
+def clusters(sf_dir: str, method: str = "block", repeat: int = 1) -> Dataset:
     """Full flagship pipeline → (member_id, cluster_id)."""
     # links carries the context window from the extraction actor — one
     # pass over the corpus; materialized once (occurrence table, far
     # smaller than the corpus) because two branches consume it
-    return clusters_from(links(sf_dir).materialize(), method=method)
+    return clusters_from(links(sf_dir, repeat=repeat).materialize(), method=method)
 
 
 def clusters_checkpointed(

@@ -1,0 +1,208 @@
+"""General relational coverage over the TPC-H-ish tables — the engine's
+query surface beyond ER (SURVEY.md §2.4 aggregates, §2.5 joins/set ops,
+§2.6 sorts/limits, §2.8 E1 vocab learn). Every pipeline here is
+SQL-checkable and demonstrates one physical pattern:
+
+* grouped aggregate with per-batch partials (pricing summary),
+* broadcast dimension joins (revenue per nation),
+* global sort + limit (top-k),
+* distinct (set op),
+* broadcast anti join (customers without orders),
+* flattened-token grouped count with min-count filter (word2vec
+  vocab-learn step, reference TrainJointModel/src/align.c:220-432).
+"""
+
+from __future__ import annotations
+
+from xlink_ray.util import pool_size
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Count, Sum
+
+from xlink_ray.state.broadcast import BroadcastJoin, BroadcastSemi, broadcast_table
+
+def money4(col):
+    """Float aggregate → integer 1e-4 units (int64). Avoids the
+    round-half and last-ulp divergence between Arrow and DuckDB double
+    rounding; SQL side uses CAST(round(x*10000) AS BIGINT)."""
+    return pc.cast(
+        pc.round(pc.multiply(col, 10000.0), round_mode="half_towards_infinity"),
+        pa.int64(),
+    )
+
+
+__all__ = [
+    "pricing_summary",
+    "nation_revenue",
+    "top_parts",
+    "mktsegments",
+    "customers_without_orders",
+    "vocab_counts",
+]
+
+
+def pricing_summary(sf_dir: str) -> Dataset:
+    """TPC-H-q1-shaped: per (returnflag, linestatus): sum qty, gross and
+    discounted revenue, row count. Revenue computed vectorized per
+    batch; aggregates rounded to 4 decimals on both sides."""
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_shipdate",
+        ],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["l_shipdate"], pa.scalar(pa.scalar("1998-09-01").cast(pa.timestamp("us")))))
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "l_quantity": t["l_quantity"],
+                "l_extendedprice": t["l_extendedprice"],
+                "disc_price": disc,
+            }
+        )
+
+    g = li.map_batches(prep, batch_format="pyarrow").groupby(
+        ["l_returnflag", "l_linestatus"]
+    )
+    out = g.aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Sum("disc_price", alias_name="sum_disc_price"),
+        Count(alias_name="count_order"),
+    )
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": money4(t["sum_qty"]),
+                "sum_base_price": money4(t["sum_base_price"]),
+                "sum_disc_price": money4(t["sum_disc_price"]),
+                "count_order": pc.cast(t["count_order"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(fmt, batch_format="pyarrow")
+
+
+def nation_revenue(sf_dir: str) -> Dataset:
+    """Revenue per nation name: orders ⋈ customer ⋈ nation with both
+    dimension sides broadcast (no shuffle join)."""
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    cust = pa.concat_tables(
+        [
+            pa.table(b)
+            for b in rd.read_parquet(
+                f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+            ).iter_batches(batch_format="pyarrow")
+        ]
+    )
+    nation = pa.concat_tables(
+        [
+            pa.table(b)
+            for b in rd.read_parquet(
+                f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+            ).iter_batches(batch_format="pyarrow")
+        ]
+    )
+    side = cust.join(
+        nation, keys="c_nationkey", right_keys="n_nationkey", join_type="inner"
+    ).select(["c_custkey", "n_name"])
+    side_ref = broadcast_table(side)
+
+    joined = orders.map_batches(
+        _JoinOnCust, fn_constructor_args=(side_ref,), batch_format="pyarrow",
+        concurrency=pool_size(),
+    )
+    g = joined.groupby("n_name").aggregate(Sum("o_totalprice", alias_name="revenue"))
+    return g.map_batches(
+        lambda t: pa.table({"n_name": t["n_name"], "revenue": money4(t["revenue"])}),
+        batch_format="pyarrow",
+    )
+
+
+class _JoinOnCust:
+    def __init__(self, side_ref):
+        import ray
+
+        self.side = ray.get(side_ref).combine_chunks()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return batch.join(
+            self.side, keys="o_custkey", right_keys="c_custkey", join_type="inner"
+        )
+
+
+def top_parts(sf_dir: str, k: int = 10) -> Dataset:
+    """Global top-k by retail price (desc), partkey asc tiebreak."""
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_retailprice"]
+    )
+    # two-key sort: descending price, ascending key
+    return parts.sort(["p_retailprice", "p_partkey"], descending=[True, False]).limit(k)
+
+
+def mktsegments(sf_dir: str) -> Dataset:
+    """Distinct market segments (set op / unique)."""
+    from xlink_ray.stages.aggregates import distinct
+
+    c = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_mktsegment"])
+    return distinct(c, ["c_mktsegment"])
+
+
+def customers_without_orders(sf_dir: str, status: str = "F") -> Dataset:
+    """Broadcast anti join: customers with no order in ``status``
+    (row-filter pushed into the parquet read)."""
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    orders_keys = pa.concat_tables(
+        [
+            pa.table(b)
+            for b in rd.read_parquet(
+                f"{sf_dir}/orders.parquet",
+                columns=["o_custkey"],
+                filter=(pc.field("o_orderstatus") == status),
+            ).iter_batches(batch_format="pyarrow")
+        ]
+    ).rename_columns(["c_custkey"])
+    keys_ref = broadcast_table(orders_keys)
+    return cust.map_batches(
+        BroadcastSemi,
+        fn_constructor_args=(keys_ref, "c_custkey", True),
+        batch_format="pyarrow",
+        concurrency=pool_size(),
+    )
+
+
+def vocab_counts(sf_dir: str, min_count: int = 5) -> Dataset:
+    """Word2vec vocab-learn (E1): token → corpus count, min-count
+    filtered. Tokens = single-space split of documents.text."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        # per-batch partial count
+        tt = pa.table({"token": toks})
+        return tt.group_by("token").aggregate([([], "count_all")]).rename_columns(
+            ["token", "n"]
+        )
+
+    partial = docs.map_batches(explode, batch_format="pyarrow")
+    out = partial.groupby("token").aggregate(Sum("n", alias_name="n"))
+    return out.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n"], min_count)).select(["token", "n"]),
+        batch_format="pyarrow",
+    )

@@ -11,6 +11,8 @@ query's bucket and its 1-bit neighbors.
 
 from __future__ import annotations
 
+from xlink_ray.util import pool_size
+
 import numpy as np
 import pyarrow as pa
 
@@ -65,7 +67,7 @@ def brute_topk(
                 }
             )
 
-    partials = ds.map_batches(PartialTopK, batch_format="pyarrow", concurrency=(1, 8))
+    partials = ds.map_batches(PartialTopK, batch_format="pyarrow", concurrency=pool_size())
     tbl = pa.concat_tables([pa.table(b) for b in partials.iter_batches(batch_format="pyarrow")])
 
     # global merge: per query, order by (cos desc, vec_id asc), take k
@@ -131,7 +133,7 @@ def lsh_topk(
                 }
             )
 
-    partials = ds.map_batches(BucketScore, batch_format="pyarrow", concurrency=(1, 8))
+    partials = ds.map_batches(BucketScore, batch_format="pyarrow", concurrency=pool_size())
     tbl = pa.concat_tables([pa.table(b) for b in partials.iter_batches(batch_format="pyarrow")])
     import pandas as pd
 

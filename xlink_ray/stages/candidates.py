@@ -76,6 +76,12 @@ class LinkState:
         self.word_index = {it: i for i, (it, k) in enumerate(zip(items, kinds)) if k == "word"}
         self.entity_index = {it: i for i, (it, k) in enumerate(zip(items, kinds)) if k == "entity"}
         self.vecs = vecs
+        from xlink_ray.functions.context import ContextEmbedder
+
+        words = [it for it, k in zip(items, kinds) if k == "word"]
+        self.embedder = ContextEmbedder(
+            words, vecs[[self.word_index[w] for w in words]] if words else np.zeros((0, self.dim), np.float32)
+        )
         # entity vec row per candidate (missing → -1 ⇒ zero vector)
         self.cand_vec_row = np.asarray(
             [self.entity_index.get(e, -1) for e in self.cand_entities], dtype=np.int64
@@ -89,28 +95,26 @@ def build_link_state(mention_anchors: pa.Table, link_prob: pa.Table, embeddings:
     return LinkState(mention_anchors, link_prob, embeddings)
 
 
-def _context_vectors(
-    state: LinkState, texts: list[str], occ_doc: np.ndarray, occ_off: np.ndarray, occ_len: np.ndarray
-) -> np.ndarray:
-    """Mean word vector of the ±WINDOW-char context of each occurrence."""
-    n = len(occ_doc)
-    acc = np.zeros((n, state.dim), dtype=np.float64)
-    cnt = np.zeros(n, dtype=np.int64)
-    widx = state.word_index
-    vecs = state.vecs
-    for i in range(n):
+def _context_strings(
+    texts: list[str], occ_doc: np.ndarray, occ_off: np.ndarray, occ_len: np.ndarray
+) -> list[str]:
+    """±WINDOW-char context of each occurrence (mention excluded)."""
+    out = []
+    for i in range(len(occ_doc)):
         text = texts[occ_doc[i]]
         off = occ_off[i]
-        prev = text[max(0, off - WINDOW) : off]
-        after = text[off + occ_len[i] : off + occ_len[i] + WINDOW]
-        for tok in (prev + " " + after).lower().split():
-            j = widx.get(tok)
-            if j is not None:
-                acc[i] += vecs[j]
-                cnt[i] += 1
-    nz = cnt > 0
-    acc[nz] /= cnt[nz, None]
-    return acc
+        end = off + occ_len[i]
+        out.append(text[max(0, off - WINDOW) : off] + " " + text[end : end + WINDOW])
+    return out
+
+
+def _context_vectors(
+    state: LinkState, texts: list[str], occ_doc: np.ndarray, occ_off: np.ndarray, occ_len: np.ndarray
+) -> tuple[np.ndarray, list[str]]:
+    """Mean word vector of the ±WINDOW-char context of each occurrence
+    (vectorized token gather; see functions/context.py)."""
+    ctxs = _context_strings(texts, occ_doc, occ_off, occ_len)
+    return state.embedder(ctxs), ctxs
 
 
 def resolve_batch(state: LinkState, doc_ids: list, texts: list[str]) -> pa.Table:
@@ -145,7 +149,7 @@ def resolve_batch(state: LinkState, doc_ids: list, texts: list[str]) -> pa.Table
     mentions_arr = np.asarray(sorted(state.mention_index.keys()))
     occ_len_a = np.asarray([len(mentions_arr[m]) for m in occ_mid_a], dtype=np.int64)
 
-    ctx = _context_vectors(state, texts, occ_doc_a, occ_off_a, occ_len_a)  # (n, dim)
+    ctx, ctx_strs = _context_vectors(state, texts, occ_doc_a, occ_off_a, occ_len_a)
 
     # expand (occurrence × candidate)
     starts = state.cand_start[occ_mid_a]
@@ -186,14 +190,7 @@ def resolve_batch(state: LinkState, doc_ids: list, texts: list[str]) -> pa.Table
         return empty
 
     ki = np.nonzero(keep)[0]
-    contexts = []
-    for i in ki:
-        text = texts[occ_doc_a[i]]
-        off = int(occ_off_a[i])
-        ln = int(occ_len_a[i])
-        contexts.append(
-            text[max(0, off - WINDOW) : off] + " " + text[off + ln : off + ln + WINDOW]
-        )
+    contexts = [ctx_strs[i] for i in ki]
     return pa.table(
         {
             "doc_id": pa.array([doc_ids[occ_doc_a[i]] for i in ki], pa.string()),

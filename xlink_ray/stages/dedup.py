@@ -10,6 +10,8 @@ compared outside a bucket.
 
 from __future__ import annotations
 
+from xlink_ray.util import pool_size
+
 import hashlib
 
 import numpy as np
@@ -125,7 +127,7 @@ def minhash_signatures(ds: Dataset, num_perm: int = 64, shingle_k: int = 5) -> D
         MinHashActor,
         fn_constructor_args=(num_perm, shingle_k),
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=pool_size(),
     )
 
 
@@ -211,7 +213,7 @@ def minhash_lsh_pairs(
             )
 
     pairs = banded.groupby(["band", "bh"]).map_groups(
-        BucketPairs, batch_format="pyarrow", concurrency=(1, 8)
+        BucketPairs, batch_format="pyarrow", concurrency=pool_size()
     )
     # same pair can surface from several bands → distinct
     def dedupe(t: pa.Table) -> pa.Table:
@@ -245,7 +247,7 @@ class SimHashActor:
 
 
 def simhash_values(ds: Dataset) -> Dataset:
-    return ds.map_batches(SimHashActor, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(SimHashActor, batch_format="pyarrow", concurrency=pool_size())
 
 
 def simhash_pairs(ds: Dataset, max_hamming: int = 3, chunks: int = 4) -> Dataset:
@@ -383,4 +385,4 @@ def embedding_dup_pairs(ds: Dataset, th: float = 0.95, id_col: str = "vec_id",
                 }
             )
 
-    return ds.map_batches(Score, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(Score, batch_format="pyarrow", concurrency=pool_size())

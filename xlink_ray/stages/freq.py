@@ -21,6 +21,8 @@ overlapping semantics when a vocabulary needs it.
 
 from __future__ import annotations
 
+from xlink_ray.util import pool_size
+
 import re
 from collections import Counter
 
@@ -66,7 +68,7 @@ class FreqScanActor:
 def freq_m(
     corpus: Dataset,
     vocab_ref: "ray.ObjectRef",
-    concurrency: int | tuple[int, int] = (1, 4),
+    concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 1024,
 ) -> Dataset:
     # NOTE: an autoscaling pool (min 1) by default — a fixed pool sized
@@ -78,7 +80,7 @@ def freq_m(
         fn_constructor_args=(vocab_ref,),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency if concurrency is not None else pool_size(),
         num_cpus=1,
     )
     return grouped_sum(partials, ["mention"], "freq", "freq")

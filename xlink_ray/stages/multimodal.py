@@ -13,6 +13,8 @@ tested, so swapping in a real decoder is a one-function change.
 
 from __future__ import annotations
 
+from xlink_ray.util import pool_size
+
 import hashlib
 
 import numpy as np
@@ -110,6 +112,6 @@ def media_features(ds: Dataset, backend: str = "fake") -> Dataset:
         fn_constructor_args=(backend,),
         batch_format="pyarrow",
         batch_size=32,
-        concurrency=(1, 4),
+        concurrency=pool_size(),
         num_cpus=1,
     )

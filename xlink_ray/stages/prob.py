@@ -20,6 +20,8 @@ arithmetic:
 
 from __future__ import annotations
 
+from xlink_ray.util import pool_size
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -76,7 +78,7 @@ def build_prob_tables(mention_anchors: Dataset, freq_m: Dataset | None = None) -
     e_given_m = (
         mention_anchors.map_batches(
             BroadcastJoin, fn_constructor_args=(link_m_ref, "mention"),
-            batch_format="pyarrow", concurrency=(1, 4),
+            batch_format="pyarrow", concurrency=pool_size(),
         )
         .map_batches(with_e_given_m, batch_format="pyarrow")
         .select_columns(["mention", "entity_id", "e_given_m"])
@@ -88,7 +90,7 @@ def build_prob_tables(mention_anchors: Dataset, freq_m: Dataset | None = None) -
     m_given_e = (
         mention_anchors.map_batches(
             BroadcastJoin, fn_constructor_args=(a_e_ref, "entity_id"),
-            batch_format="pyarrow", concurrency=(1, 4),
+            batch_format="pyarrow", concurrency=pool_size(),
         )
         .map_batches(with_m_given_e, batch_format="pyarrow")
         .select_columns(["entity_id", "mention", "prob"])
@@ -129,7 +131,7 @@ def build_prob_tables(mention_anchors: Dataset, freq_m: Dataset | None = None) -
 
         link_prob = mention_anchors.map_batches(
             BroadcastJoin, fn_constructor_args=(side_ref, "mention", "inner"),
-            batch_format="pyarrow", concurrency=(1, 4),
+            batch_format="pyarrow", concurrency=pool_size(),
         ).map_batches(with_link_prob, batch_format="pyarrow")
 
     return ProbTables(e_given_m, m_given_e, entity_prior, link_prob)
@@ -169,5 +171,5 @@ def filter_mention_anchors(
 
     return mention_anchors.map_batches(
         BroadcastSemi, fn_constructor_args=(keep_ref, "mention"),
-        batch_format="pyarrow", concurrency=(1, 4),
+        batch_format="pyarrow", concurrency=pool_size(),
     )

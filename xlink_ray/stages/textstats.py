@@ -6,6 +6,8 @@ stopword profiles as actor state.
 
 from __future__ import annotations
 
+from xlink_ray.util import pool_size
+
 import hashlib
 
 import numpy as np
@@ -105,7 +107,7 @@ class LangIdActor:
 
 
 def lang_id(ds: Dataset) -> Dataset:
-    return ds.map_batches(LangIdActor, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(LangIdActor, batch_format="pyarrow", concurrency=pool_size())
 
 
 def fingerprints(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:

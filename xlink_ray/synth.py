@@ -113,12 +113,48 @@ def _pages_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def synth_pages(sf_dir: str) -> "ray.data.Dataset":
-    """documents.parquet → pages Dataset (url, warc_ts, html, text, lang)."""
+def synth_pages(sf_dir: str, repeat: int = 1) -> "ray.data.Dataset":
+    """documents.parquet → pages Dataset (url, warc_ts, html, text, lang).
+
+    ``repeat > 1`` deterministically expands the corpus: copy r of
+    document d becomes doc_id ``d + r*N`` (N = table rows), so urls stay
+    unique and the per-doc entity choice (doc_id % k) varies across
+    copies. Used by the bench to scale the workload; correctness
+    queries always use repeat=1.
+    """
+    import pyarrow.parquet as _pq
+
+    from xlink_ray.util import pool_size
+
+    # documents.parquet is a single file → a handful of blocks, which
+    # would cap every downstream stage's parallelism; split the read to
+    # ~4 blocks per CPU (a real deployment reads thousands of files)
+    nblocks = 4 * pool_size()[1]
     docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+        override_num_blocks=nblocks,
     )
-    return docs.map_batches(_pages_batch, batch_format="pyarrow")
+    if repeat <= 1:
+        return docs.map_batches(_pages_batch, batch_format="pyarrow")
+
+    n_total = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def expand(batch: pa.Table) -> pa.Table:
+        out = []
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        for r in range(repeat):
+            t = batch.set_column(
+                batch.schema.get_field_index("doc_id"),
+                "doc_id",
+                pa.array(ids + r * n_total, pa.int64()),
+            )
+            out.append(t)
+        return pa.concat_tables(out)
+
+    return docs.map_batches(expand, batch_format="pyarrow").map_batches(
+        _pages_batch, batch_format="pyarrow"
+    )
 
 
 def read_pages(sf_dir: str) -> "ray.data.Dataset":
