@@ -305,6 +305,14 @@ def _q_sessions(sf_dir: str):
     return sessionize(rd.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_fidelity_links(sf_dir: str):
+    """Reference-parity linker (P8-P10 exact semantics incl. quirks);
+    embedding scoring not SQL-expressible → rows-only check."""
+    from xlink_ray.pipelines import parity
+
+    return parity.fidelity_links(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full pages→links→blocking→clusters ER pipeline at
     sf0.001 (north-star composition)."""
@@ -348,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_counts": _q_vocab_counts,
         "window_agg": _q_window_agg,
         "sessions": _q_sessions,
+        "fidelity_links": _q_fidelity_links,
     }
 
 
