@@ -313,6 +313,25 @@ def _q_fidelity_links(sf_dir: str):
     return parity.fidelity_links(sf_dir)
 
 
+def _q_linking_eval(sf_dir: str):
+    """Mention-parsing P/R + ED accuracy of the flagship linker vs the
+    gold markup annotations (rows-only: predictions not in SQL)."""
+    from xlink_ray.pipelines import dictbuild, flagship
+    from xlink_ray.stages.evaluation import linking_eval
+
+    pred = flagship.links(sf_dir).select_columns(
+        ["doc_id", "offset", "mention", "entity_id"]
+    )
+    gold = dictbuild.mentions(sf_dir)
+    return linking_eval(pred, gold)
+
+
+def _q_candidate_histogram(sf_dir: str):
+    from xlink_ray.pipelines import dictbuild
+
+    return dictbuild.candidate_histogram(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full pages→links→blocking→clusters ER pipeline at
     sf0.001 (north-star composition)."""
@@ -357,6 +376,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_agg": _q_window_agg,
         "sessions": _q_sessions,
         "fidelity_links": _q_fidelity_links,
+        "linking_eval": _q_linking_eval,
+        "candidate_histogram": _q_candidate_histogram,
     }
 
 
@@ -419,6 +440,11 @@ SELECT d.doc_id, a.mention,
        CAST((length(d.text) - length(replace(d.text, a.mention, ''))) / length(a.mention) AS BIGINT) AS n
 FROM documents d CROSS JOIN (SELECT DISTINCT mention FROM alias) a
 WHERE (length(d.text) - length(replace(d.text, a.mention, ''))) / length(a.mention) > 0""",
+        "candidate_histogram": f"""{_occ_cte()},
+per_mention AS (SELECT mention, CAST(count(*) AS BIGINT) AS n_candidates
+                FROM ma GROUP BY mention)
+SELECT n_candidates, CAST(count(*) AS BIGINT) AS n_mentions
+FROM per_mention GROUP BY n_candidates""",
         "exact_dedup": """
 SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, md5(text) AS h
 FROM documents GROUP BY md5(text)""",

@@ -78,3 +78,32 @@ def freq_m(sf_dir: str, concurrency: int | tuple[int, int] | None = None) -> Dat
 
 def prob_tables(sf_dir: str) -> ProbTables:
     return build_prob_tables(mention_anchors(sf_dir), freq_m(sf_dir))
+
+
+def in_links(sf_dir: str, entity_id: str) -> Dataset:
+    """S13 in-link lookup (reference get_in_links.py:5-19): pages whose
+    out-links point at ``entity_id`` — a pushed-down filter over the
+    out_links edge list."""
+    import pyarrow.compute as pc
+
+    return out_links(sf_dir).map_batches(
+        lambda t: t.filter(pc.equal(t["dst"], entity_id)), batch_format="pyarrow"
+    )
+
+
+def candidate_histogram(sf_dir: str) -> Dataset:
+    """A5 dataset statistics (reference datatool/pipeline/tools.py:55-104,
+    stats.py:7-52): how many mentions have k candidate entities."""
+    import pyarrow as pa
+
+    from xlink_ray.stages.aggregates import grouped_count
+
+    ma = mention_anchors(sf_dir)
+    per_mention = grouped_count(
+        ma.map_batches(
+            lambda t: pa.table({"mention": t["mention"]}), batch_format="pyarrow"
+        ),
+        ["mention"],
+        "n_candidates",
+    )
+    return grouped_count(per_mention, ["n_candidates"], "n_mentions")

@@ -1,0 +1,117 @@
+"""Evaluation framework (SURVEY.md §3.3, §2.5 J6/J7, §2.4 A7):
+mention-parsing precision/recall and entity-disambiguation accuracy of
+a predicted links table against gold annotations.
+
+Reference behavior being matched: ``ValidMentionGenerator`` /
+``MetricsInputBuilder`` align parsed and gold mentions per document on
+(start, end) and produce 0/1 vectors for P/R
+(reference evaluation/MentionParsingEval.py:12-69,
+evaluation/MetricsInputBuilder.py:19-77). Here the alignment is one
+tagged-union grouped count over (doc_id, offset, mention) — no per-doc
+Python join — and the metrics reduce to a single row.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+from ray.data.aggregate import Max, Sum
+
+__all__ = ["linking_eval"]
+
+
+def linking_eval(pred: Dataset, gold: Dataset) -> pa.Table:
+    """pred (doc_id, offset, mention, entity_id) vs gold (same cols) →
+    one metrics row: n_gold, n_pred, n_span_match, n_entity_match,
+    precision, recall, f1, ed_accuracy.
+
+    Span match = same (doc_id, offset, mention); ED accuracy = fraction
+    of span matches whose predicted entity equals gold.
+    """
+
+    def tag(ds: Dataset, side: str) -> Dataset:
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": pc.cast(t["doc_id"], pa.string()),
+                    "offset": pc.cast(t["offset"], pa.int64()),
+                    "mention": t["mention"],
+                    "entity_id": t["entity_id"],
+                    "n_pred": pa.array([1 if side == "p" else 0] * t.num_rows, pa.int64()),
+                    "n_gold": pa.array([1 if side == "g" else 0] * t.num_rows, pa.int64()),
+                }
+            )
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    both = tag(pred, "p").union(tag(gold, "g"))
+    per_span = both.groupby(["doc_id", "offset", "mention", "entity_id"]).aggregate(
+        Sum("n_pred", alias_name="n_pred"), Sum("n_gold", alias_name="n_gold")
+    )
+
+    # roll entity agreement up to span level
+    def span_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "offset": t["offset"],
+                "mention": t["mention"],
+                "pred_here": pc.cast(pc.greater(t["n_pred"], 0), pa.int64()),
+                "gold_here": pc.cast(pc.greater(t["n_gold"], 0), pa.int64()),
+                "entity_match": pc.cast(
+                    pc.and_(pc.greater(t["n_pred"], 0), pc.greater(t["n_gold"], 0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    spans = (
+        per_span.map_batches(span_rows, batch_format="pyarrow")
+        .groupby(["doc_id", "offset", "mention"])
+        .aggregate(
+            Max("pred_here", alias_name="pred"),
+            Max("gold_here", alias_name="gold"),
+            Max("entity_match", alias_name="entity_match"),
+        )
+    )
+
+    def counts(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_pred": [int(pc.sum(t["pred"]).as_py() or 0)],
+                "n_gold": [int(pc.sum(t["gold"]).as_py() or 0)],
+                "n_span_match": [
+                    int(pc.sum(pc.multiply(t["pred"], t["gold"])).as_py() or 0)
+                ],
+                "n_entity_match": [int(pc.sum(t["entity_match"]).as_py() or 0)],
+            }
+        )
+
+    partials = spans.map_batches(counts, batch_format="pyarrow")
+    tot = {
+        k: 0
+        for k in ("n_pred", "n_gold", "n_span_match", "n_entity_match")
+    }
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        for k in tot:
+            tot[k] += int(pc.sum(t[k]).as_py() or 0)
+
+    precision = tot["n_span_match"] / tot["n_pred"] if tot["n_pred"] else 0.0
+    recall = tot["n_span_match"] / tot["n_gold"] if tot["n_gold"] else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    ed_acc = tot["n_entity_match"] / tot["n_span_match"] if tot["n_span_match"] else 0.0
+    return pa.table(
+        {
+            "n_gold": pa.array([tot["n_gold"]], pa.int64()),
+            "n_pred": pa.array([tot["n_pred"]], pa.int64()),
+            "n_span_match": pa.array([tot["n_span_match"]], pa.int64()),
+            "n_entity_match": pa.array([tot["n_entity_match"]], pa.int64()),
+            "precision": pa.array([precision], pa.float64()),
+            "recall": pa.array([recall], pa.float64()),
+            "f1": pa.array([f1], pa.float64()),
+            "ed_accuracy": pa.array([ed_acc], pa.float64()),
+        }
+    )
