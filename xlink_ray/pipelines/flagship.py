@@ -107,16 +107,29 @@ def links(sf_dir: str, concurrency: int | tuple[int, int] | None = None, repeat:
 
     # one fused synth→strip execution; the mention-anchor pass re-runs
     # the (cheap, fully parallel) synth instead of materializing the
-    # marked pages — one fewer barrier, no second copy in the store
-    corpus = pages_slim().map_batches(
-        ExtractCorpusBatch(), batch_format="pyarrow"
-    ).materialize()
+    # marked pages. The two executions are independent → overlapped in
+    # driver threads (Ray executions release the GIL while waiting).
+    from concurrent.futures import ThreadPoolExecutor
 
-    ma_tbl = _collect(
-        aggregates.mention_anchors(
-            pages_slim().map_batches(ExtractMentionsBatch(), batch_format="pyarrow")
+    from xlink_ray.util import ensure_fsspec_http_stub
+
+    ensure_fsspec_http_stub()  # concurrent executions trip the lazy import
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        corpus_f = ex.submit(
+            lambda: pages_slim()
+            .map_batches(ExtractCorpusBatch(), batch_format="pyarrow")
+            .materialize()
         )
-    )
+        ma_f = ex.submit(
+            lambda: _collect(
+                aggregates.mention_anchors(
+                    pages_slim().map_batches(ExtractMentionsBatch(), batch_format="pyarrow")
+                )
+            )
+        )
+        corpus = corpus_f.result()
+        ma_tbl = ma_f.result()
     vocab_ref = _ray.put(sorted(set(ma_tbl["mention"].to_pylist())))
     freq_tbl = _collect(freq_m_stage(corpus, vocab_ref))
 
@@ -143,10 +156,17 @@ def links(sf_dir: str, concurrency: int | tuple[int, int] | None = None, repeat:
     emb_ref = broadcast_table(synth.synth_embeddings())
 
     if concurrency is None:
-        # upstream is materialized — a fixed pool can't starve anything,
-        # and skipping the autoscaler ramp saves seconds of idle CPUs
-        k = pool_size()[1]
-        concurrency = (k, k)
+        # task form with worker-cached state: same once-per-process
+        # state build as the actor pool, but reuses Ray's pre-started
+        # workers instead of spawning actor processes (measured ~1.5×)
+        from xlink_ray.stages.candidates import candidate_gen_fn
+
+        return corpus.map_batches(
+            candidate_gen_fn,
+            fn_args=(ma_ref, lp_ref, emb_ref),
+            batch_format="pyarrow",
+            batch_size=256,
+        )
     return corpus.map_batches(
         CandidateGenActor,
         fn_constructor_args=(ma_ref, lp_ref, emb_ref),
@@ -341,11 +361,17 @@ def clusters_from(lkc: Dataset, method: str = "block") -> Dataset:
         slim = lkc.select_columns(
             ["doc_id", "offset", "mention", "entity_id", "context"]
         ).map_batches(_add_salt, batch_format="pyarrow")
+
+        def block_fn(group: pa.Table) -> pa.Table:
+            from xlink_ray.state.cached import cached_state
+
+            worker = cached_state(
+                ("block_clusters", emb_ref.hex()), lambda: _BlockClusters(emb_ref)
+            )
+            return worker(group)
+
         return slim.groupby(["mention", "entity_id", "salt"]).map_groups(
-            _BlockClusters,
-            fn_constructor_args=(emb_ref,),
-            batch_format="pyarrow",
-            concurrency=pool_size(),
+            block_fn, batch_format="pyarrow"
         )
     return connected_components(
         edges_from_links(lkc),
@@ -359,10 +385,13 @@ def clusters_from(lkc: Dataset, method: str = "block") -> Dataset:
 
 def clusters(sf_dir: str, method: str = "block", repeat: int = 1) -> Dataset:
     """Full flagship pipeline → (member_id, cluster_id)."""
-    # links carries the context window from the extraction actor — one
-    # pass over the corpus; materialized once (occurrence table, far
-    # smaller than the corpus) because two branches consume it
-    return clusters_from(links(sf_dir, repeat=repeat).materialize(), method=method)
+    lk = links(sf_dir, repeat=repeat)
+    if method == "block":
+        # single consumer → stream links straight into the blocking
+        # shuffle, no materialization barrier
+        return clusters_from(lk, method=method)
+    # the generic-CC paths consume links twice (edges + members)
+    return clusters_from(lk.materialize(), method=method)
 
 
 def clusters_checkpointed(

@@ -213,3 +213,21 @@ class CandidateGenActor:
         ids = batch["doc_id"].to_pylist()
         texts = batch["text"].to_pylist()
         return resolve_batch(self.state, ids, texts)
+
+
+def candidate_gen_fn(
+    batch: pa.Table,
+    ma_ref: "ray.ObjectRef",
+    lp_ref: "ray.ObjectRef",
+    emb_ref: "ray.ObjectRef",
+) -> pa.Table:
+    """Task form of CandidateGenActor: identical semantics, state built
+    once per worker process (state/cached.py) — avoids actor-process
+    spawn, reusing Ray's pre-started worker pool."""
+    from xlink_ray.state.cached import cached_state
+
+    state = cached_state(
+        ("link_state", ma_ref.hex(), lp_ref.hex(), emb_ref.hex()),
+        lambda: build_link_state(ray.get(ma_ref), ray.get(lp_ref), ray.get(emb_ref)),
+    )
+    return resolve_batch(state, batch["doc_id"].to_pylist(), batch["text"].to_pylist())

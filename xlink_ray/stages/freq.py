@@ -65,22 +65,44 @@ class FreqScanActor:
         )
 
 
+def freq_scan_fn(batch: pa.Table, vocab_ref: "ray.ObjectRef") -> pa.Table:
+    """Task form of FreqScanActor: automaton compiled once per worker
+    process (state/cached.py) — no actor spawn."""
+    from xlink_ray.state.cached import cached_state
+
+    scanner = cached_state(
+        ("freq_scan", vocab_ref.hex()), lambda: FreqScanActor(vocab_ref)
+    )
+    return scanner(batch)
+
+
 def freq_m(
     corpus: Dataset,
     vocab_ref: "ray.ObjectRef",
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 1024,
 ) -> Dataset:
-    # NOTE: an autoscaling pool (min 1) by default — a fixed pool sized
-    # to the whole CPU count starves the upstream read/extract stages
-    # and stalls the streaming executor on small sessions.
-    """corpus (doc_id, text) → (mention, freq) over the whole corpus."""
-    partials = corpus.map_batches(
-        FreqScanActor,
-        fn_constructor_args=(vocab_ref,),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency if concurrency is not None else pool_size(),
-        num_cpus=1,
-    )
+    """corpus (doc_id, text) → (mention, freq) over the whole corpus.
+
+    Default: task form with worker-cached automaton. Pass
+    ``concurrency`` to force the actor-pool form (NOTE: keep the pool
+    autoscaling with min 1 — a fixed pool sized to the whole CPU count
+    starves the upstream read/extract stages on small sessions).
+    """
+    if concurrency is None:
+        partials = corpus.map_batches(
+            freq_scan_fn,
+            fn_args=(vocab_ref,),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+    else:
+        partials = corpus.map_batches(
+            FreqScanActor,
+            fn_constructor_args=(vocab_ref,),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
     return grouped_sum(partials, ["mention"], "freq", "freq")

@@ -2,7 +2,33 @@
 
 from __future__ import annotations
 
-__all__ = ["pool_size"]
+__all__ = ["pool_size", "ensure_fsspec_http_stub"]
+
+
+def ensure_fsspec_http_stub() -> None:
+    """This container ships fsspec without aiohttp, so importing
+    ``fsspec.implementations.http`` raises — which Ray Data's path
+    resolution handles when single-threaded (except ModuleNotFoundError)
+    but trips over when two Dataset executions start concurrently (the
+    half-failed import surfaces as a plain ImportError). Install a
+    stub module exposing a dummy HTTPFileSystem; it is only ever used
+    in isinstance checks, which correctly return False."""
+    import sys
+    import types
+
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+
+        return
+    except Exception:  # noqa: BLE001
+        pass
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # noqa: N801 — name must match the real class
+        pass
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod
 
 
 def pool_size(frac: float = 1.0, floor: int = 2) -> tuple[int, int]:
