@@ -30,9 +30,10 @@ def test_flagship_cc_paths_agree(ray_session, sf_small):
     from xlink_ray.pipelines import flagship
 
     block = _cluster_dict(flagship.clusters(sf_small, method="block"))
+    fused = _cluster_dict(flagship.clusters(sf_small, method="fused"))
     local = _cluster_dict(flagship.clusters(sf_small, method="local"))
     dist = _cluster_dict(flagship.clusters(sf_small, method="distributed"))
-    assert block == local == dist
+    assert block == fused == local == dist
 
 
 def test_flagship_gold_quality(ray_session, sf_small):

@@ -64,8 +64,10 @@ EDGE_TH = 0.0  # context-cosine threshold for sorted-neighborhood edges
 # salted by contiguous doc-id RANGES (not hashes), so the
 # sorted-neighborhood order inside each salt partition is a contiguous
 # slice of the unsalted order and only the S-1 range-boundary pairs
-# are forgone. Deterministic: salt = doc_num // DOCS_PER_SALT.
-DOCS_PER_SALT = 2000
+# are forgone. Deterministic: salt = doc_num // DOCS_PER_SALT (fixed
+# constant, defined next to the synth so the fused pipeline can align
+# physical blocks to salt ranges).
+from xlink_ray.synth import DOCS_PER_SALT  # noqa: E402
 
 
 def _add_salt(t: pa.Table) -> pa.Table:
@@ -80,21 +82,9 @@ def _collect(ds: Dataset) -> pa.Table:
     return pa.concat_tables(tbls) if tbls else pa.table({})
 
 
-def links(sf_dir: str, concurrency: int | tuple[int, int] | None = None, repeat: int = 1) -> Dataset:
-    """pages → resolved occurrence links (the XLink `links` table).
-
-    Pass structure (each corpus pass counted once):
-      1. synth pages → (url, text), materialized (html projected away),
-      2. markup-strip → corpus, materialized (consumed by the freq scan
-         AND the candidate scan),
-      3. mention explode + grouped count → mention_anchors (dictionary-
-         sized, collected to the driver and broadcast),
-      4. freq scan actor pool over corpus → freq_m (dictionary-sized),
-      5. candidate/disambiguation actor pool over corpus → links.
-    The probability columns are derived locally from the two
-    dictionary-sized aggregates (C-speed Arrow group_by) — the fact
-    table is never shuffled twice.
-    """
+def _prepare(sf_dir: str, repeat: int, align_salt: bool = False):
+    """Dictionary phase shared by the link/cluster pipelines: returns
+    (materialized corpus, ma_ref, lp_ref, emb_ref)."""
     import ray as _ray
 
     from xlink_ray import synth
@@ -103,7 +93,9 @@ def links(sf_dir: str, concurrency: int | tuple[int, int] | None = None, repeat:
     from xlink_ray.stages.freq import freq_m as freq_m_stage
 
     def pages_slim():
-        return synth.synth_pages(sf_dir, repeat).select_columns(["url", "text"])
+        return synth.synth_pages(sf_dir, repeat, align_salt=align_salt).select_columns(
+            ["url", "text"]
+        )
 
     # one fused synth→strip execution; the mention-anchor pass re-runs
     # the (cheap, fully parallel) synth instead of materializing the
@@ -118,7 +110,7 @@ def links(sf_dir: str, concurrency: int | tuple[int, int] | None = None, repeat:
     with ThreadPoolExecutor(max_workers=2) as ex:
         corpus_f = ex.submit(
             lambda: pages_slim()
-            .map_batches(ExtractCorpusBatch(), batch_format="pyarrow")
+            .map_batches(ExtractCorpusBatch(), batch_format="pyarrow", batch_size=None)
             .materialize()
         )
         ma_f = ex.submit(
@@ -133,7 +125,6 @@ def links(sf_dir: str, concurrency: int | tuple[int, int] | None = None, repeat:
     vocab_ref = _ray.put(sorted(set(ma_tbl["mention"].to_pylist())))
     freq_tbl = _collect(freq_m_stage(corpus, vocab_ref))
 
-    # local derivation of the probability columns (dictionary-sized)
     link_m = (
         ma_tbl.group_by("mention").aggregate([("link_count", "sum")])
         .rename_columns(["mention", "link_m"])
@@ -151,9 +142,27 @@ def links(sf_dir: str, concurrency: int | tuple[int, int] | None = None, repeat:
         pc.divide(pc.cast(lp["link_m"], pa.float64()), pc.cast(lp["freq"], pa.float64())),
     ).select(["mention", "link_prob"])
 
-    ma_ref = broadcast_table(ma)
-    lp_ref = broadcast_table(lp)
-    emb_ref = broadcast_table(synth.synth_embeddings())
+    from xlink_ray import synth as _synth
+
+    return corpus, broadcast_table(ma), broadcast_table(lp), broadcast_table(
+        _synth.synth_embeddings()
+    )
+
+
+def links(sf_dir: str, concurrency: int | tuple[int, int] | None = None, repeat: int = 1) -> Dataset:
+    """pages → resolved occurrence links (the XLink `links` table).
+
+    Pass structure (each corpus pass counted once):
+      1. synth → markup-strip → materialized corpus (one fused
+         execution), overlapped with
+      2. mention explode + grouped count → mention_anchors,
+      3. freq scan over corpus → freq_m (dictionary-sized),
+      4. candidate/disambiguation scan over corpus → links.
+    The probability columns are derived locally from the two
+    dictionary-sized aggregates (C-speed Arrow group_by) — the fact
+    table is never shuffled twice.
+    """
+    corpus, ma_ref, lp_ref, emb_ref = _prepare(sf_dir, repeat)
 
     if concurrency is None:
         # task form with worker-cached state: same once-per-process
@@ -383,8 +392,81 @@ def clusters_from(lkc: Dataset, method: str = "block") -> Dataset:
     )
 
 
+def _fused_cluster_fn(batch: pa.Table, ma_ref, lp_ref, emb_ref) -> pa.Table:
+    """One salt-aligned corpus block → links → per-block clusters,
+    all in-task. Asserts the block really is whole salt ranges."""
+    import pandas as pd
+
+    from xlink_ray.stages.candidates import build_link_state, resolve_batch
+    from xlink_ray.state.cached import cached_state
+
+    state = cached_state(
+        ("link_state", ma_ref.hex(), lp_ref.hex(), emb_ref.hex()),
+        lambda: build_link_state(ray.get(ma_ref), ray.get(lp_ref), ray.get(emb_ref)),
+    )
+    bc = cached_state(
+        ("block_clusters", emb_ref.hex()), lambda: _BlockClusters(emb_ref)
+    )
+
+    urls = batch["doc_id"].to_pylist()
+    nums = np.sort(np.asarray([int(u[-8:]) for u in urls], dtype=np.int64))
+    assert len(nums) > 0
+    # every salt range present must be COMPLETE in this batch (Ray only
+    # coalesces whole upstream blocks, and upstream blocks are exact
+    # salt ranges — so containment holds; contiguity need not)
+    salts, counts = np.unique(nums // DOCS_PER_SALT, return_counts=True)
+    assert (counts == DOCS_PER_SALT).all(), (
+        "fused path requires whole salt ranges per batch",
+        salts[counts != DOCS_PER_SALT][:5].tolist(),
+    )
+
+    lk = resolve_batch(state, urls, batch["text"].to_pylist())
+    if lk.num_rows == 0:
+        return pa.table(
+            {"member_id": pa.array([], pa.string()),
+             "cluster_id": pa.array([], pa.string())}
+        )
+    lk = _add_salt(lk)
+    pdf = lk.to_pandas()
+    out = []
+    for _key, g in pdf.groupby(["mention", "entity_id", "salt"], sort=True):
+        gt = pa.Table.from_pandas(
+            g[["doc_id", "offset", "mention", "entity_id", "context"]],
+            preserve_index=False,
+        )
+        out.append(bc(gt))
+    return pa.concat_tables(out)
+
+
 def clusters(sf_dir: str, method: str = "block", repeat: int = 1) -> Dataset:
-    """Full flagship pipeline → (member_id, cluster_id)."""
+    """Full flagship pipeline → (member_id, cluster_id).
+
+    Methods (all produce IDENTICAL output — tests pin equality):
+      * "block" (default): explicit groupby shuffle on the salted
+        blocking key, per-block clustering in the group task,
+      * "fused": salt-range-aligned input blocks → candidate scan and
+        clustering in one task, zero shuffle after the dictionary
+        phase — the scale configuration (a block can never contribute
+        to another block's clusters because the salt IS the partition),
+      * "local"/"distributed": edges + the generic connected-components
+        operator (driver union-find / star rounds).
+    """
+    if method == "fused":
+        import pyarrow.parquet as _pq
+
+        corpus, ma_ref, lp_ref, emb_ref = _prepare(sf_dir, repeat, align_salt=True)
+        # Ray coalesces the tiny salt-sized blocks when materializing;
+        # split back to exactly one salt range per block (row counts are
+        # whole multiples of DOCS_PER_SALT, and repartition preserves
+        # order, so the equal split realigns the boundaries)
+        n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows * max(repeat, 1)
+        corpus = corpus.repartition(n_docs // DOCS_PER_SALT)
+        return corpus.map_batches(
+            _fused_cluster_fn,
+            fn_args=(ma_ref, lp_ref, emb_ref),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
     lk = links(sf_dir, repeat=repeat)
     if method == "block":
         # single consumer → stream links straight into the blocking

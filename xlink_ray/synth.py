@@ -69,6 +69,12 @@ _ALIAS_RE = re.compile(
 
 _TS_BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
 
+# blocking-salt width (docs per salt range) — fixed and data-independent
+# so cluster results are identical at every parallelism level; the
+# driver tables all have doc counts divisible by it, which lets the
+# fused pipeline align physical blocks to salt ranges exactly
+DOCS_PER_SALT = 500
+
 
 def alias_rows() -> list[tuple[str, str, int, int]]:
     """Flat (mention, entity_id, slot, n_slots) rows — the relational
@@ -113,7 +119,7 @@ def _pages_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def synth_pages(sf_dir: str, repeat: int = 1) -> "ray.data.Dataset":
+def synth_pages(sf_dir: str, repeat: int = 1, align_salt: bool = False) -> "ray.data.Dataset":
     """documents.parquet → pages Dataset (url, warc_ts, html, text, lang).
 
     ``repeat > 1`` deterministically expands the corpus: copy r of
@@ -121,39 +127,48 @@ def synth_pages(sf_dir: str, repeat: int = 1) -> "ray.data.Dataset":
     unique and the per-doc entity choice (doc_id % k) varies across
     copies. Used by the bench to scale the workload; correctness
     queries always use repeat=1.
+
+    ``align_salt=True`` makes every physical block exactly one salt
+    range (DOCS_PER_SALT contiguous docs of one copy) so the fused
+    pipeline can cluster in-task with no shuffle — requires the doc
+    count to be a multiple of DOCS_PER_SALT (true of the driver
+    tables; asserted).
     """
     import pyarrow.parquet as _pq
 
     from xlink_ray.util import pool_size
 
-    # documents.parquet is a single file → a handful of blocks, which
-    # would cap every downstream stage's parallelism; split the read to
-    # ~4 blocks per CPU (a real deployment reads thousands of files)
-    nblocks = 4 * pool_size()[1]
+    n_total = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    if align_salt:
+        assert n_total % DOCS_PER_SALT == 0, (n_total, DOCS_PER_SALT)
+        nblocks = n_total // DOCS_PER_SALT
+    else:
+        # documents.parquet is a single file → a handful of blocks would
+        # cap every downstream stage's parallelism; split the read to
+        # ~4 blocks per CPU (a real deployment reads thousands of files)
+        nblocks = 4 * pool_size()[1]
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang", "source"],
         override_num_blocks=nblocks,
     )
+    if align_salt:
+        docs = docs.repartition(nblocks)  # exact equal split (divisible)
     if repeat <= 1:
-        return docs.map_batches(_pages_batch, batch_format="pyarrow")
+        return docs.map_batches(_pages_batch, batch_format="pyarrow", batch_size=None)
 
-    n_total = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-
-    def expand(batch: pa.Table) -> pa.Table:
-        out = []
+    def expand(batch: pa.Table):
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         for r in range(repeat):
-            t = batch.set_column(
+            yield batch.set_column(
                 batch.schema.get_field_index("doc_id"),
                 "doc_id",
                 pa.array(ids + r * n_total, pa.int64()),
             )
-            out.append(t)
-        return pa.concat_tables(out)
 
-    return docs.map_batches(expand, batch_format="pyarrow").map_batches(
-        _pages_batch, batch_format="pyarrow"
+    return docs.map_batches(expand, batch_format="pyarrow", batch_size=None).map_batches(
+        _pages_batch, batch_format="pyarrow", batch_size=None
     )
 
 
