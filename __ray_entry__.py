@@ -114,6 +114,12 @@ def _q_er_pairs(sf_dir: str):
     return er.customer_pairs(sf_dir)
 
 
+def _q_er_pairs_jw(sf_dir: str):
+    from xlink_ray.pipelines import er
+
+    return er.customer_pairs_jw(sf_dir)
+
+
 def _q_er_clusters(sf_dir: str):
     from xlink_ray.pipelines import er
 
@@ -351,6 +357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_prob": _q_link_prob,
         "out_links": _q_out_links,
         "er_pairs": _q_er_pairs,
+        "er_pairs_jw": _q_er_pairs_jw,
         "er_clusters": _q_er_clusters,
         "er_clusters_dist": _q_er_clusters_dist,
         "doc_mentions": _q_doc_mentions,
@@ -422,6 +429,12 @@ SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
 FROM customer a JOIN customer b
   ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
 WHERE levenshtein(a.c_name, b.c_name) <= 1""",
+        "er_pairs_jw": """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(floor(jaro_winkler_similarity(a.c_name, b.c_name) * 10000) AS BIGINT) AS sim_bp
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE jaro_winkler_similarity(a.c_name, b.c_name) >= 0.94""",
         "er_clusters": """
 WITH RECURSIVE e AS (
   SELECT a.c_custkey AS id_a, b.c_custkey AS id_b

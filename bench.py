@@ -27,7 +27,7 @@ BENCH_REPEAT = int(os.environ.get("GRAFT_BENCH_REPEAT", "40"))
 # best-of-N per parallelism level: the sandbox host is shared and
 # single runs swing by 2x; the minimum is the least-noisy estimate of
 # the pipeline's actual cost at each level
-SCALING_TRIALS = int(os.environ.get("GRAFT_BENCH_TRIALS", "2"))
+SCALING_TRIALS = int(os.environ.get("GRAFT_BENCH_TRIALS", "3"))
 
 
 def _run_queries() -> dict[str, float]:

@@ -62,6 +62,38 @@ def customer_pairs(sf_dir: str, threshold: int = LEV_THRESHOLD) -> Dataset:
     return edges.map_batches(fmt, batch_format="pyarrow")
 
 
+def customer_pairs_jw(sf_dir: str, threshold: float = 0.94) -> Dataset:
+    """Jaro-Winkler-scored blocking pairs (north-star scorer): blocking
+    key = c_nationkey, keep pairs with JW similarity ≥ threshold.
+    Output (id_a, id_b, sim_bp) with the similarity in integer basis
+    points (DuckDB-equal on ASCII; integers dodge float-hash issues)."""
+    from xlink_ray.functions.similarity import jaro_winkler_pairs
+
+    edges = block_score_pairs(
+        _customers(sf_dir),
+        key_cols="c_nationkey",
+        id_col="c_custkey",
+        attr_col="c_name",
+        scorer=jaro_winkler_pairs,
+        keep=lambda s: s >= threshold,
+    )
+
+    def fmt(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        sim = t["score"].to_numpy(zero_copy_only=False) * 10000.0
+        return pa.table(
+            {
+                "id_a": pc.cast(t["id_a"], pa.int64()),
+                "id_b": pc.cast(t["id_b"], pa.int64()),
+                "sim_bp": pa.array(np.floor(sim).astype(np.int64)),
+            }
+        )
+
+    return edges.map_batches(fmt, batch_format="pyarrow")
+
+
 def customer_clusters(
     sf_dir: str, threshold: int = LEV_THRESHOLD, method: str = "auto"
 ) -> Dataset:

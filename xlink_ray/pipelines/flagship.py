@@ -82,15 +82,15 @@ def _collect(ds: Dataset) -> pa.Table:
     return pa.concat_tables(tbls) if tbls else pa.table({})
 
 
-def _prepare(sf_dir: str, repeat: int, align_salt: bool = False):
-    """Dictionary phase shared by the link/cluster pipelines: returns
-    (materialized corpus, ma_ref, lp_ref, emb_ref)."""
+def _dict_phase(sf_dir: str, repeat: int, align_salt: bool = False):
+    """Corpus + mention-anchor statistics (the two overlapped
+    executions): returns (materialized corpus, ma table with e_given_m,
+    link_m table, vocab_ref, emb_ref)."""
     import ray as _ray
 
     from xlink_ray import synth
     from xlink_ray.stages import aggregates
     from xlink_ray.stages.extract import ExtractCorpusBatch, ExtractMentionsBatch
-    from xlink_ray.stages.freq import freq_m as freq_m_stage
 
     def pages_slim():
         return synth.synth_pages(sf_dir, repeat, align_salt=align_salt).select_columns(
@@ -122,9 +122,8 @@ def _prepare(sf_dir: str, repeat: int, align_salt: bool = False):
         )
         corpus = corpus_f.result()
         ma_tbl = ma_f.result()
-    vocab_ref = _ray.put(sorted(set(ma_tbl["mention"].to_pylist())))
-    freq_tbl = _collect(freq_m_stage(corpus, vocab_ref))
 
+    vocab_ref = _ray.put(sorted(set(ma_tbl["mention"].to_pylist())))
     link_m = (
         ma_tbl.group_by("mention").aggregate([("link_count", "sum")])
         .rename_columns(["mention", "link_m"])
@@ -136,54 +135,72 @@ def _prepare(sf_dir: str, repeat: int, align_salt: bool = False):
             pc.cast(ma["link_count"], pa.float64()), pc.cast(ma["link_m"], pa.float64())
         ),
     ).select(["mention", "entity_id", "e_given_m"])
+
+    from xlink_ray import synth as _synth
+
+    return corpus, ma, link_m, vocab_ref, broadcast_table(_synth.synth_embeddings())
+
+
+def _lp_table(link_m: pa.Table, freq_tbl: pa.Table) -> pa.Table:
     lp = link_m.join(freq_tbl, keys="mention", join_type="inner")
-    lp = lp.append_column(
+    return lp.append_column(
         "link_prob",
         pc.divide(pc.cast(lp["link_m"], pa.float64()), pc.cast(lp["freq"], pa.float64())),
     ).select(["mention", "link_prob"])
 
-    from xlink_ray import synth as _synth
 
-    return corpus, broadcast_table(ma), broadcast_table(lp), broadcast_table(
-        _synth.synth_embeddings()
-    )
+def _prepare(sf_dir: str, repeat: int, align_salt: bool = False):
+    """Full dictionary phase (sequential freq): returns
+    (materialized corpus, ma_ref, lp_ref, emb_ref)."""
+    from xlink_ray.stages.freq import freq_m as freq_m_stage
+
+    corpus, ma, link_m, vocab_ref, emb_ref = _dict_phase(sf_dir, repeat, align_salt)
+    freq_tbl = _collect(freq_m_stage(corpus, vocab_ref))
+    return corpus, broadcast_table(ma), broadcast_table(_lp_table(link_m, freq_tbl)), emb_ref
 
 
 def links(sf_dir: str, concurrency: int | tuple[int, int] | None = None, repeat: int = 1) -> Dataset:
     """pages → resolved occurrence links (the XLink `links` table).
 
-    Pass structure (each corpus pass counted once):
-      1. synth → markup-strip → materialized corpus (one fused
-         execution), overlapped with
-      2. mention explode + grouped count → mention_anchors,
-      3. freq scan over corpus → freq_m (dictionary-sized),
-      4. candidate/disambiguation scan over corpus → links.
-    The probability columns are derived locally from the two
-    dictionary-sized aggregates (C-speed Arrow group_by) — the fact
-    table is never shuffled twice.
+    Pass structure: synth→strip→corpus (materialized) overlapped with
+    the mention-anchor pass; then the freq scan and the raw candidate
+    scan run CONCURRENTLY over the materialized corpus (the scan only
+    needs e_given_m; the link-prob keep thresholds are a cheap
+    per-mention post-filter — identical final rows, one corpus pass
+    less on the critical path).
     """
-    corpus, ma_ref, lp_ref, emb_ref = _prepare(sf_dir, repeat)
-
-    if concurrency is None:
-        # task form with worker-cached state: same once-per-process
-        # state build as the actor pool, but reuses Ray's pre-started
-        # workers instead of spawning actor processes (measured ~1.5×)
-        from xlink_ray.stages.candidates import candidate_gen_fn
-
+    if concurrency is not None:
+        corpus, ma_ref, lp_ref, emb_ref = _prepare(sf_dir, repeat)
         return corpus.map_batches(
-            candidate_gen_fn,
-            fn_args=(ma_ref, lp_ref, emb_ref),
+            CandidateGenActor,
+            fn_constructor_args=(ma_ref, lp_ref, emb_ref),
             batch_format="pyarrow",
             batch_size=256,
+            concurrency=concurrency,
+            num_cpus=1,
         )
-    return corpus.map_batches(
-        CandidateGenActor,
-        fn_constructor_args=(ma_ref, lp_ref, emb_ref),
-        batch_format="pyarrow",
-        batch_size=256,
-        concurrency=concurrency,
-        num_cpus=1,
-    )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from xlink_ray.stages.candidates import candidate_gen_raw_fn, link_prob_filter
+    from xlink_ray.stages.freq import freq_m as freq_m_stage
+
+    corpus, ma, link_m, vocab_ref, emb_ref = _dict_phase(sf_dir, repeat)
+    ma_ref = broadcast_table(ma)
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        freq_f = ex.submit(lambda: _collect(freq_m_stage(corpus, vocab_ref)))
+        raw_f = ex.submit(
+            lambda: corpus.map_batches(
+                candidate_gen_raw_fn,
+                fn_args=(ma_ref, emb_ref),
+                batch_format="pyarrow",
+                batch_size=256,
+            ).materialize()
+        )
+        freq_tbl = freq_f.result()
+        raw = raw_f.result()
+    lp_ref = broadcast_table(_lp_table(link_m, freq_tbl))
+    return raw.map_batches(link_prob_filter, fn_args=(lp_ref,), batch_format="pyarrow")
 
 
 class _AddContextVec:

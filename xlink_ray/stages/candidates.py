@@ -117,9 +117,16 @@ def _context_vectors(
     return state.embedder(ctxs), ctxs
 
 
-def resolve_batch(state: LinkState, doc_ids: list, texts: list[str]) -> pa.Table:
+def resolve_batch(
+    state: LinkState, doc_ids: list, texts: list[str], apply_link_prob: bool = True
+) -> pa.Table:
     """Plain docs → resolved occurrence links
-    (doc_id, offset, mention, entity_id, believe)."""
+    (doc_id, offset, mention, entity_id, believe).
+
+    ``apply_link_prob=False`` skips the P8 keep thresholds (they only
+    need the per-mention link_prob, not the candidate scores) so the
+    scan can run concurrently with the freq pass; callers then apply
+    ``link_prob_filter`` downstream — identical final rows."""
     occ_doc: list[int] = []
     occ_off: list[int] = []
     occ_mid: list[int] = []
@@ -184,8 +191,11 @@ def resolve_batch(state: LinkState, doc_ids: list, texts: list[str]) -> pa.Table
     best_row[occ_rep[sel]] = cand_rows[sel]
     best_val[occ_rep[sel]] = believe[sel]
 
-    lp = state.link_prob[occ_mid_a]
-    keep = (lp > LINK_PROB_TH) & ((best_val + lp) / 2.0 > BELIEVE_TH)
+    if apply_link_prob:
+        lp = state.link_prob[occ_mid_a]
+        keep = (lp > LINK_PROB_TH) & ((best_val + lp) / 2.0 > BELIEVE_TH)
+    else:
+        keep = best_val > -np.inf
     if not keep.any():
         return empty
 
@@ -213,6 +223,46 @@ class CandidateGenActor:
         ids = batch["doc_id"].to_pylist()
         texts = batch["text"].to_pylist()
         return resolve_batch(self.state, ids, texts)
+
+
+_EMPTY_LP = pa.table(
+    {"mention": pa.array([], pa.string()), "link_prob": pa.array([], pa.float64())}
+)
+
+
+def candidate_gen_raw_fn(
+    batch: pa.Table, ma_ref: "ray.ObjectRef", emb_ref: "ray.ObjectRef"
+) -> pa.Table:
+    """Candidate scan WITHOUT the link-prob keep thresholds — runs
+    concurrently with the freq pass; pair with ``link_prob_filter``."""
+    from xlink_ray.state.cached import cached_state
+
+    state = cached_state(
+        ("link_state_raw", ma_ref.hex(), emb_ref.hex()),
+        lambda: build_link_state(ray.get(ma_ref), _EMPTY_LP, ray.get(emb_ref)),
+    )
+    return resolve_batch(
+        state, batch["doc_id"].to_pylist(), batch["text"].to_pylist(), apply_link_prob=False
+    )
+
+
+def link_prob_filter(batch: pa.Table, lp_ref: "ray.ObjectRef") -> pa.Table:
+    """P8 keep thresholds applied post-scan: link_prob(m) > 0.008 and
+    (believe + link_prob)/2 > 0.2 (reference xlink.py:161-176)."""
+    import pyarrow.compute as pc
+
+    from xlink_ray.state.cached import cached_state
+
+    lp_tbl = cached_state(("lp_table", lp_ref.hex()), lambda: ray.get(lp_ref))
+    joined = batch.join(lp_tbl, keys="mention", join_type="left outer")
+    lp = pc.coalesce(joined["link_prob"], pa.scalar(0.0, pa.float64()))
+    keep = pc.and_(
+        pc.greater(lp, LINK_PROB_TH),
+        pc.greater(
+            pc.divide(pc.add(joined["believe"], lp), 2.0), BELIEVE_TH
+        ),
+    )
+    return joined.filter(keep).select(batch.column_names)
 
 
 def candidate_gen_fn(
