@@ -23,7 +23,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # scaling runs use a deterministically expanded corpus so the headline
 # is compute-bound (fixed pipeline overhead would otherwise dominate
 # and mask parallel speedup at this tiny test scale)
-BENCH_REPEAT = int(os.environ.get("GRAFT_BENCH_REPEAT", "40"))
+BENCH_REPEAT = int(os.environ.get("GRAFT_BENCH_REPEAT", "240"))
 # best-of-N per parallelism level: the sandbox host is shared and
 # single runs swing by 2x; the minimum is the least-noisy estimate of
 # the pipeline's actual cost at each level
@@ -103,13 +103,16 @@ def _scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def run(ncpu: int) -> dict:
-        results = [run_once(ncpu) for _ in range(SCALING_TRIALS)]
-        return min(results, key=lambda r: r["value"])
-
+    # INTERLEAVE the trials: the shared host has minutes-long load
+    # episodes, so all-8-then-all-32 hands one level all the bad
+    # samples; alternating exposes both levels to the same windows
     lo_cpus, hi_cpus = 8, 32
-    lo = run(lo_cpus)
-    hi = run(hi_cpus)
+    lo_runs, hi_runs = [], []
+    for _ in range(SCALING_TRIALS):
+        lo_runs.append(run_once(lo_cpus))
+        hi_runs.append(run_once(hi_cpus))
+    lo = min(lo_runs, key=lambda r: r["value"])
+    hi = min(hi_runs, key=lambda r: r["value"])
     t_lo, t_hi = lo["value"], hi["value"]
     eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
     print(

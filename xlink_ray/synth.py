@@ -143,6 +143,32 @@ def synth_pages(sf_dir: str, repeat: int = 1, align_salt: bool = False) -> "ray.
     if align_salt:
         assert n_total % DOCS_PER_SALT == 0, (n_total, DOCS_PER_SALT)
         nblocks = n_total // DOCS_PER_SALT
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "lang", "source"],
+            override_num_blocks=nblocks,
+        ).repartition(nblocks)
+        if repeat <= 1:
+            return docs.map_batches(_pages_batch, batch_format="pyarrow", batch_size=None)
+        # union of per-copy branches over the (tiny) materialized source:
+        # every block stays one whole salt range AND the expensive markup
+        # stage parallelizes across all copies, not just the read blocks
+        docs = docs.materialize()
+
+        def shifted(r: int):
+            def shift(batch: pa.Table) -> pa.Table:
+                ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+                return batch.set_column(
+                    batch.schema.get_field_index("doc_id"),
+                    "doc_id",
+                    pa.array(ids + r * n_total, pa.int64()),
+                )
+
+            return docs.map_batches(shift, batch_format="pyarrow", batch_size=None)
+
+        copies = [shifted(r) for r in range(repeat)]
+        expanded = copies[0].union(*copies[1:]) if len(copies) > 1 else copies[0]
+        return expanded.map_batches(_pages_batch, batch_format="pyarrow", batch_size=None)
     else:
         # documents.parquet is a single file → a handful of blocks would
         # cap every downstream stage's parallelism; split the read to
@@ -153,8 +179,6 @@ def synth_pages(sf_dir: str, repeat: int = 1, align_salt: bool = False) -> "ray.
         columns=["doc_id", "text", "lang", "source"],
         override_num_blocks=nblocks,
     )
-    if align_salt:
-        docs = docs.repartition(nblocks)  # exact equal split (divisible)
     if repeat <= 1:
         return docs.map_batches(_pages_batch, batch_format="pyarrow", batch_size=None)
 
