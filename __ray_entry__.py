@@ -223,12 +223,176 @@ def _q_ann_topk(sf_dir: str):
     return brute_topk(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), queries, k=10)
 
 
+_EXPAND_DICT_ROWS = [
+    # (title-mention, entity_id): branch-a row (known mention, new
+    # entity), a no-op row (already-anchored pair), and two branch-b
+    # rows sharing a novel title (smallest entity_id wins)
+    ("spark", "ent_spark_extra"),
+    ("window", "ent_window"),
+    ("novelterm", "ent_novel_b"),
+    ("novelterm", "ent_novel_a"),
+]
+
+
+def _expand_inputs(sf_dir: str):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from xlink_ray.pipelines import dictbuild
+
+    ma = dictbuild.mention_anchors(sf_dir)
+    ed = rd.from_arrow(
+        pa.table(
+            {
+                "mention": [m for m, _ in _EXPAND_DICT_ROWS],
+                "entity_id": [e for _, e in _EXPAND_DICT_ROWS],
+            }
+        )
+    )
+    return ma, ed
+
+
+def _q_expanded_anchors(sf_dir: str):
+    """J3 expand_mention_anchors branch (a): corpus anchors + dictionary
+    entities whose title is a known mention (link_count 1)."""
+    from xlink_ray.stages.expand import expanded_anchors
+
+    return expanded_anchors(*_expand_inputs(sf_dir))
+
+
+def _q_title_entities(sf_dir: str):
+    """J3 branch (b): titles never seen as mentions → title-entity dict."""
+    from xlink_ray.stages.expand import title_entities
+
+    return title_entities(*_expand_inputs(sf_dir))
+
+
+_MANUAL_ANCHOR_ROWS = [("sparkle", "ent_spark"), ("query", "ent_query")]
+_MANUAL_LP_ROWS = [
+    # (mention, entity_id, link_m, freq_m, link_prob, e_given_m) —
+    # the reference link_prob.dat six-column layout (merge_manual_data.py:47-53)
+    ("spark", "ent_spark", 999, 999, 0.5, 0.5),
+    ("manual", "ent_manual", 1, 1, 1.0, 1.0),
+]
+
+
+def _q_merged_anchors(sf_dir: str):
+    """J8 merge_mention_anchors: corpus anchors ∪ manual curation rows."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from xlink_ray.pipelines import dictbuild
+    from xlink_ray.stages.manual import merge_mention_anchors
+
+    orig = dictbuild.mention_anchors(sf_dir)
+    manual = rd.from_arrow(
+        pa.table(
+            {
+                "mention": [m for m, _ in _MANUAL_ANCHOR_ROWS],
+                "entity_id": [e for _, e in _MANUAL_ANCHOR_ROWS],
+            }
+        )
+    )
+    return merge_mention_anchors(orig, manual)
+
+
+def _q_merged_link_prob(sf_dir: str):
+    """J8 merge_link_prob: keyed last-wins overwrite on (mention, entity_id)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from xlink_ray.pipelines import dictbuild
+    from xlink_ray.stages.manual import merge_link_prob
+
+    orig = dictbuild.prob_tables(sf_dir).link_prob
+    manual = rd.from_arrow(
+        pa.table(
+            {
+                "mention": pa.array([r[0] for r in _MANUAL_LP_ROWS], pa.string()),
+                "entity_id": pa.array([r[1] for r in _MANUAL_LP_ROWS], pa.string()),
+                "link_m": pa.array([r[2] for r in _MANUAL_LP_ROWS], pa.int64()),
+                "freq_m": pa.array([r[3] for r in _MANUAL_LP_ROWS], pa.int64()),
+                "link_prob": pa.array([r[4] for r in _MANUAL_LP_ROWS], pa.float64()),
+                "e_given_m": pa.array([r[5] for r in _MANUAL_LP_ROWS], pa.float64()),
+            }
+        )
+    )
+    return merge_link_prob(orig, manual, keys=["mention", "entity_id"])
+
+
+def _q_aida_eval(sf_dir: str):
+    """M15+S12: AIDA fixture import → docs/annotations.json → linking
+    eval metrics row (rows-only check; model scoring not SQL-expressible)."""
+    import ray.data as rd
+
+    from xlink_ray.pipelines.parity import aida_eval
+
+    return rd.from_arrow(aida_eval(sf_dir))
+
+
 def _q_minhash_pairs(sf_dir: str):
     from xlink_ray.stages.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_docs(sf_dir), jaccard_th=0.5).select_columns(
-        ["id_a", "id_b"]
+        ["id_a", "id_b", "jaccard_bp"]
     )
+
+
+def _minhash_sql(
+    num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
+    th_num: int = 5000, th_den: int = 10000,
+) -> str:
+    """DuckDB replica of stages/dedup.minhash_lsh_pairs: md5-low64 %
+    M61 shingle hashes, the same affine permutations (literals inlined
+    from the same seeded generator), band-list equality candidates,
+    exact shingle-Jaccard verification with the identical integer
+    cross-multiply threshold."""
+    from xlink_ray.stages.dedup import minhash_perm_params
+
+    M = (1 << 61) - 1
+    a, b = minhash_perm_params(num_perm)
+    rows_per_band = num_perm // bands
+    perm_rows = ",\n    ".join(
+        f"({i}, {int(a[i])}::UBIGINT, {int(b[i])}::UBIGINT)" for i in range(num_perm)
+    )
+    return f"""WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(length(text) - {shingle_k - 1}, 1)),
+    i -> ('0x' || substr(md5(substr(text, i, {shingle_k})), 1, 16))::UBIGINT % {M}
+  )) AS hs
+  FROM documents
+),
+perm(i, a, b) AS (SELECT * FROM (VALUES
+    {perm_rows})),
+mh AS (
+  SELECT s.doc_id, p.i,
+         min(CAST((CAST(p.a AS UHUGEINT) * CAST(u.h AS UHUGEINT)
+                   + CAST(p.b AS UHUGEINT)) % {M} AS UBIGINT)) AS v
+  FROM sh s, unnest(s.hs) AS u(h), perm p
+  GROUP BY s.doc_id, p.i
+),
+bands AS (
+  SELECT doc_id, i // {rows_per_band} AS band, list(v ORDER BY i) AS vals
+  FROM mh GROUP BY doc_id, i // {rows_per_band}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.vals = y.vals AND x.doc_id < y.doc_id
+),
+v AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(a.hs, b.hs)) AS inter,
+         len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)) AS un
+  FROM cand c
+  JOIN sh a ON c.id_a = a.doc_id
+  JOIN sh b ON c.id_b = b.doc_id
+)
+SELECT id_a, id_b, CAST((10000 * inter) // un AS BIGINT) AS jaccard_bp
+FROM v WHERE inter * {th_den} >= un * {th_num}"""
 
 
 def _q_simhash_pairs(sf_dir: str):
@@ -385,6 +549,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fidelity_links": _q_fidelity_links,
         "linking_eval": _q_linking_eval,
         "candidate_histogram": _q_candidate_histogram,
+        "merged_anchors": _q_merged_anchors,
+        "merged_link_prob": _q_merged_link_prob,
+        "aida_eval": _q_aida_eval,
+        "expanded_anchors": _q_expanded_anchors,
+        "title_entities": _q_title_entities,
     }
 
 
@@ -556,4 +725,43 @@ FROM reach GROUP BY u""",
 SELECT DISTINCT 'https://crawl.example.org/' || source || '/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS src,
        entity_id AS dst
 FROM occ WHERE cnt > 0""",
+        "minhash_pairs": _minhash_sql(),
+        "expanded_anchors": f"""{occ},
+ed(mention, entity_id) AS (SELECT DISTINCT * FROM (VALUES {', '.join(f"('{m}', '{e}')" for m, e in _EXPAND_DICT_ROWS)}))
+SELECT mention, entity_id, CAST(link_count AS BIGINT) AS link_count FROM ma
+UNION ALL
+SELECT e.mention, e.entity_id, CAST(1 AS BIGINT) AS link_count
+FROM ed e
+WHERE e.mention IN (SELECT mention FROM ma)
+  AND NOT EXISTS (SELECT 1 FROM ma
+                  WHERE ma.mention = e.mention AND ma.entity_id = e.entity_id)""",
+        "title_entities": f"""{occ},
+ed(mention, entity_id) AS (SELECT DISTINCT * FROM (VALUES {', '.join(f"('{m}', '{e}')" for m, e in _EXPAND_DICT_ROWS)}))
+SELECT mention, min(entity_id) AS entity_id
+FROM ed WHERE mention NOT IN (SELECT mention FROM ma)
+GROUP BY mention""",
+        "merged_anchors": f"""{occ}
+SELECT mention, entity_id FROM ma
+UNION
+SELECT * FROM (VALUES {', '.join(f"('{m}', '{e}')" for m, e in _MANUAL_ANCHOR_ROWS)}) m(mention, entity_id)""",
+        "merged_link_prob": f"""{occ},
+link_m AS (SELECT mention, CAST(sum(link_count) AS BIGINT) AS link_m FROM ma GROUP BY mention),
+fm AS (
+  SELECT a.mention,
+         CAST(sum((length(d.text) - length(replace(d.text, a.mention, ''))) / length(a.mention)) AS BIGINT) AS freq_m
+  FROM documents d CROSS JOIN (SELECT DISTINCT mention FROM alias) a
+  GROUP BY a.mention),
+orig AS (
+  SELECT ma.mention, ma.entity_id, link_m.link_m, fm.freq_m,
+         CAST(link_m.link_m AS DOUBLE) / fm.freq_m AS link_prob,
+         CAST(ma.link_count AS DOUBLE) / link_m.link_m AS e_given_m
+  FROM ma JOIN link_m ON ma.mention = link_m.mention
+          JOIN fm ON ma.mention = fm.mention),
+manual(mention, entity_id, link_m, freq_m, link_prob, e_given_m) AS (
+  SELECT * FROM (VALUES {', '.join(f"('{r[0]}', '{r[1]}', CAST({r[2]} AS BIGINT), CAST({r[3]} AS BIGINT), CAST({r[4]} AS DOUBLE), CAST({r[5]} AS DOUBLE))" for r in _MANUAL_LP_ROWS)}))
+SELECT * FROM manual
+UNION ALL
+SELECT o.* FROM orig o
+WHERE NOT EXISTS (SELECT 1 FROM manual m
+                  WHERE m.mention = o.mention AND m.entity_id = o.entity_id)""",
     }

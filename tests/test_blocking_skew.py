@@ -1,0 +1,61 @@
+"""salt_hot_keys / skew_cap: exact pair-grid equality on a skewed key,
+and the empty-edge clustering regression (ADVICE round 1)."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from xlink_ray.functions.similarity import levenshtein_pairs
+from xlink_ray.stages.blocking import block_score_pairs
+
+
+def _skewed_customers():
+    # one hot key (nation 0) 100x the median block size
+    rows = []
+    k = 0
+    for i in range(800):  # hot block
+        rows.append({"key": 0, "id": k, "name": f"cust{i % 37:04d}"})
+        k += 1
+    for nation in range(1, 9):  # 8 blocks of 8
+        for i in range(8):
+            rows.append({"key": nation, "id": k, "name": f"cust{i:04d}"})
+            k += 1
+    return pa.Table.from_pylist(rows)
+
+
+def _pairs(ds, skew_cap):
+    out = block_score_pairs(
+        ds,
+        key_cols="key",
+        id_col="id",
+        attr_col="name",
+        scorer=levenshtein_pairs,
+        keep=lambda s: s <= 1,
+        skew_cap=skew_cap,
+    ).to_pandas()
+    return set(zip(out["id_a"], out["id_b"]))
+
+
+def test_skew_salting_exact(ray_session):
+    tbl = _skewed_customers()
+    base = _pairs(rd.from_arrow(tbl), skew_cap=None)
+    salted = _pairs(rd.from_arrow(tbl), skew_cap=64)  # hot block → 13 salts
+    assert salted == base
+    assert len(base) > 1000  # the hot block really contributes pairs
+
+
+def test_empty_edges_string_nodes(ray_session):
+    from xlink_ray.stages.clustering import connected_components
+
+    edges = rd.from_arrow(
+        pa.table({"id_a": pa.array([], pa.string()), "id_b": pa.array([], pa.string())})
+    )
+    nodes = rd.from_arrow(pa.table({"m": pa.array(["u#1", "u#2", "x#0"], pa.string())}))
+    out = (
+        connected_components(edges, nodes=nodes, node_col="m", method="local")
+        .to_pandas()
+        .sort_values("member_id")
+    )
+    assert list(out["member_id"]) == ["u#1", "u#2", "x#0"]
+    assert list(out["cluster_id"]) == ["u#1", "u#2", "x#0"]  # all singletons

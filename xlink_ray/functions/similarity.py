@@ -84,11 +84,81 @@ def jaro_winkler_pairs(
     boost_threshold: float = 0.7,
 ) -> np.ndarray:
     """Jaro-Winkler similarity per pair (DuckDB-compatible: prefix bonus
-    applied when the Jaro score exceeds 0.7, prefix capped at 4)."""
+    applied when the Jaro score exceeds 0.7, prefix capped at 4).
+
+    Vectorized across the pair axis like ``levenshtein_pairs``: the
+    greedy match scan loops over a-positions only; each step resolves
+    the first unused in-window b-match for ALL pairs at once (an
+    (n, Lb) boolean kernel), so a blocking chunk of 4096 pairs costs
+    La numpy steps, not 4096 Python DPs. Tests pin equality with the
+    scalar definition and DuckDB ``jaro_winkler_similarity``.
+    """
     n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    am, alens = _to_codepoint_matrix(a)
+    bm, blens = _to_codepoint_matrix(b)
+    l1, l2 = am.shape[1], bm.shape[1]
+
     out = np.zeros(n, dtype=np.float64)
-    for i in range(n):
-        out[i] = _jaro_winkler(a[i], b[i], prefix_scale, boost_threshold)
+    both_empty = (alens == 0) & (blens == 0)
+    out[both_empty] = 1.0
+    if l1 == 0 or l2 == 0:
+        return out
+
+    window = np.maximum(np.maximum(alens, blens) // 2 - 1, 0)[:, None]  # (n,1)
+    j_idx = np.arange(l2)[None, :]  # (1,l2)
+    valid_b = j_idx < blens[:, None]
+    m1 = np.zeros((n, l1), dtype=bool)
+    m2 = np.zeros((n, l2), dtype=bool)
+    rows_all = np.arange(n)
+    for i in range(l1):
+        cand = (
+            (bm == am[:, i][:, None])
+            & ~m2
+            & (j_idx >= i - window)
+            & (j_idx <= i + window)
+            & valid_b
+        )
+        cand[i >= alens] = False
+        found = cand.any(axis=1)
+        j_star = np.argmax(cand, axis=1)  # first unused match in window
+        rows = rows_all[found]
+        m2[rows, j_star[rows]] = True
+        m1[rows, i] = True
+    matches = m1.sum(axis=1)
+
+    # transpositions: compare matched chars of a and b in string order
+    def _compress(mat: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        comp = np.zeros_like(mat)
+        r, c = np.nonzero(mask)
+        pos = mask.cumsum(axis=1)[r, c] - 1
+        comp[r, pos] = mat[r, c]
+        return comp
+
+    w = min(l1, l2)
+    s1c = _compress(am, m1)[:, :w]
+    s2c = _compress(bm, m2)[:, :w]
+    diff = (s1c != s2c) & (np.arange(w)[None, :] < matches[:, None])
+    t = diff.sum(axis=1) // 2
+
+    nzm = matches > 0
+    m_f = matches[nzm].astype(np.float64)
+    out[nzm] = (
+        m_f / alens[nzm] + m_f / blens[nzm] + (m_f - t[nzm]) / m_f
+    ) / 3.0
+
+    # Winkler prefix boost (common prefix capped at 4, only when jaro > th)
+    pw = min(4, l1, l2)
+    if pw > 0:
+        eq = (am[:, :pw] == bm[:, :pw]) & (
+            np.arange(pw)[None, :] < np.minimum(alens, blens)[:, None]
+        )
+        cp = np.cumprod(eq, axis=1).sum(axis=1)
+    else:
+        cp = np.zeros(n, dtype=np.int64)
+    boost = out > boost_threshold
+    out = np.where(boost & ~both_empty, out + cp * prefix_scale * (1.0 - out), out)
     return out
 
 
@@ -141,12 +211,37 @@ def _jaro_winkler(s1: str, s2: str, prefix_scale: float, boost_threshold: float)
 
 
 def char_jaccard_pairs(a: "list[str]", b: "list[str]") -> np.ndarray:
-    """Character-set Jaccard similarity per pair (DuckDB ``jaccard``)."""
-    out = np.zeros(len(a), dtype=np.float64)
-    for i in range(len(a)):
-        sa, sb = set(a[i]), set(b[i])
-        u = len(sa | sb)
-        out[i] = (len(sa & sb) / u) if u else 1.0
+    """Character-set Jaccard similarity per pair (DuckDB ``jaccard``).
+
+    Vectorized across the pair axis: batch-local codepoints are mapped
+    to compact ids (one ``np.unique`` over the chunk), per-row presence
+    bitmaps are scattered in one shot, and intersection/union are
+    row-wise popcounts — no Python set work per pair. Callers chunk
+    (``blocking._pairs_of_group``), bounding the (n, vocab) bitmap.
+    """
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    am, alens = _to_codepoint_matrix(a)
+    bm, blens = _to_codepoint_matrix(b)
+    allc = np.concatenate([am.ravel(), bm.ravel()])
+    vocab, inv = np.unique(allc, return_inverse=True)
+    am_id = inv[: am.size].reshape(am.shape)
+    bm_id = inv[am.size :].reshape(bm.shape)
+    V = len(vocab)
+
+    pres_a = np.zeros((n, V), dtype=bool)
+    pres_b = np.zeros((n, V), dtype=bool)
+    ra, ca = np.nonzero(np.arange(am.shape[1])[None, :] < alens[:, None])
+    pres_a[ra, am_id[ra, ca]] = True
+    rb, cb = np.nonzero(np.arange(bm.shape[1])[None, :] < blens[:, None])
+    pres_b[rb, bm_id[rb, cb]] = True
+
+    inter = (pres_a & pres_b).sum(axis=1)
+    union = (pres_a | pres_b).sum(axis=1)
+    out = np.ones(n, dtype=np.float64)
+    nz = union > 0
+    out[nz] = inter[nz] / union[nz]
     return out
 
 

@@ -17,8 +17,24 @@ __all__ = [
     "mention_keys",
     "strip_punctuation_tokens",
     "collapse_cjk_spaces",
+    "lower_preserve_len",
     "PUNCTUATIONS",
 ]
+
+
+def lower_preserve_len(text: str) -> str:
+    """Length-preserving lowercase: offsets into the lowered string
+    remain valid into the original. ``str.lower`` can change length for
+    a handful of codepoints (e.g. 'İ' → 'i̇'); those characters are
+    lowered per-char and kept as-is when their lowercase expands, so
+    scan offsets recorded on the lowered text always index the
+    original (candidates.resolve_batch slices contexts there)."""
+    low = text.lower()
+    if len(low) == len(text):
+        return low
+    return "".join(
+        (lc if len(lc := c.lower()) == 1 else c) for c in text
+    )
 
 # reference datatool/pipeline/tools.py:4 — fixed punctuation set
 PUNCTUATIONS = "!！?？/\'\".,:()\-\n·;。＂＃＄％＆＇（）＊＋，－／：；＜＝=＞＠［＼］＾＿｀｛｜｝{|}～｟｠｢｣､、〃《》<>「」『』【】〔〕〖〗〘〙〚〛〜〝〞〟〰〾〿–—‘’‛“”„‟…‧﹏"

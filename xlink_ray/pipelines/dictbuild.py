@@ -67,13 +67,20 @@ def self_links(sf_dir: str) -> Dataset:
     return aggregates.self_links(mentions(sf_dir))
 
 
-def dict_vocab_ref() -> "ray.ObjectRef":
-    """Broadcast the mention vocabulary once per job."""
-    return ray.put(sorted(synth.ALIAS_DICT.keys()))
+def dict_vocab_ref(sf_dir: str) -> "ray.ObjectRef":
+    """Broadcast the mention vocabulary once per job — DERIVED from the
+    corpus's own mention anchors (reference generate_prob_files.py
+    scans with the mention_anchors vocabulary), not from the
+    synthesizer's ground truth; the pipeline carries no generator
+    coupling."""
+    vocab = sorted(
+        set(mention_anchors(sf_dir).select_columns(["mention"]).unique("mention"))
+    )
+    return ray.put(vocab)
 
 
 def freq_m(sf_dir: str, concurrency: int | tuple[int, int] | None = None) -> Dataset:
-    return freq_m_stage(corpus(sf_dir), dict_vocab_ref(), concurrency=concurrency)
+    return freq_m_stage(corpus(sf_dir), dict_vocab_ref(sf_dir), concurrency=concurrency)
 
 
 def prob_tables(sf_dir: str) -> ProbTables:

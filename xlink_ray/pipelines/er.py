@@ -46,6 +46,7 @@ def customer_pairs(sf_dir: str, threshold: int = LEV_THRESHOLD) -> Dataset:
         attr_col="c_name",
         scorer=levenshtein_pairs,
         keep=lambda s: s <= threshold,
+        skew_cap=8192,  # exact hot-key splitting; output identical
     )
 
     def fmt(t: pa.Table) -> pa.Table:
@@ -76,6 +77,7 @@ def customer_pairs_jw(sf_dir: str, threshold: float = 0.94) -> Dataset:
         attr_col="c_name",
         scorer=jaro_winkler_pairs,
         keep=lambda s: s >= threshold,
+        skew_cap=8192,  # exact hot-key splitting; output identical
     )
 
     def fmt(t: pa.Table) -> pa.Table:

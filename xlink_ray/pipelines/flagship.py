@@ -71,7 +71,9 @@ from xlink_ray.synth import DOCS_PER_SALT  # noqa: E402
 
 
 def _add_salt(t: pa.Table) -> pa.Table:
-    num = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], -8, 99), pa.int64())
+    from xlink_ray.synth import doc_id_of_url
+
+    num = doc_id_of_url(t["doc_id"])
     return t.append_column(
         "salt", pc.divide(num, pa.scalar(DOCS_PER_SALT, pa.int64()))
     )
@@ -426,7 +428,7 @@ def _fused_cluster_fn(batch: pa.Table, ma_ref, lp_ref, emb_ref) -> pa.Table:
     )
 
     urls = batch["doc_id"].to_pylist()
-    nums = np.sort(np.asarray([int(u[-8:]) for u in urls], dtype=np.int64))
+    nums = np.sort(np.asarray([int(u.rsplit("/", 1)[1]) for u in urls], dtype=np.int64))
     assert len(nums) > 0
     # every salt range present must be COMPLETE in this batch (Ray only
     # coalesces whole upstream blocks, and upstream blocks are exact
@@ -469,16 +471,22 @@ def clusters(sf_dir: str, method: str = "block", repeat: int = 1) -> Dataset:
         operator (driver union-find / star rounds).
     """
     if method == "fused":
-        import pyarrow.parquet as _pq
+        from xlink_ray import synth
+        from xlink_ray.stages.extract import ExtractCorpusBatch
 
-        corpus, ma_ref, lp_ref, emb_ref = _prepare(sf_dir, repeat, align_salt=True)
-        # Ray coalesces the tiny salt-sized blocks when materializing;
-        # split back to exactly one salt range per block (row counts are
-        # whole multiples of DOCS_PER_SALT, and repartition preserves
-        # order, so the equal split realigns the boundaries)
-        n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows * max(repeat, 1)
-        corpus = corpus.repartition(n_docs // DOCS_PER_SALT)
-        return corpus.map_batches(
+        # dictionary phase over the ordinary (coalesced-block) corpus;
+        # the fused stage consumes a FRESH salt-aligned stream — every
+        # physical block is whole salt ranges by construction, so no
+        # repartition/realignment is needed and the scan→cluster path
+        # has ZERO shuffles and ZERO materializations after the
+        # (dictionary-sized) broadcast tables
+        _corpus, ma_ref, lp_ref, emb_ref = _prepare(sf_dir, repeat)
+        aligned = (
+            synth.synth_pages(sf_dir, repeat, align_salt=True)
+            .select_columns(["url", "text"])
+            .map_batches(ExtractCorpusBatch(), batch_format="pyarrow", batch_size=None)
+        )
+        return aligned.map_batches(
             _fused_cluster_fn,
             fn_args=(ma_ref, lp_ref, emb_ref),
             batch_format="pyarrow",
@@ -506,7 +514,15 @@ def clusters_checkpointed(
     from xlink_ray.state.checkpoint import CheckpointManager, fingerprint
 
     cm = CheckpointManager(ckpt_root)
-    base = fingerprint("flagship-v1", sf_dir, EDGE_TH)
+    # fold input-content signals into the fingerprint so a changed
+    # source table invalidates the stage checkpoints (not just the path)
+    import os as _os
+
+    src = f"{sf_dir}/documents.parquet"
+    st = _os.stat(src)
+    base = fingerprint(
+        "flagship-v1", sf_dir, EDGE_TH, st.st_size, int(st.st_mtime_ns)
+    )
 
     lkc = cm.run_stage("links", fingerprint(base, "links"), lambda: links(sf_dir))
     edges = cm.run_stage(

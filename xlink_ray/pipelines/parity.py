@@ -14,7 +14,7 @@ from ray.data import Dataset
 
 from xlink_ray.util import pool_size
 
-__all__ = ["fidelity_links"]
+__all__ = ["fidelity_links", "aida_eval"]
 
 
 def _build_state(sf_dir: str):
@@ -88,3 +88,54 @@ def fidelity_links(sf_dir: str) -> Dataset:
         concurrency=pool_size(),
         num_cpus=1,
     )
+
+
+def aida_eval(sf_dir: str, workdir: str = "/tmp/xlink_ray_aida") -> "object":
+    """M15 + S12 end-to-end: deterministic AIDA-format fixture →
+    ``format_annotation_dataset`` (docs/annotations.json) →
+    ``load_annotation_dataset`` → dictionary linking over the imported
+    docs → ``linking_eval`` metrics row vs the imported gold
+    (NIL-gold spans excluded from ED truth, matching the reference's
+    valid-mention filtering, MetricsInputBuilder.py:19-41)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from xlink_ray.sources.annotations import (
+        format_annotation_dataset,
+        load_annotation_dataset,
+        synth_aida_fixture,
+        synth_uri_resolver,
+    )
+    from xlink_ray.stages.evaluation import linking_eval
+    from xlink_ray.stages.linking import FidelityLinkActor
+
+    raw = synth_aida_fixture(f"{workdir}/raw.txt", sf_dir)
+    format_annotation_dataset(raw, f"{workdir}/ds", synth_uri_resolver())
+    docs_tbl, gold_tbl = load_annotation_dataset(f"{workdir}/ds")
+
+    state_ref = ray.put(_build_state(sf_dir))
+    docs = rd.from_arrow(docs_tbl)
+    pred = docs.map_batches(
+        FidelityLinkActor,
+        fn_constructor_args=(state_ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "offset": t["start"],
+                "mention": t["label"],
+                "entity_id": t["entity_id"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    gold = rd.from_arrow(
+        gold_tbl.filter(pc.not_equal(gold_tbl["entity_id"], "NIL")).select(
+            ["doc_id", "offset", "mention", "entity_id"]
+        )
+    )
+    return linking_eval(pred, gold)

@@ -12,10 +12,16 @@ Skew: groups larger than ``max_block_rows`` are pair-generated in a
 chunk grid (bounded memory per step) and, when ``pair_cap`` is set,
 truncated deterministically with the drop counted in an ``overflow``
 column — cap-and-log, never silent (SURVEY.md §7.4.4). True hot-key
-*splitting* across tasks is provided by ``salt_hot_keys`` which
-rewrites a hot key k into (k, salt_i) sub-keys; the pair grid across
-sub-blocks is covered by replicating each sub-block against the
-others within the group task graph.
+*splitting* across tasks is ``salt_hot_keys``: keys whose pre-counted
+size exceeds the cap are split into S salts (S = ceil(n/cap)); each
+row is replicated into the S grid cells (min(s,t), max(s,t)) of the
+triangular self-join grid, so a diagonal cell (s,s) holds one salt's
+triangle and an off-diagonal cell (i,j) holds exactly the i×j
+bipartite rectangle — EVERY pair of the original block appears in
+exactly one cell (no pair lost, none duplicated), and every cell is
+bounded by ~2·cap rows. ``block_score_pairs(..., skew_cap=...)`` wires
+the whole thing: pre-count → salt → groupby(key+cell) → triangle or
+bipartite pair grid per cell.
 """
 
 from __future__ import annotations
@@ -28,7 +34,7 @@ import pyarrow.compute as pc
 
 from ray.data import Dataset
 
-__all__ = ["normalize_key", "block_score_pairs", "group_sizes"]
+__all__ = ["normalize_key", "block_score_pairs", "group_sizes", "salt_hot_keys"]
 
 _PAREN_RE = r"（[^）]*）|\([^)]*\)"
 
@@ -115,6 +121,144 @@ def _pairs_of_group(
     )
 
 
+def _bipartite_pairs_of_group(
+    group: pa.Table,
+    id_col: str,
+    attr_col: str,
+    scorer: Callable[[list, list], np.ndarray],
+    keep: Callable[[np.ndarray], np.ndarray],
+    key_cols: list[str],
+    max_block_rows: int,
+    pair_cap: int | None,
+) -> pa.Table:
+    """Off-diagonal grid cell (cell_a < cell_b): score only the
+    rectangle between the two salt groups — chunked, cap-and-log."""
+    salts = group["salt"].to_numpy(zero_copy_only=False)
+    ca = group["cell_a"][0].as_py()
+    a_idx = np.nonzero(salts == ca)[0]
+    b_idx = np.nonzero(salts != ca)[0]
+    ids = group[id_col].to_numpy(zero_copy_only=False)
+    attrs = group[attr_col].to_numpy(zero_copy_only=False)
+    key_val = "|".join(str(group[k][0].as_py()) for k in key_cols) if len(ids) else ""
+
+    out_a, out_b, out_s = [], [], []
+    emitted = 0
+    dropped = 0
+    for ci in range(0, len(a_idx), max_block_rows):
+        for cj in range(0, len(b_idx), max_block_rows):
+            ii = a_idx[ci : ci + max_block_rows]
+            jj = b_idx[cj : cj + max_block_rows]
+            gi, gj = np.meshgrid(ii, jj, indexing="ij")
+            gi, gj = gi.ravel(), gj.ravel()
+            if len(gi) == 0:
+                continue
+            if pair_cap is not None and emitted >= pair_cap:
+                dropped += len(gi)
+                continue
+            scores = scorer(attrs[gi], attrs[gj])
+            mask = keep(scores)
+            ka, kb, ks = gi[mask], gj[mask], scores[mask]
+            if pair_cap is not None and emitted + len(ka) > pair_cap:
+                room = pair_cap - emitted
+                dropped += len(ka) - room
+                ka, kb, ks = ka[:room], kb[:room], ks[:room]
+            emitted += len(ka)
+            va, vb = ids[ka], ids[kb]
+            out_a.append(np.minimum(va, vb))
+            out_b.append(np.maximum(va, vb))
+            out_s.append(ks)
+    id_a = np.concatenate(out_a) if out_a else np.array([], dtype=ids.dtype)
+    id_b = np.concatenate(out_b) if out_b else np.array([], dtype=ids.dtype)
+    sc = np.concatenate(out_s) if out_s else np.array([], dtype=np.float64)
+    return pa.table(
+        {
+            "key": pa.array([key_val] * len(id_a), pa.string()),
+            "id_a": pa.array(id_a),
+            "id_b": pa.array(id_b),
+            "score": pa.array(sc.astype(np.float64)),
+            "overflow": pa.array([dropped] * len(id_a), pa.int64()),
+        }
+    )
+
+
+def salt_hot_keys(
+    ds: Dataset,
+    key_cols: list[str],
+    id_col: str,
+    cap: int = 4096,
+) -> Dataset:
+    """EXACT hot-key splitting for the self-join pair grid.
+
+    Pre-counts block sizes (``group_sizes``); keys with n > cap are
+    split into S = ceil(n/cap) salts (salt = stable hash of the row
+    id). Each hot row is replicated into the S cells
+    (min(s,t), max(s,t)) of the triangular grid; cold rows get cell
+    (0,0) and salt 0. Blocking on key_cols + [cell_a, cell_b] then
+    yields bounded groups whose union of pair grids is EXACTLY the
+    original block's grid: the (s,s) diagonal cell contributes salt
+    s's triangle, an (i,j) cell contributes only the i×j rectangle
+    (enforced by ``_bipartite_pairs_of_group``). Only the (bounded)
+    list of hot keys is collected to the driver.
+    """
+    import ray
+
+    from xlink_ray.functions.hashing import md5_low64
+
+    sizes = group_sizes(ds, key_cols)
+
+    def only_hot(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["n"], cap))
+
+    hot_tbl = pa.concat_tables(
+        [pa.table(b) for b in sizes.map_batches(only_hot, batch_format="pyarrow").iter_batches(batch_format="pyarrow")]
+        or [pa.table({k: pa.array([]) for k in key_cols + ["n"]})]
+    )
+    hot = {
+        tuple(str(hot_tbl[k][r].as_py()) for k in key_cols): int(
+            np.ceil(hot_tbl["n"][r].as_py() / cap)
+        )
+        for r in range(hot_tbl.num_rows)
+    }
+    hot_ref = ray.put(hot)
+
+    def assign(t: pa.Table) -> pa.Table:
+        from xlink_ray.state.cached import cached_state
+
+        hot_map = cached_state(("hot_keys", hot_ref.hex()), lambda: ray.get(hot_ref))
+        n = t.num_rows
+        if not hot_map or n == 0:
+            z = pa.array(np.zeros(n, dtype=np.int32))
+            return t.append_column("salt", z).append_column("cell_a", z).append_column("cell_b", z)
+        key_strs = [tuple(str(v) for v in row) for row in zip(*(t[k].to_pylist() for k in key_cols))]
+        ids = t[id_col].to_pylist()
+        out_idx: list[int] = []
+        salts: list[int] = []
+        cell_a: list[int] = []
+        cell_b: list[int] = []
+        for r in range(n):
+            S = hot_map.get(key_strs[r], 1)
+            if S <= 1:
+                out_idx.append(r)
+                salts.append(0)
+                cell_a.append(0)
+                cell_b.append(0)
+                continue
+            s = int(md5_low64([str(ids[r])])[0] % np.uint64(S))
+            for other in range(S):
+                out_idx.append(r)
+                salts.append(s)
+                cell_a.append(min(s, other))
+                cell_b.append(max(s, other))
+        rep = t.take(pa.array(out_idx, pa.int64()))
+        return (
+            rep.append_column("salt", pa.array(salts, pa.int32()))
+            .append_column("cell_a", pa.array(cell_a, pa.int32()))
+            .append_column("cell_b", pa.array(cell_b, pa.int32()))
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def block_score_pairs(
     ds: Dataset,
     key_cols: list[str] | str,
@@ -124,6 +268,7 @@ def block_score_pairs(
     keep: Callable[[np.ndarray], np.ndarray],
     max_block_rows: int = 4096,
     pair_cap: int | None = None,
+    skew_cap: int | None = None,
 ) -> Dataset:
     """blocking groupby → scored edges (key, id_a, id_b, score, overflow).
 
@@ -131,15 +276,36 @@ def block_score_pairs(
     scores → boolean mask (e.g. ``lambda s: s <= 1`` for an edit-distance
     threshold). ``id_a < id_b`` by group position, each unordered pair
     emitted once.
+
+    ``skew_cap``: enable exact hot-key splitting — keys larger than the
+    cap are salted via ``salt_hot_keys`` and their pair grid is covered
+    by bounded triangle/rectangle cells; output pairs are IDENTICAL to
+    the unsalted run (tests pin this on a 100×-skewed key).
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
 
-    def fn(group: pa.Table) -> pa.Table:
+    if skew_cap is None:
+        def fn(group: pa.Table) -> pa.Table:
+            return _pairs_of_group(
+                group, id_col, attr_col, scorer, keep, keys, max_block_rows, pair_cap
+            )
+
+        return ds.groupby(keys).map_groups(fn, batch_format="pyarrow")
+
+    salted = salt_hot_keys(ds, keys, id_col, cap=skew_cap)
+
+    def fn_cell(group: pa.Table) -> pa.Table:
+        if group.num_rows and group["cell_a"][0].as_py() != group["cell_b"][0].as_py():
+            return _bipartite_pairs_of_group(
+                group, id_col, attr_col, scorer, keep, keys, max_block_rows, pair_cap
+            )
         return _pairs_of_group(
             group, id_col, attr_col, scorer, keep, keys, max_block_rows, pair_cap
         )
 
-    return ds.groupby(keys).map_groups(fn, batch_format="pyarrow")
+    return salted.groupby(keys + ["cell_a", "cell_b"]).map_groups(
+        fn_cell, batch_format="pyarrow"
+    )
 
 
 def group_sizes(ds: Dataset, key_cols: list[str]) -> Dataset:

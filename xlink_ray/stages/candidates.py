@@ -5,9 +5,11 @@ Reference semantics being matched (simplified v2 scorer, divergences
 documented in pipelines/flagship.py):
 
 * P1  candidate generation: dictionary automaton scan of the plain
-  document (reference generate_prob_files.py:65-82) — here one
-  compiled alternation regex built per actor from the broadcast
-  mention dictionary,
+  document (reference generate_prob_files.py:65-82) — here a
+  ``functions.ac.VectorScanner`` (vectorized AC-equivalent) built per
+  actor from the broadcast mention dictionary; the resolve path keeps
+  the greedy leftmost/longest-at-position matches (P2-style conflict
+  resolution at scan time),
 * P4  context window: ±`window` chars around the mention, tokenized,
   kept if in the embedding vocabulary (reference
   modules/prob_gm_predictors/xlink.py:120-131),
@@ -29,12 +31,13 @@ refs; ``__call__`` is vectorized across every occurrence in the batch
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pyarrow as pa
 
 import ray
+
+from xlink_ray.functions.ac import VectorScanner
+from xlink_ray.functions.text import lower_preserve_len
 
 __all__ = ["LinkState", "build_link_state", "resolve_batch", "CandidateGenActor"]
 
@@ -87,8 +90,13 @@ class LinkState:
             [self.entity_index.get(e, -1) for e in self.cand_entities], dtype=np.int64
         )
 
-        pattern = "|".join(re.escape(m) for m in sorted(mentions, key=len, reverse=True))
-        self.rx = re.compile(pattern) if pattern else None
+        # dictionary automaton (T4): vectorized rolling-hash scanner,
+        # overlapping-capable; the resolve path takes the greedy
+        # leftmost/longest-at-position subset (identical to the former
+        # longest-first regex alternation, pinned in tests/test_ac.py)
+        self.mentions_sorted = mentions  # scanner pid == mention_index
+        self.scanner = VectorScanner(mentions) if mentions else None
+        self.mention_lens = np.asarray([len(m) for m in mentions], dtype=np.int64)
 
 
 def build_link_state(mention_anchors: pa.Table, link_prob: pa.Table, embeddings: pa.Table) -> LinkState:
@@ -127,16 +135,23 @@ def resolve_batch(
     need the per-mention link_prob, not the candidate scores) so the
     scan can run concurrently with the freq pass; callers then apply
     ``link_prob_filter`` downstream — identical final rows."""
-    occ_doc: list[int] = []
-    occ_off: list[int] = []
-    occ_mid: list[int] = []
-    if state.rx is not None:
-        for d, text in enumerate(texts):
-            for mt in state.rx.finditer(text.lower()):
-                occ_doc.append(d)
-                occ_off.append(mt.start())
-                occ_mid.append(state.mention_index[mt.group(0)])
-    n = len(occ_doc)
+    if state.scanner is not None and texts:
+        # one vectorized scan of the whole batch: NUL-joined blob (the
+        # separator appears in no mention, so matches never cross docs);
+        # lowercase is length-preserving so offsets index the originals
+        lowered = [lower_preserve_len(t) for t in texts]
+        doc_starts = np.zeros(len(texts) + 1, dtype=np.int64)
+        np.cumsum(np.asarray([len(t) + 1 for t in lowered], dtype=np.int64), out=doc_starts[1:])
+        blob = "\x00".join(lowered)
+        starts, pids = state.scanner.find_nonoverlapping(VectorScanner.codepoints(blob))
+        occ_doc_arr = np.searchsorted(doc_starts, starts, side="right") - 1
+        occ_off_arr = starts - doc_starts[occ_doc_arr]
+        occ_mid_arr = pids
+    else:
+        occ_doc_arr = np.zeros(0, dtype=np.int64)
+        occ_off_arr = np.zeros(0, dtype=np.int64)
+        occ_mid_arr = np.zeros(0, dtype=np.int64)
+    n = len(occ_doc_arr)
     empty = pa.table(
         {
             "doc_id": pa.array([], pa.string()),
@@ -150,11 +165,11 @@ def resolve_batch(
     if n == 0:
         return empty
 
-    occ_doc_a = np.asarray(occ_doc, dtype=np.int64)
-    occ_off_a = np.asarray(occ_off, dtype=np.int64)
-    occ_mid_a = np.asarray(occ_mid, dtype=np.int64)
-    mentions_arr = np.asarray(sorted(state.mention_index.keys()))
-    occ_len_a = np.asarray([len(mentions_arr[m]) for m in occ_mid_a], dtype=np.int64)
+    occ_doc_a = occ_doc_arr
+    occ_off_a = occ_off_arr
+    occ_mid_a = occ_mid_arr
+    mentions_arr = np.asarray(state.mentions_sorted)
+    occ_len_a = state.mention_lens[occ_mid_a]
 
     ctx, ctx_strs = _context_vectors(state, texts, occ_doc_a, occ_off_a, occ_len_a)
 

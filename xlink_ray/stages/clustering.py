@@ -247,16 +247,21 @@ def connected_components(
         method = "local" if e.count() <= _LOCAL_EDGE_LIMIT else "distributed"
 
     if method == "local":
-        tbl = pa.concat_tables(
-            [pa.table(bt) for bt in e.iter_batches(batch_format="pyarrow")]
-            or [pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})]
-        ).combine_chunks()
+        batches = [pa.table(bt) for bt in e.iter_batches(batch_format="pyarrow")]
         extra = None
         if nodes is not None and node_col is not None:
             nt = pa.concat_tables(
                 [pa.table(bt) for bt in nodes.select_columns([node_col]).iter_batches(batch_format="pyarrow")]
             )
             extra = nt[node_col].combine_chunks()
+        if not batches:
+            # empty edge set: derive the placeholder schema from the
+            # nodes column (a hardcoded int64 placeholder would fail to
+            # cast string member ids); with no nodes either, emit the
+            # canonical empty int64 result
+            t = extra.type if extra is not None else pa.int64()
+            batches = [pa.table({"u": pa.array([], t), "v": pa.array([], t)})]
+        tbl = pa.concat_tables(batches).combine_chunks()
         return rd.from_arrow(_local_cc(tbl, extra))
 
     return _distributed_cc(e, nodes, node_col, max_rounds)

@@ -3,14 +3,22 @@ exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine).
 
 All stages follow the same scale shape: per-batch vectorized
 signatures → explode to (bucket, id) rows → ONE groupby shuffle on the
-bucket key → within-bucket candidate pairs → verification. Signatures
-are sketches (mergeable, fixed-size); the corpus is never pairwise-
-compared outside a bucket.
+bucket key → within-bucket candidate pairs (cap-and-log on degenerate
+buckets) → verification by a DISTRIBUTED reduce-side join of the
+needed attributes onto the candidate pairs (tagged union + groupby on
+the id — a hash join expressed with Ray Data's shuffle primitives, so
+it needs no join-aggregator actor reservations and degrades gracefully
+on small CPU budgets; the corpus is never collected to the driver, and
+nothing is pairwise-compared outside a bucket).
+
+Hashing is md5-low64 reduced mod M61 with true 61-bit modular
+arithmetic (functions/hashing.py) — exactly expressible in DuckDB
+(UHUGEINT), so the MinHash band keys, the exact shingle-Jaccard
+verification, and therefore the whole ``minhash_pairs`` output are
+SQL-oracle-checkable.
 """
 
 from __future__ import annotations
-
-from xlink_ray.util import pool_size
 
 import hashlib
 
@@ -18,9 +26,11 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-import ray
 from ray.data import Dataset
-from ray.data.aggregate import Min
+from ray.data.aggregate import Count, Min
+
+from xlink_ray.functions.hashing import M61, affine61, md5_low64
+from xlink_ray.util import pool_size
 
 __all__ = [
     "exact_dedup_keepers",
@@ -30,7 +40,110 @@ __all__ = [
     "simhash_pairs",
     "jaccard_partner_counts",
     "embedding_dup_pairs",
+    "MINHASH_SEED",
+    "minhash_perm_params",
 ]
+
+def _attach_and_verify(
+    pairs: Dataset,
+    attrs: Dataset,
+    attr_id_col: str,
+    attr_col: str,
+    attr_type: "pa.DataType",
+    verify_fn,
+) -> Dataset:
+    """Reduce-side join of per-id attributes onto (id_a, id_b) pairs,
+    then pairwise verification — the distributed replacement for
+    collecting attributes to the driver.
+
+    Shape: pairs explode to one row per SIDE keyed by that side's id;
+    attribute rows carry the payload; ONE groupby(id) attaches the
+    payload to every pair-side row; ONE groupby(id_a, id_b) brings the
+    two attributed sides back together and calls
+    ``verify_fn(id_a, id_b, attr_a, attr_b) -> rows``. Both shuffles
+    move candidate-pair-proportional data plus one copy of the
+    attribute table — never the full pair grid, never driver state.
+    """
+
+    def pair_side_rows(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "gid": pa.array(np.concatenate([a, b])),
+                "mate": pa.array(np.concatenate([b, a])),
+                "side": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(a), np.int8), np.ones(len(b), np.int8)]
+                    )
+                ),
+                "attr": pa.array([None] * (2 * len(a)), attr_type),
+            }
+        )
+
+    def attr_rows(t: pa.Table) -> pa.Table:
+        ids = t[attr_id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "gid": pa.array(ids),
+                "mate": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+                "side": pa.array(np.full(len(ids), 2, dtype=np.int8)),
+                "attr": t[attr_col].cast(attr_type),
+            }
+        )
+
+    tagged = pairs.map_batches(pair_side_rows, batch_format="pyarrow").union(
+        attrs.map_batches(attr_rows, batch_format="pyarrow")
+    )
+
+    def attach(group: pa.Table) -> pa.Table:
+        sides = group["side"].to_numpy(zero_copy_only=False)
+        holder = np.nonzero(sides == 2)[0]
+        members = np.nonzero(sides != 2)[0]
+        if len(holder) == 0 or len(members) == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                    "attr": pa.array([], attr_type),
+                }
+            )
+        attr_val = group["attr"].take(pa.array([holder[0]] * len(members), pa.int64()))
+        gid = group["gid"].to_numpy(zero_copy_only=False)[members]
+        mate = group["mate"].to_numpy(zero_copy_only=False)[members]
+        side = sides[members]
+        id_a = np.where(side == 0, gid, mate)
+        id_b = np.where(side == 0, mate, gid)
+        return pa.table(
+            {
+                "id_a": pa.array(id_a, pa.int64()),
+                "id_b": pa.array(id_b, pa.int64()),
+                "side": pa.array(side, pa.int8()),
+                "attr": attr_val,
+            }
+        )
+
+    attached = tagged.groupby("gid").map_groups(attach, batch_format="pyarrow")
+
+    def bring_together(group: pa.Table) -> pa.Table:
+        if group.num_rows != 2:
+            # pair whose id missed the attribute table — drop (matches
+            # an inner join's semantics)
+            return verify_fn(None, None, None, None)
+        sides = group["side"].to_numpy(zero_copy_only=False)
+        i0 = int(np.nonzero(sides == 0)[0][0])
+        i1 = int(np.nonzero(sides == 1)[0][0])
+        return verify_fn(
+            group["id_a"][0].as_py(),
+            group["id_b"][0].as_py(),
+            group["attr"][i0].as_py(),
+            group["attr"][i1].as_py(),
+        )
+
+    return attached.groupby(["id_a", "id_b"]).map_groups(
+        bring_together, batch_format="pyarrow"
+    )
 
 
 # ------------------------------------------------------------- exact
@@ -62,56 +175,54 @@ def exact_dedup_keepers(ds: Dataset, text_col: str = "text", id_col: str = "doc_
 
 # ----------------------------------------------------------- minhash
 
-_MERSENNE = (1 << 61) - 1
+MINHASH_SEED = 1234
 
 
-def _perm_params(num_perm: int, seed: int = 1234) -> tuple[np.ndarray, np.ndarray]:
+def minhash_perm_params(num_perm: int, seed: int = MINHASH_SEED) -> tuple[np.ndarray, np.ndarray]:
+    """The (a, b) affine permutation family, a,b < M61. Deterministic;
+    ``__ray_entry__.oracle_sql`` inlines the same literals."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    a = rng.integers(1, M61, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, M61, size=num_perm, dtype=np.uint64)
     return a, b
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """64-bit stable hashes of the k-char shingles of ``text``."""
-    n = max(len(text) - k + 1, 0)
-    if n == 0:
-        return np.array([hash_bytes(text.encode("utf-8"))], dtype=np.uint64)
-    out = np.empty(n, dtype=np.uint64)
-    data = text.encode("utf-8", "surrogatepass")
-    # shingle on characters: re-encode per shingle (texts are short-ish);
-    # ASCII fast path uses the byte buffer directly
-    if len(data) == len(text):
-        for i in range(n):
-            out[i] = hash_bytes(data[i : i + k])
+    """md5-low64 % M61 of the DISTINCT k-char shingles (uint64, sorted).
+
+    DuckDB-equal: ``list_distinct(list_transform(generate_series(1,
+    greatest(length(text)-k+1, 1)), i -> ('0x'||substr(md5(substr(text,
+    i, k)),1,16))::UBIGINT % M61))`` — including the short-text case,
+    where the single shingle is the text itself.
+    """
+    if len(text) <= k:
+        shingles = [text]
     else:
-        for i in range(n):
-            out[i] = hash_bytes(text[i : i + k].encode("utf-8"))
-    return np.unique(out)
-
-
-def hash_bytes(b: bytes) -> int:
-    """Stable 64-bit hash (blake2b-8); never Python's salted hash()."""
-    return int.from_bytes(hashlib.blake2b(b, digest_size=8).digest(), "little")
+        shingles = list({text[i : i + k] for i in range(len(text) - k + 1)})
+    return np.unique(md5_low64(shingles) % np.uint64(M61))
 
 
 class MinHashActor:
     """(id, text) → minhash signature rows (id, sig: fixed list uint64)."""
 
-    def __init__(self, num_perm: int = 64, shingle_k: int = 5, seed: int = 1234):
+    def __init__(self, num_perm: int = 64, shingle_k: int = 5, seed: int = MINHASH_SEED):
         self.num_perm = num_perm
         self.k = shingle_k
-        self.a, self.b = _perm_params(num_perm, seed)
+        self.a, self.b = minhash_perm_params(num_perm, seed)
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_hashes(text, self.k).astype(np.int64)
-        # (a*x + b) mod p, min over shingles, per permutation
-        vals = (sh[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
-        return vals.min(axis=0).astype(np.uint64)
+        sh = _shingle_hashes(text, self.k)
+        # (a*h + b) mod M61 (true modular arithmetic), min per permutation
+        vals = affine61(sh[:, None], self.a[None, :], self.b[None, :])
+        return vals.min(axis=0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"]
-        sigs = np.stack([self.signature(t) for t in batch["text"].to_pylist()])
+        sigs = (
+            np.stack([self.signature(t) for t in batch["text"].to_pylist()])
+            if batch.num_rows
+            else np.zeros((0, self.num_perm), dtype=np.uint64)
+        )
         return pa.table(
             {
                 "doc_id": ids,
@@ -131,6 +242,21 @@ def minhash_signatures(ds: Dataset, num_perm: int = 64, shingle_k: int = 5) -> D
     )
 
 
+def _shingle_sets(ds: Dataset, shingle_k: int, id_col: str = "doc_id") -> Dataset:
+    """(doc_id, hs: list<uint64>) — the distinct shingle-hash set per doc."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        hs = [_shingle_hashes(x, shingle_k) for x in t["text"].to_pylist()]
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "hs": pa.array([h.tolist() for h in hs], pa.list_(pa.uint64())),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def minhash_lsh_pairs(
     ds: Dataset,
     num_perm: int = 64,
@@ -139,110 +265,165 @@ def minhash_lsh_pairs(
     jaccard_th: float = 0.8,
 ) -> Dataset:
     """documents (doc_id, text) → verified near-dup pairs
-    (id_a, id_b, jaccard).
+    (id_a, id_b, jaccard, jaccard_bp).
 
-    shingle → minhash → band rows → groupby(band, band_hash) → candidate
-    pairs → exact shingle-Jaccard verification. Verification re-shingles
-    from a broadcast (doc_id → text) side table; at corpus scale this
-    side would instead be attached with a partitioned hash join on
-    doc_id — the band/bucket structure is unchanged.
+    shingle → minhash → band rows → ONE groupby on the exact band-value
+    key → candidate pairs → distinct → exact shingle-Jaccard
+    verification via two distributed hash joins of the shingle-set
+    table onto the pairs (``Dataset.join``; the corpus never reaches
+    the driver). The threshold is applied as an integer cross-multiply
+    (inter·den ≥ union·num), bit-identical to the DuckDB oracle.
     """
     rows_per_band = num_perm // bands
+    # th as an exact fraction for integer comparison (th given to 4 dp)
+    th_num, th_den = int(round(jaccard_th * 10000)), 10000
     sigs = minhash_signatures(ds, num_perm, shingle_k)
 
     def band_rows(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        sig = np.stack(t["sig"].to_numpy(zero_copy_only=False)) if t.num_rows else np.zeros((0, num_perm), dtype=np.uint64)
-        out_id, out_band, out_hash = [], [], []
+        sig = (
+            np.stack(t["sig"].to_numpy(zero_copy_only=False))
+            if t.num_rows
+            else np.zeros((0, num_perm), dtype=np.uint64)
+        )
+        out = []
         for bi in range(bands):
             chunk = sig[:, bi * rows_per_band : (bi + 1) * rows_per_band]
-            for r in range(len(ids)):
-                out_id.append(ids[r])
-                out_band.append(bi)
-                out_hash.append(hash_bytes(chunk[r].tobytes()))
-        return pa.table(
-            {
-                "doc_id": pa.array(out_id),
-                "band": pa.array(out_band, pa.int32()),
-                "bh": pa.array(out_hash, pa.uint64()),
-            }
+            # exact band key: the band values themselves (collision-free,
+            # equal to the SQL oracle's list-equality join)
+            keys = [
+                f"{bi}:" + "-".join(str(v) for v in row) for row in chunk
+            ]
+            out.append(
+                pa.table({"doc_id": pa.array(ids), "bk": pa.array(keys, pa.string())})
+            )
+        return (
+            pa.concat_tables(out)
+            if out
+            else pa.table({"doc_id": pa.array([], pa.int64()), "bk": pa.array([], pa.string())})
         )
 
     banded = sigs.map_batches(band_rows, batch_format="pyarrow")
 
-    texts_tbl = pa.concat_tables(
-        [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
-    ).select(["doc_id", "text"])
-    texts_ref = ray.put(texts_tbl)
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
+        n = len(ids)
+        if n < 2:
+            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+        ii, jj = np.triu_indices(n, k=1)
+        return pa.table({"id_a": pa.array(ids[ii]), "id_b": pa.array(ids[jj])})
 
-    class BucketPairs:
-        """bucket group → verified pairs."""
-
-        def __init__(self):
-            t = ray.get(texts_ref)
-            self.text = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
-            self.k = shingle_k
-            self._cache: dict = {}
-
-        def shingles(self, did) -> np.ndarray:
-            s = self._cache.get(did)
-            if s is None:
-                s = _shingle_hashes(self.text[did], self.k)
-                self._cache[did] = s
-            return s
-
-        def __call__(self, group: pa.Table) -> pa.Table:
-            ids = sorted(set(group["doc_id"].to_pylist()))
-            out_a, out_b, out_j = [], [], []
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    sa, sb = self.shingles(ids[i]), self.shingles(ids[j])
-                    inter = len(np.intersect1d(sa, sb, assume_unique=True))
-                    union = len(sa) + len(sb) - inter
-                    jac = inter / union if union else 1.0
-                    if jac >= jaccard_th:
-                        out_a.append(ids[i])
-                        out_b.append(ids[j])
-                        out_j.append(jac)
-            return pa.table(
-                {
-                    "id_a": pa.array(out_a),
-                    "id_b": pa.array(out_b),
-                    "jaccard": pa.array(out_j, pa.float64()),
-                }
-            )
-
-    pairs = banded.groupby(["band", "bh"]).map_groups(
-        BucketPairs, batch_format="pyarrow", concurrency=pool_size()
+    cand = (
+        banded.groupby("bk")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["id_a", "id_b"])
     )
-    # same pair can surface from several bands → distinct
-    def dedupe(t: pa.Table) -> pa.Table:
-        return t.group_by(["id_a", "id_b"]).aggregate([("jaccard", "max")]).rename_columns(
-            ["id_a", "id_b", "jaccard"]
+
+    sets = _shingle_sets(ds, shingle_k)
+
+    def verify(id_a, id_b, hs_a, hs_b) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+                "jaccard_bp": pa.array([], pa.int64()),
+            }
+        )
+        if id_a is None:
+            return empty
+        sa = np.asarray(hs_a, dtype=np.uint64)
+        sb = np.asarray(hs_b, dtype=np.uint64)
+        inter = int(len(np.intersect1d(sa, sb, assume_unique=True)))
+        union = len(sa) + len(sb) - inter
+        if union == 0 or inter * th_den < union * th_num:
+            return empty
+        return pa.table(
+            {
+                "id_a": pa.array([id_a], pa.int64()),
+                "id_b": pa.array([id_b], pa.int64()),
+                "jaccard": pa.array([inter / union], pa.float64()),
+                "jaccard_bp": pa.array([(10000 * inter) // union], pa.int64()),
+            }
         )
 
-    return (
-        pairs.map_batches(dedupe, batch_format="pyarrow")
-        .groupby(["id_a", "id_b"])
-        .aggregate(Min("jaccard", alias_name="jaccard"))
+    return _attach_and_verify(
+        cand, sets, "doc_id", "hs", pa.list_(pa.uint64()), verify
     )
 
 
 # ----------------------------------------------------------- simhash
 
+_SPLITMIX_1 = np.uint64(0xBF58476D1CE4E5B9)
+_SPLITMIX_2 = np.uint64(0x94D049BB133111EB)
+_POLY_BASE = np.uint64(1000003)
+
+
+def _finalize64(z: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — full-avalanche 64-bit mix."""
+    z = z.astype(np.uint64)
+    z ^= z >> np.uint64(30)
+    z *= _SPLITMIX_1
+    z ^= z >> np.uint64(27)
+    z *= _SPLITMIX_2
+    z ^= z >> np.uint64(31)
+    return z
+
+
+def _token_hashes64(tokens_flat: pa.Array) -> np.ndarray:
+    """Stable 64-bit hash per token, vectorized: right-aligned Horner
+    polynomial over codepoints (wraparound uint64) + splitmix64."""
+    n = len(tokens_flat)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    toks = tokens_flat.to_numpy(zero_copy_only=False)
+    lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n)
+    maxlen = int(lens.max()) if n else 0
+    mat = np.zeros((n, max(maxlen, 1)), dtype=np.uint32)
+    for i, t in enumerate(toks):
+        if t:
+            mat[i, maxlen - len(t):] = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+    h = np.zeros(n, dtype=np.uint64)
+    for j in range(mat.shape[1]):
+        h = h * _POLY_BASE + mat[:, j].astype(np.uint64)
+    # mix in the length so right-aligned zero padding can't collide
+    return _finalize64(h ^ (lens.astype(np.uint64) << np.uint64(56)))
+
+
 class SimHashActor:
-    """64-bit SimHash over whitespace tokens (stable token hashes)."""
+    """64-bit SimHash over whitespace tokens — fully vectorized: flat
+    token hashing (one Horner pass over the batch's token matrix), a
+    (tokens, 64) ±1 bit expansion, and per-doc segment sums via
+    ``np.add.reduceat``."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = np.empty(batch.num_rows, dtype=np.uint64)
-        for i, text in enumerate(batch["text"].to_pylist()):
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in text.split():
-                h = hash_bytes(tok.encode("utf-8"))
-                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits.astype(bool), 1, -1)
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array([], pa.uint64())})
+        toks = pc.split_pattern_regex(batch["text"], r"\s+")
+        # drop empties produced by leading/trailing whitespace
+        flat = pc.list_flatten(toks)
+        nonempty = pc.not_equal(flat, "")
+        counts_all = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        starts_all = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts_all, out=starts_all[1:])
+        keep_np = nonempty.to_numpy(zero_copy_only=False)
+        # per-doc count of kept tokens
+        kept_counts = np.add.reduceat(keep_np.astype(np.int64), starts_all[:-1]) if flat.length() else np.zeros(n, np.int64)
+        kept_counts[counts_all == 0] = 0
+        h = _token_hashes64(flat.filter(nonempty))
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+        pm = 2 * bits - 1  # ±1
+        seg_starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(kept_counts[:-1], out=seg_starts[1:])
+        out = np.zeros(n, dtype=np.uint64)
+        nz = kept_counts > 0
+        if nz.any():
+            acc = np.add.reduceat(pm, seg_starts[nz], axis=0)
             bits_out = (acc > 0).astype(np.uint64)
-            out[i] = np.bitwise_or.reduce(bits_out << np.arange(64, dtype=np.uint64))
+            out[nz] = (bits_out << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
         return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(out, pa.uint64())})
 
 
@@ -250,10 +431,19 @@ def simhash_values(ds: Dataset) -> Dataset:
     return ds.map_batches(SimHashActor, batch_format="pyarrow", concurrency=pool_size())
 
 
-def simhash_pairs(ds: Dataset, max_hamming: int = 3, chunks: int = 4) -> Dataset:
+def simhash_pairs(
+    ds: Dataset, max_hamming: int = 3, chunks: int = 4,
+    max_block_rows: int = 4096, pair_cap: int | None = 2_000_000,
+) -> Dataset:
     """Near-dup pairs by SimHash: band the 64 bits into ``chunks``
     16-bit keys (pigeonhole: hamming ≤ chunks-1 guarantees an exact
-    chunk match); verify hamming distance within buckets."""
+    chunk match); verify hamming distance within buckets.
+
+    Degenerate buckets (e.g. simhash 0 from boilerplate docs) are
+    handled cap-and-log style: the pair grid is chunked to
+    ``max_block_rows`` and truncated at ``pair_cap`` with the drop
+    counted in ``overflow`` (same policy as stages/blocking.py).
+    """
     sigs = simhash_values(ds)
 
     width = 64 // chunks
@@ -279,36 +469,39 @@ def simhash_pairs(ds: Dataset, max_hamming: int = 3, chunks: int = 4) -> Dataset
 
     banded = sigs.map_batches(band_rows, batch_format="pyarrow")
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group["doc_id"].to_numpy(zero_copy_only=False)
-        sh = group["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        order = np.argsort(ids)
-        ids, sh = ids[order], sh[order]
-        # drop duplicate doc rows within one bucket
-        keep = np.ones(len(ids), dtype=bool)
-        keep[1:] = ids[1:] != ids[:-1]
-        ids, sh = ids[keep], sh[keep]
-        n = len(ids)
-        if n < 2:
-            return pa.table(
-                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-                 "hamming": pa.array([], pa.int64())}
-            )
-        ii, jj = np.triu_indices(n, k=1)
-        x = np.bitwise_xor(sh[ii], sh[jj])
+    from xlink_ray.stages.blocking import _pairs_of_group
+
+    def hamming_scorer(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
         ham = np.zeros(len(x), dtype=np.int64)
-        for b in range(64):
-            ham += ((x >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
-        m = ham <= max_hamming
-        return pa.table(
-            {
-                "id_a": pa.array(ids[ii[m]]),
-                "id_b": pa.array(ids[jj[m]]),
-                "hamming": pa.array(ham[m], pa.int64()),
-            }
+        for bit in range(64):
+            ham += ((x >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
+        return ham.astype(np.float64)
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        # one row per doc per bucket already; dedupe defensively
+        idx = np.unique(group["doc_id"].to_numpy(zero_copy_only=False), return_index=True)[1]
+        group = group.take(pa.array(np.sort(idx)))
+        out = _pairs_of_group(
+            group, "doc_id", "simhash",
+            scorer=hamming_scorer,
+            keep=lambda s: s <= max_hamming,
+            key_cols=["band", "bh"],
+            max_block_rows=max_block_rows,
+            pair_cap=pair_cap,
         )
+        return out
 
     pairs = banded.groupby(["band", "bh"]).map_groups(bucket_pairs, batch_format="pyarrow")
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id_a": pc.cast(t["id_a"], pa.int64()),
+                "id_b": pc.cast(t["id_b"], pa.int64()),
+                "hamming": pc.cast(t["score"], pa.int64()),
+            }
+        )
 
     def dedupe(t: pa.Table) -> pa.Table:
         return t.group_by(["id_a", "id_b"]).aggregate([("hamming", "min")]).rename_columns(
@@ -316,7 +509,8 @@ def simhash_pairs(ds: Dataset, max_hamming: int = 3, chunks: int = 4) -> Dataset
         )
 
     return (
-        pairs.map_batches(dedupe, batch_format="pyarrow")
+        pairs.map_batches(fmt, batch_format="pyarrow")
+        .map_batches(dedupe, batch_format="pyarrow")
         .groupby(["id_a", "id_b"])
         .aggregate(Min("hamming", alias_name="hamming"))
     )
@@ -328,61 +522,234 @@ def jaccard_partner_counts(ds: Dataset, block_col: str = "lang", th: float = 0.9
     """Per-doc count of near-duplicate partners within a block, where
     similarity = character-set Jaccard (DuckDB ``jaccard``-compatible).
 
-    Output (doc_id, n_partners) keeps the result table small and
-    integer-valued regardless of how dense the near-dup graph is.
+    Scale shape: EXACT prefix filtering (AllPairs/PPJoin family) — each
+    doc's distinct-char set is ordered by a global total order
+    (codepoint); any pair with J ≥ th must share an element of each
+    other's prefix (len = |S| - ceil(th·|S|) + 1), so blocking on
+    (block, prefix-char) loses no pair. Within-block verification is
+    the vectorized char-set Jaccard; pairs found under several prefix
+    chars are deduped before counting. No language-wide all-pairs grid.
     """
+    import math
+
     from xlink_ray.functions.similarity import char_jaccard_pairs
+
+    def prefix_rows(t: pa.Table) -> pa.Table:
+        out_block, out_ch, out_id, out_set = [], [], [], []
+        for did, blk, text in zip(
+            t["doc_id"].to_pylist(), t[block_col].to_pylist(), t["text"].to_pylist()
+        ):
+            chars = sorted(set(text))
+            cs = "".join(chars)
+            plen = max(len(chars) - math.ceil(th * len(chars)) + 1, 1) if chars else 1
+            prefix = chars[:plen] if chars else [""]
+            for ch in prefix:
+                out_block.append(blk)
+                out_ch.append(ch)
+                out_id.append(did)
+                out_set.append(cs)
+        return pa.table(
+            {
+                "block": pa.array(out_block, pa.string()),
+                "pch": pa.array(out_ch, pa.string()),
+                "doc_id": pa.array(out_id, pa.int64()),
+                "cs": pa.array(out_set, pa.string()),
+            }
+        )
+
+    prefixed = ds.map_batches(prefix_rows, batch_format="pyarrow")
 
     def per_block(group: pa.Table) -> pa.Table:
         ids = group["doc_id"].to_numpy(zero_copy_only=False)
-        texts = group["text"].to_numpy(zero_copy_only=False)
+        sets_ = group["cs"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        ids, sets_ = ids[order], sets_[order]
         n = len(ids)
-        counts = np.zeros(n, dtype=np.int64)
-        if n > 1:
-            ii, jj = np.triu_indices(n, k=1)
-            jac = char_jaccard_pairs(texts[ii], texts[jj])
-            m = jac >= th
-            np.add.at(counts, ii[m], 1)
-            np.add.at(counts, jj[m], 1)
-        return pa.table({"doc_id": pa.array(ids), "n_partners": pa.array(counts)})
+        if n < 2:
+            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+        ii, jj = np.triu_indices(n, k=1)
+        jac = char_jaccard_pairs(sets_[ii], sets_[jj])
+        m = jac >= th
+        return pa.table({"id_a": pa.array(ids[ii[m]]), "id_b": pa.array(ids[jj[m]])})
 
-    return ds.groupby(block_col).map_groups(per_block, batch_format="pyarrow")
+    pairs = (
+        prefixed.groupby(["block", "pch"])
+        .map_groups(per_block, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["id_a", "id_b"])
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([a, b])),
+                "one": pa.array(np.ones(2 * len(a), dtype=np.int64)),
+            }
+        )
+
+    zero = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "one": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    from xlink_ray.stages.aggregates import grouped_sum
+
+    counted = grouped_sum(
+        pairs.map_batches(explode, batch_format="pyarrow").union(zero),
+        ["doc_id"], "one", "n_partners",
+    )
+    return counted
 
 
 # --------------------------------------------------- embedding cosine
 
-def embedding_dup_pairs(ds: Dataset, th: float = 0.95, id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> Dataset:
-    """Cosine near-dup pairs over an embedding column: each batch is
-    scored against the full (broadcast) normalized matrix — one matmul
-    per batch, emit (id_a < id_b) above threshold."""
-    all_tbl = pa.concat_tables(
-        [pa.table(b) for b in ds.select_columns([id_col, vec_col]).iter_batches(batch_format="pyarrow")]
-    )
-    ids_all = np.asarray(all_tbl[id_col].to_pylist(), dtype=np.int64)
-    mat = np.asarray(all_tbl[vec_col].to_pylist(), dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    matn = mat / norms[:, None]
-    ref = ray.put((ids_all, matn))
+def _hyperplanes(n_tables: int, bits: int, dim: int, seed: int = 97) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, bits, dim))
 
-    class Score:
-        def __init__(self):
-            self.ids_all, self.matn = ray.get(ref)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-            m = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
-            nrm = np.linalg.norm(m, axis=1)
-            nrm[nrm == 0] = 1.0
-            sims = (m / nrm[:, None]) @ self.matn.T
-            bi, aj = np.nonzero(sims >= th)
-            keep = ids[bi] < self.ids_all[aj]
-            return pa.table(
-                {
-                    "id_a": pa.array(ids[bi][keep]),
-                    "id_b": pa.array(self.ids_all[aj][keep]),
-                }
+def _tables_for_recall(th: float, bits: int, eps: float) -> int:
+    """Number of hyperplane tables so a pair AT cosine ``th`` is missed
+    with probability ≤ eps: p = 1 - arccos(th)/π, T = log eps / log(1-p^b)."""
+    import math
+
+    p = 1.0 - math.acos(max(min(th, 1.0), -1.0)) / math.pi
+    pb = p ** bits
+    if pb >= 1.0:
+        return 1
+    return max(1, math.ceil(math.log(eps) / math.log(1.0 - pb)))
+
+
+def embedding_dup_pairs(
+    ds: Dataset, th: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding",
+    bits: int = 4, miss_prob: float = 1e-6,
+    max_block_rows: int = 4096, pair_cap: int | None = 2_000_000,
+) -> Dataset:
+    """Cosine near-dup pairs over an embedding column, LSH-bucketed:
+    hyperplane sign signatures (auto-sized table count for a ≤
+    ``miss_prob`` miss chance at cosine = th) → ONE groupby on
+    (table, bucket) → within-bucket candidate pairs (cap-and-log) →
+    exact cosine verification via distributed joins of the vectors onto
+    the pairs. Neither the vectors nor the pair grid ever concentrate
+    on the driver. Tight thresholds (real near-dup, th ≥ 0.9) need few
+    tables; loose thresholds cost proportionally more — that is
+    inherent to LSH, and the auto-sizing makes the tradeoff explicit.
+    """
+    # dim probed from the first row only (schema metadata, tiny take)
+    first = ds.take(1)
+    if not first:
+        return ds.map_batches(
+            lambda t: pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}),
+            batch_format="pyarrow",
+        )
+    dim = len(first[0][vec_col])
+    n_tables = _tables_for_recall(th, bits, miss_prob)
+    planes = _hyperplanes(n_tables, bits, dim)
+    bit_w = (1 << np.arange(bits, dtype=np.int64))
+
+    def bucket_rows(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        m = np.asarray(t[vec_col].to_pylist(), dtype=np.float64)
+        nrm = np.linalg.norm(m, axis=1)
+        nrm[nrm == 0] = 1.0
+        mn = m / nrm[:, None]
+        out = []
+        for ti in range(n_tables):
+            signs = (mn @ planes[ti].T) > 0  # (n, bits)
+            bk = (signs.astype(np.int64) * bit_w[None, :]).sum(axis=1)
+            out.append(
+                pa.table(
+                    {
+                        "tbl": pa.array(np.full(len(ids), ti, dtype=np.int32)),
+                        "bk": pa.array(bk, pa.int64()),
+                        "vec_id": pa.array(ids),
+                    }
+                )
             )
+        return (
+            pa.concat_tables(out)
+            if out
+            else pa.table({"tbl": pa.array([], pa.int32()), "bk": pa.array([], pa.int64()),
+                           "vec_id": pa.array([], pa.int64())})
+        )
 
-    return ds.map_batches(Score, batch_format="pyarrow", concurrency=pool_size())
+    buckets = ds.map_batches(bucket_rows, batch_format="pyarrow")
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = np.unique(group["vec_id"].to_numpy(zero_copy_only=False))
+        n = len(ids)
+        if n < 2:
+            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                             "overflow": pa.array([], pa.int64())})
+        out_a, out_b = [], []
+        emitted = 0
+        dropped = 0
+        for ci in range(0, n, max_block_rows):
+            for cj in range(ci, n, max_block_rows):
+                if ci == cj:
+                    ii, jj = np.triu_indices(min(max_block_rows, n - ci), k=1)
+                    ii, jj = ii + ci, jj + cj
+                else:
+                    ii, jj = np.meshgrid(
+                        np.arange(ci, min(ci + max_block_rows, n)),
+                        np.arange(cj, min(cj + max_block_rows, n)),
+                        indexing="ij",
+                    )
+                    ii, jj = ii.ravel(), jj.ravel()
+                if pair_cap is not None and emitted + len(ii) > pair_cap:
+                    room = max(pair_cap - emitted, 0)
+                    dropped += len(ii) - room
+                    ii, jj = ii[:room], jj[:room]
+                emitted += len(ii)
+                out_a.append(ids[ii])
+                out_b.append(ids[jj])
+        id_a = np.concatenate(out_a) if out_a else np.zeros(0, np.int64)
+        id_b = np.concatenate(out_b) if out_b else np.zeros(0, np.int64)
+        return pa.table(
+            {
+                "id_a": pa.array(id_a),
+                "id_b": pa.array(id_b),
+                "overflow": pa.array(np.full(len(id_a), dropped, dtype=np.int64)),
+            }
+        )
+
+    cand = (
+        buckets.groupby(["tbl", "bk"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .select_columns(["id_a", "id_b"])
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["id_a", "id_b"])
+    )
+
+    vecs = ds.map_batches(
+        lambda t: pa.table({"vid": pc.cast(t[id_col], pa.int64()), "v": t[vec_col]}),
+        batch_format="pyarrow",
+    )
+
+    def verify(id_a, id_b, va, vb) -> pa.Table:
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+        if id_a is None:
+            return empty
+        a = np.asarray(va, dtype=np.float64)
+        b = np.asarray(vb, dtype=np.float64)
+        den = np.linalg.norm(a) * np.linalg.norm(b)
+        cos = float(a @ b / den) if den > 0 else 0.0
+        if cos < th:
+            return empty
+        return pa.table(
+            {"id_a": pa.array([id_a], pa.int64()), "id_b": pa.array([id_b], pa.int64())}
+        )
+
+    return _attach_and_verify(
+        cand, vecs, "vid", "v", pa.list_(pa.float64()), verify
+    )

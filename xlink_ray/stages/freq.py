@@ -3,34 +3,33 @@
 
 The reference builds one Aho-Corasick automaton per process and scans
 every lowercased plain document, counting every dictionary match.
-Ray-native shape: a stateful actor pool — the automaton (here a single
-compiled C-speed regex alternation over the broadcast mention
-vocabulary) is built ONCE per actor in ``__init__``; each batch is
+Ray-native shape: a stateful actor pool — the automaton (a
+``xlink_ray.functions.ac.VectorScanner``, the vectorized rolling-hash
+equivalent of the reference's AC automaton, identical overlapping
+match set) is built ONCE per actor in ``__init__``; each batch is
 scanned in one pass and reduced to per-batch partial counts; a final
 tiny ``groupby("mention").sum`` merges partials (the reference's
 ``merge_freq_m``, ibid. 233-240).
 
-Match semantics note: the reference automaton reports *every* match at
-every end position (overlapping included). The regex scan reports
-non-overlapping leftmost matches. For vocabularies where no mention is
-a substring of another (true of the synthesized dictionary, and of the
-normalized blocking keys), the two are identical; a pure-Python AC
-fallback (`xlink_ray.functions.ac.AhoCorasick`) provides exact
-overlapping semantics when a vocabulary needs it.
+Match semantics: every occurrence of every dictionary mention counts,
+overlapping and nested included — exact reference parity
+(generate_prob_files.py:171-176 iterates ``automaton.iter``). The
+DuckDB oracle's per-mention replace-count agrees whenever no single
+mention self-overlaps (true of word-like mentions).
 """
 
 from __future__ import annotations
 
 from xlink_ray.util import pool_size
 
-import re
-from collections import Counter
-
+import numpy as np
 import pyarrow as pa
 
 import ray
 from ray.data import Dataset
 
+from xlink_ray.functions.ac import VectorScanner
+from xlink_ray.functions.text import lower_preserve_len
 from xlink_ray.stages.aggregates import grouped_sum
 
 __all__ = ["FreqScanActor", "freq_m"]
@@ -44,23 +43,24 @@ class FreqScanActor:
         vocab = ray.get(vocab_ref)
         if isinstance(vocab, pa.Table):
             vocab = vocab["mention"].to_pylist()
-        # longest-first so a longer mention wins at a shared start
-        pattern = "|".join(re.escape(m) for m in sorted(set(vocab), key=len, reverse=True))
-        self.rx = re.compile(pattern) if pattern else None
+        self.mentions = sorted(set(vocab))
+        self.scanner = VectorScanner(self.mentions) if self.mentions else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.rx is None or batch.num_rows == 0:
+        if self.scanner is None or batch.num_rows == 0:
             return pa.table({"mention": pa.array([], pa.string()),
                              "freq": pa.array([], pa.int64())})
         texts = batch["text"].to_numpy(zero_copy_only=False)
-        # one C-speed scan over the whole batch (separator never matches:
-        # dictionary mentions contain no \x00)
-        blob = "\x00".join(t.lower() for t in texts)
-        counts = Counter(self.rx.findall(blob))
+        # one vectorized scan over the whole batch (the NUL separator
+        # never appears in dictionary mentions ⇒ no cross-doc matches)
+        blob = "\x00".join(lower_preserve_len(t) for t in texts)
+        _, pids = self.scanner.find_all(VectorScanner.codepoints(blob))
+        counts = np.bincount(pids, minlength=len(self.mentions))
+        nz = np.nonzero(counts)[0]
         return pa.table(
             {
-                "mention": pa.array(list(counts.keys()), pa.string()),
-                "freq": pa.array(list(counts.values()), pa.int64()),
+                "mention": pa.array([self.mentions[i] for i in nz], pa.string()),
+                "freq": pa.array(counts[nz], pa.int64()),
             }
         )
 

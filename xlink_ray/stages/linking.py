@@ -27,11 +27,12 @@ reference would raise (has-prob step 2 ``candidates[0]`` on an empty
 list; ``None > -1`` in the no-prob seed loop).
 
 Scan note: candidate generation needs ALL dictionary matches
-(including overlapping ones — the conflict grouping is transitive), so
-the scanner does a per-mention ``str.find`` sweep; a production
-deployment swaps in an Aho-Corasick automaton with identical output.
-The word parser is whitespace split (the reference's EnWordParser;
-its bd path uses jieba, unavailable here).
+(including overlapping ones — the conflict grouping is transitive);
+the scanner is ``functions.ac.VectorScanner`` (vectorized AC
+automaton, all-overlapping match set — tests pin equality with
+``AhoCorasick``). The word parser is whitespace split (the reference's
+EnWordParser; its bd path uses jieba, unavailable here — see
+``functions.segment`` for the CJK path).
 """
 
 from __future__ import annotations
@@ -40,6 +41,8 @@ import numpy as np
 import pyarrow as pa
 
 import ray
+
+from xlink_ray.functions.ac import VectorScanner
 
 __all__ = ["LinkerState", "link_document", "FidelityLinkActor"]
 
@@ -65,22 +68,37 @@ class LinkerState:
     ):
         self.ma_dict = {m: list(c) for m, c in ma_dict.items()}
         self.tt_dict = {m: list(c) for m, c in tt_dict.items()}
+        self.ma_scanner = _DictScanner(self.ma_dict)
+        self.tt_scanner = _DictScanner(self.tt_dict)
         self.e_given_m = e_given_m
         self.link_prob = link_prob
         self.word_vecs = {w: np.asarray(v, dtype=np.float64) for w, v in word_vecs.items()}
         self.entity_vecs = {e: np.asarray(v, dtype=np.float64) for e, v in entity_vecs.items()}
 
 
-def _scan_all(text: str, dict_: dict[str, list[str]]):
-    """All (start, end, label, candidates) dictionary matches,
-    overlapping included (automaton-equivalent)."""
-    out = []
-    for mention, cands in dict_.items():
-        start = text.find(mention)
-        while start >= 0:
-            out.append((start, start + len(mention), mention, cands))
-            start = text.find(mention, start + 1)
-    return out
+class _DictScanner:
+    """Dictionary automaton over a (mention → candidates) dict: all
+    overlapping matches via ``VectorScanner`` (AC-equivalent)."""
+
+    def __init__(self, dict_: dict[str, list[str]]):
+        self.mentions = list(dict_.keys())
+        self.cands = [dict_[m] for m in self.mentions]
+        self.scanner = VectorScanner(self.mentions) if self.mentions else None
+
+    def scan(self, text: str):
+        """All (start, end, label, candidates) matches, overlapping
+        included — the match set of the reference's automaton."""
+        if self.scanner is None or not text:
+            return []
+        starts, pids = self.scanner.find_all(VectorScanner.codepoints(text))
+        return [
+            (int(s), int(s) + len(self.mentions[p]), self.mentions[p], self.cands[p])
+            for s, p in zip(starts, pids)
+        ]
+
+
+def _scan_all(text: str, scanner: "_DictScanner"):
+    return scanner.scan(text)
 
 
 def _solve_conflict(matches):
@@ -148,7 +166,7 @@ def _ces(state: LinkerState, entity_id: str, seed_entity_ids) -> float:
 
 
 def _predict_has_prob(state: LinkerState, document: str):
-    mentions = _solve_conflict(_scan_all(document, state.ma_dict))
+    mentions = _solve_conflict(_scan_all(document, state.ma_scanner))
     enriched = []  # (start, end, label, cands, ctx_words)
     seeds = []  # seed entity ids (unambiguous embedded mentions)
     for start, end, label, cands in mentions:
@@ -183,7 +201,7 @@ def _predict_has_prob(state: LinkerState, document: str):
 
 
 def _predict_no_prob(state: LinkerState, document: str):
-    mentions = _solve_conflict(_scan_all(document, state.tt_dict))
+    mentions = _solve_conflict(_scan_all(document, state.tt_scanner))
     kept = []  # (start, end, label, [(eid, cws)], has_seed)
     for start, end, label, cands in mentions:
         prev, after = _context_words(state, document, start, end)

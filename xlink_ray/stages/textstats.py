@@ -8,8 +8,6 @@ from __future__ import annotations
 
 from xlink_ray.util import pool_size
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -115,25 +113,16 @@ def fingerprints(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") ->
     rolling hash over UTF-8 bytes (base 1000003, mod 2^61-1) — the
     classic Rabin-Karp-style fingerprint, plus the md5-low64 for
     cross-checking."""
-    MOD = (1 << 61) - 1
-    BASE = 1000003
+    from xlink_ray.functions.hashing import md5_low64, rolling_fp61
 
     def fn(t: pa.Table) -> pa.Table:
-        rolls = []
-        md5s = []
-        for text in t[text_col].to_pylist():
-            h = 0
-            for b in text.encode("utf-8"):
-                h = (h * BASE + b) % MOD
-            rolls.append(h)
-            md5s.append(
-                int.from_bytes(hashlib.md5(text.encode("utf-8")).digest()[:8], "big")
-            )
+        texts = t[text_col].to_pylist()
+        rolls = rolling_fp61([x.encode("utf-8") for x in texts])
         return pa.table(
             {
                 id_col: t[id_col],
                 "rolling_fp": pa.array(rolls, pa.int64()),
-                "md5_fp": pa.array(md5s, pa.uint64()),
+                "md5_fp": pa.array(md5_low64(texts), pa.uint64()),
             }
         )
 

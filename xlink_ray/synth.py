@@ -202,10 +202,12 @@ def read_pages(sf_dir: str) -> "ray.data.Dataset":
 
 
 def doc_id_of_url(urls: pa.Array) -> pa.Array:
-    """Recover the numeric doc_id from a synthesized page url."""
+    """Recover the numeric doc_id from a synthesized page url: the
+    digits after the final '/' (robust past 8-digit ids — a fixed-width
+    tail slice would silently truncate at doc_id ≥ 1e8)."""
     import pyarrow.compute as pc
 
-    tail = pc.utf8_slice_codeunits(urls, -8, 99)
+    tail = pc.replace_substring_regex(urls, r"^.*/", "")
     return pc.cast(tail, pa.int64())
 
 
