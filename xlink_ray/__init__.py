@@ -17,3 +17,38 @@ docstrings point at the behavior being matched, not code being reused.
 """
 
 __version__ = "0.1.0"
+
+
+def _tune_allocator() -> None:
+    """Serve large allocations from the reusable glibc heap instead of
+    per-allocation mmap.
+
+    On this kernel the first touch of freshly mmapped pages costs
+    ~80 ms/MB (measured: a 178 MB numpy gather = 13-16 s cold, 0.05 s
+    from reused pages). glibc returns every >128 KB allocation to the
+    OS on free, so EVERY large numpy temporary repaid that fault cost.
+    Raising M_MMAP_THRESHOLD keeps big buffers on the heap, where freed
+    pages stay faulted-in and are reused — each worker pays the fault
+    cost once per high-water mark instead of once per batch. No-op on
+    non-glibc platforms.
+    """
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6")
+        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD — big allocs on heap
+        libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD — never give pages back
+    except Exception:  # noqa: BLE001 — allocator tuning is best-effort
+        pass
+    try:
+        import pyarrow as _pa
+
+        # route Arrow buffers through the same (now page-retaining)
+        # glibc heap; the default jemalloc pool madvises pages back to
+        # the OS per batch, repaying the fault tax on every block
+        _pa.set_memory_pool(_pa.system_memory_pool())
+    except Exception:  # noqa: BLE001
+        pass
+
+
+_tune_allocator()

@@ -139,6 +139,44 @@ class VectorScanner:
             p[:-1] = np.cumprod(np.full(L - 1, _BASE, dtype=np.uint64))[::-1]
         return p
 
+    @staticmethod
+    def _geo_pows(base: np.uint64, n: int) -> np.ndarray:
+        """[base^0 .. base^(n-1)] mod 2^64 by repeated squaring over the
+        exponent bits — ~log2(n) vector multiplies; numpy's uint64
+        ``cumprod`` is a scalar loop and dominates the scan otherwise."""
+        if n <= 1:
+            return np.ones(n, dtype=np.uint64)
+        K = 2048
+        with np.errstate(over="ignore"):  # wraparound is the point
+            low = np.cumprod(
+                np.concatenate([np.ones(1, np.uint64), np.full(K - 1, base, np.uint64)])
+            )  # base^0..base^(K-1); small, cumprod cost negligible
+            baseK = np.uint64((int(base) ** K) % (1 << 64))
+            nhigh = (n + K - 1) // K
+            high = np.cumprod(
+                np.concatenate([np.ones(1, np.uint64), np.full(nhigh - 1, baseK, np.uint64)])
+            )  # (base^K)^0..
+            out = (np.repeat(high, K)[:n] * np.tile(low, nhigh)[:n])
+        return out
+
+    def _pow_tables(self, n: int) -> "tuple[np.ndarray, np.ndarray]":
+        """Cached (inv_pows, fwd_pows) prefixes of length ≥ n (grown
+        geometrically; slicing a cached array is O(1))."""
+        cached = getattr(self, "_pow_cache", None)
+        if cached is None or len(cached[0]) < n:
+            size = max(n, 1 << max(n - 1, 1).bit_length())
+            self._pow_cache = (
+                self._geo_pows(_BASE_INV, size),
+                self._geo_pows(_BASE, size),
+            )
+        return self._pow_cache
+
+    # chunk the scan so per-pass temporaries (hash prefix sums,
+    # searchsorted outputs — ~20× the chunk size) stay cache-resident:
+    # on a memory-bandwidth-bound host, full-blob passes serialize all
+    # workers on DRAM
+    _CHUNK = 1 << 15
+
     def find_all(self, cp: np.ndarray) -> "tuple[np.ndarray, np.ndarray]":
         """All overlapping matches in the codepoint array ``cp``.
 
@@ -148,48 +186,72 @@ class VectorScanner:
         matches.
         """
         n = len(cp)
-        cp64 = cp.astype(np.uint64)
-        # S[i] = sum_{k<i} cp[k] * BASE_INV^k  (wraparound uint64)
-        inv_pows = np.cumprod(
-            np.concatenate([np.ones(1, np.uint64), np.full(max(n - 1, 0), _BASE_INV, np.uint64)])
-        ) if n else np.zeros(0, np.uint64)
-        S = np.zeros(n + 1, dtype=np.uint64)
-        if n:
-            np.cumsum(cp64 * inv_pows, out=S[1:])
-        fwd_pows = np.cumprod(
-            np.concatenate([np.ones(1, np.uint64), np.full(max(n - 1, 0), _BASE, np.uint64)])
-        ) if n else np.zeros(0, np.uint64)
-
+        if n == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        max_l = max(self._by_len) if self._by_len else 1
         out_starts: list[np.ndarray] = []
         out_pids: list[np.ndarray] = []
-        for L, (htab, pids, mat) in self._by_len.items():
-            if L > n:
-                continue
-            starts = np.arange(n - L + 1, dtype=np.int64)
-            # hash(i, L) = (S[i+L] - S[i]) * BASE^(i+L-1)
-            h = (S[starts + L] - S[starts]) * fwd_pows[starts + L - 1]
-            lo = np.searchsorted(htab, h, side="left")
-            hi = np.searchsorted(htab, h, side="right")
-            m = hi > lo
-            if not m.any():
-                continue
-            cand_start = starts[m]
-            cand_lo, cand_hi = lo[m], hi[m]
-            # expand candidates sharing a hash bucket (collisions rare)
-            counts = cand_hi - cand_lo
-            occ = np.repeat(np.arange(len(cand_start)), counts)
-            rows = np.concatenate([np.arange(a, b) for a, b in zip(cand_lo, cand_hi)])
-            st = cand_start[occ]
-            window = cp[st[:, None] + np.arange(L)[None, :]]
-            ok = (window == mat[rows]).all(axis=1)
-            out_starts.append(st[ok])
-            out_pids.append(pids[rows[ok]])
+        for c0 in range(0, n, self._CHUNK):
+            c1 = min(c0 + self._CHUNK + max_l - 1, n)  # overlap max_l-1
+            s, p = self._scan_chunk(cp[c0:c1], limit=min(self._CHUNK, n - c0))
+            if len(s):
+                out_starts.append(s + c0)
+                out_pids.append(p)
         if not out_starts:
             return np.zeros(0, np.int64), np.zeros(0, np.int64)
         starts = np.concatenate(out_starts)
         pids = np.concatenate(out_pids)
         order = np.lexsort((self.pat_len[pids], starts))
         return starts[order], pids[order]
+
+    def _scan_chunk(self, cp: np.ndarray, limit: int) -> "tuple[np.ndarray, np.ndarray]":
+        """Matches with start < ``limit`` in one chunk (matches that
+        start in the overlap tail belong to the next chunk)."""
+        n = len(cp)
+        cp64 = cp.astype(np.uint64)
+        inv_pows, fwd_pows = self._pow_tables(n)
+        # S[i] = sum_{k<i} cp[k] * BASE_INV^k  (wraparound uint64)
+        S = np.zeros(n + 1, dtype=np.uint64)
+        np.cumsum(cp64 * inv_pows[:n], out=S[1:])
+
+        out_starts: list[np.ndarray] = []
+        out_pids: list[np.ndarray] = []
+        for L, (htab, pids, mat) in self._by_len.items():
+            if L > n:
+                continue
+            top = min(n - L + 1, limit)
+            if top <= 0:
+                continue
+            # hash(i, L) = (S[i+L] - S[i]) * BASE^(i+L-1)
+            h = (S[L : top + L] - S[:top]) * fwd_pows[L - 1 : top + L - 1]
+            lo = np.searchsorted(htab, h, side="left")
+            hi = np.searchsorted(htab, h, side="right")
+            m = np.nonzero(hi > lo)[0]
+            if not len(m):
+                continue
+            cand_start = m.astype(np.int64)
+            cand_lo, cand_hi = lo[m], hi[m]
+            counts = cand_hi - cand_lo
+            if (counts == 1).all():
+                # fast path: unique hash-table hit per candidate
+                st = cand_start
+                rows = cand_lo
+            else:
+                # segment-arange expansion, fully vectorized (a Python
+                # arange per bucket dominates the scan otherwise)
+                occ = np.repeat(np.arange(len(cand_start)), counts)
+                offs = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
+                    np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+                )
+                rows = np.repeat(cand_lo, counts) + offs
+                st = cand_start[occ]
+            window = cp[st[:, None] + np.arange(L)[None, :]]
+            ok = (window == mat[rows]).all(axis=1)
+            out_starts.append(st[ok])
+            out_pids.append(pids[rows[ok]])
+        if not out_starts:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        return np.concatenate(out_starts), np.concatenate(out_pids)
 
     def find_nonoverlapping(self, cp: np.ndarray) -> "tuple[np.ndarray, np.ndarray]":
         """Greedy leftmost, longest-at-position match set — identical to

@@ -95,9 +95,7 @@ def _dict_phase(sf_dir: str, repeat: int, align_salt: bool = False):
     from xlink_ray.stages.extract import ExtractCorpusBatch, ExtractMentionsBatch
 
     def pages_slim():
-        return synth.synth_pages(sf_dir, repeat, align_salt=align_salt).select_columns(
-            ["url", "text"]
-        )
+        return synth.synth_pages(sf_dir, repeat, align_salt=align_salt, slim=True)
 
     # one fused synth→strip execution; the mention-anchor pass re-runs
     # the (cheap, fully parallel) synth instead of materializing the
@@ -413,8 +411,16 @@ def clusters_from(lkc: Dataset, method: str = "block") -> Dataset:
 
 def _fused_cluster_fn(batch: pa.Table, ma_ref, lp_ref, emb_ref) -> pa.Table:
     """One salt-aligned corpus block → links → per-block clusters,
-    all in-task. Asserts the block really is whole salt ranges."""
+    all in-task and fully vectorized over the WHOLE batch: one Arrow
+    sort on the blocking key stands in for the groupby, edges are
+    scored straight from the distinct-context vector matrix
+    (``resolve_batch(return_ctx=True)``), and run labelling is one
+    grouped min — no pandas per-group loop, no context re-embedding.
+    Output is identical to the ``block`` path's ``_BlockClusters``
+    (tests pin equality). Asserts the block really is whole salt
+    ranges."""
     import pandas as pd
+    import pyarrow.compute as _pc
 
     from xlink_ray.stages.candidates import build_link_state, resolve_batch
     from xlink_ray.state.cached import cached_state
@@ -422,9 +428,6 @@ def _fused_cluster_fn(batch: pa.Table, ma_ref, lp_ref, emb_ref) -> pa.Table:
     state = cached_state(
         ("link_state", ma_ref.hex(), lp_ref.hex(), emb_ref.hex()),
         lambda: build_link_state(ray.get(ma_ref), ray.get(lp_ref), ray.get(emb_ref)),
-    )
-    bc = cached_state(
-        ("block_clusters", emb_ref.hex()), lambda: _BlockClusters(emb_ref)
     )
 
     urls = batch["doc_id"].to_pylist()
@@ -439,22 +442,64 @@ def _fused_cluster_fn(batch: pa.Table, ma_ref, lp_ref, emb_ref) -> pa.Table:
         salts[counts != DOCS_PER_SALT][:5].tolist(),
     )
 
-    lk = resolve_batch(state, urls, batch["text"].to_pylist())
+    empty = pa.table(
+        {"member_id": pa.array([], pa.string()), "cluster_id": pa.array([], pa.string())}
+    )
+    lk, ctx_codes, ctx_uniq = resolve_batch(
+        state, urls, batch["text"].to_pylist(), return_ctx=True
+    )
     if lk.num_rows == 0:
-        return pa.table(
-            {"member_id": pa.array([], pa.string()),
-             "cluster_id": pa.array([], pa.string())}
+        return empty
+    lk = _add_salt(lk).append_column("ctx_code", pa.array(ctx_codes, pa.int64()))
+    # the blocking groupby, expressed as one in-task Arrow sort — the
+    # same (mention, entity_id, salt) grouping + the same within-group
+    # (doc_id, offset) order as _BlockClusters.sort_by
+    g = lk.sort_by(
+        [("mention", "ascending"), ("entity_id", "ascending"), ("salt", "ascending"),
+         ("doc_id", "ascending"), ("offset", "ascending")]
+    ).combine_chunks()
+    n = g.num_rows
+    m_codes = _pc.dictionary_encode(g["mention"]).combine_chunks().indices.to_numpy(zero_copy_only=False)
+    e_codes = _pc.dictionary_encode(g["entity_id"]).combine_chunks().indices.to_numpy(zero_copy_only=False)
+    s_vals = g["salt"].to_numpy(zero_copy_only=False)
+    codes = g["ctx_code"].to_numpy(zero_copy_only=False)
+
+    # adjacent-pair context cosine, exactly as _BlockClusters computes
+    # it (same vectors, same num/den formula), chunked to stay
+    # cache-resident
+    brk = np.ones(n, dtype=bool)  # True = this row starts a new run
+    if n > 1:
+        new_grp = (
+            (m_codes[1:] != m_codes[:-1])
+            | (e_codes[1:] != e_codes[:-1])
+            | (s_vals[1:] != s_vals[:-1])
         )
-    lk = _add_salt(lk)
-    pdf = lk.to_pandas()
-    out = []
-    for _key, g in pdf.groupby(["mention", "entity_id", "salt"], sort=True):
-        gt = pa.Table.from_pandas(
-            g[["doc_id", "offset", "mention", "entity_id", "context"]],
-            preserve_index=False,
-        )
-        out.append(bc(gt))
-    return pa.concat_tables(out)
+        cos = np.empty(n - 1, dtype=np.float64)
+        CH = 8192
+        for c0 in range(0, n - 1, CH):
+            c1 = min(c0 + CH, n - 1)
+            a = ctx_uniq[codes[c0:c1]]
+            b = ctx_uniq[codes[c0 + 1 : c1 + 1]]
+            num = np.einsum("ij,ij->i", a, b)
+            den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+            cc = np.zeros(c1 - c0)
+            nz = den > 0
+            cc[nz] = num[nz] / den[nz]
+            cos[c0:c1] = cc
+        brk[1:] = new_grp | (cos < EDGE_TH)
+    run = np.cumsum(brk) - 1
+    member = pc.binary_join_element_wise(
+        pc.cast(g["doc_id"], pa.string()), pc.cast(g["offset"], pa.string()), "#"
+    ).to_numpy(zero_copy_only=False)
+    run_min = pd.Series(member).groupby(run, sort=True).min().to_numpy()
+    counts_r = np.bincount(run, minlength=len(run_min))
+    labels = np.repeat(run_min, counts_r)
+    return pa.table(
+        {
+            "member_id": pa.array(member, pa.string()),
+            "cluster_id": pa.array(labels, pa.string()),
+        }
+    )
 
 
 def clusters(sf_dir: str, method: str = "block", repeat: int = 1) -> Dataset:
@@ -481,11 +526,9 @@ def clusters(sf_dir: str, method: str = "block", repeat: int = 1) -> Dataset:
         # has ZERO shuffles and ZERO materializations after the
         # (dictionary-sized) broadcast tables
         _corpus, ma_ref, lp_ref, emb_ref = _prepare(sf_dir, repeat)
-        aligned = (
-            synth.synth_pages(sf_dir, repeat, align_salt=True)
-            .select_columns(["url", "text"])
-            .map_batches(ExtractCorpusBatch(), batch_format="pyarrow", batch_size=None)
-        )
+        aligned = synth.synth_pages(
+            sf_dir, repeat, align_salt=True, slim=True
+        ).map_batches(ExtractCorpusBatch(), batch_format="pyarrow", batch_size=None)
         return aligned.map_batches(
             _fused_cluster_fn,
             fn_args=(ma_ref, lp_ref, emb_ref),

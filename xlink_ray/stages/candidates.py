@@ -89,6 +89,12 @@ class LinkState:
         self.cand_vec_row = np.asarray(
             [self.entity_index.get(e, -1) for e in self.cand_entities], dtype=np.int64
         )
+        # float64 vector table + norms for the context×entity cosine
+        # table (resolve_batch): scoring gathers SCALARS from a
+        # (distinct-contexts × vectors) table instead of materializing
+        # (occurrences × candidates, dim) matrices
+        self.vecs64 = self.vecs.astype(np.float64)
+        self.vec_norms = np.linalg.norm(self.vecs64, axis=1) if self.dim else np.zeros(0)
 
         # dictionary automaton (T4): vectorized rolling-hash scanner,
         # overlapping-capable; the resolve path takes the greedy
@@ -116,25 +122,26 @@ def _context_strings(
     return out
 
 
-def _context_vectors(
-    state: LinkState, texts: list[str], occ_doc: np.ndarray, occ_off: np.ndarray, occ_len: np.ndarray
-) -> tuple[np.ndarray, list[str]]:
-    """Mean word vector of the ±WINDOW-char context of each occurrence
-    (vectorized token gather; see functions/context.py)."""
-    ctxs = _context_strings(texts, occ_doc, occ_off, occ_len)
-    return state.embedder(ctxs), ctxs
-
-
 def resolve_batch(
-    state: LinkState, doc_ids: list, texts: list[str], apply_link_prob: bool = True
-) -> pa.Table:
+    state: LinkState,
+    doc_ids: list,
+    texts: list[str],
+    apply_link_prob: bool = True,
+    return_ctx: bool = False,
+) -> "pa.Table | tuple[pa.Table, np.ndarray, np.ndarray]":
     """Plain docs → resolved occurrence links
     (doc_id, offset, mention, entity_id, believe).
 
     ``apply_link_prob=False`` skips the P8 keep thresholds (they only
     need the per-mention link_prob, not the candidate scores) so the
     scan can run concurrently with the freq pass; callers then apply
-    ``link_prob_filter`` downstream — identical final rows."""
+    ``link_prob_filter`` downstream — identical final rows.
+
+    ``return_ctx=True``: instead of a ``context`` string column, return
+    ``(table, ctx_codes, ctx_uniq)`` — the per-kept-row index into the
+    distinct-context vector matrix. Downstream fused clustering scores
+    edges straight from the matrix, skipping the context-string copy
+    and the re-embedding pass."""
     if state.scanner is not None and texts:
         # one vectorized scan of the whole batch: NUL-joined blob (the
         # separator appears in no mention, so matches never cross docs);
@@ -163,6 +170,12 @@ def resolve_batch(
         }
     )
     if n == 0:
+        if return_ctx:
+            return (
+                empty.drop_columns(["context"]),
+                np.zeros(0, dtype=np.int64),
+                np.zeros((0, state.dim), dtype=np.float64),
+            )
         return empty
 
     occ_doc_a = occ_doc_arr
@@ -171,7 +184,22 @@ def resolve_batch(
     mentions_arr = np.asarray(state.mentions_sorted)
     occ_len_a = state.mention_lens[occ_mid_a]
 
-    ctx, ctx_strs = _context_vectors(state, texts, occ_doc_a, occ_off_a, occ_len_a)
+    ctx_strs = _context_strings(texts, occ_doc_a, occ_off_a, occ_len_a)
+    # cosine table over DISTINCT contexts × the (small) vector table;
+    # per-candidate scores are scalar gathers from it — no
+    # (occurrence × candidate, dim) temporaries (memory traffic is the
+    # scaling bottleneck, not FLOPs)
+    ctx_uniq, ctx_codes = state.embedder.embed_unique(ctx_strs)
+    if state.dim and len(ctx_uniq):
+        num_t = ctx_uniq @ state.vecs64.T  # (U, n_vec_rows)
+        den_t = (
+            np.linalg.norm(ctx_uniq, axis=1)[:, None] * state.vec_norms[None, :]
+        )
+        cos_t = np.zeros_like(num_t)
+        nzt = den_t > 0
+        cos_t[nzt] = num_t[nzt] / den_t[nzt]
+    else:
+        cos_t = np.zeros((max(len(ctx_uniq), 1), max(len(state.vec_norms), 1)))
 
     # expand (occurrence × candidate)
     starts = state.cand_start[occ_mid_a]
@@ -181,15 +209,11 @@ def resolve_batch(
     cand_rows = np.concatenate([np.arange(s, e) for s, e in zip(starts, ends)]) if n else np.array([], dtype=np.int64)
 
     cvec_rows = state.cand_vec_row[cand_rows]
-    evecs = np.where(
-        (cvec_rows >= 0)[:, None], state.vecs[np.maximum(cvec_rows, 0)], 0.0
-    ).astype(np.float64)
-    cx = ctx[occ_rep]
-    num = np.einsum("ij,ij->i", evecs, cx)
-    den = np.linalg.norm(evecs, axis=1) * np.linalg.norm(cx, axis=1)
-    cws = np.zeros(len(num), dtype=np.float64)
-    nzd = den > 0
-    cws[nzd] = num[nzd] / den[nzd]
+    cws = np.where(
+        cvec_rows >= 0,
+        cos_t[ctx_codes[occ_rep], np.maximum(cvec_rows, 0)],
+        0.0,
+    )
 
     believe = (state.cand_egm[cand_rows] ** POWER) * cws
 
@@ -212,20 +236,27 @@ def resolve_batch(
     else:
         keep = best_val > -np.inf
     if not keep.any():
+        if return_ctx:
+            return (
+                empty.drop_columns(["context"]),
+                np.zeros(0, dtype=np.int64),
+                ctx_uniq,
+            )
         return empty
 
     ki = np.nonzero(keep)[0]
+    cols = {
+        "doc_id": pa.array([doc_ids[occ_doc_a[i]] for i in ki], pa.string()),
+        "offset": pa.array(occ_off_a[ki]),
+        "mention": pa.array(mentions_arr[occ_mid_a[ki]], pa.string()),
+        "entity_id": pa.array(state.cand_entities[best_row[ki]], pa.string()),
+        "believe": pa.array(best_val[ki]),
+    }
+    if return_ctx:
+        return pa.table(cols), ctx_codes[ki], ctx_uniq
     contexts = [ctx_strs[i] for i in ki]
-    return pa.table(
-        {
-            "doc_id": pa.array([doc_ids[occ_doc_a[i]] for i in ki], pa.string()),
-            "offset": pa.array(occ_off_a[ki]),
-            "mention": pa.array(mentions_arr[occ_mid_a[ki]], pa.string()),
-            "entity_id": pa.array(state.cand_entities[best_row[ki]], pa.string()),
-            "believe": pa.array(best_val[ki]),
-            "context": pa.array(contexts, pa.string()),
-        }
-    )
+    cols["context"] = pa.array(contexts, pa.string())
+    return pa.table(cols)
 
 
 class CandidateGenActor:

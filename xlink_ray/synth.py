@@ -119,7 +119,25 @@ def _pages_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def synth_pages(sf_dir: str, repeat: int = 1, align_salt: bool = False) -> "ray.data.Dataset":
+def _pages_batch_slim(batch: pa.Table) -> pa.Table:
+    """(url, text) only — the columns every pipeline stage consumes.
+
+    A downstream ``select_columns`` cannot push through the synthesis
+    UDF, so pipelines that never read html/warc_ts use this variant and
+    skip building (and allocating) the ~2× html payload entirely."""
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    texts = batch["text"].to_numpy(zero_copy_only=False)
+    sources = batch["source"].to_numpy(zero_copy_only=False)
+    marked = [mark_text(t, int(d)) for t, d in zip(texts, doc_ids)]
+    urls = [f"https://crawl.example.org/{s}/{int(d):08d}" for s, d in zip(sources, doc_ids)]
+    return pa.table(
+        {"url": pa.array(urls, pa.string()), "text": pa.array(marked, pa.string())}
+    )
+
+
+def synth_pages(
+    sf_dir: str, repeat: int = 1, align_salt: bool = False, slim: bool = False
+) -> "ray.data.Dataset":
     """documents.parquet → pages Dataset (url, warc_ts, html, text, lang).
 
     ``repeat > 1`` deterministically expands the corpus: copy r of
@@ -128,11 +146,13 @@ def synth_pages(sf_dir: str, repeat: int = 1, align_salt: bool = False) -> "ray.
     copies. Used by the bench to scale the workload; correctness
     queries always use repeat=1.
 
-    ``align_salt=True`` makes every physical block exactly one salt
-    range (DOCS_PER_SALT contiguous docs of one copy) so the fused
-    pipeline can cluster in-task with no shuffle — requires the doc
-    count to be a multiple of DOCS_PER_SALT (true of the driver
-    tables; asserted).
+    ``align_salt=True`` makes every physical block whole salt ranges
+    (DOCS_PER_SALT-doc groups) so the fused pipeline can cluster
+    in-task with no shuffle — requires the doc count to be a multiple
+    of DOCS_PER_SALT (true of the driver tables; asserted).
+
+    ``slim=True`` synthesizes only (url, text) — pipelines that never
+    read html/warc_ts skip building the ~2x html payload.
     """
     import pyarrow.parquet as _pq
 
@@ -142,33 +162,43 @@ def synth_pages(sf_dir: str, repeat: int = 1, align_salt: bool = False) -> "ray.
 
     if align_salt:
         assert n_total % DOCS_PER_SALT == 0, (n_total, DOCS_PER_SALT)
-        nblocks = n_total // DOCS_PER_SALT
+        ranges_per_copy = n_total // DOCS_PER_SALT
+        total_ranges = ranges_per_copy * max(repeat, 1)
         docs = ray.data.read_parquet(
             f"{sf_dir}/documents.parquet",
             columns=["doc_id", "text", "lang", "source"],
-            override_num_blocks=nblocks,
-        ).repartition(nblocks)
-        if repeat <= 1:
-            return docs.map_batches(_pages_batch, batch_format="pyarrow", batch_size=None)
-        # union of per-copy branches over the (tiny) materialized source:
-        # every block stays one whole salt range AND the expensive markup
-        # stage parallelizes across all copies, not just the read blocks
-        docs = docs.materialize()
-
-        def shifted(r: int):
-            def shift(batch: pa.Table) -> pa.Table:
+            override_num_blocks=ranges_per_copy,
+        ).repartition(ranges_per_copy)
+        fn_aligned = _pages_batch_slim if slim else _pages_batch
+        if repeat > 1:
+            # ONE generator operator yields every shifted copy of each
+            # salt-range block (a per-copy union of 100s of branches
+            # drowns the streaming executor in operator bookkeeping)
+            def expand(batch: pa.Table):
                 ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-                return batch.set_column(
-                    batch.schema.get_field_index("doc_id"),
-                    "doc_id",
-                    pa.array(ids + r * n_total, pa.int64()),
-                )
+                for r in range(repeat):
+                    yield batch.set_column(
+                        batch.schema.get_field_index("doc_id"),
+                        "doc_id",
+                        pa.array(ids + r * n_total, pa.int64()),
+                    )
 
-            return docs.map_batches(shift, batch_format="pyarrow", batch_size=None)
-
-        copies = [shifted(r) for r in range(repeat)]
-        expanded = copies[0].union(*copies[1:]) if len(copies) > 1 else copies[0]
-        return expanded.map_batches(_pages_batch, batch_format="pyarrow", batch_size=None)
+            docs = docs.map_batches(expand, batch_format="pyarrow", batch_size=None)
+        # yields coalesce into few large blocks; split back so each
+        # block is ~8 salt ranges (bounds every worker's peak batch
+        # memory — first-touch page faults on this host are expensive
+        # and contend across workers) while keeping ≥ 4 blocks per CPU
+        # for parallelism. The split count must DIVIDE the total
+        # salt-range count so the equal row split cuts exactly at range
+        # boundaries (repartition preserves order).
+        target = max(4 * pool_size()[1], total_ranges // 8)
+        nblocks = max(
+            (d for d in range(1, total_ranges + 1) if total_ranges % d == 0 and d <= target),
+            default=total_ranges,
+        )
+        return docs.repartition(nblocks).map_batches(
+            fn_aligned, batch_format="pyarrow", batch_size=None
+        )
     else:
         # documents.parquet is a single file → a handful of blocks would
         # cap every downstream stage's parallelism; split the read to
@@ -179,8 +209,9 @@ def synth_pages(sf_dir: str, repeat: int = 1, align_salt: bool = False) -> "ray.
         columns=["doc_id", "text", "lang", "source"],
         override_num_blocks=nblocks,
     )
+    fn = _pages_batch_slim if slim else _pages_batch
     if repeat <= 1:
-        return docs.map_batches(_pages_batch, batch_format="pyarrow", batch_size=None)
+        return docs.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
     def expand(batch: pa.Table):
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -192,7 +223,7 @@ def synth_pages(sf_dir: str, repeat: int = 1, align_salt: bool = False) -> "ray.
             )
 
     return docs.map_batches(expand, batch_format="pyarrow", batch_size=None).map_batches(
-        _pages_batch, batch_format="pyarrow", batch_size=None
+        fn, batch_format="pyarrow", batch_size=None
     )
 
 
