@@ -333,6 +333,22 @@ def _q_aida_eval(sf_dir: str):
     return rd.from_arrow(aida_eval(sf_dir))
 
 
+def _q_ann_ivf(sf_dir: str):
+    """IVF inverted-file ANN (approximate — rows-only check; the exact
+    counterpart ann_topk is the SQL-checked baseline)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from xlink_ray.stages.ann import ivf_topk
+
+    q = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = q.sort_by("vec_id").slice(0, 5)
+    queries = np.asarray(q["embedding"].to_pylist(), dtype=np.float64)
+    return ivf_topk(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), queries, k=10)
+
+
 def _q_minhash_pairs(sf_dir: str):
     from xlink_ray.stages.dedup import minhash_lsh_pairs
 
@@ -554,6 +570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "aida_eval": _q_aida_eval,
         "expanded_anchors": _q_expanded_anchors,
         "title_entities": _q_title_entities,
+        "ann_ivf": _q_ann_ivf,
     }
 
 

@@ -124,3 +124,24 @@ def test_media_features_plumbing(ray_session):
     actor = MediaFeatureActor(backend="none")
     with pytest.raises(NotImplementedError):
         actor._decode(b"\x00\x01", "image")
+
+
+def test_ivf_recall(ray_session):
+    from xlink_ray.stages.ann import brute_topk, ivf_topk
+
+    rng = np.random.default_rng(5)
+    mat = rng.standard_normal((300, 16))
+    rows = [{"vec_id": i, "embedding": mat[i].tolist()} for i in range(300)]
+    ds = _docs_ds(rows)
+    queries = mat[:3]
+    exact = brute_topk(ds, queries, k=5).to_pandas()
+    approx = ivf_topk(ds, queries, k=5, n_cells=8, nprobe=3).to_pandas()
+    recall = 0
+    for q in range(3):
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        recall += len(e & a) / 5
+    assert recall / 3 >= 0.5
+    # the query vector itself always lands in a probed cell
+    r1 = approx[approx["rank"] == 1]
+    assert list(r1["vec_id"]) == [0, 1, 2]

@@ -110,3 +110,57 @@ def test_fidelity_actor_batch(ray_session, state):
     assert set(out["doc_id"]) == {"d1"}
     assert set(out["label"]) == {"alpha", "beta"}
     assert (out["parse_from"] == "ma").all()
+
+
+# ---------------------------------------------------------------- P3
+
+def test_multi_trie_merge_non_overlapping():
+    from xlink_ray.stages.linking import MultiDictParser
+
+    p = MultiDictParser(
+        {"a": {"spark": ["e1"]}, "b": {"window": ["e2"]}},
+        {"a": 1.0, "b": 2.0},
+    )
+    got = p.parse("x spark y window z")
+    assert [(s, e, lbl) for s, e, lbl, _ in got] == [(2, 7, "spark"), (10, 16, "window")]
+
+
+def test_multi_trie_merge_weight_conflict():
+    from xlink_ray.stages.linking import MultiDictParser
+
+    # overlapping spans across tries: the higher-weight trie wins
+    p_hi_b = MultiDictParser(
+        {"a": {"spark plug": ["e1"]}, "b": {"plug in": ["e2"]}},
+        {"a": 1.0, "b": 5.0},
+    )
+    got = p_hi_b.parse("spark plug in")
+    assert [lbl for _, _, lbl, _ in got] == ["plug in"]
+
+    p_hi_a = MultiDictParser(
+        {"a": {"spark plug": ["e1"]}, "b": {"plug in": ["e2"]}},
+        {"a": 5.0, "b": 1.0},
+    )
+    got = p_hi_a.parse("spark plug in")
+    assert [lbl for _, _, lbl, _ in got] == ["spark plug"]
+
+
+def test_multi_trie_merge_reference_quirks():
+    from xlink_ray.stages.linking import merge_trie_results
+
+    # weight tie on identical spans: the first member nominally wins
+    # (strict >), but the deletion matcher compares only (start, end) —
+    # the reference's always-true typo — so deleting the "loser"
+    # removes the WINNER's heap entry and the loser is what gets
+    # emitted. Reproduced as spec (MentionParser.py:195).
+    res = merge_trie_results(
+        {"a": [(0, 5, "A")], "b": [(0, 5, "B")]},
+        {"a": 1.0, "b": 1.0},
+    )
+    assert [p for _, _, p in res] == ["B"]
+    # identical spans + the (start, end)-only deletion matcher: the
+    # loser's deletion removes the first array match, winner survives
+    res2 = merge_trie_results(
+        {"a": [(0, 3, "A"), (10, 12, "A2")], "b": [(1, 4, "B")]},
+        {"a": 1.0, "b": 9.0},
+    )
+    assert [p for _, _, p in res2] == ["B", "A2"]

@@ -67,16 +67,24 @@ def self_links(sf_dir: str) -> Dataset:
     return aggregates.self_links(mentions(sf_dir))
 
 
+_VOCAB_CACHE: dict[str, "ray.ObjectRef"] = {}
+
+
 def dict_vocab_ref(sf_dir: str) -> "ray.ObjectRef":
     """Broadcast the mention vocabulary once per job — DERIVED from the
     corpus's own mention anchors (reference generate_prob_files.py
     scans with the mention_anchors vocabulary), not from the
     synthesizer's ground truth; the pipeline carries no generator
-    coupling."""
-    vocab = sorted(
-        set(mention_anchors(sf_dir).select_columns(["mention"]).unique("mention"))
-    )
-    return ray.put(vocab)
+    coupling. Cached per sf_dir for the driver session (the anchor
+    pass is a full corpus execution; queries sharing a scale dir reuse
+    one broadcast)."""
+    ref = _VOCAB_CACHE.get(sf_dir)
+    if ref is None:
+        vocab = sorted(
+            set(mention_anchors(sf_dir).select_columns(["mention"]).unique("mention"))
+        )
+        ref = _VOCAB_CACHE[sf_dir] = ray.put(vocab)
+    return ref
 
 
 def freq_m(sf_dir: str, concurrency: int | tuple[int, int] | None = None) -> Dataset:

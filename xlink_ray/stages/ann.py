@@ -1,6 +1,6 @@
 """Approximate-nearest-neighbor search over an embedding column
-(task spec: brute-force cosine top-k baseline + an LSH-bucketed scale
-path).
+(task spec: brute-force cosine top-k baseline + LSH-bucketed and IVF
+inverted-file scale paths).
 
 Brute force: the query matrix is broadcast once (``ray.put``); every
 batch computes one (batch × queries) matmul against it — the corpus
@@ -19,7 +19,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-__all__ = ["brute_topk", "lsh_topk"]
+__all__ = ["brute_topk", "lsh_topk", "ivf_topk"]
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -54,11 +54,9 @@ def brute_topk(
             kk = min(k, nb)
             # partial top-k per query within this batch
             idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            out_q, out_id, out_s = [], [], []
-            for qi in range(nq):
-                out_q.extend([qi] * kk)
-                out_id.extend(ids[idx[qi]])
-                out_s.extend(sims[qi, idx[qi]])
+            out_q = np.repeat(np.arange(nq, dtype=np.int64), kk)
+            out_id = ids[idx.ravel()]
+            out_s = np.take_along_axis(sims, idx, axis=1).ravel()
             return pa.table(
                 {
                     "query_id": pa.array(out_q, pa.int64()),
@@ -111,6 +109,11 @@ def lsh_topk(
     probe_ref = ray.put((qn, probe))
 
     class BucketScore:
+        """Vectorized: batch rows grouped by bucket; each probed bucket
+        scores with ONE (queries × rows) matmul; per-batch per-query
+        top-k truncation caps what reaches the driver merge at
+        O(queries × k) rows per batch."""
+
         def __init__(self):
             self.q, self.probe = ray.get(probe_ref)
 
@@ -118,22 +121,149 @@ def lsh_topk(
             ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
             m = _normalize(np.asarray(batch[vec_col].to_pylist(), dtype=np.float64))
             bks = bucket_of(m)
-            out_q, out_id, out_s = [], [], []
-            for bi, b in enumerate(bks):
-                for qi in self.probe.get(int(b), ()):
-                    s = float(self.q[qi] @ m[bi])
-                    out_q.append(qi)
-                    out_id.append(int(ids[bi]))
-                    out_s.append(s)
+            uniq_b, inv = np.unique(bks, return_inverse=True)
+            qs, vids, sims_out = [], [], []
+            for ub_idx, ub in enumerate(uniq_b):
+                qis = self.probe.get(int(ub))
+                if not qis:
+                    continue
+                rows = np.nonzero(inv == ub_idx)[0]
+                sims = self.q[qis] @ m[rows].T  # (nqis, nrows)
+                qs.append(np.repeat(np.asarray(qis, dtype=np.int64), len(rows)))
+                vids.append(np.tile(ids[rows], len(qis)))
+                sims_out.append(sims.ravel())
+            if not qs:
+                return pa.table(
+                    {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                     "cos": pa.array([], pa.float64())}
+                )
+            q_arr = np.concatenate(qs)
+            v_arr = np.concatenate(vids)
+            s_arr = np.concatenate(sims_out)
+            # per-batch per-query top-k: sort (query, cos desc, vec_id)
+            # and keep the first k rows of each query group
+            order = np.lexsort((v_arr, -s_arr, q_arr))
+            q_s = q_arr[order]
+            new_grp = np.r_[True, q_s[1:] != q_s[:-1]]
+            grp_start = np.maximum.accumulate(np.where(new_grp, np.arange(len(q_s)), 0))
+            keep = (np.arange(len(q_s)) - grp_start) < k
+            sel = order[keep]
             return pa.table(
                 {
-                    "query_id": pa.array(out_q, pa.int64()),
-                    "vec_id": pa.array(out_id, pa.int64()),
-                    "cos": pa.array(out_s, pa.float64()),
+                    "query_id": pa.array(q_arr[sel], pa.int64()),
+                    "vec_id": pa.array(v_arr[sel], pa.int64()),
+                    "cos": pa.array(s_arr[sel], pa.float64()),
                 }
             )
 
     partials = ds.map_batches(BucketScore, batch_format="pyarrow", concurrency=pool_size())
+    tbl = pa.concat_tables([pa.table(b) for b in partials.iter_batches(batch_format="pyarrow")])
+    import pandas as pd
+
+    df = tbl.to_pandas().drop_duplicates(["query_id", "vec_id"])
+    df = df.sort_values(["query_id", "cos", "vec_id"], ascending=[True, False, True])
+    df = df.groupby("query_id", sort=True).head(k).copy()
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(
+        df[["query_id", "rank", "vec_id"]].reset_index(drop=True), preserve_index=False
+    )
+
+
+def _kmeans_codebook(sample: np.ndarray, n_cells: int, iters: int = 8) -> np.ndarray:
+    """Deterministic Lloyd iterations on the (normalized) sample:
+    init = evenly spaced sample rows; empty cells keep their centroid.
+    Spherical k-means (cosine) — centroids re-normalized each step."""
+    n = len(sample)
+    init_rows = np.linspace(0, n - 1, num=min(n_cells, n), dtype=np.int64)
+    cents = sample[init_rows].copy()
+    for _ in range(iters):
+        sims = sample @ cents.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cents[c] = v / nv
+    return cents
+
+
+def ivf_topk(
+    ds: Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    sample_rows: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """IVF approximate cosine top-k — the inverted-file scale path:
+    a small deterministic sample trains a coarse spherical-k-means
+    codebook (driver-side, codebook-sized state only); every corpus
+    row is assigned to its nearest centroid cell in a streaming
+    ``map_batches``; each query probes its ``nprobe`` nearest cells and
+    scores only rows assigned there (one matmul per cell per batch,
+    per-batch per-query top-k truncation before the tiny driver
+    merge). Same output shape as brute_topk."""
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+
+    sample = ds.take(min(sample_rows, 100_000))
+    smat = _normalize(
+        np.asarray([r[vec_col] for r in sample], dtype=np.float64)
+    )
+    cents = _kmeans_codebook(smat, n_cells)
+    # per-query probe set: nprobe nearest centroids
+    q_cells = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]
+    probe: dict[int, list[int]] = {}
+    for qi in range(len(qn)):
+        for c in q_cells[qi]:
+            probe.setdefault(int(c), []).append(qi)
+    state_ref = ray.put((qn, cents, probe))
+
+    class CellScore:
+        def __init__(self):
+            self.q, self.cents, self.probe = ray.get(state_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+            m = _normalize(np.asarray(batch[vec_col].to_pylist(), dtype=np.float64))
+            assign = np.argmax(m @ self.cents.T, axis=1)
+            uniq_c, inv = np.unique(assign, return_inverse=True)
+            qs, vids, sims_out = [], [], []
+            for uc_idx, uc in enumerate(uniq_c):
+                qis = self.probe.get(int(uc))
+                if not qis:
+                    continue
+                rows = np.nonzero(inv == uc_idx)[0]
+                sims = self.q[qis] @ m[rows].T
+                qs.append(np.repeat(np.asarray(qis, dtype=np.int64), len(rows)))
+                vids.append(np.tile(ids[rows], len(qis)))
+                sims_out.append(sims.ravel())
+            if not qs:
+                return pa.table(
+                    {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                     "cos": pa.array([], pa.float64())}
+                )
+            q_arr = np.concatenate(qs)
+            v_arr = np.concatenate(vids)
+            s_arr = np.concatenate(sims_out)
+            order = np.lexsort((v_arr, -s_arr, q_arr))
+            q_s = q_arr[order]
+            new_grp = np.r_[True, q_s[1:] != q_s[:-1]]
+            grp_start = np.maximum.accumulate(np.where(new_grp, np.arange(len(q_s)), 0))
+            keep = (np.arange(len(q_s)) - grp_start) < k
+            sel = order[keep]
+            return pa.table(
+                {
+                    "query_id": pa.array(q_arr[sel], pa.int64()),
+                    "vec_id": pa.array(v_arr[sel], pa.int64()),
+                    "cos": pa.array(s_arr[sel], pa.float64()),
+                }
+            )
+
+    partials = ds.map_batches(CellScore, batch_format="pyarrow", concurrency=pool_size())
     tbl = pa.concat_tables([pa.table(b) for b in partials.iter_batches(batch_format="pyarrow")])
     import pandas as pd
 

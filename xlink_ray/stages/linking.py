@@ -44,7 +44,7 @@ import ray
 
 from xlink_ray.functions.ac import VectorScanner
 
-__all__ = ["LinkerState", "link_document", "FidelityLinkActor"]
+__all__ = ["LinkerState", "link_document", "FidelityLinkActor", "merge_trie_results", "MultiDictParser"]
 
 CONTEXT_WINDOW = 50
 POPULARITY_POWER = 0.02
@@ -253,6 +253,105 @@ def link_document(state: LinkerState, document: str, return_no_prob: bool = Fals
     if return_no_prob:
         return merged, no_prob
     return merged
+
+
+def merge_trie_results(
+    parse_result: "dict[str, list]", weights: "dict[str, float]"
+):
+    """P3 multi-trie k-way heap merge — reference
+    modules/MentionParser.py:141-210, reproduced exactly, quirks
+    included:
+
+    * per-trie lists must be start-sorted (the per-trie parser output);
+      heads go into a heap keyed (start, end, name, weight, idx),
+    * items whose start < the smallest head's end form a conflict
+      group (the smallest is always its own member); the single-member
+      case emits and advances, otherwise the highest-WEIGHT member
+      survives IN THE HEAP (emitted on a later round) and every other
+      member is deleted and advanced — first member wins weight ties
+      (strict ``>``),
+    * the deletion matcher compares only (start, end) — its third
+      clause is the reference's ``head_item[2] == head_item[2]``
+      always-true typo — so when two tries yield identical spans the
+      FIRST heap-array match is removed regardless of which trie it
+      came from. Reproduced as spec.
+
+    Items are (start, end, payload) tuples; returns merged payload
+    tuples in emission order.
+    """
+    import heapq
+
+    head_items: list = []
+    idx_state: dict[str, int] = {}
+    for name in parse_result:
+        if len(parse_result[name]) == 0:
+            continue
+        start, end, payload = parse_result[name][0]
+        heapq.heappush(head_items, (start, end, name, weights[name], 0, payload))
+
+    valid: list = []
+    while len(head_items) > 0:
+        conflict_items = []
+        smallest = head_items[0]
+        for item in head_items:
+            if item[0] < smallest[1]:
+                conflict_items.append(item)
+        if len(conflict_items) == 1:
+            valid.append((smallest[0], smallest[1], smallest[5]))
+            heapq.heappop(head_items)
+            start, end, name, w, idx, payload = smallest
+            if idx + 1 < len(parse_result[name]):
+                nstart, nend, npayload = parse_result[name][idx + 1]
+                heapq.heappush(
+                    head_items, (nstart, nend, name, weights[name], idx + 1, npayload)
+                )
+        else:
+            highest_weight = conflict_items[0][3]
+            highest_idx = 0
+            for i in range(1, len(conflict_items)):
+                if conflict_items[i][3] > highest_weight:
+                    highest_weight = conflict_items[i][3]
+                    highest_idx = i
+            for i, item in enumerate(conflict_items):
+                if i != highest_idx:
+                    for hi, head_item in enumerate(head_items):
+                        # reference typo: third clause compares a value
+                        # to itself — only (start, end) discriminate
+                        if head_item[0] == item[0] and head_item[1] == item[1]:
+                            del head_items[hi]
+                            break
+                    start, end, name, w, idx, payload = item
+                    if idx + 1 < len(parse_result[name]):
+                        nstart, nend, npayload = parse_result[name][idx + 1]
+                        head_items.append(
+                            (nstart, nend, name, weights[name], idx + 1, npayload)
+                        )
+            heapq.heapify(head_items)
+    return valid
+
+
+class MultiDictParser:
+    """P3 front end: K dictionaries with weights → per-document merged
+    mention list. Each dictionary scans with the vectorized automaton
+    and resolves its own overlaps first (reference
+    TrieTreeMentionParser.parse → solve_conflict), then the k-way heap
+    merge arbitrates across dictionaries by weight."""
+
+    def __init__(self, dicts: "dict[str, dict[str, list[str]]]", weights: "dict[str, float]"):
+        self.scanners = {name: _DictScanner(d) for name, d in dicts.items()}
+        self.weights = dict(weights)
+
+    def parse(self, text: str):
+        per_trie = {}
+        for name, scanner in self.scanners.items():
+            matches = _solve_conflict(scanner.scan(text))
+            per_trie[name] = [
+                (start, end, (label, cands)) for start, end, label, cands in matches
+            ]
+        return [
+            (start, end, label, cands)
+            for start, end, (label, cands) in merge_trie_results(per_trie, self.weights)
+        ]
 
 
 class FidelityLinkActor:
