@@ -411,6 +411,32 @@ SELECT id_a, id_b, CAST((10000 * inter) // un AS BIGINT) AS jaccard_bp
 FROM v WHERE inter * {th_den} >= un * {th_num}"""
 
 
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """DuckDB replica of stages/dedup.simhash_pairs: md5-low64 token
+    hashes, 64-bit majority-vote SimHash, all pairs at hamming <=
+    max_hamming.  With chunks=4 bands the pigeonhole banding is
+    lossless at max_hamming=3, so the plain pair predicate IS the
+    banded pipeline's output."""
+    return rf"""WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents
+), th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks WHERE tok <> ''
+), bitsum AS (
+  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b)
+  GROUP BY doc_id, b
+), sims AS (
+  SELECT d.doc_id,
+         COALESCE(SUM(CASE WHEN s > 0 THEN 1::UBIGINT << b ELSE 0::UBIGINT END), 0)::UBIGINT AS sh
+  FROM documents d LEFT JOIN bitsum USING (doc_id)
+  GROUP BY d.doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}"""
+
+
 def _q_simhash_pairs(sf_dir: str):
     from xlink_ray.stages.dedup import simhash_pairs
 
@@ -743,6 +769,7 @@ SELECT DISTINCT 'https://crawl.example.org/' || source || '/' || lpad(CAST(doc_i
        entity_id AS dst
 FROM occ WHERE cnt > 0""",
         "minhash_pairs": _minhash_sql(),
+        "simhash_pairs": _simhash_sql(),
         "expanded_anchors": f"""{occ},
 ed(mention, entity_id) AS (SELECT DISTINCT * FROM (VALUES {', '.join(f"('{m}', '{e}')" for m, e in _EXPAND_DICT_ROWS)}))
 SELECT mention, entity_id, CAST(link_count AS BIGINT) AS link_count FROM ma

@@ -41,6 +41,20 @@ SCALE_HI = int(os.environ.get("GRAFT_SCALE_HI", "16"))
 SCALING_TRIALS = int(os.environ.get("GRAFT_BENCH_TRIALS", "3"))
 
 
+def _wait_quiet(max_wait: float = 90.0, threshold: float = 6.0) -> None:
+    """The sandbox host is shared: other tenants produce minutes-long
+    load episodes (loadavg 10-20 with zero local processes) that
+    inflate every stage 2-4x. Wait (bounded) for a quiet window so the
+    recorded numbers measure the pipeline, not the neighbors."""
+    t0 = time.time()
+    while time.time() - t0 < max_wait:
+        with open("/proc/loadavg") as f:
+            load1 = float(f.read().split()[0])
+        if load1 < threshold:
+            return
+        time.sleep(5.0)
+
+
 def _run_queries() -> dict[str, float]:
     import ray
 
@@ -77,7 +91,10 @@ def _run_queries() -> dict[str, float]:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
-    timed("flagship_clusters", lambda: flagship.clusters(SF_DIR).count())
+    timed(
+        "flagship_clusters",
+        lambda: flagship.clusters(SF_DIR, method=FLAGSHIP_METHOD).count(),
+    )
     timed("links", lambda: flagship.links(SF_DIR).count())
     timed("mention_anchors", lambda: dictbuild.mention_anchors(SF_DIR).count())
     timed("freq_m", lambda: dictbuild.freq_m(SF_DIR).count())
@@ -157,6 +174,7 @@ def main() -> None:
         _scaling()
         return
     if "--headline" in sys.argv:
+        _wait_quiet()
         dt, pages = _headline_only()
         print(json.dumps({"metric": "flagship_e2e", "value": round(dt, 3),
                           "unit": "sec", "pages": pages, "num_cpus": NUM_CPUS}))
@@ -164,6 +182,7 @@ def main() -> None:
 
     import ray
 
+    _wait_quiet()
     t0 = time.time()
     timings = _run_queries()
     total = round(time.time() - t0, 3)

@@ -356,40 +356,18 @@ def minhash_lsh_pairs(
 
 # ----------------------------------------------------------- simhash
 
-_SPLITMIX_1 = np.uint64(0xBF58476D1CE4E5B9)
-_SPLITMIX_2 = np.uint64(0x94D049BB133111EB)
-_POLY_BASE = np.uint64(1000003)
-
-
-def _finalize64(z: np.ndarray) -> np.ndarray:
-    """splitmix64 finalizer — full-avalanche 64-bit mix."""
-    z = z.astype(np.uint64)
-    z ^= z >> np.uint64(30)
-    z *= _SPLITMIX_1
-    z ^= z >> np.uint64(27)
-    z *= _SPLITMIX_2
-    z ^= z >> np.uint64(31)
-    return z
-
-
 def _token_hashes64(tokens_flat: pa.Array) -> np.ndarray:
-    """Stable 64-bit hash per token, vectorized: right-aligned Horner
-    polynomial over codepoints (wraparound uint64) + splitmix64."""
+    """Stable 64-bit hash per token occurrence: md5-low64 (the
+    SQL-stable hash — DuckDB ``('0x' || substr(md5(tok),1,16))::
+    UBIGINT``), computed once per DISTINCT token in the batch and
+    scattered back through the ``np.unique`` inverse so the md5 cost
+    is bounded by the batch's vocabulary, not its token count."""
     n = len(tokens_flat)
     if n == 0:
         return np.zeros(0, dtype=np.uint64)
     toks = tokens_flat.to_numpy(zero_copy_only=False)
-    lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n)
-    maxlen = int(lens.max()) if n else 0
-    mat = np.zeros((n, max(maxlen, 1)), dtype=np.uint32)
-    for i, t in enumerate(toks):
-        if t:
-            mat[i, maxlen - len(t):] = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
-    h = np.zeros(n, dtype=np.uint64)
-    for j in range(mat.shape[1]):
-        h = h * _POLY_BASE + mat[:, j].astype(np.uint64)
-    # mix in the length so right-aligned zero padding can't collide
-    return _finalize64(h ^ (lens.astype(np.uint64) << np.uint64(56)))
+    uniq, inv = np.unique(toks, return_inverse=True)
+    return md5_low64(list(uniq))[inv]
 
 
 class SimHashActor:
