@@ -28,53 +28,133 @@ __all__ = [
 
 
 def _to_codepoint_matrix(strings: "np.ndarray | list[str]") -> tuple[np.ndarray, np.ndarray]:
-    """Pad strings to a (n, maxlen) int32 codepoint matrix + lengths."""
-    lens = np.fromiter((len(s) for s in strings), dtype=np.int64, count=len(strings))
-    maxlen = int(lens.max()) if len(lens) else 0
-    mat = np.zeros((len(strings), maxlen), dtype=np.int32)
-    for i, s in enumerate(strings):
+    """Pad strings to a (n, maxlen) int32 codepoint matrix + lengths.
+
+    Pair grids repeat each side's strings ~sqrt(pairs) times, so the
+    per-string Python encode runs over the DISTINCT strings only and
+    the full matrix is a numpy gather through the unique-inverse."""
+    arr = np.asarray(strings, dtype=object)
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.int32), np.zeros(0, dtype=np.int64)
+    uniq, inv = np.unique(arr, return_inverse=True)
+    ulens = np.fromiter((len(s) for s in uniq), dtype=np.int64, count=len(uniq))
+    maxlen = int(ulens.max())
+    umat = np.zeros((len(uniq), maxlen), dtype=np.int32)
+    for i, s in enumerate(uniq):
         if s:
-            mat[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int32)
-    return mat, lens
+            umat[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int32)
+    return umat[inv], ulens[inv]
 
 
-def levenshtein_pairs(a: "list[str] | np.ndarray", b: "list[str] | np.ndarray") -> np.ndarray:
+def levenshtein_pairs(
+    a: "list[str] | np.ndarray",
+    b: "list[str] | np.ndarray",
+    max_dist: "int | None" = None,
+) -> np.ndarray:
     """Unit-cost edit distance for each (a[i], b[i]) pair.
 
     Classic DP with the row axis vectorized across all pairs: for pair
     strings up to lengths (La, Lb) this is La*Lb numpy steps over an
     n-vector, not n individual DPs. Equals DuckDB ``levenshtein``.
+
+    DP state lives in (Lb+1, n) C-order buffers so every inner step
+    touches CONTIGUOUS n-vectors — the (n, Lb) layout's strided column
+    access cost ~20x in memory traffic on long pair arrays.
+
+    ``max_dist``: banded DP (Ukkonen) — only the |i-j| <= max_dist
+    diagonal band is computed, O(La*(2t+1)) steps instead of O(La*Lb);
+    distances are exact up to ``max_dist`` and clamped to
+    ``max_dist + 1`` beyond (a thresholded ``keep`` sees identical
+    pairs; tests pin equality with the full DP).
     """
     n = len(a)
     if n == 0:
         return np.zeros(0, dtype=np.int64)
     am, alens = _to_codepoint_matrix(a)
     bm, blens = _to_codepoint_matrix(b)
+    if max_dist is not None:
+        return _lev_banded(am, alens, bm, blens, int(max_dist))
     la, lb = am.shape[1], bm.shape[1]
-    BIG = np.int64(1 << 30)
 
-    # dp[i, :, j] over pairs; maintain one DP row per b-position
-    prev = np.tile(np.arange(lb + 1, dtype=np.int64), (n, 1))  # row for a-prefix 0
-    # positions beyond the real b length are invalid; mask at the end
+    # transposed codepoint matrices: aT[i] / bT[j] are contiguous
+    aT = np.ascontiguousarray(am.T)
+    bT = np.ascontiguousarray(bm.T)
+    prev = np.empty((lb + 1, n), dtype=np.int64)
+    prev[:] = np.arange(lb + 1, dtype=np.int64)[:, None]  # a-prefix 0 row
+    cur = np.empty_like(prev)
+    tmp = np.empty(n, dtype=np.int64)
     for i in range(1, la + 1):
-        cur = np.empty_like(prev)
-        cur[:, 0] = i
-        ai = am[:, i - 1][:, None]  # (n,1)
-        # substitution cost matrix for this a-char vs all b-chars
-        sub = (ai != bm).astype(np.int64)  # (n, lb)
+        ai = aT[i - 1]
+        cur[0] = i
         for j in range(1, lb + 1):
-            cur[:, j] = np.minimum(
-                np.minimum(cur[:, j - 1] + 1, prev[:, j] + 1),
-                prev[:, j - 1] + sub[:, j - 1],
-            )
-        # rows where i exceeds this pair's a-length keep the previous row
+            # substitution arm: prev[j-1] + (a_i != b_j)
+            np.add(prev[j - 1], ai != bT[j - 1], out=cur[j])
+            np.add(prev[j], 1, out=tmp)        # deletion arm
+            np.minimum(cur[j], tmp, out=cur[j])
+            np.add(cur[j - 1], 1, out=tmp)     # insertion arm
+            np.minimum(cur[j], tmp, out=cur[j])
+        # pairs where i exceeds the real a-length keep the previous row
         over = i > alens
         if over.any():
-            cur[over] = prev[over]
-        prev = cur
-    out = prev[np.arange(n), blens]
+            cur[:, over] = prev[:, over]
+        prev, cur = cur, prev
+    out = prev[blens, np.arange(n)]
     # pairs where a is empty: distance = len(b); handled naturally (row 0)
     return out.astype(np.int64, copy=False)
+
+
+def _lev_banded(
+    am: np.ndarray, alens: np.ndarray, bm: np.ndarray, blens: np.ndarray, t: int
+) -> np.ndarray:
+    """Diagonal-band Levenshtein, vectorized across pairs.
+
+    Band coordinate k in [0, 2t]: column j = i + (k - t). dp rows are
+    (2t+1, n) contiguous buffers; each pair's result is read when the
+    row index i reaches that pair's a-length."""
+    n = am.shape[0]
+    la, lb = am.shape[1], bm.shape[1]
+    w = 2 * t + 1
+    BIG = np.int64(1 << 30)
+    aT = np.ascontiguousarray(am.T)
+    bT = np.ascontiguousarray(bm.T)
+    res = np.full(n, t + 1, dtype=np.int64)
+    # i = 0 row: dp[0][j] = j for j in [0, t]
+    prev = np.full((w, n), BIG, dtype=np.int64)
+    for k in range(t, w):
+        prev[k] = k - t
+    # pairs with an empty a: dist = len(b), clamped
+    ea = alens == 0
+    if ea.any():
+        res[ea] = np.minimum(blens[ea], t + 1)
+    cur = np.empty_like(prev)
+    tmp = np.empty(n, dtype=np.int64)
+    rows = np.arange(n)
+    for i in range(1, la + 1):
+        for k in range(w):
+            j = i + k - t
+            if j < 0 or j > lb:
+                cur[k] = BIG
+                continue
+            if j == 0:
+                cur[k] = i
+                continue
+            # substitution: dp[i-1][j-1] = prev[k]
+            np.add(prev[k], aT[i - 1] != bT[j - 1], out=cur[k])
+            if k + 1 < w:  # deletion: dp[i-1][j] = prev[k+1]
+                np.add(prev[k + 1], 1, out=tmp)
+                np.minimum(cur[k], tmp, out=cur[k])
+            if k - 1 >= 0:  # insertion: dp[i][j-1] = cur[k-1]
+                np.add(cur[k - 1], 1, out=tmp)
+                np.minimum(cur[k], tmp, out=cur[k])
+        done = alens == i
+        if done.any():
+            kk = blens[done] - i + t
+            ok = (kk >= 0) & (kk < w)
+            idx = np.nonzero(done)[0][ok]
+            res[idx] = np.minimum(cur[kk[ok], idx], t + 1)
+        prev, cur = cur, prev
+    return res
 
 
 def jaro_winkler_pairs(

@@ -44,7 +44,9 @@ def customer_pairs(sf_dir: str, threshold: int = LEV_THRESHOLD) -> Dataset:
         key_cols="c_nationkey",
         id_col="c_custkey",
         attr_col="c_name",
-        scorer=levenshtein_pairs,
+        # banded DP: distances beyond the threshold clamp to threshold+1,
+        # which `keep` drops anyway — kept pairs carry exact distances
+        scorer=lambda A, B: levenshtein_pairs(A, B, max_dist=threshold),
         keep=lambda s: s <= threshold,
         skew_cap=8192,  # exact hot-key splitting; output identical
     )

@@ -36,6 +36,11 @@ from ray.data import Dataset
 
 __all__ = ["normalize_key", "block_score_pairs", "group_sizes", "salt_hot_keys"]
 
+# pairs per scorer call: bounds every similarity kernel's DP buffers to
+# a few MB (cache-resident; a fresh worker's first-touch page-fault tax
+# is paid on megabytes, not on a whole grid cell's pair arrays)
+_PAIR_CHUNK = 32768
+
 _PAREN_RE = r"（[^）]*）|\([^)]*\)"
 
 
@@ -93,19 +98,28 @@ def _pairs_of_group(
             if pair_cap is not None and emitted >= pair_cap:
                 dropped += len(ii)
                 continue
-            scores = scorer(attrs[ii], attrs[jj])
-            mask = keep(scores)
-            ka, kb, ks = ii[mask], jj[mask], scores[mask]
-            if pair_cap is not None and emitted + len(ka) > pair_cap:
-                room = pair_cap - emitted
-                dropped += len(ka) - room
-                ka, kb, ks = ka[:room], kb[:room], ks[:room]
-            emitted += len(ka)
-            # canonical pair order: id_a = min(id), id_b = max(id)
-            va, vb = ids[ka], ids[kb]
-            out_a.append(np.minimum(va, vb))
-            out_b.append(np.maximum(va, vb))
-            out_s.append(ks)
+            # score in bounded sub-chunks: scorer DP buffers stay small
+            # (cache-resident, and on first touch a fresh worker pays
+            # page faults for ~MBs, not the whole grid cell's high-water)
+            for p0 in range(0, len(ii), _PAIR_CHUNK):
+                pii = ii[p0:p0 + _PAIR_CHUNK]
+                pjj = jj[p0:p0 + _PAIR_CHUNK]
+                if pair_cap is not None and emitted >= pair_cap:
+                    dropped += len(pii)
+                    continue
+                scores = scorer(attrs[pii], attrs[pjj])
+                mask = keep(scores)
+                ka, kb, ks = pii[mask], pjj[mask], scores[mask]
+                if pair_cap is not None and emitted + len(ka) > pair_cap:
+                    room = pair_cap - emitted
+                    dropped += len(ka) - room
+                    ka, kb, ks = ka[:room], kb[:room], ks[:room]
+                emitted += len(ka)
+                # canonical pair order: id_a = min(id), id_b = max(id)
+                va, vb = ids[ka], ids[kb]
+                out_a.append(np.minimum(va, vb))
+                out_b.append(np.maximum(va, vb))
+                out_s.append(ks)
 
     id_a = np.concatenate(out_a) if out_a else np.array([], dtype=ids.dtype)
     id_b = np.concatenate(out_b) if out_b else np.array([], dtype=ids.dtype)
@@ -155,18 +169,24 @@ def _bipartite_pairs_of_group(
             if pair_cap is not None and emitted >= pair_cap:
                 dropped += len(gi)
                 continue
-            scores = scorer(attrs[gi], attrs[gj])
-            mask = keep(scores)
-            ka, kb, ks = gi[mask], gj[mask], scores[mask]
-            if pair_cap is not None and emitted + len(ka) > pair_cap:
-                room = pair_cap - emitted
-                dropped += len(ka) - room
-                ka, kb, ks = ka[:room], kb[:room], ks[:room]
-            emitted += len(ka)
-            va, vb = ids[ka], ids[kb]
-            out_a.append(np.minimum(va, vb))
-            out_b.append(np.maximum(va, vb))
-            out_s.append(ks)
+            for p0 in range(0, len(gi), _PAIR_CHUNK):
+                pgi = gi[p0:p0 + _PAIR_CHUNK]
+                pgj = gj[p0:p0 + _PAIR_CHUNK]
+                if pair_cap is not None and emitted >= pair_cap:
+                    dropped += len(pgi)
+                    continue
+                scores = scorer(attrs[pgi], attrs[pgj])
+                mask = keep(scores)
+                ka, kb, ks = pgi[mask], pgj[mask], scores[mask]
+                if pair_cap is not None and emitted + len(ka) > pair_cap:
+                    room = pair_cap - emitted
+                    dropped += len(ka) - room
+                    ka, kb, ks = ka[:room], kb[:room], ks[:room]
+                emitted += len(ka)
+                va, vb = ids[ka], ids[kb]
+                out_a.append(np.minimum(va, vb))
+                out_b.append(np.maximum(va, vb))
+                out_s.append(ks)
     id_a = np.concatenate(out_a) if out_a else np.array([], dtype=ids.dtype)
     id_b = np.concatenate(out_b) if out_b else np.array([], dtype=ids.dtype)
     sc = np.concatenate(out_s) if out_s else np.array([], dtype=np.float64)
