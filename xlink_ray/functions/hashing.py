@@ -19,7 +19,7 @@ import hashlib
 
 import numpy as np
 
-__all__ = ["M61", "mulmod61", "affine61", "md5_low64", "rolling_fp61", "pow61"]
+__all__ = ["M61", "mulmod61", "affine61", "md5_low64", "rolling_fp61", "pow61", "mix64"]
 
 M61 = (1 << 61) - 1
 _M61 = np.uint64(M61)
@@ -120,3 +120,20 @@ def rolling_fp61(payloads: "list[bytes]", base: int = 1000003) -> np.ndarray:
         for j in range(cols.shape[1]):
             h = _reduce61(mulmod61(h, base_v) + cols[:, j].astype(np.uint64))
     return h.astype(np.int64)
+
+
+_SPLITMIX_1 = np.uint64(0xBF58476D1CE4E5B9)
+_SPLITMIX_2 = np.uint64(0x94D049BB133111EB)
+
+
+def mix64(z: "np.ndarray | int") -> np.ndarray:
+    """splitmix64 finalizer — full-avalanche 64-bit mix (wraparound
+    uint64 is the intended arithmetic here; used for set-hash tokens
+    and bucket assignment, never for oracle-checked values)."""
+    z = np.asarray(z, dtype=np.uint64).copy()
+    z ^= z >> np.uint64(30)
+    z *= _SPLITMIX_1
+    z ^= z >> np.uint64(27)
+    z *= _SPLITMIX_2
+    z ^= z >> np.uint64(31)
+    return z

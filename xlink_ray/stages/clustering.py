@@ -18,9 +18,10 @@ the *edge* graph (candidate pairs, already blocked+thresholded — far
 smaller than the corpus); if a deployment's live-node set outgrew
 worker memory, the attach becomes a ``Dataset.join`` on ``u`` with no
 other change to the round structure.
-Convergence is detected exactly via a tagged-union distinct check
-(old ∪ new grouped by edge; any edge present on one side only →
-not converged).
+Convergence is detected via an order-independent hash-sum token of
+the round's edge set (equal sets always match; distinct sets collide
+with probability ~2^-64) — one tiny map + collect instead of a
+union+groupby equality shuffle per round.
 
 For small edge sets (the usual case after thresholded pairwise
 scoring: candidate pairs ≪ corpus) a driver-side union-find with path
@@ -31,17 +32,15 @@ bench exercise both).
 
 from __future__ import annotations
 
-from xlink_ray.util import pool_size
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
 from ray.data import Dataset
-from ray.data.aggregate import Max, Min
+from ray.data.aggregate import Min
 
-from xlink_ray.state.broadcast import BroadcastJoin, broadcast_table
+from xlink_ray.state.broadcast import broadcast_table
 
 __all__ = ["connected_components"]
 
@@ -96,11 +95,21 @@ def _local_cc(edge_tbl: pa.Table, nodes_extra: pa.Array | None) -> pa.Table:
 
 # ------------------------------------------------------ distributed path
 
-def _symmetrize(edges: Dataset) -> Dataset:
-    return edges.map_batches(
-        lambda t: pa.concat_tables([t, pa.table({"u": t["v"], "v": t["u"]})]),
-        batch_format="pyarrow",
-    )
+def _sym_local(edges: Dataset) -> Dataset:
+    """Symmetrized edges with PER-BATCH dedup only — shuffle-free.
+
+    A global distinct is unnecessary here: the grouped-min mapping and
+    the star rewrites have set semantics (cross-batch duplicates cost
+    a little work, never correctness), and the one global distinct per
+    round at the round boundary bounds accumulation."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        both = pa.concat_tables(
+            [t.select(["u", "v"]), pa.table({"u": t["v"], "v": t["u"]})]
+        )
+        return both.group_by(["u", "v"]).aggregate([])
+
+    return edges.map_batches(fn, batch_format="pyarrow")
 
 
 def _distinct_edges(edges: Dataset) -> Dataset:
@@ -116,56 +125,74 @@ def _distinct_edges(edges: Dataset) -> Dataset:
 def _min_mapping(sym: Dataset) -> pa.Table:
     """(node u → m = min(N(u) ∪ {u})) as a driver-side Arrow table.
 
-    One grouped-min shuffle; result is one row per live node.
-    """
-    g = sym.groupby("u").aggregate(Min("v", alias_name="mn"))
+    Per-batch partial mins (combiner) ahead of ONE grouped-min shuffle;
+    result is one row per live node of the edge graph."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by("u").aggregate([("v", "min")]).rename_columns(["u", "mn"])
+
+    g = sym.map_batches(partial, batch_format="pyarrow").groupby("u").aggregate(
+        Min("mn", alias_name="mn")
+    )
     tbl = pa.concat_tables([pa.table(b) for b in g.iter_batches(batch_format="pyarrow")])
     m = pc.min_element_wise(tbl["u"], tbl["mn"])
     return pa.table({"u": tbl["u"], "m": m})
 
 
 def _star_phase(sym_distinct: Dataset, mapping_ref, large: bool) -> Dataset:
-    """Rewrite edges for one star phase (vectorized per batch)."""
+    """Rewrite edges for one star phase (vectorized per batch).
 
-    def rewrite(join_out: pa.Table) -> pa.Table:
-        u, v, m = join_out["u"], join_out["v"], join_out["m"]
+    The mapping attach is a plain-task broadcast hash join with
+    worker-cached state — no actor pool to spin up per phase."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        import ray
+
+        from xlink_ray.state.cached import cached_state
+
+        small = cached_state(("cc_map", mapping_ref.hex()), lambda: ray.get(mapping_ref))
+        j = t.join(small, keys=["u"], join_type="inner")
+        u, v, m = j["u"], j["v"], j["m"]
         if large:
             mask = pc.greater(v, u)
         else:
             mask = pc.less_equal(v, u)
-        t = pa.table({"u": v, "v": m}).filter(mask)
+        out = pa.table({"u": v, "v": m}).filter(mask)
         # small-star also links u itself to m (covers the center row)
         if not large:
-            t = pa.concat_tables([t, pa.table({"u": u, "v": m})])
-        return t.filter(pc.invert(pc.equal(t["u"], t["v"])))
+            out = pa.concat_tables([out, pa.table({"u": u, "v": m})])
+        return out.filter(pc.invert(pc.equal(out["u"], out["v"])))
 
-    attached = sym_distinct.map_batches(
-        BroadcastJoin, fn_constructor_args=(mapping_ref, "u", "inner"),
-        batch_format="pyarrow", concurrency=pool_size(),
-    )
-    return attached.map_batches(rewrite, batch_format="pyarrow")
+    return sym_distinct.map_batches(fn, batch_format="pyarrow")
 
 
-def _edge_sets_equal(old: Dataset, new: Dataset) -> bool:
-    tag_old = old.map_batches(
-        lambda t: t.append_column("tag", pa.array([0] * t.num_rows, pa.int64())),
-        batch_format="pyarrow",
-    )
-    tag_new = new.map_batches(
-        lambda t: t.append_column("tag", pa.array([1] * t.num_rows, pa.int64())),
-        batch_format="pyarrow",
-    )
-    both = tag_old.union(tag_new)
-    per_edge = both.groupby(["u", "v"]).aggregate(
-        Min("tag", alias_name="tmin"), Max("tag", alias_name="tmax")
-    )
-    only_one_side = per_edge.map_batches(
-        lambda t: pa.table(
-            {"c": pc.cast(pc.equal(t["tmin"], t["tmax"]), pa.int64())}
-        ),
-        batch_format="pyarrow",
-    ).sum("c")
-    return not only_one_side
+def _edge_token(edges: Dataset) -> tuple[int, int]:
+    """Order-independent (count, hash-sum mod 2^64) of an edge set.
+
+    Convergence check: equal edge sets ALWAYS produce equal tokens;
+    distinct sets collide with probability ~2^-64 (documented
+    probabilistic test — replaces a union+groupby equality pass with
+    one tiny map + collect over already-materialized blocks)."""
+    from xlink_ray.functions.hashing import md5_low64, mix64
+
+    def tok(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"n": pa.array([0], pa.int64()), "h": pa.array([0], pa.uint64())})
+        u, v = t["u"], t["v"]
+        if pa.types.is_integer(u.type):
+            a = u.to_numpy(zero_copy_only=False).astype(np.uint64)
+            b = v.to_numpy(zero_copy_only=False).astype(np.uint64)
+            z = mix64(a + np.uint64(0x9E3779B97F4A7C15) * mix64(b))
+        else:
+            z = md5_low64([f"{x}|{y}" for x, y in zip(u.to_pylist(), v.to_pylist())])
+        h = np.uint64(np.sum(z, dtype=np.uint64))
+        return pa.table({"n": pa.array([n], pa.int64()), "h": pa.array([h], pa.uint64())})
+
+    rows = edges.map_batches(tok, batch_format="pyarrow").take_all()
+    total = sum(r["n"] for r in rows)
+    hsum = sum(int(r["h"]) for r in rows) & ((1 << 64) - 1)
+    return total, hsum
 
 
 def _distributed_cc(
@@ -182,24 +209,27 @@ def _distributed_cc(
         return out.filter(pc.invert(pc.equal(out["u"], out["v"])))
 
     edges = _distinct_edges(e.map_batches(canon, batch_format="pyarrow")).materialize()
+    tok = _edge_token(edges)
 
     for _ in range(max_rounds):
-        sym = _distinct_edges(_symmetrize(edges)).materialize()
+        # 3 shuffles per round (mapping ×2, round-end distinct); the
+        # symmetrize/rewrite chains are shuffle-free map stages
+        sym = _sym_local(edges).materialize()
         mapping_ref = broadcast_table(_min_mapping(sym))
-        large_out = _distinct_edges(
-            _star_phase(sym, mapping_ref, large=True).map_batches(canon, batch_format="pyarrow")
-        ).materialize()
-
-        sym2 = _distinct_edges(_symmetrize(large_out)).materialize()
+        large_out = _star_phase(sym, mapping_ref, large=True).map_batches(
+            canon, batch_format="pyarrow"
+        )
+        sym2 = _sym_local(large_out).materialize()
         mapping_ref2 = broadcast_table(_min_mapping(sym2))
-        small_out = _distinct_edges(
-            _star_phase(sym2, mapping_ref2, large=False).map_batches(canon, batch_format="pyarrow")
-        ).materialize()
+        small_out = _star_phase(sym2, mapping_ref2, large=False).map_batches(
+            canon, batch_format="pyarrow"
+        )
+        edges = _distinct_edges(small_out).materialize()
 
-        if _edge_sets_equal(edges, small_out):
-            edges = small_out
+        new_tok = _edge_token(edges)
+        if new_tok == tok:
             break
-        edges = small_out
+        tok = new_tok
 
     # stars: (member=u bigger, center=v smaller); centers + singletons self-label
     star = edges.map_batches(
