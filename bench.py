@@ -72,8 +72,13 @@ def _run_queries() -> dict[str, float]:
     ctx.enable_progress_bars = False
 
     from xlink_ray.pipelines import dictbuild, er, flagship
+    from xlink_ray.util import prewarm_workers
 
-    # warm the page cache so we measure compute + shuffle, not cold reads
+    # warm the page cache so we measure compute + shuffle, not cold
+    # reads, and touch every worker process once (this sandbox's
+    # first-touch page faults cost ~80 ms/MB; Ray rotates executions
+    # onto cold workers when slots > concurrent tasks)
+    prewarm_workers()
     dictbuild.pages(SF_DIR).count()
 
     timings: dict[str, float] = {}
@@ -120,7 +125,9 @@ def _headline_only() -> tuple[float, int]:
     from xlink_ray.pipelines import dictbuild, flagship
 
     from xlink_ray import synth
+    from xlink_ray.util import prewarm_workers
 
+    prewarm_workers()  # touch every worker once (sandbox fault cost)
     dictbuild.pages(SF_DIR).count()  # warm the page cache
     pages = synth.synth_pages(SF_DIR, BENCH_REPEAT).count()
     t0 = time.time()

@@ -42,7 +42,7 @@ exercised separately by the fidelity linker stage (stages/linking.py).
 
 from __future__ import annotations
 
-from xlink_ray.util import pool_size
+from xlink_ray.util import heavy_cpus, pool_size
 
 import numpy as np
 import pyarrow as pa
@@ -108,15 +108,23 @@ def _dict_phase(sf_dir: str, repeat: int, align_salt: bool = False):
     ensure_fsspec_http_stub()  # concurrent executions trip the lazy import
 
     with ThreadPoolExecutor(max_workers=2) as ex:
+        hcpu = heavy_cpus()
         corpus_f = ex.submit(
             lambda: pages_slim()
-            .map_batches(ExtractCorpusBatch(), batch_format="pyarrow", batch_size=None)
+            .map_batches(
+                ExtractCorpusBatch(),
+                batch_format="pyarrow",
+                batch_size=None,
+                num_cpus=hcpu,
+            )
             .materialize()
         )
         ma_f = ex.submit(
             lambda: _collect(
                 aggregates.mention_anchors(
-                    pages_slim().map_batches(ExtractMentionsBatch(), batch_format="pyarrow")
+                    pages_slim().map_batches(
+                        ExtractMentionsBatch(), batch_format="pyarrow", num_cpus=hcpu
+                    )
                 )
             )
         )
@@ -195,6 +203,7 @@ def links(sf_dir: str, concurrency: int | tuple[int, int] | None = None, repeat:
                 fn_args=(ma_ref, emb_ref),
                 batch_format="pyarrow",
                 batch_size=256,
+                num_cpus=heavy_cpus(),
             ).materialize()
         )
         freq_tbl = freq_f.result()
@@ -528,12 +537,18 @@ def clusters(sf_dir: str, method: str = "block", repeat: int = 1) -> Dataset:
         _corpus, ma_ref, lp_ref, emb_ref = _prepare(sf_dir, repeat)
         aligned = synth.synth_pages(
             sf_dir, repeat, align_salt=True, slim=True
-        ).map_batches(ExtractCorpusBatch(), batch_format="pyarrow", batch_size=None)
+        ).map_batches(
+            ExtractCorpusBatch(),
+            batch_format="pyarrow",
+            batch_size=None,
+            num_cpus=heavy_cpus(),
+        )
         return aligned.map_batches(
             _fused_cluster_fn,
             fn_args=(ma_ref, lp_ref, emb_ref),
             batch_format="pyarrow",
             batch_size=None,
+            num_cpus=heavy_cpus(),
         )
     lk = links(sf_dir, repeat=repeat)
     if method == "block":

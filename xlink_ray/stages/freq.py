@@ -90,11 +90,14 @@ def freq_m(
     starves the upstream read/extract stages on small sessions).
     """
     if concurrency is None:
+        from xlink_ray.util import heavy_cpus
+
         partials = corpus.map_batches(
             freq_scan_fn,
             fn_args=(vocab_ref,),
             batch_format="pyarrow",
             batch_size=batch_size,
+            num_cpus=heavy_cpus(),
         )
     else:
         partials = corpus.map_batches(

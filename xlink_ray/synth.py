@@ -156,9 +156,10 @@ def synth_pages(
     """
     import pyarrow.parquet as _pq
 
-    from xlink_ray.util import pool_size
+    from xlink_ray.util import heavy_cpus, pool_size
 
     n_total = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    hcpu = heavy_cpus()
 
     if align_salt:
         assert n_total % DOCS_PER_SALT == 0, (n_total, DOCS_PER_SALT)
@@ -183,7 +184,9 @@ def synth_pages(
                         pa.array(ids + r * n_total, pa.int64()),
                     )
 
-            docs = docs.map_batches(expand, batch_format="pyarrow", batch_size=None)
+            docs = docs.map_batches(
+                expand, batch_format="pyarrow", batch_size=None, num_cpus=hcpu
+            )
         # yields coalesce into few large blocks; split back so each
         # block is ~8 salt ranges (bounds every worker's peak batch
         # memory — first-touch page faults on this host are expensive
@@ -197,7 +200,7 @@ def synth_pages(
             default=total_ranges,
         )
         return docs.repartition(nblocks).map_batches(
-            fn_aligned, batch_format="pyarrow", batch_size=None
+            fn_aligned, batch_format="pyarrow", batch_size=None, num_cpus=hcpu
         )
     else:
         # documents.parquet is a single file → a handful of blocks would
@@ -211,7 +214,7 @@ def synth_pages(
     )
     fn = _pages_batch_slim if slim else _pages_batch
     if repeat <= 1:
-        return docs.map_batches(fn, batch_format="pyarrow", batch_size=None)
+        return docs.map_batches(fn, batch_format="pyarrow", batch_size=None, num_cpus=hcpu)
 
     def expand(batch: pa.Table):
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -222,9 +225,9 @@ def synth_pages(
                 pa.array(ids + r * n_total, pa.int64()),
             )
 
-    return docs.map_batches(expand, batch_format="pyarrow", batch_size=None).map_batches(
-        fn, batch_format="pyarrow", batch_size=None
-    )
+    return docs.map_batches(
+        expand, batch_format="pyarrow", batch_size=None, num_cpus=hcpu
+    ).map_batches(fn, batch_format="pyarrow", batch_size=None, num_cpus=hcpu)
 
 
 def read_pages(sf_dir: str) -> "ray.data.Dataset":

@@ -53,3 +53,65 @@ def pool_size(frac: float = 1.0, floor: int = 2) -> tuple[int, int]:
     # 1.5x at 32 CPUs); on a real multi-node cluster the cap would be
     # per-node, not global
     return (1, min(20, max(floor, int(frac * max(ncpu - 2, 1)))))
+
+
+def heavy_cpus() -> float:
+    """``num_cpus`` for memory-bandwidth-bound batch tasks (dictionary
+    scans, markup extraction, fused scan+cluster). A node's memory
+    system saturates well before its CPU slots do — measured here:
+    identical warm tasks run 1.44-2x slower with 32 concurrent
+    memory-touching workers than with <=16, while pure-CPU work scales
+    to 32. Claiming ``ncpu/16`` slots per task caps such stages at ~16
+    concurrent tasks per 32-slot node (a standard resource-modeling
+    move for bandwidth-bound work; on a multi-node cluster this is a
+    per-node cap because each node contributes its own slots)."""
+    import os
+
+    import ray
+
+    override = os.environ.get("XLINK_HEAVY_CPUS")
+    if override:
+        return float(override)
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001 — before init, be conservative
+        ncpu = 8
+    return max(1.0, ncpu / 16.0)
+
+
+def prewarm_workers(mb: int = 64) -> int:
+    """Touch every Ray worker process ONCE so later pipeline tasks run
+    warm. On this sandbox kernel a process's first-touch page faults
+    cost ~80 ms/MB (vs ~0.3 ms/MB on normal hosts), so the FIRST batch
+    a fresh worker processes is 10-400x slower than steady state; with
+    more worker processes than concurrent tasks, Ray keeps rotating
+    executions onto never-touched workers, and that cold cost recurs
+    on every run. One warm task per CPU slot — importing the hot
+    modules and faulting a heap region ≥ the per-batch temporary
+    footprint (heap retention is pinned by ``_tune_allocator``) —
+    pays the cost once, off the measured path.
+
+    Returns the number of distinct worker processes touched. Cheap
+    no-op on normal hosts (~0.3 s total); callers own the Ray session
+    (bench.py / CLI), the library never calls this itself."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+
+    @ray.remote(num_cpus=1)
+    def _warm(mb: int) -> int:
+        import os
+        import time as _t
+
+        import numpy as _np
+
+        import xlink_ray  # noqa: F401 — allocator tune + module import
+        from xlink_ray.stages import candidates  # noqa: F401 — hot path
+
+        buf = _np.empty((mb << 20) // 8, dtype=_np.float64)
+        buf[:: 512] = 1.0  # touch every 4 KiB page
+        _t.sleep(0.4)  # hold the slot so each task lands on a distinct worker
+        return os.getpid()
+
+    pids = ray.get([_warm.remote(mb) for _ in range(ncpu)])
+    return len(set(pids))
