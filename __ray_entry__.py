@@ -544,6 +544,15 @@ def _q_candidate_histogram(sf_dir: str):
     return dictbuild.candidate_histogram(sf_dir)
 
 
+def _q_joint_norms(sf_dir: str):
+    """E2-E5 joint word/entity skip-gram trainer (smoke scale): per-vector
+    norms after one iteration. Iterative SGD over a sharded parameter
+    server — not SQL-expressible; rows-only by design."""
+    from xlink_ray.pipelines.embedding import joint_embedding_norms
+
+    return joint_embedding_norms(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full pages→links→blocking→clusters ER pipeline at
     sf0.001 (north-star composition)."""
@@ -597,6 +606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expanded_anchors": _q_expanded_anchors,
         "title_entities": _q_title_entities,
         "ann_ivf": _q_ann_ivf,
+        "joint_norms": _q_joint_norms,
     }
 
 
