@@ -739,6 +739,47 @@ FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 10""",
 SELECT c_custkey, c_name FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""",
+        # SQL replica of stages/textstats.fingerprints: Horner fold of the
+        # polynomial rolling hash (base 1000003 mod 2^61-1) over code
+        # points — equal to the UTF-8 byte hash because the corpus is
+        # printable ASCII (checked: zero rows match [^\x20-\x7e]) — plus
+        # the md5-low64 cross-check column.
+        "fingerprints": """
+SELECT doc_id,
+  CAST(list_reduce(
+    list_prepend(CAST(0 AS HUGEINT),
+      list_transform(regexp_extract_all(text, '.', 0), c -> CAST(ord(c) AS HUGEINT))),
+    (h, b) -> (h * 1000003 + b) % 2305843009213693951) AS BIGINT) AS rolling_fp,
+  ('0x' || substr(md5(text), 1, 16))::UBIGINT AS md5_fp
+FROM documents""",
+        # SQL replica of stages/textstats.LangIdActor: stopword-profile
+        # argmax (alphabetical tie-break) after a CJK-script-ratio gate.
+        # Tokenization here splits on single spaces — equal to Python
+        # str.split() on this corpus (no tabs/newlines/double spaces).
+        "lang_id": """
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+  FROM documents
+), scores AS (
+  SELECT doc_id,
+    len(list_filter(ts, t -> t IN ('the','a','of','and','to','in','is'))) AS en,
+    len(list_filter(ts, t -> t IN ('der','die','das','und','ist','ein'))) AS de,
+    len(list_filter(ts, t -> t IN ('el','la','de','y','es','un'))) AS es,
+    len(list_filter(ts, t -> t IN ('le','la','de','et','est','un'))) AS fr,
+    length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk,
+    length(text) AS n, len(ts) AS ntoks
+  FROM toks
+)
+SELECT doc_id,
+  CASE WHEN ntoks = 0 THEN 'und'
+       WHEN cjk * 1.0 / greatest(n, 1) > 0.2 THEN 'zh'
+       WHEN greatest(en, de, es, fr) = 0 THEN 'und'
+       WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+       WHEN en >= es AND en >= fr THEN 'en'
+       WHEN es >= fr THEN 'es'
+       ELSE 'fr' END AS pred_lang
+FROM scores""",
         "vocab_counts": """
 SELECT token, CAST(count(*) AS BIGINT) AS n
 FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
