@@ -79,9 +79,30 @@ def _add_salt(t: pa.Table) -> pa.Table:
     )
 
 
+# Collected dictionary state (mention anchors + derived tables) is
+# broadcast to every scan task. It is dictionary-sized, not
+# corpus-sized — but at the reference's production scale (~5.13 M
+# entities, align.c:986) it reaches multi-GB, where a driver collect
+# stops being free. Guard: refuse past XLINK_DICT_MAX_MB (default
+# 8192). Migration path at that scale (unchanged semantics): keep the
+# anchor table AS A DATASET, hash-partition both it and the corpus
+# scan output by mention, and attach e_given_m / link_prob via a
+# co-partitioned Dataset.join instead of a broadcast lookup — the
+# candidate scan itself already only needs the per-task vocab
+# automaton, which shards the same way.
+_DICT_MAX_MB = float(__import__("os").environ.get("XLINK_DICT_MAX_MB", "8192"))
+
+
 def _collect(ds: Dataset) -> pa.Table:
     tbls = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
-    return pa.concat_tables(tbls) if tbls else pa.table({})
+    out = pa.concat_tables(tbls) if tbls else pa.table({})
+    if out.nbytes > _DICT_MAX_MB * 1e6:
+        raise MemoryError(
+            f"dictionary-side collect is {out.nbytes / 1e6:.0f} MB "
+            f"(> XLINK_DICT_MAX_MB={_DICT_MAX_MB:.0f}); switch to the "
+            "partitioned-join path documented above _collect()"
+        )
+    return out
 
 
 def _dict_phase(sf_dir: str, repeat: int, align_salt: bool = False):
