@@ -51,6 +51,15 @@ def test_distributed_cc_mixed(ray_session):
     assert got == _oracle_cc(edges, nodes)
 
 
+def test_distributed_cc_join_attach(ray_session):
+    """attach='join' (Dataset.join mapping attach — no driver collect)
+    must equal the broadcast attach and the oracle."""
+    edges = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (50, 60)]
+    eds = rd.from_items([{"id_a": a, "id_b": b} for a, b in edges])
+    got = _cc_dict(connected_components(eds, method="distributed", attach="join"))
+    assert got == _oracle_cc(edges, None)
+
+
 def test_string_node_ids(ray_session):
     edges = [("b", "a"), ("c", "b"), ("x", "y")]
     eds = rd.from_items([{"id_a": a, "id_b": b} for a, b in edges])

@@ -13,11 +13,13 @@ Both phases preserve connectivity; alternation converges in
 O(log² n) rounds to a forest of stars whose centers are the component
 minima. Each phase here is ONE grouped-min shuffle over the
 symmetrized edge list + a vectorized rewrite with the min-neighbor
-mapping attached by broadcast. The mapping is one row per live node of
-the *edge* graph (candidate pairs, already blocked+thresholded — far
-smaller than the corpus); if a deployment's live-node set outgrew
-worker memory, the attach becomes a ``Dataset.join`` on ``u`` with no
-other change to the round structure.
+mapping attached either by broadcast (``attach="broadcast"`` — the
+mapping is one row per live node of the *edge* graph: candidate pairs,
+already blocked+thresholded, far smaller than the corpus) or by a
+distributed ``Dataset.join`` hash shuffle on ``u``
+(``attach="join"`` — the mapping never touches the driver; the scale
+path when the live-node set outgrows a single worker). Both attaches
+share the same rewrite kernel; equality is test-pinned.
 Convergence is detected via an order-independent hash-sum token of
 the round's edge set (equal sets always match; distinct sets collide
 with probability ~2^-64) — one tiny map + collect instead of a
@@ -122,8 +124,8 @@ def _distinct_edges(edges: Dataset) -> Dataset:
     )
 
 
-def _min_mapping(sym: Dataset) -> pa.Table:
-    """(node u → m = min(N(u) ∪ {u})) as a driver-side Arrow table.
+def _min_mapping_ds(sym: Dataset) -> Dataset:
+    """(node u → m = min(N(u) ∪ {u})) as a Dataset — never collected.
 
     Per-batch partial mins (combiner) ahead of ONE grouped-min shuffle;
     result is one row per live node of the edge graph."""
@@ -131,12 +133,22 @@ def _min_mapping(sym: Dataset) -> pa.Table:
     def partial(t: pa.Table) -> pa.Table:
         return t.group_by("u").aggregate([("v", "min")]).rename_columns(["u", "mn"])
 
-    g = sym.map_batches(partial, batch_format="pyarrow").groupby("u").aggregate(
-        Min("mn", alias_name="mn")
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"u": t["u"], "m": pc.min_element_wise(t["u"], t["mn"])})
+
+    return (
+        sym.map_batches(partial, batch_format="pyarrow")
+        .groupby("u").aggregate(Min("mn", alias_name="mn"))
+        .map_batches(finish, batch_format="pyarrow")
     )
-    tbl = pa.concat_tables([pa.table(b) for b in g.iter_batches(batch_format="pyarrow")])
-    m = pc.min_element_wise(tbl["u"], tbl["mn"])
-    return pa.table({"u": tbl["u"], "m": m})
+
+
+def _min_mapping(sym: Dataset) -> pa.Table:
+    """Driver-side collect of :func:`_min_mapping_ds` (broadcast attach)."""
+    g = _min_mapping_ds(sym)
+    return pa.concat_tables(
+        [pa.table(b) for b in g.iter_batches(batch_format="pyarrow")]
+    )
 
 
 def _star_phase(sym_distinct: Dataset, mapping_ref, large: bool) -> Dataset:
@@ -151,19 +163,43 @@ def _star_phase(sym_distinct: Dataset, mapping_ref, large: bool) -> Dataset:
         from xlink_ray.state.cached import cached_state
 
         small = cached_state(("cc_map", mapping_ref.hex()), lambda: ray.get(mapping_ref))
-        j = t.join(small, keys=["u"], join_type="inner")
-        u, v, m = j["u"], j["v"], j["m"]
-        if large:
-            mask = pc.greater(v, u)
-        else:
-            mask = pc.less_equal(v, u)
-        out = pa.table({"u": v, "v": m}).filter(mask)
-        # small-star also links u itself to m (covers the center row)
-        if not large:
-            out = pa.concat_tables([out, pa.table({"u": u, "v": m})])
-        return out.filter(pc.invert(pc.equal(out["u"], out["v"])))
+        return _star_rewrite(t.join(small, keys=["u"], join_type="inner"), large)
 
     return sym_distinct.map_batches(fn, batch_format="pyarrow")
+
+
+def _star_rewrite(t: pa.Table, large: bool) -> pa.Table:
+    """Vectorized star rewrite over a (u, v, m) joined batch."""
+    u, v, m = t["u"], t["v"], t["m"]
+    if large:
+        mask = pc.greater(v, u)
+    else:
+        mask = pc.less_equal(v, u)
+    out = pa.table({"u": v, "v": m}).filter(mask)
+    if not large:
+        out = pa.concat_tables([out, pa.table({"u": u, "v": m})])
+    return out.filter(pc.invert(pc.equal(out["u"], out["v"])))
+
+
+def _star_phase_join(sym: Dataset, large: bool, num_partitions: int) -> Dataset:
+    """Star phase with the min-mapping attached by a distributed
+    ``Dataset.join`` (hash shuffle on ``u``) instead of a driver
+    collect + broadcast — the 100-TB path when the live-node mapping
+    outgrows worker memory. Same rewrite kernel as the broadcast path.
+
+    Both sides are repartitioned first: Ray 2.49's hash-shuffle join
+    chokes on the empty zero-column blocks that sort-based groupby
+    emits ("No match ... for key field reference u"); repartition
+    consolidates blocks under the real schema. The split/merge
+    repartition is shuffle-free and the join shuffles anyway."""
+    mapping = _min_mapping_ds(sym).repartition(num_partitions)
+    left = sym.repartition(num_partitions)
+    joined = left.join(
+        mapping, join_type="inner", num_partitions=num_partitions, on=("u",)
+    )
+    return joined.map_batches(
+        lambda t: _star_rewrite(t, large), batch_format="pyarrow"
+    )
 
 
 def _edge_token(edges: Dataset) -> tuple[int, int]:
@@ -200,6 +236,7 @@ def _distributed_cc(
     nodes: Dataset | None,
     node_col: str | None,
     max_rounds: int,
+    attach: str = "broadcast",
 ) -> Dataset:
     # canonical distinct undirected edges, no self loops
     def canon(t: pa.Table) -> pa.Table:
@@ -212,18 +249,27 @@ def _distributed_cc(
     tok = _edge_token(edges)
 
     for _ in range(max_rounds):
-        # 3 shuffles per round (mapping ×2, round-end distinct); the
-        # symmetrize/rewrite chains are shuffle-free map stages
+        # broadcast attach: 3 shuffles per round (mapping ×2, round-end
+        # distinct), symmetrize/rewrite chains are shuffle-free maps.
+        # join attach: +2 hash-join shuffles, but the mapping never
+        # touches the driver — the live-node set can exceed any single
+        # worker's memory (the 100-TB regime).
         sym = _sym_local(edges).materialize()
-        mapping_ref = broadcast_table(_min_mapping(sym))
-        large_out = _star_phase(sym, mapping_ref, large=True).map_batches(
-            canon, batch_format="pyarrow"
-        )
+        if attach == "join":
+            parts = max(2, min(16, sym.num_blocks()))
+            large_out = _star_phase_join(sym, large=True, num_partitions=parts)
+        else:
+            mapping_ref = broadcast_table(_min_mapping(sym))
+            large_out = _star_phase(sym, mapping_ref, large=True)
+        large_out = large_out.map_batches(canon, batch_format="pyarrow")
         sym2 = _sym_local(large_out).materialize()
-        mapping_ref2 = broadcast_table(_min_mapping(sym2))
-        small_out = _star_phase(sym2, mapping_ref2, large=False).map_batches(
-            canon, batch_format="pyarrow"
-        )
+        if attach == "join":
+            parts = max(2, min(16, sym2.num_blocks()))
+            small_out = _star_phase_join(sym2, large=False, num_partitions=parts)
+        else:
+            mapping_ref2 = broadcast_table(_min_mapping(sym2))
+            small_out = _star_phase(sym2, mapping_ref2, large=False)
+        small_out = small_out.map_batches(canon, batch_format="pyarrow")
         edges = _distinct_edges(small_out).materialize()
 
         new_tok = _edge_token(edges)
@@ -265,9 +311,17 @@ def connected_components(
     node_col: str | None = None,
     method: str = "auto",
     max_rounds: int = 20,
+    attach: str = "broadcast",
 ) -> Dataset:
     """edges (a, b) [+ optional nodes for singletons] →
-    (member_id, cluster_id = min id of the component)."""
+    (member_id, cluster_id = min id of the component).
+
+    ``attach`` picks how the distributed path attaches the per-round
+    min-neighbor mapping: ``"broadcast"`` (driver collect + ``ray.put``,
+    right when live nodes ≪ worker memory — candidate pairs after
+    blocking+thresholding) or ``"join"`` (distributed ``Dataset.join``
+    hash shuffle on ``u`` — the mapping never touches the driver; the
+    scale path when the live-node set outgrows a single worker)."""
     e = _edges_table(edges, a, b)
 
     if method == "auto":
@@ -294,4 +348,4 @@ def connected_components(
         tbl = pa.concat_tables(batches).combine_chunks()
         return rd.from_arrow(_local_cc(tbl, extra))
 
-    return _distributed_cc(e, nodes, node_col, max_rounds)
+    return _distributed_cc(e, nodes, node_col, max_rounds, attach=attach)
