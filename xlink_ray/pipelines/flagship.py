@@ -532,16 +532,17 @@ def _fused_cluster_fn(batch: pa.Table, ma_ref, lp_ref, emb_ref) -> pa.Table:
     )
 
 
-def clusters(sf_dir: str, method: str = "block", repeat: int = 1) -> Dataset:
+def clusters(sf_dir: str, method: str = "fused", repeat: int = 1) -> Dataset:
     """Full flagship pipeline → (member_id, cluster_id).
 
     Methods (all produce IDENTICAL output — tests pin equality):
-      * "block" (default): explicit groupby shuffle on the salted
-        blocking key, per-block clustering in the group task,
-      * "fused": salt-range-aligned input blocks → candidate scan and
-        clustering in one task, zero shuffle after the dictionary
-        phase — the scale configuration (a block can never contribute
-        to another block's clusters because the salt IS the partition),
+      * "fused" (default): salt-range-aligned input blocks → candidate
+        scan and clustering in one task, zero shuffle after the
+        dictionary phase — the scale configuration (a block can never
+        contribute to another block's clusters because the salt IS the
+        partition),
+      * "block": explicit groupby shuffle on the salted blocking key,
+        per-block clustering in the group task,
       * "local"/"distributed": edges + the generic connected-components
         operator (driver union-find / star rounds).
     """
