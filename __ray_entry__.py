@@ -455,6 +455,23 @@ def _q_fingerprints(sf_dir: str):
     return fingerprints(_docs(sf_dir))
 
 
+def _q_doc_sample(sf_dir: str):
+    """Deterministic md5-hash 10% sample of documents (resumable,
+    partition/cluster-size independent — unlike random_sample)."""
+    from xlink_ray.stages.curation import hash_sample
+
+    return hash_sample(_docs(sf_dir), pct=10, mod=100)
+
+
+def _q_decontamination(sf_dir: str):
+    """Benchmark decontamination: flag docs sharing any word-8-gram
+    with the 32-doc benchmark set (smallest id hashes); benchmark grams
+    broadcast once, corpus streams — no shuffle."""
+    from xlink_ray.stages.curation import decontaminate
+
+    return decontaminate(_docs(sf_dir), k=8, n_bench=32)
+
+
 def _q_media_features(sf_dir: str):
     import ray.data as rd
 
@@ -588,6 +605,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
+        "doc_sample": _q_doc_sample,
+        "decontamination": _q_decontamination,
         "media_features": _q_media_features,
         "pricing_summary": _q_pricing_summary,
         "nation_revenue": _q_nation_revenue,
@@ -780,6 +799,38 @@ SELECT doc_id,
        WHEN es >= fr THEN 'es'
        ELSE 'fr' END AS pred_lang
 FROM scores""",
+        # SQL replica of stages/curation.hash_sample: same md5-low64
+        # id-hash predicate.
+        "doc_sample": """
+SELECT * FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 100 < 10""",
+        # SQL replica of stages/curation.decontaminate: the Ray side
+        # matches 61-bit gram HASHES, the oracle matches gram STRINGS —
+        # equal outputs unless two distinct grams collide mod M61
+        # (~1e-7 at this scale). Benchmark = 32 smallest (md5(id), id).
+        "decontamination": """
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT AS hh
+  FROM documents
+), bench AS (
+  SELECT doc_id FROM h ORDER BY hh, doc_id LIMIT 32
+), tok AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), grams AS (
+  SELECT tok.doc_id, array_to_string(ts[s.i : s.i + 7], ' ') AS g
+  FROM tok,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 7, 0))) AS i) s(i)
+), bgrams AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id IN (SELECT doc_id FROM bench)
+), hits AS (
+  SELECT grams.doc_id, CAST(count(DISTINCT g) AS BIGINT) AS n_hits
+  FROM grams JOIN bgrams USING (g) GROUP BY grams.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(hits.n_hits, 0) AS n_hits,
+       COALESCE(hits.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id""",
         "vocab_counts": """
 SELECT token, CAST(count(*) AS BIGINT) AS n
 FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

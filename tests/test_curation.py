@@ -1,0 +1,92 @@
+"""Curation operators: deterministic hash sampling and benchmark
+decontamination (stages/curation.py)."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def _docs_ds(rows):
+    return rd.from_arrow(pa.Table.from_pylist(rows))
+
+
+def _md5_low64(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+
+
+def test_hash_sample_matches_predicate_and_is_stable(ray_session):
+    from xlink_ray.stages.curation import hash_sample
+
+    rows = [{"doc_id": i, "text": f"doc {i}"} for i in range(200)]
+    want = {i for i in range(200) if _md5_low64(str(i)) % 100 < 10}
+    got1 = set(hash_sample(_docs_ds(rows), pct=10).to_pandas()["doc_id"])
+    assert got1 == want
+    # stable under a different partitioning (the resumability property)
+    got2 = set(
+        hash_sample(_docs_ds(rows).repartition(7), pct=10).to_pandas()["doc_id"]
+    )
+    assert got2 == want
+
+
+def _py_grams(text: str, k: int) -> set:
+    toks = text.split(" ")
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def test_decontaminate_vs_python_oracle(ray_session):
+    from xlink_ray.stages.curation import benchmark_doc_ids, decontaminate
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{j}" for j in range(30)]
+    rows = [
+        {"doc_id": i, "text": " ".join(rng.choice(vocab, size=40))}
+        for i in range(120)
+    ]
+    # a couple of short docs (< k tokens → no grams, never contaminated
+    # unless... never: they produce no grams at all)
+    rows += [{"doc_id": 200, "text": "w1 w2 w3"}, {"doc_id": 201, "text": ""}]
+    ds = _docs_ds(rows)
+    k, n_bench = 8, 8
+
+    bench = benchmark_doc_ids(ds, n_bench=n_bench)
+    assert bench == sorted(
+        (r["doc_id"] for r in rows),
+        key=lambda i: (_md5_low64(str(i)), i),
+    )[:n_bench]
+
+    bgrams = set()
+    for r in rows:
+        if r["doc_id"] in bench:
+            bgrams |= _py_grams(r["text"], k)
+    want = {
+        r["doc_id"]: len(_py_grams(r["text"], k) & bgrams) for r in rows
+    }
+
+    got = decontaminate(ds, k=k, n_bench=n_bench).to_pandas()
+    assert dict(zip(got["doc_id"], got["n_hits"])) == want
+    assert dict(zip(got["doc_id"], got["contaminated"])) == {
+        d: n > 0 for d, n in want.items()
+    }
+    # benchmark docs long enough to have grams must self-flag
+    by_id = dict(zip(got["doc_id"], got["contaminated"]))
+    for b in bench:
+        text = next(r["text"] for r in rows if r["doc_id"] == b)
+        if len(text.split(" ")) >= k:
+            assert by_id[b]
+
+
+def test_gram_windows_never_cross_doc_boundaries(ray_session):
+    from xlink_ray.stages.curation import _gram_hashes
+
+    # two docs of 5 tokens each: with k=8 a flat scan would produce
+    # cross-boundary windows; the mask must kill them all
+    texts = pa.array(["a b c d e", "f g h i j"])
+    doc_idx, grams = _gram_hashes(texts, 8)
+    assert len(doc_idx) == 0 and len(grams) == 0
+    # k=3: each doc yields 3 windows, none crossing
+    doc_idx, grams = _gram_hashes(texts, 3)
+    assert list(doc_idx) == [0, 0, 0, 1, 1, 1]
+    assert len(set(zip(doc_idx, grams))) == 6

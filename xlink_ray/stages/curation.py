@@ -1,0 +1,175 @@
+"""Corpus-curation operators for training-data pipelines: deterministic
+hash sampling and benchmark decontamination.
+
+Both are single streaming passes with no shuffle:
+
+* ``hash_sample`` keeps rows whose SQL-stable id hash falls under a
+  rate threshold — the resumable, cluster-stable alternative to
+  ``Dataset.random_sample`` (same rows on every rerun, any partitioning,
+  any cluster size; DuckDB replica:
+  ``('0x'||substr(md5(CAST(id AS VARCHAR)),1,16))::UBIGINT % mod < pct``).
+* ``decontaminate`` flags documents sharing any word k-gram with a
+  benchmark set. The benchmark is FIXED-SIZE by construction (real
+  benchmarks are a few MB regardless of corpus size), so its distinct
+  gram-hash set is built once, ``ray.put`` once, and every scan task
+  probes it zero-copy — the corpus itself streams. n-gram hashes are
+  Horner folds of md5-low64 token hashes mod M61 (the repo's
+  oracle-stable hash family, functions/hashing.py).
+
+Tokenization is the single-space split shared with ``token_counts``
+(DuckDB ``string_split(text, ' ')`` semantics) so the whole operator is
+SQL-oracle-checkable gram-for-gram.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data import Dataset
+
+from xlink_ray.functions.hashing import M61, affine61, md5_low64
+
+__all__ = ["hash_sample", "benchmark_doc_ids", "decontaminate"]
+
+_GRAM_BASE = np.uint64(1000003)
+
+
+def _id_hashes(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """md5-low64 of the decimal string of each id (matches DuckDB
+    ``md5(CAST(id AS VARCHAR))``)."""
+    return md5_low64([str(x) for x in col.to_pylist()])
+
+
+def hash_sample(
+    ds: Dataset, pct: int = 10, mod: int = 100, id_col: str = "doc_id"
+) -> Dataset:
+    """Deterministic ``pct/mod`` sample: keep rows with
+    md5_low64(str(id)) % mod < pct. Stable across reruns, partitionings
+    and cluster sizes — the property plain random sampling lacks for
+    resumable 100-TB runs."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        keep = (_id_hashes(t[id_col]) % np.uint64(mod)) < np.uint64(pct)
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _gram_hashes(
+    texts: pa.ChunkedArray | pa.Array, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct-per-doc word-k-gram hashes over single-space tokens.
+
+    Returns ``(doc_idx, gram_hash)`` — parallel arrays, one row per
+    DISTINCT (doc, gram) occurrence, both sorted by (doc_idx, hash).
+    Gram hash = Horner fold of the k token md5-low64 hashes mod M61;
+    vectorized as k shifted-slice affine61 passes over the flat token
+    array (windows crossing a document boundary are masked out).
+    """
+    from xlink_ray.stages.dedup import _token_hashes64
+
+    n = len(texts)
+    if n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+    toks = pc.split_pattern(pc.cast(texts, pa.string()), " ")
+    flat = pc.list_flatten(toks)
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    m = len(flat)
+    if m < k:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+    th = _token_hashes64(flat) % np.uint64(M61)
+    acc = np.zeros(m - k + 1, dtype=np.uint64)
+    for j in range(k):
+        acc = affine61(acc, _GRAM_BASE, th[j : m - k + 1 + j])
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+    valid = doc_of[: m - k + 1] == doc_of[k - 1 :]
+    doc_idx, gram = doc_of[: m - k + 1][valid], acc[valid]
+    if len(gram) == 0:
+        return doc_idx, gram
+    order = np.lexsort((gram, doc_idx))
+    doc_idx, gram = doc_idx[order], gram[order]
+    first = np.ones(len(gram), dtype=bool)
+    first[1:] = (doc_idx[1:] != doc_idx[:-1]) | (gram[1:] != gram[:-1])
+    return doc_idx[first], gram[first]
+
+
+def benchmark_doc_ids(
+    ds: Dataset, n_bench: int = 32, id_col: str = "doc_id"
+) -> list:
+    """The ``n_bench`` doc ids with the smallest (md5-low64(str(id)),
+    id) — a deterministic fixed-size stand-in for "the benchmark
+    suite". Per-batch partial top-k + a driver merge of the tiny
+    partials (the ANN pattern); never collects the corpus."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        h = _id_hashes(t[id_col])
+        top = np.lexsort((ids, h))[:n_bench]
+        return pa.table({"id": pa.array(ids[top]), "h": pa.array(h[top])})
+
+    parts = pa.concat_tables(
+        pa.table(b)
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    ids = parts["id"].to_numpy(zero_copy_only=False)
+    h = parts["h"].to_numpy(zero_copy_only=False)
+    return [x for x in ids[np.lexsort((ids, h))[:n_bench]]]
+
+
+def decontaminate(
+    ds: Dataset,
+    k: int = 8,
+    n_bench: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """(doc_id, n_hits, contaminated) — per document, the number of its
+    DISTINCT word-k-grams that appear in the benchmark docs' gram set
+    (benchmark docs therefore flag themselves — by design: a training
+    corpus must not contain the benchmark itself).
+
+    Scale shape: benchmark grams are built from ``n_bench`` docs (fixed
+    size, independent of corpus scale), broadcast once via ``ray.put``;
+    the corpus streams through one vectorized map_batches probe
+    (searchsorted against the sorted gram array). No shuffle anywhere.
+    """
+    bench_ids = benchmark_doc_ids(ds, n_bench=n_bench, id_col=id_col)
+    id_set = pa.array(bench_ids)
+
+    def bench_rows(t: pa.Table) -> pa.Table:
+        return t.select([id_col, text_col]).filter(
+            pc.is_in(t[id_col], value_set=id_set)
+        )
+
+    bt = pa.concat_tables(
+        pa.table(b)
+        for b in ds.map_batches(bench_rows, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    _, bench_grams = _gram_hashes(bt[text_col], k)
+    bench_ref = ray.put(np.unique(bench_grams))
+
+    def score(t: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)  # zero-copy from the object store
+        doc_idx, gram = _gram_hashes(t[text_col], k)
+        n_hits = np.zeros(t.num_rows, dtype=np.int64)
+        if len(gram) and len(bench):
+            pos = np.searchsorted(bench, gram)
+            pos[pos == len(bench)] = 0
+            hit = bench[pos] == gram
+            np.add.at(n_hits, doc_idx[hit], 1)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_hits": pa.array(n_hits),
+                "contaminated": pa.array(n_hits > 0),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
