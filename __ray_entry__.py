@@ -161,6 +161,17 @@ def _q_links(sf_dir: str):
     )
 
 
+def _q_links_partitioned(sf_dir: str):
+    """The no-dictionary-broadcast linking path: per-entity state
+    attaches via hash-shuffle Dataset.joins (equality with the
+    broadcast path is test-pinned in tests/test_flagship.py)."""
+    from xlink_ray.pipelines import flagship
+
+    return flagship.links_partitioned(sf_dir).select_columns(
+        ["doc_id", "offset", "mention", "entity_id"]
+    )
+
+
 def _q_flagship_clusters(sf_dir: str):
     """Full ER pipeline → clusters (rows-only; fidelity is gated by the
     transcription-oracle pairwise-F1 test in tests/test_flagship.py)."""
@@ -594,6 +605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_clusters_dist": _q_er_clusters_dist,
         "doc_mentions": _q_doc_mentions,
         "links": _q_links,
+        "links_partitioned": _q_links_partitioned,
         "flagship_clusters": _q_flagship_clusters,
         "exact_dedup": _q_exact_dedup,
         "token_counts": _q_token_counts,

@@ -73,3 +73,25 @@ def test_flagship_gold_quality(ray_session, sf_small):
     # noisy context ⇒ expect a solid but imperfect score
     assert metrics["f1"] > 0.5, metrics
     print("gold pairwise F1:", metrics)
+
+
+def test_links_partitioned_equals_broadcast(ray_session, sf_small):
+    """The no-dictionary-broadcast join path produces the same links as
+    the broadcast path: identical rows, believe equal to float
+    tolerance (matmul vs per-row dot differ in the last ulp)."""
+    import numpy as np
+
+    from xlink_ray.pipelines import flagship
+
+    key = ["doc_id", "offset"]
+    a = flagship.links(sf_small).to_pandas().sort_values(key).reset_index(drop=True)
+    b = (
+        flagship.links_partitioned(sf_small)
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b)
+    for c in ["doc_id", "offset", "mention", "entity_id", "context"]:
+        assert (a[c] == b[c]).all(), c
+    assert np.allclose(a["believe"], b["believe"], atol=1e-12)

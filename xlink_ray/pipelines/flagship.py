@@ -84,12 +84,12 @@ def _add_salt(t: pa.Table) -> pa.Table:
 # corpus-sized — but at the reference's production scale (~5.13 M
 # entities, align.c:986) it reaches multi-GB, where a driver collect
 # stops being free. Guard: refuse past XLINK_DICT_MAX_MB (default
-# 8192). Migration path at that scale (unchanged semantics): keep the
-# anchor table AS A DATASET, hash-partition both it and the corpus
-# scan output by mention, and attach e_given_m / link_prob via a
-# co-partitioned Dataset.join instead of a broadcast lookup — the
-# candidate scan itself already only needs the per-task vocab
-# automaton, which shards the same way.
+# 8192). Migration path at that scale (unchanged semantics):
+# ``links_partitioned`` below — the anchor table stays a Dataset and
+# e_given_m / link_prob / entity vectors attach via co-partitioned
+# ``Dataset.join`` on mention/entity_id instead of broadcast lookups;
+# the scan keeps only the vocab automaton per worker. Equality with
+# this broadcast path is test-pinned.
 _DICT_MAX_MB = float(__import__("os").environ.get("XLINK_DICT_MAX_MB", "8192"))
 
 
@@ -231,6 +231,261 @@ def links(sf_dir: str, concurrency: int | tuple[int, int] | None = None, repeat:
         raw = raw_f.result()
     lp_ref = broadcast_table(_lp_table(link_m, freq_tbl))
     return raw.map_batches(link_prob_filter, fn_args=(lp_ref,), batch_format="pyarrow")
+
+
+def _join_score_fn(batch: pa.Table) -> pa.Table:
+    """Per-partition scoring + argmax for the partitioned-join linking
+    path. Input: occurrence rows joined with candidate rows on
+    ``mention`` (doc_id, offset, mention, context, ctxvec, entity_id,
+    e_given_m, link_prob, evec). Every candidate row of one occurrence
+    shares its mention, so the hash-join co-locates the whole argmax
+    group in ONE partition — the kernel runs per block (batch_size=None)
+    with no further shuffle.
+
+    Same math as stages/candidates.resolve_batch: believe =
+    e_given_m^POWER · cos(ctxvec, evec) (missing entity vec → 0), ties
+    to the smallest entity_id, P8 keep thresholds on link_prob."""
+    from xlink_ray.stages.candidates import BELIEVE_TH, LINK_PROB_TH, POWER
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.string()),
+            "offset": pa.array([], pa.int64()),
+            "mention": pa.array([], pa.string()),
+            "entity_id": pa.array([], pa.string()),
+            "believe": pa.array([], pa.float64()),
+            "context": pa.array([], pa.string()),
+        }
+    )
+    n = batch.num_rows
+    if n == 0:
+        return empty
+
+    # vectors travel through the hash joins as binary blobs (Acero
+    # rejects list-typed non-key columns in joins); decode here
+    ctx = np.frombuffer(
+        b"".join(batch["ctxbin"].to_pylist()), dtype=np.float64
+    ).reshape(n, -1)
+    dim = ctx.shape[1]
+    evec_list = batch["evec"].to_pylist()
+    ev = np.zeros((n, dim), dtype=np.float64)
+    for i, v in enumerate(evec_list):  # candidate rows with a vec only
+        if v is not None:
+            ev[i] = np.frombuffer(v, dtype=np.float64)
+    num = np.einsum("ij,ij->i", ctx, ev)
+    den = np.linalg.norm(ctx, axis=1) * np.linalg.norm(ev, axis=1)
+    cos = np.zeros(n, dtype=np.float64)
+    nz = den > 0
+    cos[nz] = num[nz] / den[nz]
+
+    egm = batch["e_given_m"].to_numpy(zero_copy_only=False).astype(np.float64)
+    believe = (egm**POWER) * cos
+    lp = pc.coalesce(batch["link_prob"], pa.scalar(0.0, pa.float64())).to_numpy(
+        zero_copy_only=False
+    )
+
+    doc = np.asarray(batch["doc_id"].to_pylist())
+    off = batch["offset"].to_numpy(zero_copy_only=False)
+    ent = np.asarray(batch["entity_id"].to_pylist())
+    _, doc_code = np.unique(doc, return_inverse=True)
+    # (occ, believe desc, entity asc) → first row per (doc, offset) is
+    # the argmax with the smallest-entity tie-break
+    order = np.lexsort((ent, -believe, off, doc_code))
+    dc_s, off_s = doc_code[order], off[order]
+    first = np.ones(n, dtype=bool)
+    first[1:] = (dc_s[1:] != dc_s[:-1]) | (off_s[1:] != off_s[:-1])
+    sel = order[first]
+    keep = (lp[sel] > LINK_PROB_TH) & ((believe[sel] + lp[sel]) / 2.0 > BELIEVE_TH)
+    sel = sel[keep]
+    if len(sel) == 0:
+        return empty
+    return pa.table(
+        {
+            "doc_id": pa.array(doc[sel], pa.string()),
+            "offset": pa.array(off[sel]),
+            "mention": batch["mention"].take(pa.array(sel)),
+            "entity_id": pa.array(ent[sel], pa.string()),
+            "believe": pa.array(believe[sel]),
+            "context": batch["context"].take(pa.array(sel)),
+        }
+    )
+
+
+def links_partitioned(
+    sf_dir: str, repeat: int = 1, num_partitions: int | None = None
+) -> Dataset:
+    """The linking path with NO dictionary broadcast: every per-ENTITY
+    table (mention_anchors / e_given_m, link_prob, entity vectors)
+    stays a Dataset and attaches to the scan output via hash-shuffle
+    ``Dataset.join`` on ``mention`` / ``entity_id`` — the migration
+    path documented at ``_collect()`` for dictionaries past
+    ``XLINK_DICT_MAX_MB`` (reference production scale: ~5.13 M
+    entities, align.c:986, where broadcast state reaches multi-GB).
+
+    What still broadcasts (and must, matching the reference's
+    per-process state): the distinct mention VOCABULARY (the scan
+    automaton's alphabet — strings only, no per-entity stats) and the
+    word-vector model for context embedding. Equality with ``links()``
+    is test-pinned (same rows; believe equal to float tolerance).
+
+    Cost shape: +3 hash-shuffle joins and one argmax-local scoring
+    pass instead of dictionary-sized driver collects — the trade the
+    100-TB regime wants. The argmax needs no extra shuffle because all
+    candidates of an occurrence share its mention (see _join_score_fn).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from xlink_ray import synth
+    from xlink_ray.stages import aggregates
+    from xlink_ray.stages.candidates import occurrence_scan_fn
+    from xlink_ray.stages.extract import ExtractCorpusBatch, ExtractMentionsBatch
+    from xlink_ray.stages.freq import freq_m as freq_m_stage
+
+    hcpu = heavy_cpus()
+
+    def pages_slim():
+        return synth.synth_pages(sf_dir, repeat, slim=True)
+
+    corpus = (
+        pages_slim()
+        .map_batches(
+            ExtractCorpusBatch(), batch_format="pyarrow", batch_size=None, num_cpus=hcpu
+        )
+        .materialize()
+    )
+    ma_ds = aggregates.mention_anchors(
+        pages_slim().map_batches(
+            ExtractMentionsBatch(), batch_format="pyarrow", num_cpus=hcpu
+        )
+    ).materialize()
+    nparts = num_partitions or max(2, min(32, corpus.num_blocks()))
+
+    # the scanner alphabet: distinct mention strings (the one
+    # dictionary-shaped worker state this path keeps — same per-process
+    # trie requirement as the reference)
+    vocab = sorted(
+        {
+            m
+            for b in ma_ds.select_columns(["mention"]).iter_batches(
+                batch_format="pyarrow"
+            )
+            for m in b["mention"].to_pylist()
+        }
+    )
+    vocab_ref = ray.put(vocab)
+
+    # per-mention stats as DATASETS (repartition consolidates the
+    # zero-column empty blocks sort-based groupby emits — same Ray 2.49
+    # join workaround as clustering._star_phase_join)
+    link_m_ds = (
+        ma_ds.groupby("mention")
+        .aggregate(Sum("link_count", alias_name="link_m"))
+        .repartition(nparts)
+        .materialize()  # consumed by two joins
+    )
+    freq_ds = freq_m_stage(corpus, vocab_ref).repartition(nparts)
+
+    def lp_fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "mention": t["mention"],
+                "link_prob": pc.divide(
+                    pc.cast(t["link_m"], pa.float64()), pc.cast(t["freq"], pa.float64())
+                ),
+            }
+        )
+
+    # each dictionary-sided join is materialized before the next one
+    # launches: N concurrent hash-joins in one streaming DAG would
+    # instantiate N aggregator pools at once and deadlock small
+    # sessions (the big occurrence join below then runs alone)
+    lp_ds = (
+        link_m_ds.join(
+            freq_ds, join_type="inner", num_partitions=nparts, on=("mention",)
+        )
+        .map_batches(lp_fn, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def egm_fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "mention": t["mention"],
+                "entity_id": t["entity_id"],
+                "e_given_m": pc.divide(
+                    pc.cast(t["link_count"], pa.float64()),
+                    pc.cast(t["link_m"], pa.float64()),
+                ),
+            }
+        )
+
+    cand = (
+        ma_ds.repartition(nparts)
+        .join(link_m_ds, join_type="inner", num_partitions=nparts, on=("mention",))
+        .map_batches(egm_fn, batch_format="pyarrow")
+        .repartition(nparts)  # consolidate empty blocks before joining
+        .materialize()
+        .join(
+            lp_ds.repartition(nparts),
+            join_type="left_outer",
+            num_partitions=nparts,
+            on=("mention",),
+        )
+        .materialize()
+    )
+
+    emb_tbl = synth.synth_embeddings()
+    ent_rows = emb_tbl.filter(pc.equal(emb_tbl["kind"], "entity"))
+    ent_vecs = np.asarray(ent_rows["vec"].to_pylist(), dtype=np.float64)
+    ent_tbl = pa.table(
+        {
+            "entity_id": ent_rows["item"],
+            # binary payload: Acero joins reject list-typed non-key cols
+            "evec": pa.array([v.tobytes() for v in ent_vecs], pa.binary()),
+        }
+    )
+    cand = (
+        cand.repartition(nparts)
+        .join(
+            rd.from_arrow(ent_tbl).repartition(nparts),
+            join_type="left_outer",
+            num_partitions=nparts,
+            on=("entity_id",),
+        )
+        .materialize()
+    )
+
+    emb_ref = broadcast_table(emb_tbl)
+
+    def ctxvec_fn(t: pa.Table) -> pa.Table:
+        # task form with worker-cached embedder: an actor pool here
+        # would pin CPU slots the join's aggregator actors also need
+        # (deadlock on small sessions; wasted slots on big ones).
+        # Emits the context vector as a binary blob (see _join_score_fn).
+        from xlink_ray.state.cached import cached_state
+
+        vec = cached_state(
+            ("ctxvec", emb_ref.hex()), lambda: _AddContextVec(emb_ref)
+        )
+        ctx = np.ascontiguousarray(vec.embedder(t["context"]), dtype=np.float64)
+        return t.append_column(
+            "ctxbin", pa.array([row.tobytes() for row in ctx], pa.binary())
+        )
+
+    occ = corpus.map_batches(
+        occurrence_scan_fn, fn_args=(vocab_ref,), batch_format="pyarrow", num_cpus=hcpu
+    ).map_batches(ctxvec_fn, batch_format="pyarrow")
+    joined = occ.repartition(nparts).join(
+        cand.repartition(nparts),
+        join_type="inner",
+        num_partitions=nparts,
+        on=("mention",),
+    )
+    # batch_size=None → one batch per hash partition block; every
+    # (doc, offset) argmax group is complete within it (same-mention
+    # co-location)
+    return joined.map_batches(_join_score_fn, batch_format="pyarrow", batch_size=None)
 
 
 class _AddContextVec:

@@ -39,7 +39,13 @@ import ray
 from xlink_ray.functions.ac import VectorScanner
 from xlink_ray.functions.text import lower_preserve_len
 
-__all__ = ["LinkState", "build_link_state", "resolve_batch", "CandidateGenActor"]
+__all__ = [
+    "LinkState",
+    "build_link_state",
+    "resolve_batch",
+    "CandidateGenActor",
+    "occurrence_scan_fn",
+]
 
 LINK_PROB_TH = 0.008
 BELIEVE_TH = 0.2
@@ -257,6 +263,61 @@ def resolve_batch(
     contexts = [ctx_strs[i] for i in ki]
     cols["context"] = pa.array(contexts, pa.string())
     return pa.table(cols)
+
+
+def occurrence_scan_fn(batch: pa.Table, vocab_ref: "ray.ObjectRef") -> pa.Table:
+    """Dictionary scan WITHOUT candidate expansion: (doc_id, text) →
+    one row per mention occurrence (doc_id, offset, mention, context).
+
+    The partitioned-join linking path (flagship.links_partitioned)
+    attaches all per-ENTITY state (e_given_m, link_prob, entity
+    vectors) to these rows via hash-shuffle joins on ``mention`` — the
+    only broadcast this scan needs is the distinct mention vocabulary
+    (the automaton's alphabet; per-worker state by necessity, as in
+    the reference's per-process trie)."""
+    from xlink_ray.state.cached import cached_state
+
+    def build():
+        vocab = ray.get(vocab_ref)
+        return (
+            VectorScanner(vocab) if vocab else None,
+            np.asarray(vocab),
+            np.asarray([len(m) for m in vocab], dtype=np.int64),
+        )
+
+    scanner, mentions_arr, mention_lens = cached_state(
+        ("occ_scanner", vocab_ref.hex()), build
+    )
+    doc_ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.string()),
+            "offset": pa.array([], pa.int64()),
+            "mention": pa.array([], pa.string()),
+            "context": pa.array([], pa.string()),
+        }
+    )
+    if scanner is None or not texts:
+        return empty
+    lowered = [lower_preserve_len(t) for t in texts]
+    doc_starts = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(np.asarray([len(t) + 1 for t in lowered], dtype=np.int64), out=doc_starts[1:])
+    blob = "\x00".join(lowered)
+    starts, pids = scanner.find_nonoverlapping(VectorScanner.codepoints(blob))
+    if len(starts) == 0:
+        return empty
+    occ_doc = np.searchsorted(doc_starts, starts, side="right") - 1
+    occ_off = starts - doc_starts[occ_doc]
+    ctx = _context_strings(texts, occ_doc, occ_off, mention_lens[pids])
+    return pa.table(
+        {
+            "doc_id": pa.array([doc_ids[d] for d in occ_doc], pa.string()),
+            "offset": pa.array(occ_off),
+            "mention": pa.array(mentions_arr[pids], pa.string()),
+            "context": pa.array(ctx, pa.string()),
+        }
+    )
 
 
 class CandidateGenActor:
