@@ -545,6 +545,16 @@ def _q_sessions(sf_dir: str):
     return sessionize(rd.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_hopping_agg(sf_dir: str):
+    import ray.data as rd
+
+    from xlink_ray.stages.windows import hopping_window_agg
+
+    return hopping_window_agg(
+        rd.read_parquet(f"{sf_dir}/events.parquet"), size_minutes=60, hop_minutes=15
+    )
+
+
 def _q_fidelity_links(sf_dir: str):
     """Reference-parity linker (P8-P10 exact semantics incl. quirks);
     embedding scoring not SQL-expressible → rows-only check."""
@@ -627,6 +637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": _q_customers_without_orders,
         "vocab_counts": _q_vocab_counts,
         "window_agg": _q_window_agg,
+        "hopping_agg": _q_hopping_agg,
         "sessions": _q_sessions,
         "fidelity_links": _q_fidelity_links,
         "linking_eval": _q_linking_eval,
@@ -852,6 +863,23 @@ SELECT event_type, date_trunc('hour', ts) AS window_start,
        CAST(count(*) AS BIGINT) AS n,
        CAST(round(sum(value) * 10000) AS BIGINT) AS total_value
 FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+        # SQL replica of stages/windows.hopping_window_agg (60-min
+        # windows hopping every 15): exact integer-microsecond grid
+        # arithmetic, mirroring the Ray kernel.
+        "hopping_agg": """
+WITH e AS (
+  SELECT event_type, value, epoch_us(ts) AS esu FROM events
+), w AS (
+  SELECT event_type, value,
+         make_timestamp((esu // 900000000) * 900000000 - j * 900000000)
+           AS window_start
+  FROM e, LATERAL (SELECT unnest(generate_series(0, 3)) AS j) s(j)
+  WHERE (esu // 900000000) * 900000000 - j * 900000000 > esu - 3600000000
+)
+SELECT event_type, window_start,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(value) * 10000) AS BIGINT) AS total_value
+FROM w GROUP BY event_type, window_start""",
         "sessions": """
 WITH o AS (
   SELECT user_id, ts, value, event_id,
