@@ -483,6 +483,39 @@ def _q_decontamination(sf_dir: str):
     return decontaminate(_docs(sf_dir), k=8, n_bench=32)
 
 
+def _q_doc_sample_stratified(sf_dir: str):
+    """Per-language deterministic downsampling rates in one pass."""
+    from xlink_ray.stages.curation import stratified_hash_sample
+
+    return stratified_hash_sample(
+        _docs(sf_dir), rates={"en": 20, "de": 10, "es": 5}, default_pct=50
+    )
+
+
+def _q_top_docs_per_lang(sf_dir: str):
+    """Grouped top-k: 3 longest docs per language (ties → smallest
+    doc_id); per-batch trim before the shuffle."""
+    from xlink_ray.stages.stats import group_topk
+
+    return group_topk(
+        _docs(sf_dir),
+        group_col="lang",
+        order_col="n_chars",
+        k=3,
+        tie_col="doc_id",
+        columns=["lang", "n_chars", "doc_id"],
+    )
+
+
+def _q_length_quantiles(sf_dir: str):
+    """Exact per-language n_chars quantiles via a distributed
+    (lang, value) histogram — value-cardinality-sized, never a sort of
+    the corpus."""
+    from xlink_ray.stages.stats import grouped_quantiles
+
+    return grouped_quantiles(_docs(sf_dir), "lang", "n_chars", qs=(0.5, 0.9, 0.99))
+
+
 def _q_media_features(sf_dir: str):
     import ray.data as rd
 
@@ -628,6 +661,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
         "doc_sample": _q_doc_sample,
+        "doc_sample_stratified": _q_doc_sample_stratified,
+        "top_docs_per_lang": _q_top_docs_per_lang,
+        "length_quantiles": _q_length_quantiles,
         "decontamination": _q_decontamination,
         "media_features": _q_media_features,
         "pricing_summary": _q_pricing_summary,
@@ -827,6 +863,26 @@ FROM scores""",
         "doc_sample": """
 SELECT * FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 100 < 10""",
+        "doc_sample_stratified": """
+SELECT * FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 100 <
+      CASE lang WHEN 'en' THEN 20 WHEN 'de' THEN 10 WHEN 'es' THEN 5 ELSE 50 END""",
+        "top_docs_per_lang": """
+SELECT lang, n_chars, doc_id FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 3""",
+        # Exact grouped quantiles, ceil(q*n)-th smallest (1-based) —
+        # the same rank spec as stages/stats.grouped_quantiles.
+        "length_quantiles": """
+WITH qs AS (SELECT * FROM (VALUES (0.5), (0.9), (0.99)) t(q)),
+r AS (
+  SELECT lang, n_chars,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+         sum(cnt) OVER (PARTITION BY lang) AS tot
+  FROM (SELECT lang, n_chars, count(*) AS cnt FROM documents GROUP BY lang, n_chars)
+)
+SELECT r.lang, CAST(qs.q AS DOUBLE) AS q, CAST(min(r.n_chars) AS BIGINT) AS v
+FROM r JOIN qs ON r.cum >= ceil(qs.q * r.tot)
+GROUP BY r.lang, qs.q""",
         # SQL replica of stages/curation.decontaminate: the Ray side
         # matches 61-bit gram HASHES, the oracle matches gram STRINGS —
         # equal outputs unless two distinct grams collide mod M61

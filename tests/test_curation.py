@@ -90,3 +90,24 @@ def test_gram_windows_never_cross_doc_boundaries(ray_session):
     doc_idx, grams = _gram_hashes(texts, 3)
     assert list(doc_idx) == [0, 0, 0, 1, 1, 1]
     assert len(set(zip(doc_idx, grams))) == 6
+
+
+def test_stratified_hash_sample(ray_session):
+    from xlink_ray.stages.curation import stratified_hash_sample
+
+    rows = [
+        {"doc_id": i, "lang": ["en", "de", "xx"][i % 3]} for i in range(300)
+    ]
+    rates = {"en": 30, "de": 5}
+    got = set(
+        stratified_hash_sample(
+            _docs_ds(rows), rates=rates, default_pct=0
+        ).to_pandas()["doc_id"]
+    )
+    want = {
+        r["doc_id"]
+        for r in rows
+        if _md5_low64(str(r["doc_id"])) % 100 < rates.get(r["lang"], 0)
+    }
+    assert got == want
+    assert not any(i % 3 == 2 for i in got)  # default 0 → stratum dropped

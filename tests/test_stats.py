@@ -1,0 +1,53 @@
+"""Grouped top-k and exact grouped quantiles (stages/stats.py)."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def test_group_topk_matches_sorted_oracle(ray_session):
+    from xlink_ray.stages.stats import group_topk
+
+    rng = np.random.default_rng(3)
+    rows = [
+        {"g": f"g{int(rng.integers(4))}", "v": int(rng.integers(100)), "id": i}
+        for i in range(500)
+    ]
+    got = group_topk(
+        rd.from_arrow(pa.Table.from_pylist(rows)).repartition(7),
+        group_col="g", order_col="v", k=5, tie_col="id",
+    ).to_pandas()
+    import pandas as pd
+
+    df = pd.DataFrame(rows)
+    want = (
+        df.sort_values(["g", "v", "id"], ascending=[True, False, True])
+        .groupby("g")
+        .head(5)
+    )
+    key = lambda d: sorted(map(tuple, d[["g", "v", "id"]].to_numpy()))
+    assert key(got) == key(want)
+
+
+def test_grouped_quantiles_exact(ray_session):
+    from xlink_ray.stages.stats import grouped_quantiles
+
+    rng = np.random.default_rng(9)
+    rows = [
+        {"g": f"g{int(rng.integers(3))}", "v": int(rng.integers(50))}
+        for i in range(400)
+    ]
+    got = grouped_quantiles(
+        rd.from_arrow(pa.Table.from_pylist(rows)).repartition(5), "g", "v",
+        qs=(0.5, 0.9),
+    ).to_pandas()
+    import collections
+
+    vals = collections.defaultdict(list)
+    for r in rows:
+        vals[r["g"]].append(r["v"])
+    for _, row in got.iterrows():
+        s = sorted(vals[row["g"]])
+        k = int(np.ceil(row["q"] * len(s)))
+        assert row["v"] == s[k - 1], (row["g"], row["q"])

@@ -32,7 +32,12 @@ from ray.data import Dataset
 
 from xlink_ray.functions.hashing import M61, affine61, md5_low64
 
-__all__ = ["hash_sample", "benchmark_doc_ids", "decontaminate"]
+__all__ = [
+    "hash_sample",
+    "stratified_hash_sample",
+    "benchmark_doc_ids",
+    "decontaminate",
+]
 
 _GRAM_BASE = np.uint64(1000003)
 
@@ -54,6 +59,33 @@ def hash_sample(
     def fn(t: pa.Table) -> pa.Table:
         keep = (_id_hashes(t[id_col]) % np.uint64(mod)) < np.uint64(pct)
         return t.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def stratified_hash_sample(
+    ds: Dataset,
+    rates: "dict[str, int]",
+    strat_col: str = "lang",
+    mod: int = 100,
+    default_pct: int = 0,
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Per-stratum deterministic sampling: keep a row when
+    md5_low64(str(id)) % mod < rates.get(stratum, default_pct) — e.g.
+    downsample over-represented languages at different rates in one
+    streaming pass. Same stability properties as :func:`hash_sample`;
+    the rate map rides the task closure (it is config, not data)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        h = _id_hashes(t[id_col]) % np.uint64(mod)
+        strata = t[strat_col].to_pylist()
+        pct = np.fromiter(
+            (rates.get(s, default_pct) for s in strata),
+            dtype=np.uint64,
+            count=t.num_rows,
+        )
+        return t.filter(pa.array(h < pct))
 
     return ds.map_batches(fn, batch_format="pyarrow")
 

@@ -1,0 +1,130 @@
+"""Distributed dataset statistics beyond plain grouped aggregates
+(SURVEY.md §2 A5 adjacents): grouped top-k and exact grouped quantiles.
+
+Both follow the partial-combine discipline:
+
+* ``group_topk`` trims every batch to its per-group top-k BEFORE the
+  shuffle, so the exchange carries at most k rows per (group, block) —
+  never the full stream.
+* ``grouped_quantiles`` builds a (group, value)-count HISTOGRAM with
+  per-batch partials + one grouped-sum shuffle, then turns the cumsum
+  into exact quantiles. The histogram is bounded by the value
+  cardinality (integer feature columns: thousands of distinct values),
+  not the row count — the classic scale shape for exact percentiles
+  over integer-valued features.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+__all__ = ["group_topk", "grouped_quantiles"]
+
+
+def _topk_batch(
+    t: pa.Table, group_col: str, order_col: str, k: int, tie_col: str
+) -> pa.Table:
+    """Vectorized per-batch top-k per group: one lexsort by
+    (group, order desc, tie asc) + a run-position trim."""
+    if t.num_rows == 0:
+        return t
+    grp = np.asarray(t[group_col].to_pylist())
+    val = t[order_col].to_numpy(zero_copy_only=False)
+    tie = np.asarray(t[tie_col].to_pylist())
+    _, gcode = np.unique(grp, return_inverse=True)
+    order = np.lexsort((tie, -val, gcode))
+    g_s = gcode[order]
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = g_s[1:] != g_s[:-1]
+    # position within the group run
+    run_id = np.cumsum(first) - 1
+    run_start = np.zeros(len(order), dtype=np.int64)
+    run_start[first] = np.arange(len(order))[first]
+    np.maximum.accumulate(run_start, out=run_start)
+    pos = np.arange(len(order)) - run_start
+    keep = order[pos < k]
+    return t.take(pa.array(np.sort(keep)))
+
+
+def group_topk(
+    ds: Dataset,
+    group_col: str,
+    order_col: str,
+    k: int,
+    tie_col: str,
+    columns: "list[str] | None" = None,
+) -> Dataset:
+    """Top-k rows per group by ``order_col`` (descending), determinstic
+    ties by ``tie_col`` ascending — ``row_number() OVER (PARTITION BY g
+    ORDER BY v DESC, id) <= k`` semantics.
+
+    Per-batch trim → groupby(group).map_groups final trim: the shuffle
+    moves ≤ k rows per (group, block)."""
+    if columns:
+        ds = ds.select_columns(columns)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return _topk_batch(t, group_col, order_col, k, tie_col)
+
+    def final(g: pa.Table) -> pa.Table:
+        return _topk_batch(g, group_col, order_col, k, tie_col)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def grouped_quantiles(
+    ds: Dataset,
+    group_col: str,
+    val_col: str,
+    qs: "tuple[float, ...]" = (0.5, 0.9, 0.99),
+) -> Dataset:
+    """Exact per-group quantiles of an integer-valued column:
+    (group, q, v) where v is the ceil(q·n)-th smallest value (1-based).
+
+    Distributed as a (group, value) histogram: per-batch partial counts
+    → one grouped-sum shuffle → per-group cumsum → rank lookup. The
+    final step runs per group inside ``map_groups`` over histogram rows
+    (value-cardinality-sized, not row-count-sized)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            t.select([group_col, val_col])
+            .group_by([group_col, val_col])
+            .aggregate([([], "count_all")])
+            .rename_columns([group_col, val_col, "cnt"])
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, val_col])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def quantiles_of_group(g: pa.Table) -> pa.Table:
+        g = g.sort_by([(val_col, "ascending")])
+        v = g[val_col].to_numpy(zero_copy_only=False)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        cum = np.cumsum(cnt)
+        tot = int(cum[-1])
+        ranks = np.asarray([int(np.ceil(q * tot)) for q in qs], dtype=np.int64)
+        idx = np.searchsorted(cum, ranks, side="left")
+        return pa.table(
+            {
+                group_col: pa.array([g[group_col][0].as_py()] * len(qs)),
+                "q": pa.array(list(qs), pa.float64()),
+                "v": pa.array(v[idx]),
+            }
+        )
+
+    return hist.groupby(group_col).map_groups(
+        quantiles_of_group, batch_format="pyarrow"
+    )
