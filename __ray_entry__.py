@@ -526,6 +526,18 @@ def _q_media_features(sf_dir: str):
     )
 
 
+def _q_media_frames(sf_dir: str):
+    """Video frame sampling plumbing (decode slot stubbed; expansion
+    and schema real)."""
+    import ray.data as rd
+
+    from xlink_ray.stages.multimodal import sample_frames, synth_media
+
+    return sample_frames(rd.from_arrow(synth_media())).select_columns(
+        ["media_id", "frame_idx", "t_ms"]
+    )
+
+
 def _q_pricing_summary(sf_dir: str):
     from xlink_ray.pipelines import relational
 
@@ -666,6 +678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantiles": _q_length_quantiles,
         "decontamination": _q_decontamination,
         "media_features": _q_media_features,
+        "media_frames": _q_media_frames,
         "pricing_summary": _q_pricing_summary,
         "nation_revenue": _q_nation_revenue,
         "top_parts": _q_top_parts,

@@ -22,7 +22,16 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
-__all__ = ["MEDIA_SCHEMA", "synth_media", "MediaFeatureActor", "media_features"]
+__all__ = [
+    "MEDIA_SCHEMA",
+    "synth_media",
+    "MediaFeatureActor",
+    "media_features",
+    "ImageResizeActor",
+    "resize_images",
+    "FrameSampleActor",
+    "sample_frames",
+]
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -102,6 +111,135 @@ class MediaFeatureActor:
                 ),
             }
         )
+
+
+class ImageResizeActor:
+    """Image rows → payload resized to (target_w, target_h); non-image
+    rows pass through untouched. The RESIZE kernel is a real vectorized
+    nearest-neighbor index gather; only the bytes→pixels *decode* is
+    fake (``backend='fake'`` tiles the payload into an (h, w) grayscale
+    grid; ``'none'`` is the libjpeg slot and raises)."""
+
+    def __init__(self, target_w: int = 32, target_h: int = 32, backend: str = "fake"):
+        if backend not in ("fake", "none"):
+            raise ValueError(backend)
+        self.tw, self.th = target_w, target_h
+        self.backend = backend
+
+    def _pixels(self, payload: bytes, w: int, h: int) -> np.ndarray:
+        if self.backend == "none":
+            raise NotImplementedError(
+                "real decode requires an image codec (libjpeg); "
+                "not available in this container — use backend='fake'"
+            )
+        buf = np.frombuffer(payload, dtype=np.uint8)
+        reps = -(-(w * h) // max(len(buf), 1))
+        return np.tile(buf, reps)[: w * h].reshape(h, w)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        types = batch["media_type"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        widths = batch["width"].to_pylist()
+        heights = batch["height"].to_pylist()
+        out_payload, out_w, out_h = [], [], []
+        rows = np.arange(self.th)
+        cols = np.arange(self.tw)
+        for mt, p, w, h in zip(types, payloads, widths, heights):
+            if mt != "image" or not w or not h:
+                out_payload.append(p)
+                out_w.append(w)
+                out_h.append(h)
+                continue
+            px = self._pixels(p, w, h)
+            resized = px[np.ix_(rows * h // self.th, cols * w // self.tw)]
+            out_payload.append(resized.tobytes())
+            out_w.append(self.tw)
+            out_h.append(self.th)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "doc_id": batch["doc_id"],
+                "media_type": batch["media_type"],
+                "payload": pa.array(out_payload, pa.binary()),
+                "width": pa.array(out_w, pa.int32()),
+                "height": pa.array(out_h, pa.int32()),
+                "duration_ms": batch["duration_ms"],
+            }
+        )
+
+
+def resize_images(
+    ds: Dataset, target_w: int = 32, target_h: int = 32, backend: str = "fake"
+) -> Dataset:
+    return ds.map_batches(
+        ImageResizeActor,
+        fn_constructor_args=(target_w, target_h, backend),
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=pool_size(),
+        num_cpus=1,
+    )
+
+
+class FrameSampleActor:
+    """Video rows → one row per sampled frame every ``every_ms``
+    (frame_idx, t_ms, frame payload); the flat_map-shaped expansion is
+    real, the per-frame *decode* is the ffmpeg slot (fake = keyed
+    digest of the payload; deterministic)."""
+
+    FRAME_BYTES = 64
+
+    def __init__(self, every_ms: int = 500, backend: str = "fake"):
+        if backend not in ("fake", "none"):
+            raise ValueError(backend)
+        self.every_ms = every_ms
+        self.backend = backend
+
+    def _frame(self, payload: bytes, idx: int) -> bytes:
+        if self.backend == "none":
+            raise NotImplementedError(
+                "real frame extraction requires ffmpeg; not available "
+                "in this container — use backend='fake'"
+            )
+        return hashlib.blake2b(
+            payload + idx.to_bytes(4, "big"), digest_size=self.FRAME_BYTES
+        ).digest()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mids, fidx, tms, frames = [], [], [], []
+        for mid, mt, p, dur in zip(
+            batch["media_id"].to_pylist(),
+            batch["media_type"].to_pylist(),
+            batch["payload"].to_pylist(),
+            batch["duration_ms"].to_pylist(),
+        ):
+            if mt != "video" or not dur:
+                continue
+            n = dur // self.every_ms + 1  # frame at t=0 always
+            for k in range(n):
+                mids.append(mid)
+                fidx.append(k)
+                tms.append(k * self.every_ms)
+                frames.append(self._frame(p, k))
+        return pa.table(
+            {
+                "media_id": pa.array(mids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "t_ms": pa.array(tms, pa.int32()),
+                "frame": pa.array(frames, pa.binary()),
+            }
+        )
+
+
+def sample_frames(ds: Dataset, every_ms: int = 500, backend: str = "fake") -> Dataset:
+    return ds.map_batches(
+        FrameSampleActor,
+        fn_constructor_args=(every_ms, backend),
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=pool_size(),
+        num_cpus=1,
+    )
 
 
 def media_features(ds: Dataset, backend: str = "fake") -> Dataset:
