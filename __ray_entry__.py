@@ -516,6 +516,15 @@ def _q_length_quantiles(sf_dir: str):
     return grouped_quantiles(_docs(sf_dir), "lang", "n_chars", qs=(0.5, 0.9, 0.99))
 
 
+def _q_curated_corpus(sf_dir: str):
+    """End-to-end corpus curation: exact dedup → language filter →
+    quality floor → benchmark decontamination → deterministic sample,
+    each stage independently oracled, the composition oracled too."""
+    from xlink_ray.pipelines.curate import curated_corpus
+
+    return curated_corpus(sf_dir)
+
+
 def _q_media_features(sf_dir: str):
     import ray.data as rd
 
@@ -677,6 +686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": _q_top_docs_per_lang,
         "length_quantiles": _q_length_quantiles,
         "decontamination": _q_decontamination,
+        "curated_corpus": _q_curated_corpus,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         "pricing_summary": _q_pricing_summary,
@@ -896,6 +906,62 @@ r AS (
 SELECT r.lang, CAST(qs.q AS DOUBLE) AS q, CAST(min(r.n_chars) AS BIGINT) AS v
 FROM r JOIN qs ON r.cum >= ceil(qs.q * r.tot)
 GROUP BY r.lang, qs.q""",
+        # Composition replica of pipelines/curate.curated_corpus: exact
+        # dedup keepers → lang-ID replica = 'en' → token floor →
+        # decontamination replica (n_hits = 0) → md5 hash sample.
+        "curated_corpus": """
+WITH keep1 AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), d AS (
+  SELECT documents.* FROM documents JOIN keep1 USING (doc_id)
+), toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+  FROM d
+), scores AS (
+  SELECT doc_id,
+    len(list_filter(ts, t -> t IN ('the','a','of','and','to','in','is'))) AS en,
+    len(list_filter(ts, t -> t IN ('der','die','das','und','ist','ein'))) AS de,
+    len(list_filter(ts, t -> t IN ('el','la','de','y','es','un'))) AS es,
+    len(list_filter(ts, t -> t IN ('le','la','de','et','est','un'))) AS fr,
+    length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk,
+    length(text) AS n, len(ts) AS ntoks
+  FROM toks
+), pred AS (
+  SELECT doc_id,
+    CASE WHEN ntoks = 0 THEN 'und'
+         WHEN cjk * 1.0 / greatest(n, 1) > 0.2 THEN 'zh'
+         WHEN greatest(en, de, es, fr) = 0 THEN 'und'
+         WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+         WHEN en >= es AND en >= fr THEN 'en'
+         WHEN es >= fr THEN 'es'
+         ELSE 'fr' END AS pred_lang
+  FROM scores
+), d2 AS (
+  SELECT d.* FROM d JOIN pred USING (doc_id)
+  WHERE pred.pred_lang = 'en' AND len(string_split(d.text, ' ')) >= 30
+), h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT AS hh
+  FROM documents
+), bench AS (
+  SELECT doc_id FROM h ORDER BY hh, doc_id LIMIT 32
+), tok2 AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), grams AS (
+  SELECT tok2.doc_id, array_to_string(ts[s.i : s.i + 7], ' ') AS g
+  FROM tok2,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 7, 0))) AS i) s(i)
+), bgrams AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id IN (SELECT doc_id FROM bench)
+), hits AS (
+  SELECT grams.doc_id, count(DISTINCT g) AS n_hits
+  FROM grams JOIN bgrams USING (g) GROUP BY grams.doc_id
+)
+SELECT d2.doc_id, d2.lang, d2.n_chars
+FROM d2 LEFT JOIN hits ON d2.doc_id = hits.doc_id
+WHERE COALESCE(hits.n_hits, 0) = 0
+  AND ('0x' || substr(md5(CAST(d2.doc_id AS VARCHAR)), 1, 16))::UBIGINT % 100 < 50""",
         # SQL replica of stages/curation.decontaminate: the Ray side
         # matches 61-bit gram HASHES, the oracle matches gram STRINGS —
         # equal outputs unless two distinct grams collide mod M61

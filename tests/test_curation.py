@@ -111,3 +111,18 @@ def test_stratified_hash_sample(ray_session):
     }
     assert got == want
     assert not any(i % 3 == 2 for i in got)  # default 0 → stratum dropped
+
+
+def test_curated_corpus_respects_every_filter(ray_session):
+    import pyarrow.parquet as pq
+
+    from xlink_ray.pipelines.curate import curated_corpus
+
+    sf = "/root/testdata/sf0.001"
+    got = curated_corpus(sf).to_pandas()
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pandas().set_index("doc_id")
+    assert len(got) > 0
+    assert set(got.columns) == {"doc_id", "lang", "n_chars"}
+    for d in got["doc_id"]:
+        assert _md5_low64(str(d)) % 100 < 50  # sample predicate
+        assert len(docs.loc[d, "text"].split(" ")) >= 30  # quality floor

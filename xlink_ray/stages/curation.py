@@ -36,6 +36,8 @@ __all__ = [
     "hash_sample",
     "stratified_hash_sample",
     "benchmark_doc_ids",
+    "benchmark_gram_ref",
+    "contamination_counts",
     "decontaminate",
 ]
 
@@ -170,6 +172,33 @@ def decontaminate(
     the corpus streams through one vectorized map_batches probe
     (searchsorted against the sorted gram array). No shuffle anywhere.
     """
+    bench_ref = benchmark_gram_ref(
+        ds, k=k, n_bench=n_bench, id_col=id_col, text_col=text_col
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        n_hits = contamination_counts(t, bench_ref, k, text_col=text_col)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_hits": pa.array(n_hits),
+                "contaminated": pa.array(n_hits > 0),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def benchmark_gram_ref(
+    ds: Dataset,
+    k: int = 8,
+    n_bench: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.ObjectRef":
+    """Benchmark selection + gram-set build of :func:`decontaminate`
+    exposed standalone, so pipelines can reuse the broadcast gram set
+    as a filter (see pipelines/curate.py)."""
     bench_ids = benchmark_doc_ids(ds, n_bench=n_bench, id_col=id_col)
     id_set = pa.array(bench_ids)
 
@@ -185,23 +214,20 @@ def decontaminate(
         )
     )
     _, bench_grams = _gram_hashes(bt[text_col], k)
-    bench_ref = ray.put(np.unique(bench_grams))
+    return ray.put(np.unique(bench_grams))
 
-    def score(t: pa.Table) -> pa.Table:
-        bench = ray.get(bench_ref)  # zero-copy from the object store
-        doc_idx, gram = _gram_hashes(t[text_col], k)
-        n_hits = np.zeros(t.num_rows, dtype=np.int64)
-        if len(gram) and len(bench):
-            pos = np.searchsorted(bench, gram)
-            pos[pos == len(bench)] = 0
-            hit = bench[pos] == gram
-            np.add.at(n_hits, doc_idx[hit], 1)
-        return pa.table(
-            {
-                id_col: t[id_col],
-                "n_hits": pa.array(n_hits),
-                "contaminated": pa.array(n_hits > 0),
-            }
-        )
 
-    return ds.map_batches(score, batch_format="pyarrow")
+def contamination_counts(
+    t: pa.Table, bench_ref: "ray.ObjectRef", k: int, text_col: str = "text"
+) -> np.ndarray:
+    """Per-row count of distinct word-k-grams present in the broadcast
+    benchmark gram set (vectorized searchsorted probe)."""
+    bench = ray.get(bench_ref)  # zero-copy from the object store
+    doc_idx, gram = _gram_hashes(t[text_col], k)
+    n_hits = np.zeros(t.num_rows, dtype=np.int64)
+    if len(gram) and len(bench):
+        pos = np.searchsorted(bench, gram)
+        pos[pos == len(bench)] = 0
+        hit = bench[pos] == gram
+        np.add.at(n_hits, doc_idx[hit], 1)
+    return n_hits
