@@ -66,6 +66,15 @@ __all__ = [
 
 MAX_SENTENCE = 1000  # reference chunks sentences at 1000 items
 _F_CLAMP = 6.0  # reference MAX_EXP: scores outside ±6 get saturated g
+_UPDATE_CLIP = 1.0  # max L2 norm of one row's summed per-batch update
+
+
+def _clip_rows(acc: np.ndarray, max_norm: float) -> None:
+    """In-place per-row L2 clip of an update accumulator."""
+    norms = np.linalg.norm(acc, axis=1)
+    hot = norms > max_norm
+    if hot.any():
+        acc[hot] *= (max_norm / norms[hot])[:, None]
 
 
 def _stable_seed(*parts) -> int:
@@ -481,6 +490,13 @@ class SGNSUpdater:
         np.add.at(accW, inv_in, dW)
         accC = np.zeros_like(C)
         np.add.at(accC, inv_out, dC)
+        # per-row update-norm clip: within a batch the per-row gradients
+        # are SUMMED before the push (one step per batch, not per pair);
+        # at production vocab sizes a row repeats ~once per batch and
+        # this is a no-op, but on small vocabularies thousands of
+        # repeats would otherwise make one enormous step and diverge
+        _clip_rows(accW, _UPDATE_CLIP)
+        _clip_rows(accC, _UPDATE_CLIP)
         self.mi.push(self.ni, u_in, accW)
         self.mo.push(self.no, u_out, accC)
         # synchronous flush: a push still client-queued when this task's
