@@ -51,3 +51,17 @@ def test_grouped_quantiles_exact(ray_session):
         s = sorted(vals[row["g"]])
         k = int(np.ceil(row["q"] * len(s)))
         assert row["v"] == s[k - 1], (row["g"], row["q"])
+
+
+def test_grouped_quantiles_rank_is_exact_ceil(ray_session):
+    """float ceil(0.07*100) is 8; the integer rank arithmetic must give
+    the documented ceil(q*n) = 7."""
+    import ray.data as rd
+
+    from xlink_ray.stages.stats import grouped_quantiles
+
+    rows = [{"g": "a", "v": i + 1} for i in range(100)]  # v = 1..100
+    got = grouped_quantiles(
+        rd.from_arrow(pa.Table.from_pylist(rows)), "g", "v", qs=(0.07,)
+    ).to_pandas()
+    assert got.loc[0, "v"] == 7

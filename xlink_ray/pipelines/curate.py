@@ -1,6 +1,6 @@
 """End-to-end training-corpus curation: the composition a 100-TB
 webtext run would actually execute, chaining five independently
-oracle-checked operators in one streaming pass structure:
+oracle-checked operators over ONE materialized read of the corpus:
 
   exact dedup (hash groupby + keeper semi-JOIN)
     → language filter (heuristic lang-ID, worker-cached profiles)
@@ -42,9 +42,14 @@ def curated_corpus(
     )
     from xlink_ray.stages.dedup import exact_dedup_keepers
 
+    # materialized once: four consumers (benchmark-id pass, benchmark
+    # gram pass, dedup-keeper pass, survivor join) re-read object-store
+    # blocks instead of re-scanning the parquet four times; at scales
+    # past the object store's capacity Ray spills these blocks to disk
+    # rather than re-reading the source
     docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "n_chars"]
-    )
+    ).materialize()
     # static partition count (num_blocks needs materialization on a
     # lazy read); 16 aggregators is the sweet spot measured for this
     # host, and the join repartitions anyway

@@ -234,13 +234,12 @@ def links(sf_dir: str, concurrency: int | tuple[int, int] | None = None, repeat:
 
 
 def _join_score_fn(batch: pa.Table) -> pa.Table:
-    """Per-partition scoring + argmax for the partitioned-join linking
-    path. Input: occurrence rows joined with candidate rows on
-    ``mention`` (doc_id, offset, mention, context, ctxvec, entity_id,
-    e_given_m, link_prob, evec). Every candidate row of one occurrence
-    shares its mention, so the hash-join co-locates the whole argmax
-    group in ONE partition — the kernel runs per block (batch_size=None)
-    with no further shuffle.
+    """Scoring + argmax kernel for the partitioned-join linking path.
+    Input: occurrence rows joined with candidate rows on ``mention``
+    (doc_id, offset, mention, context, ctxbin, entity_id, e_given_m,
+    link_prob, evec), delivered as one COMPLETE doc-salt group
+    (``groupby("doc_salt").map_groups`` — every row of a doc shares
+    its salt, so no (doc, offset) argmax group can straddle calls).
 
     Same math as stages/candidates.resolve_batch: believe =
     e_given_m^POWER · cos(ctxvec, evec) (missing entity vec → 0), ties
@@ -438,11 +437,17 @@ def links_partitioned(
     emb_tbl = synth.synth_embeddings()
     ent_rows = emb_tbl.filter(pc.equal(emb_tbl["kind"], "entity"))
     ent_vecs = np.asarray(ent_rows["vec"].to_pylist(), dtype=np.float64)
+    ent_ids = ent_rows["item"].to_pylist()
+    # last-wins per entity_id — a duplicate id would otherwise fan out
+    # the join (two believe rows per candidate) while the broadcast
+    # path's dict keeps only the last vector; pin the same rule here
+    last = {e: i for i, e in enumerate(ent_ids)}
+    sel = sorted(last.values())
     ent_tbl = pa.table(
         {
-            "entity_id": ent_rows["item"],
+            "entity_id": pa.array([ent_ids[i] for i in sel], pa.string()),
             # binary payload: Acero joins reject list-typed non-key cols
-            "evec": pa.array([v.tobytes() for v in ent_vecs], pa.binary()),
+            "evec": pa.array([ent_vecs[i].tobytes() for i in sel], pa.binary()),
         }
     )
     cand = (
@@ -482,10 +487,28 @@ def links_partitioned(
         num_partitions=nparts,
         on=("mention",),
     )
-    # batch_size=None → one batch per hash partition block; every
-    # (doc, offset) argmax group is complete within it (same-mention
-    # co-location)
-    return joined.map_batches(_join_score_fn, batch_format="pyarrow", batch_size=None)
+
+    # the (doc, offset) argmax group must be COMPLETE in one kernel
+    # call. A per-block map would rely on one-block-per-hash-partition,
+    # which Ray Data breaks whenever a partition exceeds the target
+    # block size (it splits blocks dynamically — exactly the 100-TB
+    # regime). groupby on a doc-hash salt gives the guarantee
+    # structurally: every row of a doc shares its salt, groups stay
+    # bounded and balanced, and the kernel is unchanged (vectorized
+    # over the whole group).
+    n_salts = 4 * nparts
+
+    def add_doc_salt(t: pa.Table) -> pa.Table:
+        from xlink_ray.functions.hashing import md5_low64
+
+        h = md5_low64([str(x) for x in t["doc_id"].to_pylist()]) % np.uint64(n_salts)
+        return t.append_column("doc_salt", pa.array(h.astype(np.int64)))
+
+    return (
+        joined.map_batches(add_doc_salt, batch_format="pyarrow")
+        .groupby("doc_salt")
+        .map_groups(_join_score_fn, batch_format="pyarrow")
+    )
 
 
 class _AddContextVec:

@@ -42,7 +42,6 @@ def _topk_batch(
     first = np.ones(len(order), dtype=bool)
     first[1:] = g_s[1:] != g_s[:-1]
     # position within the group run
-    run_id = np.cumsum(first) - 1
     run_start = np.zeros(len(order), dtype=np.int64)
     run_start[first] = np.arange(len(order))[first]
     np.maximum.accumulate(run_start, out=run_start)
@@ -115,7 +114,11 @@ def grouped_quantiles(
         cnt = g["cnt"].to_numpy(zero_copy_only=False)
         cum = np.cumsum(cnt)
         tot = int(cum[-1])
-        ranks = np.asarray([int(np.ceil(q * tot)) for q in qs], dtype=np.int64)
+        # exact ceil(q·n) in integers (float ceil(0.07*100) → 8, not 7):
+        # q as a 9-decimal rational, ceil(a/b) = -(-a // b)
+        ranks = np.asarray(
+            [-(-(round(q * 10**9) * tot) // 10**9) for q in qs], dtype=np.int64
+        )
         idx = np.searchsorted(cum, ranks, side="left")
         return pa.table(
             {

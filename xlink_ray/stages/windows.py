@@ -72,9 +72,11 @@ def hopping_window_agg(
                 "value": pa.array(vals),
             }
         )
-        # per-batch partial combine: the shuffle sees distinct keys only
+        # per-batch partial combine: the shuffle sees distinct keys
+        # only (count_all = row count, the count(*) convention shared
+        # with tumbling_window_agg — ('value','count') would skip nulls)
         part = flat.group_by(["event_type", "window_start"]).aggregate(
-            [("value", "count"), ("value", "sum")]
+            [([], "count_all"), ("value", "sum")]
         )
         return part.rename_columns(["event_type", "window_start", "n", "total_value"])
 
