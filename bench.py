@@ -105,6 +105,10 @@ def _run_queries() -> dict[str, float]:
     timed("freq_m", lambda: dictbuild.freq_m(SF_DIR).count())
     timed("er_pairs", lambda: er.customer_pairs(SF_DIR).count())
     timed("er_clusters", lambda: er.customer_clusters(SF_DIR).count())
+
+    from xlink_ray.pipelines.curate import curated_corpus
+
+    timed("curated_corpus", lambda: curated_corpus(SF_DIR).count())
     return timings
 
 
