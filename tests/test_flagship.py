@@ -95,3 +95,28 @@ def test_links_partitioned_equals_broadcast(ray_session, sf_small):
     for c in ["doc_id", "offset", "mention", "entity_id", "context"]:
         assert (a[c] == b[c]).all(), c
     assert np.allclose(a["believe"], b["believe"], atol=1e-12)
+
+
+def test_links_partitioned_survives_block_splitting(ray_session, sf_small):
+    """The review-flagged regime: when a hash partition exceeds the
+    target block size, Ray splits it into multiple blocks. The doc-salt
+    groupby must keep every (doc, offset) argmax group complete —
+    results must not change under a tiny block-size target."""
+    from ray.data import DataContext
+
+    from xlink_ray.pipelines import flagship
+
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 64 * 1024  # force aggressive splits
+        b = flagship.links_partitioned(sf_small).to_pandas()
+    finally:
+        ctx.target_max_block_size = old
+    a = flagship.links(sf_small).to_pandas()
+    key = ["doc_id", "offset"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    for c in ["doc_id", "offset", "mention", "entity_id"]:
+        assert (a[c] == b[c]).all(), c
