@@ -91,3 +91,36 @@ def test_flagship_resume(ray_session, sf_small, root):
     for stage in ("links", "edges", "clusters"):
         m = json.load(open(os.path.join(root, stage, "manifest.json")))
         assert m["rows"] > 0 and len(m["partitions"]) >= 1
+
+
+def test_write_partitioned_resumable(ray_session, tmp_path):
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from xlink_ray.state.checkpoint import fingerprint, write_partitioned_resumable
+
+    rows = [{"doc_id": i, "lang": ["en", "de", "es"][i % 3]} for i in range(90)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).materialize()
+    out = str(tmp_path / "parts")
+    fp = fingerprint("v1", 90)
+
+    # first run: write only two partitions (simulated interruption)
+    r1 = write_partitioned_resumable(ds, out, by="lang", fp=fp, values=["de", "en"])
+    assert r1["written"] == ["de", "en"] and r1["skipped"] == []
+
+    # resumed run over all partitions: finished ones are skipped
+    r2 = write_partitioned_resumable(ds, out, by="lang", fp=fp)
+    assert r2["written"] == ["es"] and sorted(r2["skipped"]) == ["de", "en"]
+
+    man = json.load(open(os.path.join(out, "manifest.json")))
+    assert man["done"] == {"de": 30, "en": 30, "es": 30}
+    got = pq.read_table(os.path.join(out, "lang=es")).num_rows
+    assert got == 30
+
+    # fingerprint change wipes and rewrites everything
+    r3 = write_partitioned_resumable(ds, out, by="lang", fp=fingerprint("v2"))
+    assert sorted(r3["written"]) == ["de", "en", "es"] and r3["skipped"] == []
