@@ -233,32 +233,45 @@ def links(sf_dir: str, concurrency: int | tuple[int, int] | None = None, repeat:
     return raw.map_batches(link_prob_filter, fn_args=(lp_ref,), batch_format="pyarrow")
 
 
-def _join_score_fn(batch: pa.Table) -> pa.Table:
-    """Scoring + argmax kernel for the partitioned-join linking path.
-    Input: occurrence rows joined with candidate rows on ``mention``
-    (doc_id, offset, mention, context, ctxbin, entity_id, e_given_m,
-    link_prob, evec), delivered as one COMPLETE doc-salt group
-    (``groupby("doc_salt").map_groups`` — every row of a doc shares
-    its salt, so no (doc, offset) argmax group can straddle calls).
+_LINKS_EMPTY = pa.table(
+    {
+        "doc_id": pa.array([], pa.string()),
+        "offset": pa.array([], pa.int64()),
+        "mention": pa.array([], pa.string()),
+        "entity_id": pa.array([], pa.string()),
+        "believe": pa.array([], pa.float64()),
+        "context": pa.array([], pa.string()),
+    }
+)
+
+
+def _argmax_first(doc, off, ent, believe) -> np.ndarray:
+    """Indices of the best row per (doc, offset): believe desc, then
+    smallest entity_id — the resolve_batch tie rule."""
+    _, doc_code = np.unique(doc, return_inverse=True)
+    order = np.lexsort((ent, -believe, off, doc_code))
+    dc_s, off_s = doc_code[order], off[order]
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = (dc_s[1:] != dc_s[:-1]) | (off_s[1:] != off_s[:-1])
+    return order[first]
+
+
+def _join_score_partial(batch: pa.Table) -> pa.Table:
+    """Score + LOCAL argmax per (doc, offset) for one batch of the
+    mention-join output (doc_id, offset, mention, context, ctxbin,
+    entity_id, e_given_m, link_prob, evec).
 
     Same math as stages/candidates.resolve_batch: believe =
-    e_given_m^POWER · cos(ctxvec, evec) (missing entity vec → 0), ties
-    to the smallest entity_id, P8 keep thresholds on link_prob."""
-    from xlink_ray.stages.candidates import BELIEVE_TH, LINK_PROB_TH, POWER
+    e_given_m^POWER · cos(ctx, evec) (missing entity vec → 0). A local
+    winner is a valid reduction for the global (believe desc, entity
+    asc) argmax, so only ONE slim row per occurrence-fragment — no
+    vector payloads, no keep decision yet — survives to the doc-salt
+    shuffle."""
+    from xlink_ray.stages.candidates import POWER
 
-    empty = pa.table(
-        {
-            "doc_id": pa.array([], pa.string()),
-            "offset": pa.array([], pa.int64()),
-            "mention": pa.array([], pa.string()),
-            "entity_id": pa.array([], pa.string()),
-            "believe": pa.array([], pa.float64()),
-            "context": pa.array([], pa.string()),
-        }
-    )
     n = batch.num_rows
     if n == 0:
-        return empty
+        return _LINKS_EMPTY.append_column("lp", pa.array([], pa.float64()))
 
     # vectors travel through the hash joins as binary blobs (Acero
     # rejects list-typed non-key columns in joins); decode here
@@ -286,26 +299,49 @@ def _join_score_fn(batch: pa.Table) -> pa.Table:
     doc = np.asarray(batch["doc_id"].to_pylist())
     off = batch["offset"].to_numpy(zero_copy_only=False)
     ent = np.asarray(batch["entity_id"].to_pylist())
-    _, doc_code = np.unique(doc, return_inverse=True)
-    # (occ, believe desc, entity asc) → first row per (doc, offset) is
-    # the argmax with the smallest-entity tie-break
-    order = np.lexsort((ent, -believe, off, doc_code))
-    dc_s, off_s = doc_code[order], off[order]
-    first = np.ones(n, dtype=bool)
-    first[1:] = (dc_s[1:] != dc_s[:-1]) | (off_s[1:] != off_s[:-1])
-    sel = order[first]
-    keep = (lp[sel] > LINK_PROB_TH) & ((believe[sel] + lp[sel]) / 2.0 > BELIEVE_TH)
-    sel = sel[keep]
-    if len(sel) == 0:
-        return empty
+    sel = _argmax_first(doc, off, ent, believe)
+    idx = pa.array(sel)
     return pa.table(
         {
             "doc_id": pa.array(doc[sel], pa.string()),
             "offset": pa.array(off[sel]),
-            "mention": batch["mention"].take(pa.array(sel)),
+            "mention": batch["mention"].take(idx),
             "entity_id": pa.array(ent[sel], pa.string()),
             "believe": pa.array(believe[sel]),
-            "context": batch["context"].take(pa.array(sel)),
+            "context": batch["context"].take(idx),
+            "lp": pa.array(lp[sel]),
+        }
+    )
+
+
+def _join_score_final(group: pa.Table) -> pa.Table:
+    """Global argmax over the fragment winners of one COMPLETE doc-salt
+    group (groupby guarantees no (doc, offset) straddles calls), then
+    the P8 keep thresholds."""
+    from xlink_ray.stages.candidates import BELIEVE_TH, LINK_PROB_TH
+
+    n = group.num_rows
+    if n == 0:
+        return _LINKS_EMPTY
+    doc = np.asarray(group["doc_id"].to_pylist())
+    off = group["offset"].to_numpy(zero_copy_only=False)
+    ent = np.asarray(group["entity_id"].to_pylist())
+    believe = group["believe"].to_numpy(zero_copy_only=False)
+    lp = group["lp"].to_numpy(zero_copy_only=False)
+    sel = _argmax_first(doc, off, ent, believe)
+    keep = (lp[sel] > LINK_PROB_TH) & ((believe[sel] + lp[sel]) / 2.0 > BELIEVE_TH)
+    sel = sel[keep]
+    if len(sel) == 0:
+        return _LINKS_EMPTY
+    idx = pa.array(sel)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc[sel], pa.string()),
+            "offset": pa.array(off[sel]),
+            "mention": group["mention"].take(idx),
+            "entity_id": pa.array(ent[sel], pa.string()),
+            "believe": pa.array(believe[sel]),
+            "context": group["context"].take(idx),
         }
     )
 
@@ -488,14 +524,17 @@ def links_partitioned(
         on=("mention",),
     )
 
-    # the (doc, offset) argmax group must be COMPLETE in one kernel
-    # call. A per-block map would rely on one-block-per-hash-partition,
-    # which Ray Data breaks whenever a partition exceeds the target
-    # block size (it splits blocks dynamically — exactly the 100-TB
-    # regime). groupby on a doc-hash salt gives the guarantee
-    # structurally: every row of a doc shares its salt, groups stay
-    # bounded and balanced, and the kernel is unchanged (vectorized
-    # over the whole group).
+    # two-level argmax. The (doc, offset) winner must come from ONE
+    # kernel call over all its candidates; a per-block map would rely
+    # on one-block-per-hash-partition, which Ray Data breaks whenever a
+    # partition exceeds the target block size. So: (1) a per-batch
+    # LOCAL argmax reduces each fragment to slim winner rows (dropping
+    # the vector payloads before any further exchange — max is a valid
+    # two-level reduction under the (believe desc, entity asc) total
+    # order), then (2) a doc-salt groupby, whose group completeness is
+    # a structural guarantee, picks the global winner and applies the
+    # keep thresholds. Groups stay bounded: every row of a doc shares
+    # its salt.
     n_salts = 4 * nparts
 
     def add_doc_salt(t: pa.Table) -> pa.Table:
@@ -505,9 +544,10 @@ def links_partitioned(
         return t.append_column("doc_salt", pa.array(h.astype(np.int64)))
 
     return (
-        joined.map_batches(add_doc_salt, batch_format="pyarrow")
+        joined.map_batches(_join_score_partial, batch_format="pyarrow")
+        .map_batches(add_doc_salt, batch_format="pyarrow")
         .groupby("doc_salt")
-        .map_groups(_join_score_fn, batch_format="pyarrow")
+        .map_groups(_join_score_final, batch_format="pyarrow")
     )
 
 
