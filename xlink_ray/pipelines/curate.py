@@ -42,11 +42,11 @@ def curated_corpus(
     )
     from xlink_ray.stages.dedup import exact_dedup_keepers
 
-    # materialized once: four consumers (benchmark-id pass, benchmark
-    # gram pass, dedup-keeper pass, survivor join) re-read object-store
-    # blocks instead of re-scanning the parquet four times; at scales
-    # past the object store's capacity Ray spills these blocks to disk
-    # rather than re-reading the source
+    # materialized once: three consumers (fused benchmark top-k pass,
+    # dedup-keeper pass, survivor join) re-read object-store blocks
+    # instead of re-scanning the parquet; at scales past the object
+    # store's capacity Ray spills these blocks to disk rather than
+    # re-reading the source
     docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "n_chars"]
     ).materialize()

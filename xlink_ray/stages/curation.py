@@ -130,19 +130,26 @@ def _gram_hashes(
     return doc_idx[first], gram[first]
 
 
-def benchmark_doc_ids(
-    ds: Dataset, n_bench: int = 32, id_col: str = "doc_id"
-) -> list:
-    """The ``n_bench`` doc ids with the smallest (md5-low64(str(id)),
-    id) — a deterministic fixed-size stand-in for "the benchmark
-    suite". Per-batch partial top-k + a driver merge of the tiny
-    partials (the ANN pattern); never collects the corpus."""
+def _benchmark_rows(
+    ds: Dataset,
+    n_bench: int,
+    id_col: str = "doc_id",
+    text_col: "str | None" = None,
+) -> pa.Table:
+    """The ``n_bench`` rows with the smallest (md5-low64(str(id)), id)
+    — a deterministic fixed-size stand-in for "the benchmark suite".
+    ONE pass: per-batch partial top-k (carrying ``text_col`` when the
+    caller needs the contents) + a driver merge of the tiny partials
+    (the ANN pattern); never collects the corpus."""
+    cols = [id_col] + ([text_col] if text_col else [])
 
     def partial(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
         h = _id_hashes(t[id_col])
         top = np.lexsort((ids, h))[:n_bench]
-        return pa.table({"id": pa.array(ids[top]), "h": pa.array(h[top])})
+        out = t.select(cols).take(pa.array(np.sort(top)))
+        hs = h[np.sort(top)]
+        return out.append_column("h", pa.array(hs))
 
     parts = pa.concat_tables(
         pa.table(b)
@@ -150,9 +157,18 @@ def benchmark_doc_ids(
             batch_format="pyarrow"
         )
     )
-    ids = parts["id"].to_numpy(zero_copy_only=False)
+    ids = parts[id_col].to_numpy(zero_copy_only=False)
     h = parts["h"].to_numpy(zero_copy_only=False)
-    return [x for x in ids[np.lexsort((ids, h))[:n_bench]]]
+    top = np.lexsort((ids, h))[:n_bench]  # keep (hash, id) order
+    return parts.take(pa.array(top)).drop_columns(["h"])
+
+
+def benchmark_doc_ids(
+    ds: Dataset, n_bench: int = 32, id_col: str = "doc_id"
+) -> list:
+    """Benchmark doc ids only (see :func:`_benchmark_rows`)."""
+    t = _benchmark_rows(ds, n_bench, id_col=id_col)
+    return t[id_col].to_pylist()
 
 
 def decontaminate(
@@ -198,21 +214,9 @@ def benchmark_gram_ref(
 ) -> "ray.ObjectRef":
     """Benchmark selection + gram-set build of :func:`decontaminate`
     exposed standalone, so pipelines can reuse the broadcast gram set
-    as a filter (see pipelines/curate.py)."""
-    bench_ids = benchmark_doc_ids(ds, n_bench=n_bench, id_col=id_col)
-    id_set = pa.array(bench_ids)
-
-    def bench_rows(t: pa.Table) -> pa.Table:
-        return t.select([id_col, text_col]).filter(
-            pc.is_in(t[id_col], value_set=id_set)
-        )
-
-    bt = pa.concat_tables(
-        pa.table(b)
-        for b in ds.map_batches(bench_rows, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"
-        )
-    )
+    as a filter (see pipelines/curate.py). ONE corpus pass: the
+    partial top-k carries the texts, so no second scan fetches them."""
+    bt = _benchmark_rows(ds, n_bench, id_col=id_col, text_col=text_col)
     _, bench_grams = _gram_hashes(bt[text_col], k)
     return ray.put(np.unique(bench_grams))
 
