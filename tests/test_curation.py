@@ -126,3 +126,44 @@ def test_curated_corpus_respects_every_filter(ray_session):
     for d in got["doc_id"]:
         assert _md5_low64(str(d)) % 100 < 50  # sample predicate
         assert len(docs.loc[d, "text"].split(" ")) >= 30  # quality floor
+
+
+def test_gram_hashes_match_python_oracle_hypothesis(ray_session):
+    """Property: the vectorized per-doc distinct-gram count and doc
+    assignment equal a naive per-doc Python implementation for
+    arbitrary unicode texts (incl. empty, runs of spaces, repeats)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import pyarrow as pa
+
+    from xlink_ray.stages.curation import _gram_hashes
+
+    texts_st = st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab é中")), max_size=30
+        ),
+        min_size=0,
+        max_size=6,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(texts=texts_st, k=st.integers(min_value=1, max_value=4))
+    def check(texts, k):
+        doc_idx, grams = _gram_hashes(pa.array(texts, pa.string()), k)
+        got = {}
+        for d, g in zip(doc_idx, grams):
+            got.setdefault(int(d), set()).add(int(g))
+        for i, t in enumerate(texts):
+            toks = t.split(" ")
+            want = {
+                " ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)
+            }
+            assert len(got.get(i, set())) == len(want), (i, t, k)
+        # no doc index outside range, grams under M61
+        from xlink_ray.functions.hashing import M61
+
+        assert all(0 <= int(d) < len(texts) for d in doc_idx)
+        assert all(0 <= int(g) < M61 for g in grams)
+
+    check()
