@@ -121,6 +121,12 @@ def test_write_partitioned_resumable(ray_session, tmp_path):
     got = pq.read_table(os.path.join(out, "lang=es")).num_rows
     assert got == 30
 
-    # fingerprint change wipes and rewrites everything
-    r3 = write_partitioned_resumable(ds, out, by="lang", fp=fingerprint("v2"))
-    assert sorted(r3["written"]) == ["de", "en", "es"] and r3["skipped"] == []
+    # fingerprint change wipes and rewrites everything; an absent
+    # stratum ("fr") yields a valid, complete zero-row partition
+    r3 = write_partitioned_resumable(
+        ds, out, by="lang", fp=fingerprint("v2"), values=["de", "en", "es", "fr"]
+    )
+    assert sorted(r3["written"]) == ["de", "en", "es", "fr"] and r3["skipped"] == []
+    man3 = json.load(open(os.path.join(out, "manifest.json")))
+    assert man3["done"]["fr"] == 0
+    assert os.path.isdir(os.path.join(out, "lang=fr"))

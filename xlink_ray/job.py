@@ -53,13 +53,13 @@ def main(argv: "list[str] | None" = None) -> dict:
     from xlink_ray.state.checkpoint import CheckpointManager, fingerprint
 
     t0 = time.time()
+    st = os.stat(f"{args.sf_dir}/documents.parquet")
+    src_sig = (st.st_size, int(st.st_mtime_ns))  # input-content signal
     if args.method in ("fused", "block"):
         # scan-fused paths: clustering happens inside the salt-block
         # task; checkpoint the single output stage
         cm = CheckpointManager(args.checkpoint_root)
-        st = os.stat(f"{args.sf_dir}/documents.parquet")
-        fp = fingerprint("flagship-job", args.sf_dir, args.method,
-                         st.st_size, int(st.st_mtime_ns))
+        fp = fingerprint("flagship-job", args.sf_dir, args.method, *src_sig)
         out = cm.run_stage(
             "clusters", fp, lambda: flagship.clusters(args.sf_dir, method=args.method)
         )
@@ -68,9 +68,31 @@ def main(argv: "list[str] | None" = None) -> dict:
             args.sf_dir, args.checkpoint_root, method=args.method
         )
 
-    # final output: partitioned parquet (resumable — complete manifest
-    # in the checkpoint root means a rerun skips straight to this copy)
-    out.write_parquet(args.out)
+    # final output: bucket-partitioned parquet directories, each
+    # written atomically and marked in a manifest — a rerun killed
+    # mid-write resumes at the first unfinished bucket (never one
+    # giant file; state/checkpoint.write_partitioned_resumable)
+    from xlink_ray.state.checkpoint import write_partitioned_resumable
+
+    def add_bucket(t):
+        import numpy as np
+        import pyarrow as pa
+
+        from xlink_ray.functions.hashing import md5_low64
+
+        h = md5_low64([str(x) for x in t["cluster_id"].to_pylist()])
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(16)).astype(np.int64))
+        )
+
+    sink_fp = fingerprint("clusters-out", args.sf_dir, args.method, *src_sig)
+    res = write_partitioned_resumable(
+        out.map_batches(add_bucket, batch_format="pyarrow").materialize(),
+        args.out,
+        by="bucket",
+        fp=sink_fp,
+        values=list(range(16)),
+    )
     n = sum(m["rows"] for m in [cm.manifest("clusters")] if m) or out.count()
     metrics = {
         "job": "flagship_clusters",
@@ -79,6 +101,8 @@ def main(argv: "list[str] | None" = None) -> dict:
         "rows": int(n),
         "stages_skipped": cm.skipped,
         "stages_computed": cm.computed,
+        "out_buckets_written": len(res["written"]),
+        "out_buckets_skipped": len(res["skipped"]),
         "wall_sec": round(time.time() - t0, 3),
     }
     print(json.dumps(metrics))

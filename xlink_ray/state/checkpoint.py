@@ -106,6 +106,9 @@ def write_partitioned_resumable(
             lambda t, _v=v: t.filter(pc.equal(t[by], _v)), batch_format="pyarrow"
         )
         sub.write_parquet(tmp_dir)
+        # a zero-row partition writes no files (and possibly no dir);
+        # an empty directory is still a valid, complete partition
+        os.makedirs(tmp_dir, exist_ok=True)
         rows = sum(
             pq.read_metadata(os.path.join(tmp_dir, n)).num_rows
             for n in os.listdir(tmp_dir)
