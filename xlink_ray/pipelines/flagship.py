@@ -366,7 +366,7 @@ def links_partitioned(
     Cost shape: +3 hash-shuffle joins and one argmax-local scoring
     pass instead of dictionary-sized driver collects — the trade the
     100-TB regime wants. The argmax needs no extra shuffle because all
-    candidates of an occurrence share its mention (see _join_score_fn).
+    candidates of an occurrence share its mention (see _join_score_partial/_join_score_final).
     """
     import ray.data as rd
     from ray.data.aggregate import Sum
@@ -503,7 +503,7 @@ def links_partitioned(
         # task form with worker-cached embedder: an actor pool here
         # would pin CPU slots the join's aggregator actors also need
         # (deadlock on small sessions; wasted slots on big ones).
-        # Emits the context vector as a binary blob (see _join_score_fn).
+        # Emits the context vector as a binary blob (see _join_score_partial).
         from xlink_ray.state.cached import cached_state
 
         vec = cached_state(
