@@ -121,6 +121,20 @@ def test_write_partitioned_resumable(ray_session, tmp_path):
     got = pq.read_table(os.path.join(out, "lang=es")).num_rows
     assert got == 30
 
+    # key column lives in the directory name only (hive layout), not
+    # in the data files
+    f0 = next(
+        n for n in os.listdir(os.path.join(out, "lang=es")) if n.endswith(".parquet")
+    )
+    assert "lang" not in pq.read_schema(os.path.join(out, "lang=es", f0)).names
+
+    # stale temp dirs from a killed run (any pid) are swept on rerun
+    os.makedirs(os.path.join(out, "lang=zz.tmp-99999"))
+    r2b = write_partitioned_resumable(ds, out, by="lang", fp=fp)
+    assert r2b["written"] == [] and not os.path.exists(
+        os.path.join(out, "lang=zz.tmp-99999")
+    )
+
     # fingerprint change wipes and rewrites everything; an absent
     # stratum ("fr") yields a valid, complete zero-row partition
     r3 = write_partitioned_resumable(
@@ -130,3 +144,12 @@ def test_write_partitioned_resumable(ray_session, tmp_path):
     man3 = json.load(open(os.path.join(out, "manifest.json")))
     assert man3["done"]["fr"] == 0
     assert os.path.isdir(os.path.join(out, "lang=fr"))
+
+    # unmanaged pre-existing content (no manifest) is wiped, not merged
+    out2 = str(tmp_path / "legacy")
+    os.makedirs(out2)
+    with open(os.path.join(out2, "old-flat.parquet"), "w") as f:
+        f.write("stale")
+    r4 = write_partitioned_resumable(ds, out2, by="lang", fp=fp)
+    assert sorted(r4["written"]) == ["de", "en", "es"]
+    assert not os.path.exists(os.path.join(out2, "old-flat.parquet"))

@@ -31,12 +31,18 @@ import shutil
 import time
 from typing import Callable
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 import ray.data as rd
 from ray.data import Dataset
 
-__all__ = ["fingerprint", "CheckpointManager", "write_partitioned_resumable"]
+__all__ = [
+    "fingerprint",
+    "CheckpointManager",
+    "write_partitioned_resumable",
+    "partitioned_sink_complete",
+]
 
 MANIFEST = "manifest.json"
 
@@ -57,33 +63,54 @@ def write_partitioned_resumable(
     ``ds`` should be materialized by the caller: each partition's write
     filters the full dataset (P partitions → P block scans — the
     granularity trade resumability buys; choose ``by`` shard-grained,
-    not high-cardinality). A fingerprint mismatch wipes and rewrites
-    everything. Returns {"written": [...], "skipped": [...]}.
+    not high-cardinality). A fingerprint mismatch — or any pre-existing
+    content WITHOUT a manifest — wipes the directory and rewrites (the
+    sink owns ``out_dir``; foreign/legacy files would otherwise be read
+    alongside the partition dirs as duplicate rows). The key column is
+    dropped from the data files (it lives in the ``<by>=<value>``
+    directory name, hive-style). Null keys: value discovery raises;
+    with explicit ``values``, rows whose key is absent from the list
+    (including nulls) are NOT written. Returns
+    {"written": [...], "skipped": [...]}.
     """
-    import pyarrow as pa
     import pyarrow.compute as pc
 
     os.makedirs(out_dir, exist_ok=True)
     mpath = os.path.join(out_dir, MANIFEST)
     manifest: dict = {"fingerprint": fp, "done": {}}
+
+    def _wipe() -> None:
+        for name in os.listdir(out_dir):
+            p = os.path.join(out_dir, name)
+            (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+
     if os.path.exists(mpath):
         with open(mpath, encoding="utf-8") as f:
             old = json.load(f)
         if old.get("fingerprint") == fp:
             manifest = old
         else:  # inputs changed: everything below is stale
-            for name in os.listdir(out_dir):
-                p = os.path.join(out_dir, name)
-                if os.path.isdir(p):
-                    shutil.rmtree(p)
-            os.remove(mpath)
+            _wipe()
+    elif os.listdir(out_dir):
+        _wipe()  # unmanaged content (e.g. a legacy flat layout)
+
+    # stale temp dirs from a killed previous run (any pid) are never
+    # valid — their partition is not in the manifest and will be
+    # rewritten; left behind they'd be globbed as duplicate rows
+    for name in os.listdir(out_dir):
+        if ".tmp-" in name:
+            p = os.path.join(out_dir, name)
+            (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
 
     if values is None:
-        import pyarrow as _pa
-
         vals = set()
         for b in ds.select_columns([by]).iter_batches(batch_format="pyarrow"):
-            vals.update(_pa.table(b)[by].to_pylist())
+            vals.update(pa.table(b)[by].to_pylist())
+        if None in vals:
+            raise ValueError(
+                f"null values in partition column {by!r}; map them to a "
+                "sentinel key upstream (null rows cannot name a directory)"
+            )
         values = sorted(vals)
 
     def _save_manifest() -> None:
@@ -103,7 +130,10 @@ def write_partitioned_resumable(
         if os.path.exists(tmp_dir):
             shutil.rmtree(tmp_dir)
         sub = ds.map_batches(
-            lambda t, _v=v: t.filter(pc.equal(t[by], _v)), batch_format="pyarrow"
+            # the key is the directory name; keeping the column too
+            # would conflict with hive-partitioned readers
+            lambda t, _v=v: t.filter(pc.equal(t[by], _v)).drop_columns([by]),
+            batch_format="pyarrow",
         )
         sub.write_parquet(tmp_dir)
         # a zero-row partition writes no files (and possibly no dir);
@@ -122,6 +152,21 @@ def write_partitioned_resumable(
         written.append(key)
     _save_manifest()
     return {"written": written, "skipped": skipped}
+
+
+def partitioned_sink_complete(out_dir: str, fp: str, values: list) -> "dict | None":
+    """The sink manifest if it already covers every value under ``fp``
+    — lets a caller skip recomputing the dataset entirely on a fully
+    resumed rerun (write_partitioned_resumable itself needs the data)."""
+    mpath = os.path.join(out_dir, MANIFEST)
+    if not os.path.exists(mpath):
+        return None
+    with open(mpath, encoding="utf-8") as f:
+        m = json.load(f)
+    if m.get("fingerprint") != fp:
+        return None
+    done = m.get("done", {})
+    return m if all(str(v) in done for v in values) else None
 
 
 def fingerprint(*parts: object) -> str:
