@@ -609,6 +609,58 @@ def _q_hopping_agg(sf_dir: str):
     )
 
 
+def _q_purchase_attribution(sf_dir: str):
+    """Backward as-of join: each purchase event attached to the user's
+    most recent click at or before it (exact microsecond lag)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from xlink_ray.stages.asof import asof_join
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+
+    def keep(etype: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["event_type"], etype)).drop_columns(
+                ["event_type"]
+            )
+
+        return fn
+
+    left = ev.map_batches(keep("purchase"), batch_format="pyarrow")
+    right = ev.map_batches(keep("click"), batch_format="pyarrow")
+    joined = asof_join(
+        left,
+        right,
+        key="user_id",
+        ts="ts",
+        left_cols=["event_id", "value"],
+        right_cols=["event_id"],
+        suffix="_click",
+    )
+
+    def fmt(t: pa.Table) -> pa.Table:
+        lag = pc.subtract(
+            pc.cast(t["ts"], pa.int64()), pc.cast(t["ts_click"], pa.int64())
+        )
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "value": t["value"],
+                "click_id": t["event_id_click"],
+                "lag_us": lag,
+            }
+        )
+
+    return joined.map_batches(fmt, batch_format="pyarrow")
+
+
 def _q_fidelity_links(sf_dir: str):
     """Reference-parity linker (P8-P10 exact semantics incl. quirks);
     embedding scoring not SQL-expressible → rows-only check."""
@@ -698,6 +750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_agg": _q_window_agg,
         "hopping_agg": _q_hopping_agg,
         "sessions": _q_sessions,
+        "purchase_attribution": _q_purchase_attribution,
         "fidelity_links": _q_fidelity_links,
         "linking_eval": _q_linking_eval,
         "candidate_histogram": _q_candidate_histogram,
@@ -1028,6 +1081,19 @@ SELECT user_id, CAST(sid AS BIGINT) AS session_id, min(ts) AS session_start,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(round(sum(value) * 10000) AS BIGINT) AS total_value
 FROM s GROUP BY user_id, sid""",
+        # Backward as-of join (stages/asof.py): DuckDB's native ASOF
+        # LEFT JOIN; right side pre-deduped to max(event_id) per
+        # (user_id, ts) — the operator's documented tie rule.
+        "purchase_attribution": """
+WITH clicks AS (
+  SELECT user_id, ts AS cts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), p AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts, p.value, c.click_id,
+       CAST(date_diff('microsecond', c.cts, p.ts) AS BIGINT) AS lag_us
+FROM p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.cts""",
         "er_clusters_dist": """
 WITH RECURSIVE e AS (
   SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
