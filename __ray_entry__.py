@@ -609,6 +609,17 @@ def _q_hopping_agg(sf_dir: str):
     )
 
 
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style word/n-gram repetition features per document."""
+    import ray.data as rd
+
+    from xlink_ray.stages.textstats import repetition_stats
+
+    return repetition_stats(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+
+
 def _q_purchase_attribution(sf_dir: str):
     """Backward as-of join: each purchase event attached to the user's
     most recent click at or before it (exact microsecond lag)."""
@@ -751,6 +762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_agg": _q_hopping_agg,
         "sessions": _q_sessions,
         "purchase_attribution": _q_purchase_attribution,
+        "repetition_stats": _q_repetition_stats,
         "fidelity_links": _q_fidelity_links,
         "linking_eval": _q_linking_eval,
         "candidate_histogram": _q_candidate_histogram,
@@ -1094,6 +1106,42 @@ WITH clicks AS (
 SELECT p.event_id, p.user_id, p.ts, p.value, c.click_id,
        CAST(date_diff('microsecond', c.cts, p.ts) AS BIGINT) AS lag_us
 FROM p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.cts""",
+        # Word n-gram repetition features (stages/textstats.py:
+        # repetition_stats); 1-based list indexing, range() end-exclusive.
+        "repetition_stats": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS tk FROM w),
+uni AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(count(DISTINCT tk) AS BIGINT) AS n_distinct_words
+  FROM tok GROUP BY doc_id),
+g2 AS (
+  SELECT w.doc_id, ws[j] || ' ' || ws[j+1] AS g
+  FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS j) s(j)),
+g2c AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+b2 AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+         CAST(count(*) AS BIGINT) AS n_distinct_2grams,
+         CAST(max(c) AS BIGINT) AS top_2gram_n
+  FROM g2c GROUP BY doc_id),
+g3 AS (
+  SELECT w.doc_id, ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2] AS g
+  FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS j) s(j)),
+g3c AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g),
+b3 AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_3grams,
+         CAST(count(*) AS BIGINT) AS n_distinct_3grams,
+         CAST(max(c) AS BIGINT) AS top_3gram_n
+  FROM g3c GROUP BY doc_id)
+SELECT u.doc_id, u.n_words, u.n_distinct_words,
+       COALESCE(b2.n_2grams, 0) AS n_2grams,
+       COALESCE(b2.n_distinct_2grams, 0) AS n_distinct_2grams,
+       COALESCE(b2.top_2gram_n, 0) AS top_2gram_n,
+       COALESCE(b3.n_3grams, 0) AS n_3grams,
+       COALESCE(b3.n_distinct_3grams, 0) AS n_distinct_3grams,
+       COALESCE(b3.top_3gram_n, 0) AS top_3gram_n
+FROM uni u LEFT JOIN b2 ON u.doc_id = b2.doc_id
+           LEFT JOIN b3 ON u.doc_id = b3.doc_id""",
         "er_clusters_dist": """
 WITH RECURSIVE e AS (
   SELECT a.c_custkey AS id_a, b.c_custkey AS id_b

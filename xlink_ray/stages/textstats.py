@@ -14,7 +14,101 @@ import pyarrow.compute as pc
 
 from ray.data import Dataset
 
-__all__ = ["token_counts", "quality_stats", "LangIdActor", "lang_id", "fingerprints"]
+__all__ = [
+    "token_counts",
+    "quality_stats",
+    "LangIdActor",
+    "lang_id",
+    "fingerprints",
+    "repetition_stats",
+]
+
+
+def repetition_stats(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+    """Gopher-style repetition features per doc (Rae et al. 2021 §A1.1,
+    adapted to word n-grams — this corpus has no line structure):
+    n_words, n_distinct_words, n_2grams, n_distinct_2grams, top_2gram_n
+    (occurrences of the modal word-bigram), and the trigram trio.  A
+    high ``top_2gram_n / n_2grams`` or low ``n_distinct / n`` marks
+    boilerplate/template documents for curation filters.
+
+    Fully vectorized, no shuffle: tokens are factorized once per batch,
+    n-grams are integer code packs, distinct/top counts come from one
+    ``np.unique`` per feature.  Tokenization = single-space split
+    (DuckDB ``string_split`` semantics, empties count)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        nd = t.num_rows
+        toks = pc.split_pattern(t[text_col], " ")
+        nw = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        doc = np.repeat(np.arange(nd, dtype=np.int64), nw)
+        import pandas as pd
+
+        codes, uniq = pd.factorize(flat)
+        k = max(len(uniq), 1)
+        codes = codes.astype(np.int64)
+
+        def distinct_and_top(gram_codes: np.ndarray, gram_doc: np.ndarray, span: int):
+            """(n_distinct per doc, top count per doc) for packed grams."""
+            nd_distinct = np.zeros(nd, dtype=np.int64)
+            top = np.zeros(nd, dtype=np.int64)
+            if len(gram_codes):
+                key = gram_doc * span + gram_codes
+                ukey, cnt = np.unique(key, return_counts=True)
+                udoc = ukey // span
+                np.add.at(nd_distinct, udoc, 1)
+                np.maximum.at(top, udoc, cnt)
+            return nd_distinct, top
+
+        # unigrams
+        n_distinct_words, _ = distinct_and_top(codes, doc, k)
+
+        # adjacent positions within the same doc
+        same2 = doc[1:] == doc[:-1] if len(doc) else np.zeros(0, dtype=bool)
+        c2 = codes[:-1][same2] * k + codes[1:][same2]
+        d2 = doc[:-1][same2]
+        # re-factorize pair codes so the triple pack below stays small
+        p2, up2 = pd.factorize(c2) if len(c2) else (np.zeros(0, np.int64), np.zeros(0))
+        k2 = max(len(up2), 1)
+        n_distinct_2, top_2 = distinct_and_top(p2.astype(np.int64), d2, k2)
+        n_2grams = np.zeros(nd, dtype=np.int64)
+        np.add.at(n_2grams, d2, 1)
+
+        # pair code aligned back to raw position i (i, i+1), -1 = cross-doc
+        pair_full = np.full(max(len(doc) - 1, 0), -1, dtype=np.int64)
+        if len(c2):
+            pair_full[same2] = p2.astype(np.int64)
+        # trigram at i needs (i,i+1) and (i+1,i+2) in the same doc
+        same3 = same2[:-1] & same2[1:] if len(same2) > 1 else np.zeros(0, dtype=bool)
+        c3 = (
+            pair_full[:-1][same3] * k + codes[2:][same3]
+            if len(same3)
+            else np.zeros(0, np.int64)
+        )
+        d3 = doc[:-2][same3] if len(same3) else np.zeros(0, np.int64)
+        p3, up3 = pd.factorize(c3) if len(c3) else (np.zeros(0, np.int64), np.zeros(0))
+        k3 = max(len(up3), 1)
+        n_distinct_3, top_3 = distinct_and_top(p3.astype(np.int64), d3, k3)
+        n_3grams = np.zeros(nd, dtype=np.int64)
+        if len(d3):
+            np.add.at(n_3grams, d3, 1)
+
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_words": pa.array(nw),
+                "n_distinct_words": pa.array(n_distinct_words),
+                "n_2grams": pa.array(n_2grams),
+                "n_distinct_2grams": pa.array(n_distinct_2),
+                "top_2gram_n": pa.array(top_2),
+                "n_3grams": pa.array(n_3grams),
+                "n_distinct_3grams": pa.array(n_distinct_3),
+                "top_3gram_n": pa.array(top_3),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def token_counts(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
