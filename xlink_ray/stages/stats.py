@@ -29,23 +29,32 @@ __all__ = ["group_topk", "grouped_quantiles"]
 def _topk_batch(
     t: pa.Table, group_col: str, order_col: str, k: int, tie_col: str
 ) -> pa.Table:
-    """Vectorized per-batch top-k per group: one lexsort by
-    (group, order desc, tie asc) + a run-position trim."""
+    """Vectorized per-batch top-k per group: one Arrow multi-key sort
+    (group, order desc, tie asc) + a run-position trim. No Python-object
+    materialization — string group/tie columns stay in Arrow."""
     if t.num_rows == 0:
         return t
-    grp = np.asarray(t[group_col].to_pylist())
-    val = t[order_col].to_numpy(zero_copy_only=False)
-    tie = np.asarray(t[tie_col].to_pylist())
-    _, gcode = np.unique(grp, return_inverse=True)
-    order = np.lexsort((tie, -val, gcode))
-    g_s = gcode[order]
-    first = np.ones(len(order), dtype=bool)
-    first[1:] = g_s[1:] != g_s[:-1]
+    sort_idx = pc.sort_indices(
+        t,
+        sort_keys=[
+            (group_col, "ascending"),
+            (order_col, "descending"),
+            (tie_col, "ascending"),
+        ],
+    )
+    order = sort_idx.to_numpy(zero_copy_only=False)
+    n = len(order)
+    gs = t[group_col].take(sort_idx).combine_chunks()
+    first = np.ones(n, dtype=bool)
+    if n > 1:
+        first[1:] = pc.not_equal(gs.slice(1), gs.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
     # position within the group run
-    run_start = np.zeros(len(order), dtype=np.int64)
-    run_start[first] = np.arange(len(order))[first]
+    run_start = np.zeros(n, dtype=np.int64)
+    run_start[first] = np.arange(n)[first]
     np.maximum.accumulate(run_start, out=run_start)
-    pos = np.arange(len(order)) - run_start
+    pos = np.arange(n) - run_start
     keep = order[pos < k]
     return t.take(pa.array(np.sort(keep)))
 
