@@ -609,6 +609,51 @@ def _q_hopping_agg(sf_dir: str):
     )
 
 
+def _q_signup_conversion(sf_dir: str):
+    """Keyed range join: per signup event, how many purchases the same
+    user made in the following 24 hours."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from xlink_ray.stages.interval import interval_count_join
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def signup_windows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "signup"))
+        end = pc.add(
+            pc.cast(t["ts"], pa.int64()), pa.scalar(24 * 3600 * 1_000_000, pa.int64())
+        ).cast(pa.timestamp("us"))
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "w_end": end,
+            }
+        )
+
+    def purchases(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["event_type"], "purchase")).select(
+            ["user_id", "ts"]
+        )
+
+    return interval_count_join(
+        ev.map_batches(signup_windows, batch_format="pyarrow"),
+        ev.map_batches(purchases, batch_format="pyarrow"),
+        key="user_id",
+        start="ts",
+        end="w_end",
+        ts="ts",
+        interval_cols=["event_id", "ts"],
+        out_col="n_purchases",
+    )
+
+
 def _q_repetition_stats(sf_dir: str):
     """Gopher-style word/n-gram repetition features per document."""
     import ray.data as rd
@@ -763,6 +808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": _q_sessions,
         "purchase_attribution": _q_purchase_attribution,
         "repetition_stats": _q_repetition_stats,
+        "signup_conversion": _q_signup_conversion,
         "fidelity_links": _q_fidelity_links,
         "linking_eval": _q_linking_eval,
         "candidate_histogram": _q_candidate_histogram,
@@ -1106,6 +1152,20 @@ WITH clicks AS (
 SELECT p.event_id, p.user_id, p.ts, p.value, c.click_id,
        CAST(date_diff('microsecond', c.cts, p.ts) AS BIGINT) AS lag_us
 FROM p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.cts""",
+        # Keyed range join (stages/interval.py): LEFT JOIN + inequality
+        # band, counted per interval row.
+        "signup_conversion": """
+WITH s AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'
+), p AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT s.event_id, s.user_id, s.ts,
+       CAST(count(p.ts) AS BIGINT) AS n_purchases
+FROM s LEFT JOIN p
+  ON p.user_id = s.user_id
+ AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 24 HOUR
+GROUP BY s.event_id, s.user_id, s.ts""",
         # Word n-gram repetition features (stages/textstats.py:
         # repetition_stats); 1-based list indexing, range() end-exclusive.
         "repetition_stats": """
