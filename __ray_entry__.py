@@ -609,6 +609,22 @@ def _q_hopping_agg(sf_dir: str):
     )
 
 
+BM25_QUERIES = {1: ["hash", "join"], 2: ["customer", "filter", "scan"], 3: ["window", "sort"]}
+
+
+def _q_bm25_scores(sf_dir: str):
+    """BM25 (Lucene idf) scores for a fixed query set: two-pass
+    broadcast pattern, corpus never shuffled."""
+    import ray.data as rd
+
+    from xlink_ray.stages.bm25 import bm25_scores
+
+    return bm25_scores(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        BM25_QUERIES,
+    )
+
+
 def _q_signup_conversion(sf_dir: str):
     """Keyed range join: per signup event, how many purchases the same
     user made in the following 24 hours."""
@@ -809,6 +825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_attribution": _q_purchase_attribution,
         "repetition_stats": _q_repetition_stats,
         "signup_conversion": _q_signup_conversion,
+        "bm25_scores": _q_bm25_scores,
         "fidelity_links": _q_fidelity_links,
         "linking_eval": _q_linking_eval,
         "candidate_histogram": _q_candidate_histogram,
@@ -1152,6 +1169,31 @@ WITH clicks AS (
 SELECT p.event_id, p.user_id, p.ts, p.value, c.click_id,
        CAST(date_diff('microsecond', c.cts, p.ts) AS BIGINT) AS lag_us
 FROM p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.cts""",
+        # BM25 (stages/bm25.py): identical Lucene-idf formula in SQL;
+        # avgdl = sum(dl)/N in double on both sides.
+        "bm25_scores": """
+WITH terms(query_id, tk) AS (VALUES
+  (1,'hash'),(1,'join'),
+  (2,'customer'),(2,'filter'),(2,'scan'),
+  (3,'window'),(3,'sort')),
+tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS tk FROM documents),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM dl) AS avgdl,
+                 (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n),
+df AS (SELECT t.tk, CAST(count(DISTINCT k.doc_id) AS DOUBLE) AS df
+       FROM (SELECT DISTINCT tk FROM terms) t
+       LEFT JOIN tok k ON k.tk = t.tk GROUP BY t.tk),
+tf AS (SELECT tr.query_id, k.doc_id, k.tk, CAST(count(*) AS DOUBLE) AS tf
+       FROM tok k JOIN terms tr ON k.tk = tr.tk
+       GROUP BY tr.query_id, k.doc_id, k.tk)
+SELECT tf.query_id, tf.doc_id,
+       sum(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+           * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+       ) AS score
+FROM tf JOIN df ON tf.tk = df.tk
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats s
+GROUP BY tf.query_id, tf.doc_id""",
         # Keyed range join (stages/interval.py): LEFT JOIN + inequality
         # band, counted per interval row.
         "signup_conversion": """

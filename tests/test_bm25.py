@@ -1,0 +1,61 @@
+"""bm25_scores (stages/bm25.py) vs a direct per-doc Python oracle."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from xlink_ray.stages.bm25 import bm25_scores
+
+
+def _oracle(texts, queries, k1=1.2, b=0.75):
+    docs = [t.split(" ") for t in texts]
+    n = len(docs)
+    avgdl = sum(len(d) for d in docs) / n
+    out = {}
+    for q, terms in queries.items():
+        for i, d in enumerate(docs):
+            s = 0.0
+            for t in terms:
+                tf = d.count(t)
+                if tf == 0:
+                    continue
+                df = sum(1 for dd in docs if t in dd)
+                idf = math.log((n - df + 0.5) / (df + 0.5) + 1)
+                s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(d) / avgdl))
+            if s > 0:
+                out[(q, i)] = s
+    return out
+
+
+def test_bm25_matches_python_oracle(ray_session):
+    rng = np.random.default_rng(11)
+    vocab = ["hash", "join", "scan", "sort", "row", "col", "x"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(3, 25))) for _ in range(60)]
+    queries = {1: ["hash", "join"], 2: ["sort"], 3: ["zzz_absent", "scan"]}
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    got = bm25_scores(ds, queries).to_pandas()
+    exp = _oracle(texts, queries)
+    got_d = {
+        (int(r.query_id), int(r.doc_id)): float(r.score) for r in got.itertuples()
+    }
+    assert set(got_d) == set(exp)
+    for kq in exp:
+        assert abs(got_d[kq] - exp[kq]) < 1e-9 * max(1.0, abs(exp[kq])), kq
+
+
+def test_bm25_absent_only_query_empty(ray_session):
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array([0], pa.int64()), "text": pa.array(["a b"], pa.string())})
+    )
+    got = bm25_scores(ds, {9: ["nope"]}).to_pandas()
+    assert len(got) == 0
