@@ -98,3 +98,87 @@ def test_types_survive_roundtrip(ray_session):
     tbl = pa.Table.from_pandas(out.to_pandas())
     assert tbl["lid"].type == pa.int64()
     assert tbl["k"].type == pa.int64()
+
+
+def test_string_tiebreak_and_payload(ray_session):
+    # right payload/tiebreak is a STRING column: factorized ordering,
+    # max string wins ties
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1], pa.int64()),
+                "ts": pa.array([T0 + dt.timedelta(seconds=10)], pa.timestamp("us")),
+                "lid": pa.array([100], pa.int64()),
+            }
+        )
+    )
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 1], pa.int64()),
+                "ts": pa.array([T0 + dt.timedelta(seconds=10)] * 3, pa.timestamp("us")),
+                "tag": pa.array(["beta", "zeta", "alpha"], pa.string()),
+            }
+        )
+    )
+    out = asof_join(
+        left, right, key="k", ts="ts", left_cols=["lid"], right_cols=["tag"]
+    ).to_pandas()
+    assert list(out["tag_r"]) == ["zeta"]
+
+
+def test_millisecond_unit_tolerance(ray_session):
+    # ts in timestamp[ms]: tolerance must be scaled to ms, not us
+    def side(ts_s, payload, name):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([1] * len(ts_s), pa.int64()),
+                    "ts": pa.array(
+                        [int(s * 1000) for s in ts_s], pa.timestamp("ms")
+                    ),
+                    name: pa.array(payload, pa.int64()),
+                }
+            )
+        )
+
+    out = asof_join(
+        side([100.0], [1], "lid"),
+        side([10.0, 97.0], [200, 201], "rid"),
+        key="k",
+        ts="ts",
+        left_cols=["lid"],
+        right_cols=["rid"],
+        tolerance_s=5,
+    ).to_pandas()
+    assert list(out["rid_r"]) == [201]  # 3s lag ok; with us-scaled bug the
+    # tolerance would be 5000s and this would also pass — so check the cut:
+    out2 = asof_join(
+        side([100.0], [1], "lid"),
+        side([10.0], [200], "rid"),
+        key="k",
+        ts="ts",
+        left_cols=["lid"],
+        right_cols=["rid"],
+        tolerance_s=5,
+    ).to_pandas()
+    assert out2["rid_r"].isna().all()  # 90s stale must be cut in ms units
+
+
+def test_null_key_rejected(ray_session):
+    import pytest
+
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, None], pa.int64()),
+                "ts": pa.array([T0, T0], pa.timestamp("us")),
+                "lid": pa.array([1, 2], pa.int64()),
+            }
+        )
+    )
+    right = _side([(1, 5, 200)], "rid")
+    with pytest.raises(Exception, match="nulls"):
+        asof_join(
+            left, right, key="k", ts="ts", left_cols=["lid"], right_cols=["rid"]
+        ).to_pandas()

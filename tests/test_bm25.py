@@ -59,3 +59,16 @@ def test_bm25_absent_only_query_empty(ray_session):
     )
     got = bm25_scores(ds, {9: ["nope"]}).to_pandas()
     assert len(got) == 0
+
+
+def test_bm25_empty_corpus(ray_session):
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+        )
+    )
+    out = bm25_scores(ds, {1: ["x"]})
+    # Ray's to_pandas drops columns on a fully-empty dataset; assert
+    # the schema at the Dataset level instead
+    assert sorted(out.schema().names) == ["doc_id", "query_id", "score"]
+    assert out.count() == 0

@@ -65,3 +65,24 @@ def test_grouped_quantiles_rank_is_exact_ceil(ray_session):
         rd.from_arrow(pa.Table.from_pylist(rows)), "g", "v", qs=(0.07,)
     ).to_pandas()
     assert got.loc[0, "v"] == 7
+
+
+def test_group_topk_null_group_is_own_group(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xlink_ray.stages.stats import group_topk
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "g": pa.array(["a", "a", "a", None, None, None], pa.string()),
+                "v": pa.array([3, 2, 1, 30, 20, 10], pa.int64()),
+                "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            }
+        )
+    )
+    out = group_topk(ds, "g", "v", 2, "id").to_pandas()
+    got = sorted(out["id"].astype(int))
+    # top-2 of group 'a' = ids 1,2; top-2 of the null group = ids 4,5
+    assert got == [1, 2, 4, 5]

@@ -104,13 +104,17 @@ def asof_join(
     both = tagged_l.union(tagged_r)
 
     tb_col = f"{tiebreak}{suffix}"
-    tol_us = None if tolerance_s is None else int(tolerance_s) * 1_000_000
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        k = t[key].to_numpy(zero_copy_only=False)
-        return t.append_column("__b", pa.array((k % nbuckets).astype(np.int64)))
+    # tolerance in the ts column's native unit (timestamp s/ms/us/ns)
+    _unit_per_s = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}
+    ts_type = l_map[ts]
+    tol_native = (
+        None
+        if tolerance_s is None
+        else int(tolerance_s) * _unit_per_s[getattr(ts_type, "unit", "us")]
+    )
 
     def per_bucket(t: pa.Table) -> pa.Table:
+        import pandas as pd
         import pyarrow.compute as pc
 
         t = t.combine_chunks()
@@ -118,10 +122,11 @@ def asof_join(
         ks = t[key].to_numpy(zero_copy_only=False)
         tss = pc.cast(t[ts], pa.int64()).to_numpy(zero_copy_only=False)
         side = t["__side"].to_numpy(zero_copy_only=False)
-        # tiebreak may hold nulls on left rows (→ NaN via pandas
-        # conversion); it only orders ties WITHIN a side, so NaN on the
-        # left side is harmless.  Least→most significant for lexsort.
-        tb = t[tb_col].to_numpy(zero_copy_only=False)
+        # tiebreak ordered by VALUE via sorted factorize: exact for
+        # int64 beyond 2^53, works for strings, and nulls (all left
+        # rows, plus any null right tiebreaks) get code -1 — they sort
+        # first and never win a tie, matching SQL max()'s null rule.
+        tb, _ = pd.factorize(t[tb_col].to_pandas(), sort=True)
         order = np.lexsort((tb, side, tss, ks))
         t2 = t.take(pa.array(order))
         ks, tss, side = ks[order], tss[order], side[order]
@@ -137,8 +142,8 @@ def asof_join(
         match = last[lsel]
         ok = valid[lsel]
         ridx = np.maximum(match, 0)
-        if tol_us is not None:
-            ok = ok & ((tss[lsel] - tss[ridx]) <= tol_us)
+        if tol_native is not None:
+            ok = ok & ((tss[lsel] - tss[ridx]) <= tol_native)
         lpart = t2.select([key, ts, *left_cols]).take(pa.array(lsel))
         okm = pa.array(ok)
         cols = {c: lpart[c] for c in (key, ts, *left_cols)}
@@ -149,8 +154,6 @@ def asof_join(
             cols[c] = pc.if_else(okm, rv, pa.nulls(len(lsel), rv.type))
         return pa.table(cols)
 
-    return (
-        both.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("__b")
-        .map_groups(per_bucket, batch_format="pyarrow")
-    )
+    from xlink_ray.stages._bucket import bucket_shuffle
+
+    return bucket_shuffle(both, key, nbuckets, per_bucket)

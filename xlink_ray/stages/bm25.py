@@ -41,17 +41,28 @@ def bm25_scores(
     t_idx = {t: i for i, t in enumerate(terms)}
     nt = len(terms)
 
-    # ---------------- pass 1: N, total tokens, per-term document freq
-    def stats_batch(t: pa.Table) -> pa.Table:
+    term_set = pa.array(terms, pa.string())
+
+    def _term_hits(t: pa.Table):
+        """(doc row idx, term idx, doc lengths): ONE index_in pass over
+        the flattened tokens, not a per-term scan."""
         toks = pc.split_pattern(t[text_col], " ")
         nw = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
         flat = pc.list_flatten(toks)
         doc = np.repeat(np.arange(t.num_rows, dtype=np.int64), nw)
+        code = pc.fill_null(
+            pc.index_in(flat, value_set=term_set), -1
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = code >= 0
+        return doc[hit], code[hit], nw
+
+    # ---------------- pass 1: N, total tokens, per-term document freq
+    def stats_batch(t: pa.Table) -> pa.Table:
+        doc, code, nw = _term_hits(t)
         df = np.zeros(nt, dtype=np.int64)
-        for term, i in t_idx.items():
-            eq = pc.equal(flat, term).to_numpy(zero_copy_only=False)
-            if eq.any():
-                df[i] = len(np.unique(doc[eq]))
+        if len(code):
+            upair = np.unique(doc * nt + code)
+            np.add.at(df, upair % nt, 1)
         return pa.table(
             {
                 "n_docs": pa.array([t.num_rows], pa.int64()),
@@ -62,8 +73,21 @@ def bm25_scores(
 
     parts = docs.map_batches(stats_batch, batch_format="pyarrow").take_all()
     n_docs = sum(p["n_docs"] for p in parts)
+    if n_docs == 0:
+        import ray.data as rd
+
+        id_type = dict(zip(docs.schema().names, docs.schema().types))[id_col]
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    id_col: pa.array([], id_type),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        )
     avgdl = sum(p["n_tokens"] for p in parts) / n_docs
-    df = np.sum([p["df"] for p in parts], axis=0)
+    df = np.sum([np.asarray(p["df"]) for p in parts], axis=0)
     idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
 
     # query → term-index rows (tiny, shipped in the closure)
@@ -76,15 +100,10 @@ def bm25_scores(
     # ---------------- pass 2: streaming scoring (map-only)
     def score_batch(t: pa.Table) -> pa.Table:
         nd = t.num_rows
-        toks = pc.split_pattern(t[text_col], " ")
-        nw = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
-        flat = pc.list_flatten(toks)
-        doc = np.repeat(np.arange(nd, dtype=np.int64), nw)
+        doc, code, nw = _term_hits(t)
         tf = np.zeros((nd, nt), dtype=np.float64)
-        for term, i in t_idx.items():
-            eq = pc.equal(flat, term).to_numpy(zero_copy_only=False)
-            if eq.any():
-                np.add.at(tf[:, i], doc[eq], 1.0)
+        if len(code):
+            np.add.at(tf, (doc, code), 1.0)
         dl_norm = k1 * (1.0 - b + b * nw / avgdl)  # (nd,)
         contrib = idf[None, :] * tf * (k1 + 1.0) / (tf + dl_norm[:, None])
         contrib[tf == 0] = 0.0

@@ -71,10 +71,6 @@ def interval_count_join(
         points.map_batches(tag_points, batch_format="pyarrow")
     )
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        k = t[key].to_numpy(zero_copy_only=False)
-        return t.append_column("__b", pa.array((k % nbuckets).astype(np.int64)))
-
     def per_bucket(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
@@ -131,8 +127,6 @@ def interval_count_join(
                         )
         return ipart.append_column(out_col, pa.array(counts))
 
-    return (
-        both.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("__b")
-        .map_groups(per_bucket, batch_format="pyarrow")
-    )
+    from xlink_ray.stages._bucket import bucket_shuffle
+
+    return bucket_shuffle(both, key, nbuckets, per_bucket)

@@ -47,9 +47,12 @@ def _topk_batch(
     gs = t[group_col].take(sort_idx).combine_chunks()
     first = np.ones(n, dtype=bool)
     if n > 1:
-        first[1:] = pc.not_equal(gs.slice(1), gs.slice(0, n - 1)).to_numpy(
-            zero_copy_only=False
-        )
+        # not_equal(null, x) is null; treat the null block (Arrow sorts
+        # nulls to one end) as ONE group: a boundary where the value
+        # changes OR where nullness flips
+        ne = pc.fill_null(pc.not_equal(gs.slice(1), gs.slice(0, n - 1)), False)
+        isnull = pc.is_null(gs).to_numpy(zero_copy_only=False)
+        first[1:] = ne.to_numpy(zero_copy_only=False) | (isnull[1:] != isnull[:-1])
     # position within the group run
     run_start = np.zeros(n, dtype=np.int64)
     run_start[first] = np.arange(n)[first]
