@@ -612,6 +612,18 @@ def _q_hopping_agg(sf_dir: str):
 BM25_QUERIES = {1: ["hash", "join"], 2: ["customer", "filter", "scan"], 3: ["window", "sort"]}
 
 
+def _q_pmi_bigrams(sf_dir: str):
+    """PMI collocations (phrase-detection preprocessing): bigram counts
+    + broadcast unigram table, min_count=5."""
+    import ray.data as rd
+
+    from xlink_ray.stages.collocations import pmi_bigrams
+
+    return pmi_bigrams(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+
+
 def _q_bm25_scores(sf_dir: str):
     """BM25 (Lucene idf) scores for a fixed query set: two-pass
     broadcast pattern, corpus never shuffled."""
@@ -826,6 +838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "signup_conversion": _q_signup_conversion,
         "bm25_scores": _q_bm25_scores,
+        "pmi_bigrams": _q_pmi_bigrams,
         "fidelity_links": _q_fidelity_links,
         "linking_eval": _q_linking_eval,
         "candidate_histogram": _q_candidate_histogram,
@@ -1169,6 +1182,24 @@ WITH clicks AS (
 SELECT p.event_id, p.user_id, p.ts, p.value, c.click_id,
        CAST(date_diff('microsecond', c.cts, p.ts) AS BIGINT) AS lag_us
 FROM p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.cts""",
+        # PMI collocations (stages/collocations.py): identical division
+        # order in the pmi expression; TB = T − n_docs exactly.
+        "pmi_bigrams": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (SELECT unnest(ws) AS tk FROM w),
+uni AS (SELECT tk, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY tk),
+tot AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM tok) AS t,
+               (SELECT CAST(count(*) AS DOUBLE) FROM tok)
+                 - (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS tb),
+big AS (
+  SELECT ws[j] AS w1, ws[j+1] AS w2, CAST(count(*) AS BIGINT) AS n
+  FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS j) s(j)
+  GROUP BY ws[j], ws[j+1] HAVING count(*) >= 5)
+SELECT b.w1, b.w2, b.n,
+       ln((b.n / tot.tb) / ((u1.c / tot.t) * (u2.c / tot.t))) AS pmi
+FROM big b JOIN uni u1 ON b.w1 = u1.tk
+           JOIN uni u2 ON b.w2 = u2.tk
+           CROSS JOIN tot""",
         # BM25 (stages/bm25.py): identical Lucene-idf formula in SQL;
         # avgdl = sum(dl)/N in double on both sides.
         "bm25_scores": """
