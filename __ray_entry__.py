@@ -612,6 +612,19 @@ def _q_hopping_agg(sf_dir: str):
 BM25_QUERIES = {1: ["hash", "join"], 2: ["customer", "filter", "scan"], 3: ["window", "sort"]}
 
 
+def _q_shared_ngrams(sf_dir: str):
+    """Exact-substring dedup at word-5-gram granularity: doc pairs
+    sharing at least one window, with shared-window counts."""
+    import ray.data as rd
+
+    from xlink_ray.stages.dedup import shared_ngram_pairs
+
+    return shared_ngram_pairs(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        k=5,
+    )
+
+
 def _q_pmi_bigrams(sf_dir: str):
     """PMI collocations (phrase-detection preprocessing): bigram counts
     + broadcast unigram table, min_count=5."""
@@ -839,6 +852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "signup_conversion": _q_signup_conversion,
         "bm25_scores": _q_bm25_scores,
         "pmi_bigrams": _q_pmi_bigrams,
+        "shared_ngrams": _q_shared_ngrams,
         "fidelity_links": _q_fidelity_links,
         "linking_eval": _q_linking_eval,
         "candidate_histogram": _q_candidate_histogram,
@@ -1182,6 +1196,18 @@ WITH clicks AS (
 SELECT p.event_id, p.user_id, p.ts, p.value, c.click_id,
        CAST(date_diff('microsecond', c.cts, p.ts) AS BIGINT) AS lag_us
 FROM p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.cts""",
+        # Exact-substring dedup (stages/dedup.py:shared_ngram_pairs):
+        # SQL joins on the window STRING; the engine on its M61 hash —
+        # identical row sets absent a 61-bit collision.
+        "shared_ngrams": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT doc_id, list_aggregate(ws[j:j+4], 'string_agg', ' ') AS win
+      FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 3)) AS j) s(j)),
+d AS (SELECT DISTINCT doc_id, win FROM g)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM d a JOIN d b ON a.win = b.win AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id""",
         # PMI collocations (stages/collocations.py): identical division
         # order in the pmi expression; TB = T − n_docs exactly.
         "pmi_bigrams": """

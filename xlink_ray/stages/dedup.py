@@ -731,3 +731,103 @@ def embedding_dup_pairs(
     return _attach_and_verify(
         cand, vecs, "vid", "v", pa.list_(pa.float64()), verify
     )
+
+
+def shared_ngram_pairs(
+    ds: Dataset,
+    k: int = 5,
+    min_shared: int = 1,
+    max_bucket: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    nbuckets: int = 64,
+) -> Dataset:
+    """Exact-substring duplicate detection at word-k-gram granularity
+    (the scaled-down shape of Lee et al. 2022's exact-substring dedup):
+    (doc_a, doc_b, n_shared) where n_shared = number of DISTINCT
+    word-k-gram windows the two docs share, doc_a < doc_b.
+
+    Scale shape: distinct (gram_hash, doc) rows per batch (Horner-M61
+    over md5-low64 token hashes — curation._gram_hashes) → ONE
+    hash-bucket shuffle on the gram; inside a bucket ALL gram runs are
+    pair-expanded in one vectorized pass (no per-gram Python); a second
+    grouped-sum shuffle combines per-pair counts.  Grams shared by more
+    than ``max_bucket`` docs (boilerplate) are dropped cap-and-log
+    style — a warning records the count."""
+    import logging
+
+    from xlink_ray.stages._bucket import bucket_shuffle
+    from xlink_ray.stages.curation import _gram_hashes
+
+    logger = logging.getLogger(__name__)
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        doc_idx, gram = _gram_hashes(t[text_col], k)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "g": pa.array(gram.view(np.int64)),
+                "doc": pa.array(ids[doc_idx].astype(np.int64)),
+            }
+        )
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        g = t["g"].to_numpy(zero_copy_only=False)
+        d = t["doc"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, g))
+        g, d = g[order], d[order]
+        first = np.ones(n, dtype=bool)
+        first[1:] = g[1:] != g[:-1]
+        run_id = np.cumsum(first) - 1
+        run_len = np.bincount(run_id)
+        # defensive within-run doc dedupe (gram_rows is distinct per
+        # batch, but a doc's rows can arrive from two batches)
+        dup = np.zeros(n, dtype=bool)
+        dup[1:] = (~first[1:]) & (d[1:] == d[:-1])
+        keep = ~dup
+        g, d, run_id = g[keep], d[keep], run_id[keep]
+        run_len = np.bincount(run_id, minlength=len(run_len))
+        big = run_len > max_bucket
+        if big.any():
+            logger.warning(
+                "shared_ngram_pairs: dropped %d gram bucket(s) larger than %d docs",
+                int(big.sum()), max_bucket,
+            )
+        ok = (run_len[run_id] >= 2) & ~big[run_id]
+        g, d, run_id = g[ok], d[ok], run_id[ok]
+        if len(d) == 0:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+            )
+        # vectorized per-run triu expansion
+        _, run_id = np.unique(run_id, return_inverse=True)
+        run_len = np.bincount(run_id)
+        starts = np.concatenate([[0], np.cumsum(run_len)[:-1]])
+        pos = np.arange(len(d)) - starts[run_id]
+        reps = run_len[run_id] - 1 - pos  # pairs where this elem is doc_a
+        a_idx = np.repeat(np.arange(len(d)), reps)
+        pair_base = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        b_idx = np.arange(reps.sum()) - pair_base[a_idx] + a_idx + 1
+        return pa.table(
+            {"doc_a": pa.array(d[a_idx]), "doc_b": pa.array(d[b_idx])}
+        )
+
+    pairs = bucket_shuffle(
+        ds.map_batches(gram_rows, batch_format="pyarrow"), "g", nbuckets, bucket_pairs
+    )
+    counted = pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="n_shared")
+    )
+
+    def fmt(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["n_shared"], min_shared))
+        return pa.table(
+            {
+                "doc_a": pc.cast(t["doc_a"], pa.int64()),
+                "doc_b": pc.cast(t["doc_b"], pa.int64()),
+                "n_shared": pc.cast(t["n_shared"], pa.int64()),
+            }
+        )
+
+    return counted.map_batches(fmt, batch_format="pyarrow")
