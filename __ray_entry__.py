@@ -612,6 +612,18 @@ def _q_hopping_agg(sf_dir: str):
 BM25_QUERIES = {1: ["hash", "join"], 2: ["customer", "filter", "scan"], 3: ["window", "sort"]}
 
 
+def _q_lm_scores(sf_dir: str):
+    """Perplexity-style quality filter: mean token log-prob under the
+    corpus's own MLE unigram LM (vocab built in one shuffle, broadcast)."""
+    import ray.data as rd
+
+    from xlink_ray.stages.textstats import unigram_lm_scores
+
+    return unigram_lm_scores(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+
+
 def _q_shared_ngrams(sf_dir: str):
     """Exact-substring dedup at word-5-gram granularity: doc pairs
     sharing at least one window, with shared-window counts."""
@@ -853,6 +865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_scores": _q_bm25_scores,
         "pmi_bigrams": _q_pmi_bigrams,
         "shared_ngrams": _q_shared_ngrams,
+        "lm_scores": _q_lm_scores,
         "fidelity_links": _q_fidelity_links,
         "linking_eval": _q_linking_eval,
         "candidate_histogram": _q_candidate_histogram,
@@ -1196,6 +1209,16 @@ WITH clicks AS (
 SELECT p.event_id, p.user_id, p.ts, p.value, c.click_id,
        CAST(date_diff('microsecond', c.cts, p.ts) AS BIGINT) AS lag_us
 FROM p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.cts""",
+        # Unigram-LM quality scores (stages/textstats.py:
+        # unigram_lm_scores): identical ln(c/T) expression per token.
+        "lm_scores": """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM tok),
+uni AS (SELECT tk, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY tk)
+SELECT k.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       sum(ln(u.c / tot.t)) / count(*) AS avg_logprob
+FROM tok k JOIN uni u ON k.tk = u.tk CROSS JOIN tot
+GROUP BY k.doc_id""",
         # Exact-substring dedup (stages/dedup.py:shared_ngram_pairs):
         # SQL joins on the window STRING; the engine on its M61 hash —
         # identical row sets absent a 61-bit collision.

@@ -83,3 +83,34 @@ def test_random_docs_vs_oracle(ray_session):
     df = _stats(texts)
     for i, text in enumerate(texts):
         assert tuple(df.loc[i, COLS]) == _oracle(text), (i, text)
+
+
+def test_unigram_lm_scores_vs_oracle(ray_session):
+    import math
+
+    from collections import Counter
+
+    from xlink_ray.stages.textstats import unigram_lm_scores
+
+    texts = ["a a b", "b c", "a c c a"]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    got = (
+        unigram_lm_scores(ds)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    uni = Counter(w for t in texts for w in t.split(" "))
+    total = sum(uni.values())
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        exp = sum(math.log(uni[w] / total) for w in ws) / len(ws)
+        assert int(got.loc[i, "n_tokens"]) == len(ws)
+        assert abs(float(got.loc[i, "avg_logprob"]) - exp) < 1e-12

@@ -21,6 +21,7 @@ __all__ = [
     "lang_id",
     "fingerprints",
     "repetition_stats",
+    "unigram_lm_scores",
 ]
 
 
@@ -221,3 +222,79 @@ def fingerprints(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") ->
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def unigram_lm_scores(
+    ds: Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> Dataset:
+    """Per-doc mean token log-probability under the corpus's own MLE
+    unigram LM — the perplexity-style quality filter of CCNet/Gopher,
+    with the KenLM stage replaced by corpus statistics (no external
+    model in this container).  Low avg_logprob = rare-token-heavy
+    (gibberish); high = boilerplate-common.
+
+    Scale shape: ONE grouped-sum shuffle builds the vocabulary counts
+    (vocabulary-sized, not corpus-sized); the table is broadcast via
+    ``ray.put`` and the scoring pass is map-only (``index_in`` + one
+    ``np.add.at`` per batch).  Output: (doc_id, n_tokens, avg_logprob).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(t[text_col], " "))
+        return (
+            pa.table({"tk": flat})
+            .group_by("tk")
+            .aggregate([([], "count_all")])
+            .rename_columns(["tk", "n"])
+        )
+
+    uni = (
+        ds.map_batches(uni_partial, batch_format="pyarrow")
+        .groupby("tk")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    uni_tbl = pa.concat_tables(
+        b for b in uni.iter_batches(batch_format="pyarrow")
+    ).combine_chunks()
+    total = float(pc.sum(uni_tbl["n"]).as_py() or 0)
+    uni_ref = ray.put(uni_tbl)
+
+    class Score:
+        def __init__(self, ref, t: float):
+            tbl = ray.get(ref)
+            self.vocab = tbl["tk"].combine_chunks()
+            self.counts = tbl["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+            self.t = t
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            nd = t.num_rows
+            toks = pc.split_pattern(t[text_col], " ")
+            nw = (
+                pc.list_value_length(toks)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            flat = pc.list_flatten(toks)
+            doc = np.repeat(np.arange(nd, dtype=np.int64), nw)
+            code = (
+                pc.index_in(flat, value_set=self.vocab)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            lp = np.log(self.counts[code] / self.t)
+            tot = np.zeros(nd, dtype=np.float64)
+            np.add.at(tot, doc, lp)
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    "n_tokens": pa.array(nw),
+                    "avg_logprob": pa.array(tot / nw),
+                }
+            )
+
+    return ds.map_batches(
+        Score, fn_constructor_args=(uni_ref, total),
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
