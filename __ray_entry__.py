@@ -612,6 +612,14 @@ def _q_hopping_agg(sf_dir: str):
 BM25_QUERIES = {1: ["hash", "join"], 2: ["customer", "filter", "scan"], 3: ["window", "sort"]}
 
 
+def _q_curated_corpus_v2(sf_dir: str):
+    """Round-2 curation composition: exact-substring dedup drop →
+    repetition filter → unigram-LM floor, fused survivor pass."""
+    from xlink_ray.pipelines.curate import curated_corpus_v2
+
+    return curated_corpus_v2(sf_dir)
+
+
 def _q_lm_scores(sf_dir: str):
     """Perplexity-style quality filter: mean token log-prob under the
     corpus's own MLE unigram LM (vocab built in one shuffle, broadcast)."""
@@ -866,6 +874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": _q_pmi_bigrams,
         "shared_ngrams": _q_shared_ngrams,
         "lm_scores": _q_lm_scores,
+        "curated_corpus_v2": _q_curated_corpus_v2,
         "fidelity_links": _q_fidelity_links,
         "linking_eval": _q_linking_eval,
         "candidate_histogram": _q_candidate_histogram,
@@ -1209,6 +1218,37 @@ WITH clicks AS (
 SELECT p.event_id, p.user_id, p.ts, p.value, c.click_id,
        CAST(date_diff('microsecond', c.cts, p.ts) AS BIGINT) AS lag_us
 FROM p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.cts""",
+        # Round-2 curation composition (pipelines/curate.py:
+        # curated_corpus_v2): dedup-drop NOT IN, integer repetition
+        # rule, LM floor -3.6 (0.05 margin to the nearest doc at
+        # sf0.01 — no float-boundary flips).
+        "curated_corpus_v2": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g5 AS (SELECT doc_id, list_aggregate(ws[j:j+4], 'string_agg', ' ') AS win
+       FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 3)) AS j) s(j)),
+d5 AS (SELECT DISTINCT doc_id, win FROM g5),
+pr AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n
+       FROM d5 a JOIN d5 b ON a.win = b.win AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id),
+dropped AS (SELECT DISTINCT db AS doc_id FROM pr WHERE n >= 3),
+tok AS (SELECT doc_id, unnest(ws) AS tk FROM w),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM tok),
+uni AS (SELECT tk, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY tk),
+lm AS (SELECT k.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+              sum(ln(u.c / tot.t)) / count(*) AS avg_logprob
+       FROM tok k JOIN uni u ON k.tk = u.tk CROSS JOIN tot
+       GROUP BY k.doc_id),
+g2 AS (SELECT w.doc_id, ws[j] || ' ' || ws[j+1] AS g
+       FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS j) s(j)),
+g2c AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+rep AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n2,
+               CAST(max(c) AS BIGINT) AS top2
+        FROM g2c GROUP BY doc_id)
+SELECT lm.doc_id, lm.n_words, lm.avg_logprob
+FROM lm LEFT JOIN rep ON lm.doc_id = rep.doc_id
+WHERE lm.doc_id NOT IN (SELECT doc_id FROM dropped)
+  AND 12 * COALESCE(rep.top2, 0) <= COALESCE(rep.n2, 0)
+  AND lm.avg_logprob >= -3.6""",
         # Unigram-LM quality scores (stages/textstats.py:
         # unigram_lm_scores): identical ln(c/T) expression per token.
         "lm_scores": """

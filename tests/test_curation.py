@@ -167,3 +167,40 @@ def test_gram_hashes_match_python_oracle_hypothesis(ray_session):
         assert all(0 <= int(g) < M61 for g in grams)
 
     check()
+
+
+def test_curated_corpus_v2_composition(ray_session, sf_small):
+    """The three v2 stages each bite: dup docs dropped (later id),
+    repetitive docs dropped, and survivors carry exact LM scores."""
+    from xlink_ray.pipelines.curate import curated_corpus_v2
+    from xlink_ray.stages.dedup import shared_ngram_pairs
+    from xlink_ray.stages.textstats import repetition_stats, unigram_lm_scores
+
+    import ray.data as rd
+
+    got = curated_corpus_v2(sf_small).to_pandas()
+    ids = set(got["doc_id"].astype(int))
+
+    docs = rd.read_parquet(f"{sf_small}/documents.parquet", columns=["doc_id", "text"])
+    pairs = shared_ngram_pairs(docs, k=5, min_shared=3).to_pandas()
+    dropped = set(pairs["doc_b"].astype(int))
+    assert dropped, "fixture should contain near-duplicate docs"
+    assert not (ids & dropped)
+
+    rep = repetition_stats(docs).to_pandas()
+    violators = set(
+        rep.loc[12 * rep["top_2gram_n"] > rep["n_2grams"], "doc_id"].astype(int)
+    )
+    assert not (ids & violators)
+
+    lm = unigram_lm_scores(docs).to_pandas().set_index("doc_id")
+    ok = set(
+        lm.index[(lm["avg_logprob"] >= -3.6)].astype(int)
+    )
+    assert ids == (ok - dropped - violators)
+    # survivor scores equal the standalone operator's
+    sub = lm.loc[sorted(ids), "avg_logprob"].to_numpy()
+    got_sorted = got.sort_values("doc_id")["avg_logprob"].to_numpy()
+    import numpy as np
+
+    assert np.array_equal(np.sort(sub), np.sort(got_sorted))

@@ -22,7 +22,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data import Dataset
 
-__all__ = ["curated_corpus"]
+__all__ = ["curated_corpus", "curated_corpus_v2"]
 
 
 def curated_corpus(
@@ -94,4 +94,89 @@ def curated_corpus(
     # 5. deterministic sample → stable across reruns and partitionings
     return hash_sample(curated, pct=sample_pct).select_columns(
         ["doc_id", "lang", "n_chars"]
+    )
+
+
+def curated_corpus_v2(
+    sf_dir: str,
+    ngram_k: int = 5,
+    dup_min_shared: int = 3,
+    rep_factor: int = 12,
+    lm_floor: float = -3.6,
+) -> Dataset:
+    """Second curation composition, exercising the round-2 operators:
+
+      exact-substring dedup (shared word-k-gram pairs → drop the
+      LATER doc of any pair sharing ≥ dup_min_shared windows)
+        → repetition filter (Gopher-style: a doc fails when its modal
+          bigram covers more than 1/rep_factor of its bigrams —
+          integer rule, rep_factor·top_2gram_n ≤ n_2grams)
+        → unigram-LM floor (avg token logprob ≥ lm_floor)
+
+    Output: surviving (doc_id, n_words, avg_logprob).
+
+    Scale shape: the dedup branch is shared_ngram_pairs' two shuffles;
+    its DROP LIST is bounded by the duplicate count (not the corpus),
+    so it broadcasts.  The survivor pass is ONE fused map over the
+    corpus: repetition features + LM scores + all three predicates per
+    batch — no joins, no further shuffle.  The whole composition has a
+    DuckDB oracle (query ``curated_corpus_v2``)."""
+    import numpy as np
+    import ray
+
+    from xlink_ray.stages.dedup import shared_ngram_pairs
+    from xlink_ray.stages.textstats import (
+        UnigramScorer,
+        repetition_features,
+        unigram_vocab,
+    )
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).materialize()
+
+    pairs = shared_ngram_pairs(docs, k=ngram_k, min_shared=dup_min_shared)
+    dropped = np.unique(
+        np.concatenate(
+            [np.zeros(0, np.int64)]
+            + [
+                b["doc_b"].to_numpy(zero_copy_only=False)
+                for b in pairs.iter_batches(batch_format="pyarrow")
+            ]
+        )
+    )
+    drop_ref = ray.put(dropped)
+    vocab_ref, total = unigram_vocab(docs)
+
+    class Curate(UnigramScorer):
+        def __init__(self, vref, t, dref, factor, floor):
+            super().__init__(vref, t)
+            self.drop = ray.get(dref)
+            self.factor, self.floor = factor, floor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            nw, avg = self.score(t)
+            rep = repetition_features(t)
+            top2 = rep["top_2gram_n"].to_numpy(zero_copy_only=False)
+            n2 = rep["n_2grams"].to_numpy(zero_copy_only=False)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.drop, ids)
+            pos[pos == len(self.drop)] = 0
+            is_dup = (
+                self.drop[pos] == ids if len(self.drop) else np.zeros(len(ids), bool)
+            )
+            keep = (~is_dup) & (self.factor * top2 <= n2) & (avg >= self.floor)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids[keep]),
+                    "n_words": pa.array(nw[keep]),
+                    "avg_logprob": pa.array(avg[keep]),
+                }
+            )
+
+    return docs.map_batches(
+        Curate,
+        fn_constructor_args=(vocab_ref, total, drop_ref, rep_factor, lm_floor),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
     )

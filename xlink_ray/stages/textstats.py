@@ -39,6 +39,17 @@ def repetition_stats(ds: Dataset, text_col: str = "text", id_col: str = "doc_id"
     (DuckDB ``string_split`` semantics, empties count)."""
 
     def fn(t: pa.Table) -> pa.Table:
+        return repetition_features(t, text_col, id_col)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def repetition_features(
+    t: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Batch kernel behind ``repetition_stats`` (reused by the fused
+    curation pipeline)."""
+    if True:  # (kept indentation from the pre-refactor closure)
         nd = t.num_rows
         toks = pc.split_pattern(t[text_col], " ")
         nw = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -108,8 +119,6 @@ def repetition_stats(ds: Dataset, text_col: str = "text", id_col: str = "doc_id"
                 "top_3gram_n": pa.array(top_3),
             }
         )
-
-    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def token_counts(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
@@ -238,6 +247,28 @@ def unigram_lm_scores(
     ``ray.put`` and the scoring pass is map-only (``index_in`` + one
     ``np.add.at`` per batch).  Output: (doc_id, n_tokens, avg_logprob).
     """
+    uni_ref, total = unigram_vocab(ds, text_col)
+
+    class Score(UnigramScorer):
+        def __call__(self, t: pa.Table) -> pa.Table:
+            nw, avg = self.score(t, text_col)
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    "n_tokens": pa.array(nw),
+                    "avg_logprob": pa.array(avg),
+                }
+            )
+
+    return ds.map_batches(
+        Score, fn_constructor_args=(uni_ref, total),
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+
+
+def unigram_vocab(ds: Dataset, text_col: str = "text"):
+    """(object-store ref of the (tk, n) vocabulary table, total tokens):
+    ONE grouped-sum shuffle, result is vocabulary-sized."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -259,42 +290,38 @@ def unigram_lm_scores(
         b for b in uni.iter_batches(batch_format="pyarrow")
     ).combine_chunks()
     total = float(pc.sum(uni_tbl["n"]).as_py() or 0)
-    uni_ref = ray.put(uni_tbl)
+    return ray.put(uni_tbl), total
 
-    class Score:
-        def __init__(self, ref, t: float):
-            tbl = ray.get(ref)
-            self.vocab = tbl["tk"].combine_chunks()
-            self.counts = tbl["n"].to_numpy(zero_copy_only=False).astype(np.float64)
-            self.t = t
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            nd = t.num_rows
-            toks = pc.split_pattern(t[text_col], " ")
-            nw = (
-                pc.list_value_length(toks)
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64)
-            )
-            flat = pc.list_flatten(toks)
-            doc = np.repeat(np.arange(nd, dtype=np.int64), nw)
-            code = (
-                pc.index_in(flat, value_set=self.vocab)
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64)
-            )
-            lp = np.log(self.counts[code] / self.t)
-            tot = np.zeros(nd, dtype=np.float64)
-            np.add.at(tot, doc, lp)
-            return pa.table(
-                {
-                    id_col: t[id_col],
-                    "n_tokens": pa.array(nw),
-                    "avg_logprob": pa.array(tot / nw),
-                }
-            )
+class UnigramScorer:
+    """Actor state: broadcast vocabulary pulled once per worker; the
+    ``score`` kernel is map-only (index_in + one np.add.at per batch)."""
 
-    return ds.map_batches(
-        Score, fn_constructor_args=(uni_ref, total),
-        batch_format="pyarrow", concurrency=(1, 4),
-    )
+    def __init__(self, ref, total: float):
+        import ray
+
+        tbl = ray.get(ref)
+        self.vocab = tbl["tk"].combine_chunks()
+        self.counts = tbl["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        self.t = total
+
+    def score(self, t: pa.Table, text_col: str = "text"):
+        """Returns (n_tokens per doc, avg token logprob per doc)."""
+        nd = t.num_rows
+        toks = pc.split_pattern(t[text_col], " ")
+        nw = (
+            pc.list_value_length(toks)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        flat = pc.list_flatten(toks)
+        doc = np.repeat(np.arange(nd, dtype=np.int64), nw)
+        code = (
+            pc.index_in(flat, value_set=self.vocab)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        lp = np.log(self.counts[code] / self.t)
+        tot = np.zeros(nd, dtype=np.float64)
+        np.add.at(tot, doc, lp)
+        return nw, tot / nw
