@@ -612,6 +612,18 @@ def _q_hopping_agg(sf_dir: str):
 BM25_QUERIES = {1: ["hash", "join"], 2: ["customer", "filter", "scan"], 3: ["window", "sort"]}
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """Exact heavy hitters (n·512 ≥ total tokens) via the
+    candidate-then-verify sketch — no vocabulary shuffle."""
+    import ray.data as rd
+
+    from xlink_ray.stages.sketch import frequent_tokens
+
+    return frequent_tokens(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"]), k=512
+    )
+
+
 def _q_curated_corpus_v2(sf_dir: str):
     """Round-2 curation composition: exact-substring dedup drop →
     repetition filter → unigram-LM floor, fused survivor pass."""
@@ -875,6 +887,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shared_ngrams": _q_shared_ngrams,
         "lm_scores": _q_lm_scores,
         "curated_corpus_v2": _q_curated_corpus_v2,
+        "heavy_hitters": _q_heavy_hitters,
         "fidelity_links": _q_fidelity_links,
         "linking_eval": _q_linking_eval,
         "candidate_histogram": _q_candidate_histogram,
@@ -1218,6 +1231,13 @@ WITH clicks AS (
 SELECT p.event_id, p.user_id, p.ts, p.value, c.click_id,
        CAST(date_diff('microsecond', c.cts, p.ts) AS BIGINT) AS lag_us
 FROM p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.cts""",
+        # Heavy hitters (stages/sketch.py): integer-exact support rule.
+        "heavy_hitters": """
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tk FROM documents),
+tot AS (SELECT count(*) AS c FROM tok)
+SELECT tk AS token, CAST(count(*) AS BIGINT) AS n
+FROM tok CROSS JOIN tot
+GROUP BY tk, tot.c HAVING count(*) * 512 >= tot.c""",
         # Round-2 curation composition (pipelines/curate.py:
         # curated_corpus_v2): dedup-drop NOT IN, integer repetition
         # rule, LM floor -3.6 (0.05 margin to the nearest doc at
