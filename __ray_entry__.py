@@ -448,6 +448,56 @@ FROM sims a JOIN sims b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}"""
 
 
+def _neardup_sql(max_hamming: int = 3) -> str:
+    """DuckDB replica of stages/dedup.neardup_clusters: the simhash
+    pair predicate (see _simhash_sql — banding is lossless at
+    max_hamming=3 with 4 chunks) closed transitively by a recursive
+    CTE; canonical = min doc_id of the component."""
+    return rf"""WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents
+), th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks WHERE tok <> ''
+), bitsum AS (
+  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b)
+  GROUP BY doc_id, b
+), sims AS (
+  SELECT d.doc_id,
+         COALESCE(SUM(CASE WHEN s > 0 THEN 1::UBIGINT << b ELSE 0::UBIGINT END), 0)::UBIGINT AS sh
+  FROM documents d LEFT JOIN bitsum USING (doc_id)
+  GROUP BY d.doc_id
+), e AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+), sym AS (SELECT id_a AS u, id_b AS v FROM e UNION SELECT id_b, id_a FROM e),
+reach(u, v) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
+SELECT u AS doc_id, CAST(min(v) AS BIGINT) AS canonical_id
+FROM reach GROUP BY u"""
+
+
+def _pii_sql() -> str:
+    """DuckDB replica of stages/pii.pii_scrub, built from the same
+    PII_PATTERNS list (both engines are RE2): counts taken on the
+    progressively-scrubbed text, replacements nested in the same
+    order."""
+    from xlink_ray.stages.pii import PII_PATTERNS
+
+    scrubbed = "text"
+    count_cols = []
+    for name, pat, token in PII_PATTERNS:
+        count_cols.append(
+            f"CAST(len(regexp_extract_all({scrubbed}, '{pat}')) AS BIGINT) AS n_{name}"
+        )
+        scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{token}', 'g')"
+    return f"""SELECT doc_id, {scrubbed} AS text,
+       {', '.join(count_cols)}
+FROM documents"""
+
+
 def _q_simhash_pairs(sf_dir: str):
     from xlink_ray.stages.dedup import simhash_pairs
 
@@ -790,6 +840,32 @@ def _q_purchase_attribution(sf_dir: str):
     return joined.map_batches(fmt, batch_format="pyarrow")
 
 
+def _q_neardup_clusters(sf_dir: str):
+    """End-to-end near-dup dedup: simhash pairs → transitive closure →
+    (doc_id, canonical_id); survivors are doc_id == canonical_id."""
+    from xlink_ray.stages.dedup import neardup_clusters
+
+    return neardup_clusters(_docs(sf_dir), max_hamming=3)
+
+
+def _q_pii_scrub(sf_dir: str):
+    """PII redaction: scrubbed text + per-pattern counts (emails /
+    IPv4 / intl phones), one stateless vectorized RE2 pass."""
+    from xlink_ray.stages.pii import pii_scrub
+
+    return pii_scrub(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
+def _q_packed_sequences(sf_dir: str):
+    """Training-sequence packing via the distributed ordered
+    prefix-sum: chunk assignment at 2048-token capacity."""
+    from xlink_ray.stages.packing import pack_sequences
+
+    return pack_sequences(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), capacity=2048
+    )
+
+
 def _q_fidelity_links(sf_dir: str):
     """Reference-parity linker (P8-P10 exact semantics incl. quirks);
     embedding scoring not SQL-expressible → rows-only check."""
@@ -888,6 +964,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_scores": _q_lm_scores,
         "curated_corpus_v2": _q_curated_corpus_v2,
         "heavy_hitters": _q_heavy_hitters,
+        "neardup_clusters": _q_neardup_clusters,
+        "pii_scrub": _q_pii_scrub,
+        "packed_sequences": _q_packed_sequences,
         "fidelity_links": _q_fidelity_links,
         "linking_eval": _q_linking_eval,
         "candidate_histogram": _q_candidate_histogram,
@@ -1403,6 +1482,23 @@ SELECT DISTINCT 'https://crawl.example.org/' || source || '/' || lpad(CAST(doc_i
 FROM occ WHERE cnt > 0""",
         "minhash_pairs": _minhash_sql(),
         "simhash_pairs": _simhash_sql(),
+        "neardup_clusters": _neardup_sql(),
+        "pii_scrub": _pii_sql(),
+        # Distributed ordered prefix-sum (stages/packing.py): the
+        # window cumsum IS the scan's spec.
+        "packed_sequences": """
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+  FROM t
+)
+SELECT doc_id, n_tokens, CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(start_tok // 2048 AS BIGINT) AS chunk_id
+FROM c""",
         "expanded_anchors": f"""{occ},
 ed(mention, entity_id) AS (SELECT DISTINCT * FROM (VALUES {', '.join(f"('{m}', '{e}')" for m, e in _EXPAND_DICT_ROWS)}))
 SELECT mention, entity_id, CAST(link_count AS BIGINT) AS link_count FROM ma

@@ -121,3 +121,51 @@ def test_ivf_recall(ray_session):
     # the query vector itself always lands in a probed cell
     r1 = approx[approx["rank"] == 1]
     assert list(r1["vec_id"]) == [0, 1, 2]
+
+
+def test_neardup_clusters_vs_allpairs_oracle(ray_session):
+    """neardup_clusters (banded pairs + distributed CC) vs an
+    independent oracle: all-pairs hamming over simhash_values + serial
+    union-find. Fixture mixes exact-dup groups, permuted near-dups,
+    and unrelated singletons."""
+    import numpy as np
+
+    from xlink_ray.stages.dedup import neardup_clusters, simhash_values
+
+    rng = np.random.default_rng(11)
+    vocab = [f"tok{i}" for i in range(60)]
+    rows = []
+    did = 0
+    for g in range(8):
+        words = list(rng.choice(vocab, size=12))
+        for _ in range(int(rng.integers(1, 4))):
+            w = list(words)
+            rng.shuffle(w)  # permutation → hamming 0 vs group mates
+            rows.append({"doc_id": did, "text": " ".join(w)})
+            did += 1
+    ds = _docs_ds(rows)
+
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_values(ds).take_all()}
+    parent = {d: d for d in sigs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin(int(sigs[a]) ^ int(sigs[b])).count("1") <= 3:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    expected = {d: find(d) for d in ids}
+
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in neardup_clusters(ds, max_hamming=3).take_all()
+    }
+    assert got == expected
+    assert any(v != k for k, v in got.items())  # fixture has real dups

@@ -40,6 +40,7 @@ __all__ = [
     "simhash_pairs",
     "jaccard_partner_counts",
     "embedding_dup_pairs",
+    "neardup_clusters",
     "MINHASH_SEED",
     "minhash_perm_params",
 ]
@@ -831,3 +832,36 @@ def shared_ngram_pairs(
         )
 
     return counted.map_batches(fmt, batch_format="pyarrow")
+
+
+# ------------------------------------- end-to-end near-dup clustering
+
+def neardup_clusters(ds: Dataset, max_hamming: int = 3) -> Dataset:
+    """End-to-end near-duplicate dedup: SimHash banding → verified
+    hamming pairs → transitive closure → ``(doc_id, canonical_id)``
+    where ``canonical_id`` = min doc_id of the near-dup component
+    (singletons map to themselves). The survivor set of a dedup run is
+    ``doc_id == canonical_id``; the full assignment is emitted so the
+    duplicates' provenance is kept.
+
+    This is the record-linkage composition (pairs → union-find) of the
+    north star applied to dedup; every stage is the scale-shaped one
+    (banded buckets, cap-and-log pair grids, distributed CC above the
+    local edge limit).
+    """
+    from xlink_ray.stages.clustering import connected_components
+
+    edges = simhash_pairs(ds, max_hamming=max_hamming).select_columns(
+        ["id_a", "id_b"]
+    )
+    cc = connected_components(edges, nodes=ds, node_col="doc_id")
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["member_id"], pa.int64()),
+                "canonical_id": pc.cast(t["cluster_id"], pa.int64()),
+            }
+        )
+
+    return cc.map_batches(fmt, batch_format="pyarrow")
