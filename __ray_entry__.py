@@ -866,6 +866,26 @@ def _q_packed_sequences(sf_dir: str):
     )
 
 
+def _q_embedding_neardup(sf_dir: str):
+    """Semantic near-dup dedup: LSH-bucketed cosine pairs → transitive
+    closure → (vec_id, canonical_id)."""
+    import ray.data as rd
+
+    from xlink_ray.stages.dedup import embedding_neardup_clusters
+
+    return embedding_neardup_clusters(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet"), th=0.35
+    )
+
+
+def _q_inverted_index(sf_dir: str):
+    """Inverted-index build: token → df + doc_id-sorted posting string
+    (one token shuffle; per-batch partial tf collapse)."""
+    from xlink_ray.stages.index import inverted_index
+
+    return inverted_index(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
 def _q_fidelity_links(sf_dir: str):
     """Reference-parity linker (P8-P10 exact semantics incl. quirks);
     embedding scoring not SQL-expressible → rows-only check."""
@@ -967,6 +987,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_clusters": _q_neardup_clusters,
         "pii_scrub": _q_pii_scrub,
         "packed_sequences": _q_packed_sequences,
+        "embedding_neardup": _q_embedding_neardup,
+        "inverted_index": _q_inverted_index,
         "fidelity_links": _q_fidelity_links,
         "linking_eval": _q_linking_eval,
         "candidate_histogram": _q_candidate_histogram,
@@ -1484,6 +1506,29 @@ FROM occ WHERE cnt > 0""",
         "simhash_pairs": _simhash_sql(),
         "neardup_clusters": _neardup_sql(),
         "pii_scrub": _pii_sql(),
+        # Transitive closure over the embedding_dup pair predicate
+        # (stages/dedup.embedding_neardup_clusters).
+        "embedding_neardup": """
+WITH RECURSIVE e AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.35),
+sym AS (SELECT id_a AS u, id_b AS v FROM e UNION SELECT id_b, id_a FROM e),
+reach(u, v) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
+SELECT u AS vec_id, CAST(min(v) AS BIGINT) AS canonical_id
+FROM reach GROUP BY u""",
+        # Inverted index (stages/index.py): identical doc_id-ordered
+        # "doc:tf" serialization.
+        "inverted_index": """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+tf AS (SELECT tk, doc_id, count(*) AS tf FROM tok GROUP BY tk, doc_id)
+SELECT tk AS token, CAST(count(*) AS BIGINT) AS df,
+       string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+FROM tf GROUP BY tk""",
         # Distributed ordered prefix-sum (stages/packing.py): the
         # window cumsum IS the scan's spec.
         "packed_sequences": """

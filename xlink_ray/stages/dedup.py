@@ -41,6 +41,7 @@ __all__ = [
     "jaccard_partner_counts",
     "embedding_dup_pairs",
     "neardup_clusters",
+    "embedding_neardup_clusters",
     "MINHASH_SEED",
     "minhash_perm_params",
 ]
@@ -860,6 +861,28 @@ def neardup_clusters(ds: Dataset, max_hamming: int = 3) -> Dataset:
         return pa.table(
             {
                 "doc_id": pc.cast(t["member_id"], pa.int64()),
+                "canonical_id": pc.cast(t["cluster_id"], pa.int64()),
+            }
+        )
+
+    return cc.map_batches(fmt, batch_format="pyarrow")
+
+
+def embedding_neardup_clusters(emb: Dataset, th: float = 0.35) -> Dataset:
+    """Semantic near-dup dedup over an embedding column: LSH-bucketed
+    cosine pairs (embedding_dup_pairs) → transitive closure →
+    ``(vec_id, canonical_id)`` with canonical = min vec_id of the
+    component. The embedding-space twin of :func:`neardup_clusters`.
+    """
+    from xlink_ray.stages.clustering import connected_components
+
+    edges = embedding_dup_pairs(emb, th=th).select_columns(["id_a", "id_b"])
+    cc = connected_components(edges, nodes=emb, node_col="vec_id")
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": pc.cast(t["member_id"], pa.int64()),
                 "canonical_id": pc.cast(t["cluster_id"], pa.int64()),
             }
         )
