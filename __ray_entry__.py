@@ -886,6 +886,16 @@ def _q_inverted_index(sf_dir: str):
     return inverted_index(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def _q_winnow_fps(sf_dir: str):
+    """Winnowing (MOSS) fingerprint selection: per doc, the
+    rightmost-min gram hash of each w-window of word-k-gram hashes."""
+    from xlink_ray.stages.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), k=4, w=5
+    )
+
+
 def _q_fidelity_links(sf_dir: str):
     """Reference-parity linker (P8-P10 exact semantics incl. quirks);
     embedding scoring not SQL-expressible → rows-only check."""
@@ -989,6 +999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "packed_sequences": _q_packed_sequences,
         "embedding_neardup": _q_embedding_neardup,
         "inverted_index": _q_inverted_index,
+        "winnow_fps": _q_winnow_fps,
         "fidelity_links": _q_fidelity_links,
         "linking_eval": _q_linking_eval,
         "candidate_histogram": _q_candidate_histogram,
@@ -1521,6 +1532,35 @@ reach(u, v) AS (
   SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
 SELECT u AS vec_id, CAST(min(v) AS BIGINT) AS canonical_id
 FROM reach GROUP BY u""",
+        # Winnowing (stages/winnow.py): same md5→M61 Horner gram hash
+        # (list_reduce fold = the k affine passes), rightmost-min =
+        # max(j) among the window's min-hash rows; docs shorter than
+        # k+w-1 tokens yield no complete window on either side.
+        "winnow_fps": """
+WITH th AS (
+  SELECT doc_id, list_transform(string_split(text, ' '),
+           t -> ('0x' || substr(md5(t), 1, 16))::UBIGINT % 2305843009213693951) AS hs
+  FROM documents
+), g AS (
+  SELECT doc_id, j,
+         list_reduce(hs[j : j + 3],
+           (a, b) -> CAST((CAST(a AS UHUGEINT) * 1000003 + CAST(b AS UHUGEINT))
+                          % 2305843009213693951 AS UBIGINT)) AS h
+  FROM th, LATERAL (SELECT unnest(generate_series(1, len(hs) - 3)) AS j) s(j)
+), wn AS (
+  SELECT doc_id, s
+  FROM (SELECT doc_id, max(j) AS gmax FROM g GROUP BY doc_id),
+       LATERAL (SELECT unnest(generate_series(1, gmax - 4)) AS s) t(s)
+), wp AS (
+  SELECT wn.doc_id, wn.s, g.j, g.h,
+         min(g.h) OVER (PARTITION BY wn.doc_id, wn.s) AS mh
+  FROM wn JOIN g ON g.doc_id = wn.doc_id AND g.j BETWEEN wn.s AND wn.s + 4
+), sel AS (
+  SELECT doc_id, s, max(j) AS pj FROM wp WHERE h = mh GROUP BY doc_id, s
+)
+SELECT DISTINCT sel.doc_id, CAST(sel.pj - 1 AS BIGINT) AS pos,
+       CAST(g.h AS BIGINT) AS fp
+FROM sel JOIN g ON g.doc_id = sel.doc_id AND g.j = sel.pj""",
         # Inverted index (stages/index.py): identical doc_id-ordered
         # "doc:tf" serialization.
         "inverted_index": """
