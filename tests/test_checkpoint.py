@@ -153,3 +153,28 @@ def test_write_partitioned_resumable(ray_session, tmp_path):
     r4 = write_partitioned_resumable(ds, out2, by="lang", fp=fp)
     assert sorted(r4["written"]) == ["de", "en", "es"]
     assert not os.path.exists(os.path.join(out2, "old-flat.parquet"))
+
+
+def test_job_metrics_parquet(tmp_path, ray_session):
+    """The metrics sink (north rule: metrics to Parquet): per-stage rows
+    plus a __job__ summary row, appended per run, DuckDB-queryable."""
+    import duckdb
+
+    from xlink_ray.job import _write_metrics
+
+    job_row = {"job": "flagship_clusters", "rows": 42, "wall_sec": 1.5,
+               "sf_dir": "/x", "method": "fused"}
+    stages = [
+        {"stage": "clusters", "action": "computed", "rows": 42, "wall_sec": 1.2},
+        {"stage": "out", "action": "skipped", "rows": 42, "wall_sec": 0.0},
+    ]
+    p1 = _write_metrics(str(tmp_path), job_row, stages)
+    p2 = _write_metrics(str(tmp_path), job_row, stages)  # append-only
+    assert p1 != p2
+    rows = duckdb.sql(
+        f"SELECT stage, action, rows FROM '{tmp_path}/metrics/*.parquet' "
+        "ORDER BY run_ts, stage"
+    ).fetchall()
+    assert len(rows) == 6
+    assert ("__job__", "flagship_clusters", 42) in rows
+    assert ("clusters", "computed", 42) in rows

@@ -26,6 +26,41 @@ import os
 import time
 
 
+def _write_metrics(checkpoint_root: str, job_row: dict, stage_rows: list[dict]) -> str:
+    """Append-only Parquet metrics sink under the checkpoint root (the
+    north rule's "metrics to Parquet"): one file per run, one row per
+    stage plus a ``stage='__job__'`` summary row — queryable with any
+    Parquet reader across runs (``{root}/metrics/*.parquet``)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    mdir = os.path.join(checkpoint_root, "metrics")
+    os.makedirs(mdir, exist_ok=True)
+    run_ts = time.time()
+    rows = stage_rows + [
+        {
+            "stage": "__job__",
+            "action": job_row["job"],
+            "rows": job_row["rows"],
+            "wall_sec": job_row["wall_sec"],
+        }
+    ]
+    tbl = pa.table(
+        {
+            "run_ts": pa.array([run_ts] * len(rows), pa.float64()),
+            "sf_dir": pa.array([job_row["sf_dir"]] * len(rows), pa.string()),
+            "method": pa.array([job_row["method"]] * len(rows), pa.string()),
+            "stage": pa.array([r["stage"] for r in rows], pa.string()),
+            "action": pa.array([r["action"] for r in rows], pa.string()),
+            "rows": pa.array([r["rows"] for r in rows], pa.int64()),
+            "wall_sec": pa.array([r["wall_sec"] for r in rows], pa.float64()),
+        }
+    )
+    path = os.path.join(mdir, f"run-{int(run_ts * 1000)}-{os.getpid()}.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
 def main(argv: "list[str] | None" = None) -> dict:
     p = argparse.ArgumentParser(description="xlink_ray flagship ER job")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001",
@@ -79,6 +114,12 @@ def main(argv: "list[str] | None" = None) -> dict:
             "out_buckets_skipped": n_buckets,
             "wall_sec": round(time.time() - t0, 3),
         }
+        metrics["metrics_path"] = _write_metrics(
+            args.checkpoint_root,
+            metrics,
+            [{"stage": "out", "action": "skipped",
+              "rows": metrics["rows"], "wall_sec": 0.0}],
+        )
         print(json.dumps(metrics))
         return metrics
 
@@ -129,6 +170,14 @@ def main(argv: "list[str] | None" = None) -> dict:
         "out_buckets_skipped": len(res["skipped"]),
         "wall_sec": round(time.time() - t0, 3),
     }
+    metrics["metrics_path"] = _write_metrics(
+        args.checkpoint_root,
+        metrics,
+        cm.stage_metrics
+        + [{"stage": "out",
+            "action": "computed" if res["written"] else "skipped",
+            "rows": int(n), "wall_sec": 0.0}],
+    )
     print(json.dumps(metrics))
     return metrics
 

@@ -184,6 +184,7 @@ class CheckpointManager:
         os.makedirs(root, exist_ok=True)
         self.skipped: list[str] = []
         self.computed: list[str] = []
+        self.stage_metrics: list[dict] = []  # per-stage rows for the metrics sink
 
     def _dir(self, stage: str) -> str:
         return os.path.join(self.root, stage)
@@ -204,7 +205,13 @@ class CheckpointManager:
         d = self._dir(stage)
         if self.is_complete(stage, fp):
             self.skipped.append(stage)
+            m = self.manifest(stage) or {}
+            self.stage_metrics.append(
+                {"stage": stage, "action": "skipped",
+                 "rows": int(m.get("rows", 0)), "wall_sec": 0.0}
+            )
             return rd.read_parquet(d, file_extensions=["parquet"])
+        t_start = time.time()
 
         tmp = d + f".tmp-{os.getpid()}"
         if os.path.exists(tmp):
@@ -248,4 +255,8 @@ class CheckpointManager:
                 indent=2,
             )
         self.computed.append(stage)
+        self.stage_metrics.append(
+            {"stage": stage, "action": "computed", "rows": int(total_rows),
+             "wall_sec": round(time.time() - t_start, 3)}
+        )
         return rd.read_parquet(d, file_extensions=["parquet"])
