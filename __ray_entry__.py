@@ -886,6 +886,16 @@ def _q_inverted_index(sf_dir: str):
     return inverted_index(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def _q_doc_ranks(sf_dir: str):
+    """Exact global rank by (n_chars desc, doc_id) via the value-range
+    bucketed scan — the distributed ORDER-BY primitive."""
+    from xlink_ray.stages.stats import global_rank
+
+    return global_rank(
+        _docs(sf_dir).select_columns(["doc_id", "n_chars"]), "n_chars"
+    )
+
+
 def _q_winnow_fps(sf_dir: str):
     """Winnowing (MOSS) fingerprint selection: per doc, the
     rightmost-min gram hash of each w-window of word-k-gram hashes."""
@@ -1000,6 +1010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _q_embedding_neardup,
         "inverted_index": _q_inverted_index,
         "winnow_fps": _q_winnow_fps,
+        "doc_ranks": _q_doc_ranks,
         "fidelity_links": _q_fidelity_links,
         "linking_eval": _q_linking_eval,
         "candidate_histogram": _q_candidate_histogram,
@@ -1532,6 +1543,12 @@ reach(u, v) AS (
   SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
 SELECT u AS vec_id, CAST(min(v) AS BIGINT) AS canonical_id
 FROM reach GROUP BY u""",
+        # Distributed ORDER BY (stages/stats.global_rank): exact
+        # row_number over (n_chars desc, doc_id).
+        "doc_ranks": """
+SELECT doc_id, n_chars,
+       CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+FROM documents""",
         # Winnowing (stages/winnow.py): same md5→M61 Horner gram hash
         # (list_reduce fold = the k affine passes), rightmost-min =
         # max(j) among the window's min-hash rows; docs shorter than

@@ -86,3 +86,41 @@ def test_group_topk_null_group_is_own_group(ray_session):
     got = sorted(out["id"].astype(int))
     # top-2 of group 'a' = ids 1,2; top-2 of the null group = ids 4,5
     assert got == [1, 2, 4, 5]
+
+
+def test_global_rank_ascending_and_skew(ray_session):
+    """global_rank vs a serial sort oracle: ascending order, heavy
+    value skew (one value holds half the rows — bucket arithmetic must
+    still produce exact ranks via the id tiebreak)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xlink_ray.stages.stats import global_rank
+
+    rng = np.random.default_rng(8)
+    vals = np.concatenate([np.full(150, 7), rng.integers(0, 1000, 150)])
+    ids = rng.permutation(len(vals)) * 3 + 1
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "v": pa.array(vals, pa.int64())})
+    )
+    got = {
+        r["doc_id"]: r["rank"]
+        for r in global_rank(ds, "v", descending=False, nbuckets=5).take_all()
+    }
+    order = sorted(zip(vals, ids))
+    exp = {did: i + 1 for i, (_, did) in enumerate(order)}
+    assert got == exp
+
+
+def test_global_rank_empty(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xlink_ray.stages.stats import global_rank
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    )
+    assert global_rank(ds, "v").take_all() == []

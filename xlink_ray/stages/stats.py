@@ -23,7 +23,7 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
-__all__ = ["group_topk", "grouped_quantiles"]
+__all__ = ["group_topk", "grouped_quantiles", "global_rank"]
 
 
 def _topk_batch(
@@ -143,3 +143,83 @@ def grouped_quantiles(
     return hist.groupby(group_col).map_groups(
         quantiles_of_group, batch_format="pyarrow"
     )
+
+
+def global_rank(
+    ds: Dataset,
+    order_col: str,
+    id_col: str = "doc_id",
+    descending: bool = True,
+    nbuckets: int = 32,
+) -> Dataset:
+    """Exact global rank of every row by ``(order_col, id_col)`` —
+    the distributed ORDER-BY/row_number primitive (e.g. "rank the
+    corpus by quality score and export the top slice").
+
+    Scale shape: never a global sort of the rows. A slim
+    ``(id, value)`` projection is VALUE-RANGE bucketed (rank needs
+    order, so the bucket key is a value range, not a hash); per-bucket
+    counts go to the driver (``nbuckets`` rows), the driver takes the
+    exclusive prefix in rank order and broadcasts the offsets; each
+    bucket then sorts locally and adds its offset. The same
+    scan-with-offset-exchange shape as stages/packing.pack_sequences,
+    keyed by value instead of id. Integer ``order_col`` only (the
+    bucket arithmetic and the SQL oracle are exact in int64).
+    """
+
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t[order_col].null_count or t[id_col].null_count:
+            raise ValueError("global_rank: null keys/values unsupported")
+        return t.select([id_col, order_col])
+
+    vals = ds.map_batches(slim, batch_format="pyarrow").materialize()
+    agg = vals.aggregate(Min(order_col), Max(order_col))
+    vmin, vmax = agg[f"min({order_col})"], agg[f"max({order_col})"]
+    if vmin is None:  # empty input
+        return vals.map_batches(
+            lambda t: t.append_column("rank", pa.array([], pa.int64())),
+            batch_format="pyarrow",
+        )
+    width = (int(vmax) - int(vmin)) // nbuckets + 1
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        v = t[order_col].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__b", pa.array(((v - vmin) // width).astype(np.int64))
+        )
+
+    bucketed = vals.map_batches(add_bucket, batch_format="pyarrow")
+    totals = {
+        r["__b"]: r["count()"]
+        for r in bucketed.groupby("__b").count().take_all()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(totals, reverse=descending):
+        offsets[b] = acc
+        acc += totals[b]
+    offsets_ref = ray.put(offsets)
+
+    order_dir = "descending" if descending else "ascending"
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        offs = ray.get(offsets_ref)
+        order = pc.sort_indices(
+            g, sort_keys=[(order_col, order_dir), (id_col, "ascending")]
+        )
+        g = g.take(order)
+        start = offs[g["__b"][0].as_py()]
+        return pa.table(
+            {
+                id_col: g[id_col],
+                order_col: g[order_col],
+                "rank": pa.array(
+                    start + 1 + np.arange(g.num_rows, dtype=np.int64)
+                ),
+            }
+        )
+
+    return bucketed.groupby("__b").map_groups(per_bucket, batch_format="pyarrow")
