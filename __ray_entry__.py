@@ -886,6 +886,16 @@ def _q_inverted_index(sf_dir: str):
     return inverted_index(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def _q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking: rolling-hash boundary cuts +
+    per-chunk Horner hashes (sub-document dedup unit)."""
+    from xlink_ray.stages.chunking import cdc_chunks
+
+    return cdc_chunks(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), k=4, modulus=16
+    )
+
+
 def _q_doc_ranks(sf_dir: str):
     """Exact global rank by (n_chars desc, doc_id) via the value-range
     bucketed scan — the distributed ORDER-BY primitive."""
@@ -1011,6 +1021,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _q_inverted_index,
         "winnow_fps": _q_winnow_fps,
         "doc_ranks": _q_doc_ranks,
+        "cdc_chunks": _q_cdc_chunks,
         "fidelity_links": _q_fidelity_links,
         "linking_eval": _q_linking_eval,
         "candidate_histogram": _q_candidate_histogram,
@@ -1549,6 +1560,39 @@ FROM reach GROUP BY u""",
 SELECT doc_id, n_chars,
        CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
 FROM documents""",
+        # CDC chunking (stages/chunking.py): same gram-hash fold as
+        # winnow_fps; cuts at gram hash % 16 == 0, chunk hash =
+        # list_reduce Horner over the chunk's token hashes.
+        "cdc_chunks": """
+WITH th AS (
+  SELECT doc_id, list_transform(string_split(text, ' '),
+           t -> ('0x' || substr(md5(t), 1, 16))::UBIGINT % 2305843009213693951) AS hs
+  FROM documents
+), g AS (
+  SELECT doc_id, j,
+         list_reduce(hs[j : j + 3],
+           (a, b) -> CAST((CAST(a AS UHUGEINT) * 1000003 + CAST(b AS UHUGEINT))
+                          % 2305843009213693951 AS UBIGINT)) AS h
+  FROM th, LATERAL (SELECT unnest(generate_series(1, len(hs) - 3)) AS j) s(j)
+), cuts AS (
+  SELECT doc_id, 0 AS cut FROM th WHERE len(hs) > 0
+  UNION
+  SELECT doc_id, j AS cut FROM g WHERE h % 16 = 0
+  UNION
+  SELECT doc_id, len(hs) AS cut FROM th WHERE len(hs) > 0
+), seq AS (
+  SELECT doc_id, cut,
+         lead(cut) OVER (PARTITION BY doc_id ORDER BY cut) AS nxt,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cut) - 1 AS chunk_idx
+  FROM cuts
+)
+SELECT s.doc_id, CAST(s.chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(s.cut AS BIGINT) AS start_tok,
+       CAST(s.nxt - s.cut AS BIGINT) AS n_tokens,
+       CAST(list_reduce(th.hs[s.cut + 1 : s.nxt],
+         (a, b) -> CAST((CAST(a AS UHUGEINT) * 1000003 + CAST(b AS UHUGEINT))
+                        % 2305843009213693951 AS UBIGINT)) AS BIGINT) AS chunk_hash
+FROM seq s JOIN th USING (doc_id) WHERE s.nxt IS NOT NULL""",
         # Winnowing (stages/winnow.py): same md5→M61 Horner gram hash
         # (list_reduce fold = the k affine passes), rightmost-min =
         # max(j) among the window's min-hash rows; docs shorter than
