@@ -422,13 +422,7 @@ SELECT id_a, id_b, CAST((10000 * inter) // un AS BIGINT) AS jaccard_bp
 FROM v WHERE inter * {th_den} >= un * {th_num}"""
 
 
-def _simhash_sql(max_hamming: int = 3) -> str:
-    """DuckDB replica of stages/dedup.simhash_pairs: md5-low64 token
-    hashes, 64-bit majority-vote SimHash, all pairs at hamming <=
-    max_hamming.  With chunks=4 bands the pigeonhole banding is
-    lossless at max_hamming=3, so the plain pair predicate IS the
-    banded pipeline's output."""
-    return rf"""WITH toks AS (
+_SIMHASH_SIMS_CTE = r"""toks AS (
   SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents
 ), th AS (
   SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks WHERE tok <> ''
@@ -441,7 +435,16 @@ def _simhash_sql(max_hamming: int = 3) -> str:
          COALESCE(SUM(CASE WHEN s > 0 THEN 1::UBIGINT << b ELSE 0::UBIGINT END), 0)::UBIGINT AS sh
   FROM documents d LEFT JOIN bitsum USING (doc_id)
   GROUP BY d.doc_id
-)
+)"""
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """DuckDB replica of stages/dedup.simhash_pairs: md5-low64 token
+    hashes, 64-bit majority-vote SimHash, all pairs at hamming <=
+    max_hamming.  With chunks=4 bands the pigeonhole banding is
+    lossless at max_hamming=3, so the plain pair predicate IS the
+    banded pipeline's output."""
+    return f"""WITH {_SIMHASH_SIMS_CTE}
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
 FROM sims a JOIN sims b ON a.doc_id < b.doc_id
@@ -453,19 +456,7 @@ def _neardup_sql(max_hamming: int = 3) -> str:
     pair predicate (see _simhash_sql — banding is lossless at
     max_hamming=3 with 4 chunks) closed transitively by a recursive
     CTE; canonical = min doc_id of the component."""
-    return rf"""WITH RECURSIVE toks AS (
-  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents
-), th AS (
-  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks WHERE tok <> ''
-), bitsum AS (
-  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b)
-  GROUP BY doc_id, b
-), sims AS (
-  SELECT d.doc_id,
-         COALESCE(SUM(CASE WHEN s > 0 THEN 1::UBIGINT << b ELSE 0::UBIGINT END), 0)::UBIGINT AS sh
-  FROM documents d LEFT JOIN bitsum USING (doc_id)
-  GROUP BY d.doc_id
+    return f"""WITH RECURSIVE {_SIMHASH_SIMS_CTE[:-2]}
 ), e AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM sims a JOIN sims b ON a.doc_id < b.doc_id

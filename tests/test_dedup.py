@@ -169,3 +169,28 @@ def test_neardup_clusters_vs_allpairs_oracle(ray_session):
     }
     assert got == expected
     assert any(v != k for k, v in got.items())  # fixture has real dups
+
+
+def test_embedding_dup_unsorted_ids(ray_session):
+    """Regression: bucket rows arriving in non-ascending vec_id order
+    must still emit each pair once, as (min, max)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xlink_ray.stages.dedup import embedding_dup_pairs
+
+    v = np.random.default_rng(2).standard_normal(8)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([9, 3, 7], pa.int64()),
+                "embedding": pa.array(
+                    [list(v), list(v * 2.0), list(-v)],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+    )
+    rows = embedding_dup_pairs(ds, th=0.95).take_all()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(3, 9)]

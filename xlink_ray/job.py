@@ -56,7 +56,7 @@ def _write_metrics(checkpoint_root: str, job_row: dict, stage_rows: list[dict]) 
             "wall_sec": pa.array([r["wall_sec"] for r in rows], pa.float64()),
         }
     )
-    path = os.path.join(mdir, f"run-{int(run_ts * 1000)}-{os.getpid()}.parquet")
+    path = os.path.join(mdir, f"run-{time.time_ns()}-{os.getpid()}.parquet")
     pq.write_table(tbl, path)
     return path
 

@@ -33,8 +33,8 @@ import pyarrow.compute as pc
 
 from ray.data import Dataset
 
-from xlink_ray.functions.hashing import M61, affine61
-from xlink_ray.stages.winnow import GRAM_BASE, _positional_gram_hashes
+from xlink_ray.functions.hashing import affine61
+from xlink_ray.stages.winnow import GRAM_BASE, _token_and_gram_hashes
 
 __all__ = ["cdc_chunks"]
 
@@ -50,24 +50,13 @@ def cdc_chunks(
     base = np.uint64(int(GRAM_BASE))
 
     def fn(t: pa.Table) -> pa.Table:
-        from xlink_ray.stages.dedup import _token_hashes64
-
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        toks = pc.split_pattern(pc.cast(t[text_col], pa.string()), " ")
-        counts = (
-            pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
-        )
         n_docs = len(ids)
-        flat = pc.list_flatten(toks)
-        th = (
-            _token_hashes64(flat) % np.uint64(M61)
-            if len(flat)
-            else np.zeros(0, np.uint64)
-        )
+        # one tokenization + one md5 pass serves both the gram hashes
+        # (boundary rule) and the chunk-hash fold
+        doc_idx, pos, gh, th, counts = _token_and_gram_hashes(t[text_col], k)
         starts = np.zeros(n_docs, dtype=np.int64)
         starts[1:] = np.cumsum(counts)[:-1]
-
-        doc_idx, pos, gh = _positional_gram_hashes(t[text_col], k)
         bmask = (gh % np.uint64(modulus)) == 0
         bdoc, bcut = doc_idx[bmask], pos[bmask] + 1  # cut token index
 

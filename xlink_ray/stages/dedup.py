@@ -46,6 +46,23 @@ __all__ = [
     "minhash_perm_params",
 ]
 
+def _hash_bucketed(ds: Dataset, pk_of, per_bucket, nbuckets: int = 64) -> Dataset:
+    """Hash-bucket shuffle scaffold shared by the reduce-side attach and
+    the pair-distinct: append ``pk = pk_of(table) % nbuckets`` (int64,
+    non-negative keys), ONE groupby shuffle, vectorized ``per_bucket``
+    over each bucket (O(nbuckets) Python calls, never per row/pair)."""
+
+    def add_pk(t: pa.Table) -> pa.Table:
+        pk = pk_of(t) % np.int64(nbuckets)
+        return t.append_column("pk", pa.array(pk.astype(np.int64)))
+
+    return (
+        ds.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 def _attach_sides(
     pairs: Dataset,
     attrs: Dataset,
@@ -93,13 +110,6 @@ def _attach_sides(
     # hash-bucket the id space instead of groupby(gid): O(nbuckets)
     # group tasks with a vectorized searchsorted stamp inside each, not
     # one Python call per id (measured 10x+ on dense candidate sets)
-    nbuckets = 64
-
-    def add_pk(t: pa.Table) -> pa.Table:
-        gid = t["gid"].to_numpy(zero_copy_only=False)
-        pk = ((gid * np.int64(1000003)) % np.int64(nbuckets) + nbuckets) % nbuckets
-        return t.append_column("pk", pa.array(pk.astype(np.int64)))
-
     def attach_bucket(g: pa.Table) -> pa.Table:
         sides = g["side"].to_numpy(zero_copy_only=False)
         gid = g["gid"].to_numpy(zero_copy_only=False)
@@ -144,13 +154,10 @@ def _attach_sides(
             }
         )
 
-    return (
-        tagged.map_batches(add_pk, batch_format="pyarrow")
-        .groupby("pk")
-        .map_groups(
-            lambda g: attach_bucket(g).select(["id_a", "id_b", "side", "attr"]),
-            batch_format="pyarrow",
-        )
+    return _hash_bucketed(
+        tagged,
+        lambda t: t["gid"].to_numpy(zero_copy_only=False) * np.int64(1000003),
+        lambda g: attach_bucket(g).select(["id_a", "id_b", "side", "attr"]),
     )
 
 
@@ -722,8 +729,11 @@ def embedding_dup_pairs(
              "overflow": pa.array([], pa.int64())}
         )
         ids_all = group["vec_id"].to_numpy(zero_copy_only=False)
-        uniq_idx = np.unique(ids_all, return_index=True)[1]  # defensive dedup
-        group = group.take(pa.array(np.sort(uniq_idx)))
+        # id-SORTED defensive dedup: row index order must equal id order
+        # so the i<j pair rule below yields id_a < id_b (input ids are
+        # not necessarily ascending within a bucket)
+        uniq_idx = np.unique(ids_all, return_index=True)[1]
+        group = group.take(pa.array(uniq_idx))
         n = group.num_rows
         if n < 2:
             return empty
@@ -768,12 +778,6 @@ def embedding_dup_pairs(
 
     # distinct via hash-bucketed np.unique, not a sort-based groupby
     # aggregate (measured 40x on dense candidate sets)
-    def add_pk(t: pa.Table) -> pa.Table:
-        a = t["id_a"].to_numpy(zero_copy_only=False)
-        b = t["id_b"].to_numpy(zero_copy_only=False)
-        pk = ((a * np.int64(1000003) + b) % np.int64(nbuckets) + nbuckets) % nbuckets
-        return t.append_column("pk", pa.array(pk.astype(np.int64)))
-
     def distinct_bucket(g: pa.Table) -> pa.Table:
         a = g["id_a"].to_numpy(zero_copy_only=False)
         b = g["id_b"].to_numpy(zero_copy_only=False)
@@ -783,13 +787,12 @@ def embedding_dup_pairs(
         first_mask[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
         return pa.table({"id_a": pa.array(a[first_mask]), "id_b": pa.array(b[first_mask])})
 
-    return (
-        verified.map_batches(add_pk, batch_format="pyarrow")
-        .groupby("pk")
-        .map_groups(
-            lambda g: distinct_bucket(g).select(["id_a", "id_b"]),
-            batch_format="pyarrow",
-        )
+    return _hash_bucketed(
+        verified,
+        lambda t: t["id_a"].to_numpy(zero_copy_only=False) * np.int64(1000003)
+        + t["id_b"].to_numpy(zero_copy_only=False),
+        lambda g: distinct_bucket(g).select(["id_a", "id_b"]),
+        nbuckets=nbuckets,
     )
 
 

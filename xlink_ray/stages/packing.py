@@ -50,8 +50,11 @@ def pack_sequences(
         raise ValueError("capacity must be positive")
 
     def slim(t: pa.Table) -> pa.Table:
-        if t[id_col].null_count:
-            raise ValueError(f"scan key column {id_col!r} contains nulls")
+        if t[id_col].null_count or t[text_col].null_count:
+            raise ValueError(
+                f"pack_sequences: nulls in {id_col!r}/{text_col!r} — null "
+                "n_tokens would NaN-poison the bucket cumsum downstream"
+            )
         toks = pc.split_pattern(t[text_col], " ")
         return pa.table(
             {

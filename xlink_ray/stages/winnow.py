@@ -37,25 +37,28 @@ __all__ = ["winnow_fingerprints", "GRAM_BASE"]
 GRAM_BASE = np.uint64(1000003)
 
 
-def _positional_gram_hashes(
+def _token_and_gram_hashes(
     texts: "pa.ChunkedArray | pa.Array", k: int
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(doc_idx, pos, hash) for EVERY word-k-gram occurrence, in
-    document order — the positional (non-deduped) sibling of
-    stages/curation._gram_hashes."""
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(doc_idx, pos, gram_hash, token_hashes, counts) — positional
+    (non-deduped) word-k-gram hashes for EVERY occurrence in document
+    order, plus the flat per-token M61 hashes and per-doc token counts
+    they were folded from (so callers needing both — e.g. CDC chunking
+    — hash each token once)."""
     from xlink_ray.stages.dedup import _token_hashes64
 
     n = len(texts)
     z = np.zeros(0, np.int64)
+    zu = np.zeros(0, np.uint64)
     if n == 0:
-        return z, z, np.zeros(0, np.uint64)
+        return z, z, zu, zu, z
     toks = pc.split_pattern(pc.cast(texts, pa.string()), " ")
     flat = pc.list_flatten(toks)
     counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    th = _token_hashes64(flat) % np.uint64(M61) if len(flat) else zu
     m = len(flat)
     if m < k:
-        return z, z, np.zeros(0, np.uint64)
-    th = _token_hashes64(flat) % np.uint64(M61)
+        return z, z, zu, th, counts
     acc = np.zeros(m - k + 1, dtype=np.uint64)
     for j in range(k):
         acc = affine61(acc, GRAM_BASE, th[j : m - k + 1 + j])
@@ -65,7 +68,15 @@ def _positional_gram_hashes(
     head = doc_of[: m - k + 1]
     valid = head == doc_of[k - 1 :]
     pos = np.arange(m - k + 1, dtype=np.int64) - starts[head]
-    return head[valid], pos[valid], acc[valid]
+    return head[valid], pos[valid], acc[valid], th, counts
+
+
+def _positional_gram_hashes(
+    texts: "pa.ChunkedArray | pa.Array", k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(doc_idx, pos, hash) — see :func:`_token_and_gram_hashes`."""
+    doc_idx, pos, gh, _, _ = _token_and_gram_hashes(texts, k)
+    return doc_idx, pos, gh
 
 
 def winnow_fingerprints(
