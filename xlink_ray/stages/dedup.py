@@ -161,39 +161,26 @@ def _attach_sides(
     )
 
 
-def _attach_and_verify(
-    pairs: Dataset,
-    attrs: Dataset,
-    attr_id_col: str,
-    attr_col: str,
-    attr_type: "pa.DataType",
-    verify_fn,
-) -> Dataset:
-    """Reduce-side join + PER-PAIR verification: one
-    ``verify_fn(id_a, id_b, attr_a, attr_b) -> rows`` call per candidate
-    pair (groupby on the pair key). Right for set-valued attributes and
-    selective candidate sets (minhash bands) — the per-group Python
-    call is the cost here; dense fixed-width cases (embeddings) verify
-    inside the LSH bucket instead (see embedding_dup_pairs)."""
-    attached = _attach_sides(pairs, attrs, attr_id_col, attr_col, attr_type)
+def _pair_distinct(pairs: Dataset, nbuckets: int = 64) -> Dataset:
+    """Distinct over (id_a, id_b) via hash-bucketed lexsort dedupe — one
+    shuffle into ``nbuckets`` groups, never a sort-based groupby
+    aggregate (measured 40x on dense candidate sets)."""
 
-    def bring_together(group: pa.Table) -> pa.Table:
-        if group.num_rows != 2:
-            # pair whose id missed the attribute table — drop (matches
-            # an inner join's semantics)
-            return verify_fn(None, None, None, None)
-        sides = group["side"].to_numpy(zero_copy_only=False)
-        i0 = int(np.nonzero(sides == 0)[0][0])
-        i1 = int(np.nonzero(sides == 1)[0][0])
-        return verify_fn(
-            group["id_a"][0].as_py(),
-            group["id_b"][0].as_py(),
-            group["attr"][i0].as_py(),
-            group["attr"][i1].as_py(),
-        )
+    def distinct_bucket(g: pa.Table) -> pa.Table:
+        a = g["id_a"].to_numpy(zero_copy_only=False)
+        b = g["id_b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        first_mask = np.ones(len(a), dtype=bool)
+        first_mask[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return pa.table({"id_a": pa.array(a[first_mask]), "id_b": pa.array(b[first_mask])})
 
-    return attached.groupby(["id_a", "id_b"]).map_groups(
-        bring_together, batch_format="pyarrow"
+    return _hash_bucketed(
+        pairs,
+        lambda t: t["id_a"].to_numpy(zero_copy_only=False) * np.int64(1000003)
+        + t["id_b"].to_numpy(zero_copy_only=False),
+        lambda g: distinct_bucket(g).select(["id_a", "id_b"]),
+        nbuckets=nbuckets,
     )
 
 
@@ -316,12 +303,15 @@ def minhash_lsh_pairs(
     """documents (doc_id, text) → verified near-dup pairs
     (id_a, id_b, jaccard, jaccard_bp).
 
-    shingle → minhash → band rows → ONE groupby on the exact band-value
-    key → candidate pairs → distinct → exact shingle-Jaccard
-    verification via two distributed hash joins of the shingle-set
-    table onto the pairs (``Dataset.join``; the corpus never reaches
-    the driver). The threshold is applied as an integer cross-multiply
-    (inter·den ≥ union·num), bit-identical to the DuckDB oracle.
+    shingle → minhash → band rows → ONE hash-bucket shuffle on a band
+    routing hash (exact string band keys group inside the bucket, equal
+    to the SQL oracle's list-equality join) → candidate pairs →
+    hash-bucketed distinct → exact shingle-Jaccard verification with
+    both shingle sets attached reduce-side and all intersections in a
+    bucket counted by one lexsort (no per-pair Python call; the corpus
+    never reaches the driver). The threshold is applied as an integer
+    cross-multiply (inter·den ≥ union·num), bit-identical to the
+    DuckDB oracle.
     """
     rows_per_band = num_perm // bands
     # th as an exact fraction for integer comparison (th given to 4 dp)
@@ -343,63 +333,156 @@ def minhash_lsh_pairs(
             keys = [
                 f"{bi}:" + "-".join(str(v) for v in row) for row in chunk
             ]
+            # routing hash of the same values: collisions only co-locate
+            # two band groups in one bucket, never merge them
+            bh = np.full(len(ids), np.uint64(bi + 1))
+            for c in range(chunk.shape[1]):
+                bh = bh * np.uint64(1099511628211) + chunk[:, c]
             out.append(
-                pa.table({"doc_id": pa.array(ids), "bk": pa.array(keys, pa.string())})
+                pa.table(
+                    {
+                        "doc_id": pa.array(ids),
+                        "bk": pa.array(keys, pa.string()),
+                        "bh": pa.array(
+                            (bh & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+                        ),
+                    }
+                )
             )
         return (
             pa.concat_tables(out)
             if out
-            else pa.table({"doc_id": pa.array([], pa.int64()), "bk": pa.array([], pa.string())})
+            else pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "bk": pa.array([], pa.string()),
+                    "bh": pa.array([], pa.int64()),
+                }
+            )
         )
 
     banded = sigs.map_batches(band_rows, batch_format="pyarrow")
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
-        n = len(ids)
-        if n < 2:
-            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
-        ii, jj = np.triu_indices(n, k=1)
-        return pa.table({"id_a": pa.array(ids[ii]), "id_b": pa.array(ids[jj])})
+    _pair_empty = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+    )
 
-    cand = (
-        banded.groupby("bk")
-        .map_groups(bucket_pairs, batch_format="pyarrow")
-        .groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["id_a", "id_b"])
+    def bucket_cand_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return _pair_empty
+        bk = g["bk"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        _, inv = np.unique(bk, return_inverse=True)
+        order = np.lexsort((ids, inv))
+        inv_s, ids_s = inv[order], ids[order]
+        starts = np.flatnonzero(np.r_[True, inv_s[1:] != inv_s[:-1]])
+        ends = np.r_[starts[1:], len(inv_s)]
+        out_a, out_b = [], []
+        # loop only over band groups that actually collide (rare); the
+        # pair grid inside each is vectorized
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            run = ids_s[s:e]
+            run = run[np.r_[True, run[1:] != run[:-1]]]
+            if len(run) < 2:
+                continue
+            ii, jj = np.triu_indices(len(run), k=1)
+            out_a.append(run[ii])
+            out_b.append(run[jj])
+        if not out_a:
+            return _pair_empty
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+            }
+        )
+
+    cand = _pair_distinct(
+        _hash_bucketed(
+            banded,
+            lambda t: t["bh"].to_numpy(zero_copy_only=False),
+            bucket_cand_pairs,
+        )
     )
 
     sets = _shingle_sets(ds, shingle_k)
+    attached = _attach_sides(cand, sets, "doc_id", "hs", pa.list_(pa.uint64()))
 
-    def verify(id_a, id_b, hs_a, hs_b) -> pa.Table:
-        empty = pa.table(
-            {
-                "id_a": pa.array([], pa.int64()),
-                "id_b": pa.array([], pa.int64()),
-                "jaccard": pa.array([], pa.float64()),
-                "jaccard_bp": pa.array([], pa.int64()),
-            }
+    verified_empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+            "jaccard_bp": pa.array([], pa.int64()),
+        }
+    )
+
+    def _gather_idx(off: np.ndarray, ln: np.ndarray) -> np.ndarray:
+        """Indices of the concatenated variable slices flat[off[i]:off[i]+ln[i]]."""
+        total = int(ln.sum())
+        if total == 0:
+            return np.zeros(0, dtype=np.int64)
+        ends_cum = np.cumsum(ln)
+        return np.arange(total, dtype=np.int64) - np.repeat(ends_cum - ln, ln) + np.repeat(off, ln)
+
+    def verify_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return verified_empty
+        a = g["id_a"].to_numpy(zero_copy_only=False)
+        b = g["id_b"].to_numpy(zero_copy_only=False)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        attr = g["attr"].combine_chunks()
+        offsets = np.asarray(attr.offsets, dtype=np.int64)
+        flat = np.asarray(attr.values, dtype=np.uint64)
+        lengths = offsets[1:] - offsets[:-1]
+        # a pair is complete iff its side-0 and side-1 rows are adjacent
+        # after sorting by (id_a, id_b, side); a side that missed the
+        # attribute table leaves a lone row — dropped (inner-join
+        # semantics)
+        order = np.lexsort((side, b, a))
+        a_s, b_s = a[order], b[order]
+        same = (a_s[1:] == a_s[:-1]) & (b_s[1:] == b_s[:-1])
+        first = np.flatnonzero(same)
+        if len(first) == 0:
+            return verified_empty
+        r0 = order[first]
+        r1 = order[first + 1]
+        la, lb = lengths[r0], lengths[r1]
+        npairs = len(first)
+        vals = np.concatenate(
+            [flat[_gather_idx(offsets[r0], la)], flat[_gather_idx(offsets[r1], lb)]]
         )
-        if id_a is None:
-            return empty
-        sa = np.asarray(hs_a, dtype=np.uint64)
-        sb = np.asarray(hs_b, dtype=np.uint64)
-        inter = int(len(np.intersect1d(sa, sb, assume_unique=True)))
-        union = len(sa) + len(sb) - inter
-        if union == 0 or inter * th_den < union * th_num:
-            return empty
+        pidx = np.concatenate(
+            [
+                np.repeat(np.arange(npairs, dtype=np.int64), la),
+                np.repeat(np.arange(npairs, dtype=np.int64), lb),
+            ]
+        )
+        o2 = np.lexsort((vals, pidx))
+        vs, ps = vals[o2], pidx[o2]
+        dup = (ps[1:] == ps[:-1]) & (vs[1:] == vs[:-1])
+        inter = np.bincount(ps[1:][dup], minlength=npairs)
+        union = la + lb - inter
+        keep = (union > 0) & (inter * th_den >= union * th_num)
+        if not keep.any():
+            return verified_empty
+        inter_k, union_k = inter[keep], union[keep]
         return pa.table(
             {
-                "id_a": pa.array([id_a], pa.int64()),
-                "id_b": pa.array([id_b], pa.int64()),
-                "jaccard": pa.array([inter / union], pa.float64()),
-                "jaccard_bp": pa.array([(10000 * inter) // union], pa.int64()),
+                "id_a": pa.array(a_s[first][keep], pa.int64()),
+                "id_b": pa.array(b_s[first][keep], pa.int64()),
+                "jaccard": pa.array(inter_k / union_k, pa.float64()),
+                "jaccard_bp": pa.array((10000 * inter_k) // union_k, pa.int64()),
             }
         )
 
-    return _attach_and_verify(
-        cand, sets, "doc_id", "hs", pa.list_(pa.uint64()), verify
+    return _hash_bucketed(
+        attached,
+        lambda t: t["id_a"].to_numpy(zero_copy_only=False) * np.int64(1000003)
+        + t["id_b"].to_numpy(zero_copy_only=False),
+        lambda g: verify_bucket(g).select(["id_a", "id_b", "jaccard", "jaccard_bp"]),
     )
 
 
@@ -776,24 +859,7 @@ def embedding_dup_pairs(
         .select_columns(["id_a", "id_b"])
     )
 
-    # distinct via hash-bucketed np.unique, not a sort-based groupby
-    # aggregate (measured 40x on dense candidate sets)
-    def distinct_bucket(g: pa.Table) -> pa.Table:
-        a = g["id_a"].to_numpy(zero_copy_only=False)
-        b = g["id_b"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((b, a))
-        a, b = a[order], b[order]
-        first_mask = np.ones(len(a), dtype=bool)
-        first_mask[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-        return pa.table({"id_a": pa.array(a[first_mask]), "id_b": pa.array(b[first_mask])})
-
-    return _hash_bucketed(
-        verified,
-        lambda t: t["id_a"].to_numpy(zero_copy_only=False) * np.int64(1000003)
-        + t["id_b"].to_numpy(zero_copy_only=False),
-        lambda g: distinct_bucket(g).select(["id_a", "id_b"]),
-        nbuckets=nbuckets,
-    )
+    return _pair_distinct(verified, nbuckets=nbuckets)
 
 
 def shared_ngram_pairs(
