@@ -897,6 +897,43 @@ def _q_doc_ranks(sf_dir: str):
     )
 
 
+def _q_pagerank(sf_dir: str):
+    """Fixed-point PageRank over the customer–supplier purchase graph
+    (stages/graph.py) — iterative bucket-shuffle attach + integer sums,
+    bit-identical to the oracle's unrolled-iteration replica."""
+    from xlink_ray.stages.graph import purchase_pagerank
+
+    return purchase_pagerank(sf_dir)
+
+
+def _pagerank_sql(iters: int = 5, scale: int = 10**12, dn: int = 85, dd: int = 100) -> str:
+    """Unrolled-iteration DuckDB replica of stages/graph.pagerank_fixed
+    over the purchase graph: same int64 fixed-point rules (floor
+    division per edge and per damped sum), one CTE per iteration."""
+    base = scale * (dd - dn) // dd
+    sql = [
+        f"""WITH eds AS (
+  SELECT DISTINCT 2*o.o_custkey AS src, 2*l.l_suppkey+1 AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+edges AS (SELECT src, dst FROM eds UNION SELECT dst, src FROM eds),
+deg AS (SELECT src, COUNT(*) AS c FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+pr0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM nodes)"""
+    ]
+    for i in range(iters):
+        sql.append(
+            f""",
+pr{i + 1} AS (
+  SELECT n.node, CAST({base} + ({dn} * COALESCE(s.m, 0)) // {dd} AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.r // d.c) AS m
+    FROM edges e JOIN deg d ON e.src = d.src JOIN pr{i} p ON p.node = e.src
+    GROUP BY e.dst) s ON n.node = s.node)"""
+        )
+    sql.append(f"\nSELECT node, r AS pr_fp FROM pr{iters}")
+    return "".join(sql)
+
+
 def _q_winnow_fps(sf_dir: str):
     """Winnowing (MOSS) fingerprint selection: per doc, the
     rightmost-min gram hash of each w-window of word-k-gram hashes."""
@@ -1012,6 +1049,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _q_inverted_index,
         "winnow_fps": _q_winnow_fps,
         "doc_ranks": _q_doc_ranks,
+        "pagerank": _q_pagerank,
         "cdc_chunks": _q_cdc_chunks,
         "fidelity_links": _q_fidelity_links,
         "linking_eval": _q_linking_eval,
@@ -1547,6 +1585,9 @@ SELECT u AS vec_id, CAST(min(v) AS BIGINT) AS canonical_id
 FROM reach GROUP BY u""",
         # Distributed ORDER BY (stages/stats.global_rank): exact
         # row_number over (n_chars desc, doc_id).
+        # Fixed-point PageRank (stages/graph.py): unrolled iterations,
+        # all-integer math — bit-identical across engines by design.
+        "pagerank": _pagerank_sql(),
         "doc_ranks": """
 SELECT doc_id, n_chars,
        CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank

@@ -1,0 +1,83 @@
+"""Fixed-point PageRank (stages/graph.py): numpy-reference parity,
+bucket-count invariance, duplicate-edge collapse, purchase graph."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from xlink_ray.stages.graph import pagerank_fixed, purchase_pagerank
+
+
+def _reference_pr(edges, iters=5, scale=10**12, dn=85, dd=100):
+    """Single-process replica of the fixed-point rules."""
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    base = scale * (dd - dn) // dd
+    r = {n: scale for n in nodes}
+    for _ in range(iters):
+        acc = {n: 0 for n in nodes}
+        for s, d in edges:
+            acc[d] += r[s] // deg[s]
+        r = {n: base + dn * acc[n] // dd for n in nodes}
+    return r
+
+
+def _run(edges, **kw):
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([s for s, _ in edges], pa.int64()),
+                "dst": pa.array([d for _, d in edges], pa.int64()),
+            }
+        )
+    )
+    out = pagerank_fixed(ds, **kw).take_all()
+    return {r["node"]: r["r"] for r in out}
+
+
+def test_pagerank_matches_reference(ray_session):
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (4, 3), (1, 4)]
+    got = _run(edges, iters=5, nbuckets=4)
+    want = _reference_pr(edges, iters=5)
+    assert got == want
+    # ranks sum to roughly n*scale (no dangling mass in this graph)
+    assert abs(sum(got.values()) - 4 * 10**12) < 100
+
+
+def test_pagerank_bucket_invariance(ray_session):
+    rng = np.random.default_rng(3)
+    edges = list({(int(a), int(b)) for a, b in rng.integers(0, 40, (300, 2)) if a != b})
+    a = _run(edges, iters=3, nbuckets=1)
+    b = _run(edges, iters=3, nbuckets=7)
+    assert a == b == _reference_pr(edges, iters=3)
+
+
+def test_pagerank_duplicate_edges_collapse(ray_session):
+    base = [(1, 2), (2, 1)]
+    got_dup = _run(base + base + [(1, 2)], iters=4, nbuckets=2)
+    got = _run(base, iters=4, nbuckets=2)
+    assert got_dup == got
+
+
+def test_pagerank_dst_only_node_gets_base_plus_mass(ray_session):
+    # node 9 has in-edges only: still present, receives damped mass
+    got = _run([(1, 9), (2, 9)], iters=1, nbuckets=2)
+    scale, dn, dd = 10**12, 85, 100
+    base = scale * (dd - dn) // dd
+    assert got[9] == base + dn * (scale + scale) // dd
+    assert got[1] == got[2] == base
+
+
+def test_purchase_pagerank_shape(ray_session, sf_small):
+    t = purchase_pagerank(sf_small, iters=2).take_all()
+    assert len(t) > 0
+    nodes = {r["node"] for r in t}
+    assert len(nodes) == len(t)  # one row per node
+    assert all(r["pr_fp"] > 0 for r in t)
+    # both customer (even) and supplier (odd) ids present
+    assert any(n % 2 == 0 for n in nodes) and any(n % 2 == 1 for n in nodes)

@@ -110,30 +110,32 @@ def train_joint(
     for i in range(1, iters + 1):
         # mean of the reference's continuous per-word decay within iter i
         a_i = max(alpha * (1.0 - (i - 0.5) / iters), alpha * 1e-4)
-        stats["text_pairs"] += te.sgns_epoch(
-            te.text_pairs(plain, wv_ref, window, sample, seed=100 + i),
+        # fused epochs: pair generation + SGNS update in ONE actor pool
+        # per phase (the two-stage text_pairs→sgns_epoch path ships
+        # every pair through the object store and pays two pool
+        # spin-ups; see te.FusedSGNS)
+        stats["text_pairs"] += te.fused_epoch(
+            plain, te.PairGen, (wv_ref, window, sample, 100 + i),
             mats["word_in"], mats["word_out"], "word_in", "word_out",
-            w_cum, a_i, neg, seed=200 + i, batch_size=batch_size, concurrency=concurrency,
+            w_cum, a_i, neg, seed=200 + i, pair_chunk=batch_size, concurrency=concurrency,
         )
-        stats["kg_pairs"] += te.sgns_epoch(
-            te.kg_pairs(kg, ev_ref, window, seed=300 + i),
+        stats["kg_pairs"] += te.fused_epoch(
+            kg, te.PairGen, (ev_ref, window, 0.0, 300 + i),
             mats["ent_in"], mats["ent_out"], "ent_in", "ent_out",
-            e_cum, a_i, neg, seed=400 + i, batch_size=batch_size, concurrency=concurrency,
+            e_cum, a_i, neg, seed=400 + i, pair_chunk=batch_size, concurrency=concurrency,
         )
-        apairs = te.anchor_pairs(anchored, wv_ref, ev_ref, window, seed=500 + i)
         if sg:  # entity predicts context words (reference default ON)
-            stats["anchor_pairs"] += te.sgns_epoch(
-                apairs, mats["ent_in"], mats["word_out"], "ent_in", "word_out",
-                w_cum, a_i, neg, seed=600 + i, batch_size=batch_size, concurrency=concurrency,
+            stats["anchor_pairs"] += te.fused_epoch(
+                anchored, te.AnchorPairGen, (wv_ref, ev_ref, window, 500 + i),
+                mats["ent_in"], mats["word_out"], "ent_in", "word_out",
+                w_cum, a_i, neg, seed=600 + i, pair_chunk=batch_size, concurrency=concurrency,
             )
         if cw:  # context words predict entity (reference default OFF)
-            flipped = apairs.map_batches(
-                lambda t: pa.table({"inp": t["out"], "out": t["inp"]}),
-                batch_format="pyarrow",
-            )
-            stats["anchor_pairs"] += te.sgns_epoch(
-                flipped, mats["word_in"], mats["ent_out"], "word_in", "ent_out",
-                e_cum, a_i, neg, seed=700 + i, batch_size=batch_size, concurrency=concurrency,
+            stats["anchor_pairs"] += te.fused_epoch(
+                anchored, te.AnchorPairGen, (wv_ref, ev_ref, window, 500 + i),
+                mats["word_in"], mats["ent_out"], "word_in", "ent_out",
+                e_cum, a_i, neg, seed=700 + i, pair_chunk=batch_size,
+                concurrency=concurrency, flip=True,
             )
         te.save_vectors(
             f"{out_dir}/vectors_word{i}.parquet", word_vocab,

@@ -94,8 +94,11 @@ class Word2Vec:
         self.total_pairs = 0
         for i in range(1, epochs + 1):
             a_i = max(alpha * (1.0 - (i - 0.5) / epochs), alpha * 1e-4)
-            self.total_pairs += te.sgns_epoch(
-                te.text_pairs(corpus, wv_ref, window, sample, seed=seed + i),
+            # fused: generation + update in one actor pool per epoch
+            self.total_pairs += te.fused_epoch(
+                corpus,
+                te.PairGen,
+                (wv_ref, window, sample, seed + i),
                 mats["word_in"],
                 mats["word_out"],
                 "word_in",
@@ -104,7 +107,7 @@ class Word2Vec:
                 a_i,
                 negative,
                 seed=seed * 31 + i,
-                batch_size=batch_size,
+                pair_chunk=batch_size,
                 concurrency=concurrency,
             )
         self.wv = KeyedVectors(

@@ -61,6 +61,8 @@ __all__ = [
     "kg_pairs",
     "anchor_pairs",
     "sgns_epoch",
+    "FusedSGNS",
+    "fused_epoch",
     "save_vectors",
 ]
 
@@ -524,6 +526,87 @@ def sgns_epoch(
     counted = pairs.map_batches(
         SGNSUpdater,
         fn_constructor_args=(mat_in, mat_out, in_name, out_name, cum_ref, alpha, neg, seed),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    total = 0
+    for b in counted.iter_batches(batch_format="pyarrow"):
+        total += int(pc.sum(b["pairs"]).as_py() or 0)
+    return total
+
+
+class FusedSGNS:
+    """Pair generation + SGNS update fused into ONE actor: raw corpus
+    batches in, pair counts out.
+
+    The two-stage path (``text_pairs`` → ``sgns_epoch``) runs two actor
+    pools per epoch and ships every (inp, out) pair through the object
+    store between them; at smoke scale the pool spin-ups dominate
+    (measured 4.1k pairs/s with ~ms of real compute). Fusing halves the
+    pools and keeps pairs in the worker's heap. Pairs are still updated
+    in ``pair_chunk``-sized slices so the einsum working set stays
+    bounded no matter how many pairs one corpus batch expands into
+    (a 1k-doc batch can yield millions of pairs; n·(neg+1)·dim floats
+    must fit the worker heap).
+
+    ``flip`` swaps the generated (inp, out) before the update — the
+    ``-cw`` anchor branch (words predict the entity) without a second
+    generation pass."""
+
+    def __init__(
+        self,
+        gen_cls,
+        gen_args: tuple,
+        upd_args: tuple,
+        pair_chunk: int = 8192,
+        flip: bool = False,
+    ):
+        self.gen = gen_cls(*gen_args)
+        self.upd = SGNSUpdater(*upd_args)
+        self.chunk = pair_chunk
+        self.flip = flip
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        pairs = self.gen(t)
+        if self.flip:
+            pairs = pa.table({"inp": pairs["out"], "out": pairs["inp"]})
+        total = 0
+        for s in range(0, pairs.num_rows, self.chunk):
+            out = self.upd(pairs.slice(s, self.chunk))
+            total += int(out["pairs"][0].as_py())
+        return pa.table({"pairs": pa.array([total], pa.int64())})
+
+
+def fused_epoch(
+    corpus: Dataset,
+    gen_cls,
+    gen_args: tuple,
+    mat_in: ShardedMatrix,
+    mat_out: ShardedMatrix,
+    in_name: str,
+    out_name: str,
+    cum_ref,
+    alpha: float,
+    neg: int = 5,
+    seed: int = 17,
+    pair_chunk: int = 8192,
+    batch_size: int = 256,
+    concurrency: tuple[int, int] = (1, 4),
+    flip: bool = False,
+) -> int:
+    """One epoch, one actor pool: generate pairs and apply the SGNS
+    update inside the same ``map_batches`` actor. Returns pairs trained;
+    the Dataset consume IS the epoch barrier (same as sgns_epoch)."""
+    counted = corpus.map_batches(
+        FusedSGNS,
+        fn_constructor_args=(
+            gen_cls,
+            gen_args,
+            (mat_in, mat_out, in_name, out_name, cum_ref, alpha, neg, seed),
+            pair_chunk,
+            flip,
+        ),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
