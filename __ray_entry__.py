@@ -899,11 +899,25 @@ def _q_doc_ranks(sf_dir: str):
 
 def _q_pagerank(sf_dir: str):
     """Fixed-point PageRank over the customer–supplier purchase graph
-    (stages/graph.py) — iterative bucket-shuffle attach + integer sums,
-    bit-identical to the oracle's unrolled-iteration replica."""
+    (stages/graph.py) — raw Ray tasks over co-partitioned bucket state
+    (iterative fixed point; all-integer sums), bit-identical to the
+    oracle's unrolled-iteration replica."""
     from xlink_ray.stages.graph import purchase_pagerank
 
     return purchase_pagerank(sf_dir)
+
+
+def _q_dup_ngrams(sf_dir: str):
+    """Inter-document duplicate 5-gram coverage per document
+    (stages/substring.py, Lee et al. 2022 exact-substring statistic):
+    gram occurrences → dup detection on one hash shuffle → per-doc
+    interval-union coverage on a second."""
+    import ray.data as rd
+
+    from xlink_ray.stages.substring import dup_ngram_coverage
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dup_ngram_coverage(docs, k=5)
 
 
 def _pagerank_sql(iters: int = 5, scale: int = 10**12, dn: int = 85, dd: int = 100) -> str:
@@ -1050,6 +1064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fps": _q_winnow_fps,
         "doc_ranks": _q_doc_ranks,
         "pagerank": _q_pagerank,
+        "dup_ngrams": _q_dup_ngrams,
         "cdc_chunks": _q_cdc_chunks,
         "fidelity_links": _q_fidelity_links,
         "linking_eval": _q_linking_eval,
@@ -1588,6 +1603,36 @@ FROM reach GROUP BY u""",
         # Fixed-point PageRank (stages/graph.py): unrolled iterations,
         # all-integer math — bit-identical across engines by design.
         "pagerank": _pagerank_sql(),
+        # Duplicate n-gram coverage (stages/substring.py): same M61
+        # Horner gram hashes as winnow_fps; a gram is duplicated iff
+        # ≥2 distinct docs contain it; covered = equal-interval union
+        # via LEAD. All-int output — exact compare.
+        "dup_ngrams": """
+WITH th AS (
+  SELECT doc_id, list_transform(string_split(text, ' '),
+           t -> ('0x' || substr(md5(t), 1, 16))::UBIGINT % 2305843009213693951) AS hs
+  FROM documents
+), g AS (
+  SELECT doc_id, j,
+         list_reduce(hs[j : j + 4],
+           (a, b) -> CAST((CAST(a AS UHUGEINT) * 1000003 + CAST(b AS UHUGEINT))
+                          % 2305843009213693951 AS UBIGINT)) AS h
+  FROM th, LATERAL (SELECT unnest(generate_series(1, len(hs) - 4)) AS j) s(j)
+), dup AS (
+  SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+), dp AS (
+  SELECT doc_id, j,
+         LEAD(j) OVER (PARTITION BY doc_id ORDER BY j) AS nj
+  FROM g WHERE h IN (SELECT h FROM dup)
+), cov AS (
+  SELECT doc_id, COUNT(*) AS dg,
+         SUM(LEAST(COALESCE(nj - j, 5), 5)) AS cv
+  FROM dp GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(t.hs) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(c.dg, 0) AS BIGINT) AS dup_grams,
+       CAST(COALESCE(c.cv, 0) AS BIGINT) AS covered_tokens
+FROM th t LEFT JOIN cov c USING (doc_id)""",
         "doc_ranks": """
 SELECT doc_id, n_chars,
        CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
