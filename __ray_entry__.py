@@ -907,6 +907,16 @@ def _q_pagerank(sf_dir: str):
     return purchase_pagerank(sf_dir)
 
 
+def _q_communities(sf_dir: str):
+    """Synchronous label propagation over the purchase graph
+    (stages/graph.py label_prop) — same raw-task bucket harness as
+    pagerank; majority vote with smallest-label tie-break, matching
+    the oracle's unrolled-iteration replica exactly."""
+    from xlink_ray.stages.graph import purchase_communities
+
+    return purchase_communities(sf_dir)
+
+
 def _q_dup_ngrams(sf_dir: str):
     """Inter-document duplicate 5-gram coverage per document
     (stages/substring.py, Lee et al. 2022 exact-substring statistic):
@@ -945,6 +955,35 @@ pr{i + 1} AS (
     GROUP BY e.dst) s ON n.node = s.node)"""
         )
     sql.append(f"\nSELECT node, r AS pr_fp FROM pr{iters}")
+    return "".join(sql)
+
+
+def _label_prop_sql(iters: int = 5) -> str:
+    """Unrolled-iteration DuckDB replica of stages/graph.label_prop
+    over the purchase graph: per round, each node takes the most
+    frequent in-neighbor label (ties → smallest label), keeping its
+    own label when it has no in-edges."""
+    sql = [
+        """WITH eds AS (
+  SELECT DISTINCT 2*o.o_custkey AS src, 2*l.l_suppkey+1 AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+edges AS (SELECT src, dst FROM eds UNION SELECT dst, src FROM eds),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+lb0 AS (SELECT node, node AS label FROM nodes)"""
+    ]
+    for i in range(iters):
+        sql.append(
+            f""",
+lb{i + 1} AS (
+  SELECT p.node, COALESCE(w.label, p.label) AS label
+  FROM lb{i} p LEFT JOIN (
+    SELECT node, label FROM (
+      SELECT e.dst AS node, l.label, COUNT(*) AS c,
+             ROW_NUMBER() OVER (PARTITION BY e.dst ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+      FROM edges e JOIN lb{i} l ON l.node = e.src
+      GROUP BY e.dst, l.label) WHERE rn = 1) w ON w.node = p.node)"""
+        )
+    sql.append(f"\nSELECT node, label FROM lb{iters}")
     return "".join(sql)
 
 
@@ -1064,6 +1103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fps": _q_winnow_fps,
         "doc_ranks": _q_doc_ranks,
         "pagerank": _q_pagerank,
+        "communities": _q_communities,
         "dup_ngrams": _q_dup_ngrams,
         "cdc_chunks": _q_cdc_chunks,
         "fidelity_links": _q_fidelity_links,
@@ -1603,6 +1643,7 @@ FROM reach GROUP BY u""",
         # Fixed-point PageRank (stages/graph.py): unrolled iterations,
         # all-integer math — bit-identical across engines by design.
         "pagerank": _pagerank_sql(),
+        "communities": _label_prop_sql(),
         # Duplicate n-gram coverage (stages/substring.py): same M61
         # Horner gram hashes as winnow_fps; a gram is duplicated iff
         # ≥2 distinct docs contain it; covered = equal-interval union

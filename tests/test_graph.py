@@ -81,3 +81,79 @@ def test_purchase_pagerank_shape(ray_session, sf_small):
     assert all(r["pr_fp"] > 0 for r in t)
     # both customer (even) and supplier (odd) ids present
     assert any(n % 2 == 0 for n in nodes) and any(n % 2 == 1 for n in nodes)
+
+
+# ---- label propagation ----
+
+from xlink_ray.stages.graph import label_prop, purchase_communities
+
+
+def _reference_lp(edges, iters=5):
+    """Single-process replica of the label-propagation rules."""
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    lab = {n: n for n in nodes}
+    for _ in range(iters):
+        votes = {}
+        for s, d in edges:
+            votes.setdefault(d, {}).setdefault(lab[s], 0)
+            votes[d][lab[s]] += 1
+        nxt = dict(lab)
+        for d, v in votes.items():
+            best = max(v.values())
+            nxt[d] = min(l for l, c in v.items() if c == best)
+        lab = nxt
+    return lab
+
+
+def _run_lp(edges, **kw):
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([s for s, _ in edges], pa.int64()),
+                "dst": pa.array([d for _, d in edges], pa.int64()),
+            }
+        )
+    )
+    out = label_prop(ds, **kw).take_all()
+    return {r["node"]: r["label"] for r in out}
+
+
+def test_label_prop_matches_reference(ray_session):
+    # two triangles joined by one edge — symmetric communities
+    tri1 = [(1, 2), (2, 3), (3, 1)]
+    tri2 = [(10, 11), (11, 12), (12, 10)]
+    edges = tri1 + [(d, s) for s, d in tri1] + tri2 + [(d, s) for s, d in tri2] + [(3, 10), (10, 3)]
+    got = _run_lp(edges, iters=5, nbuckets=4)
+    assert got == _reference_lp(edges, iters=5)
+
+
+def test_label_prop_bucket_invariance(ray_session):
+    rng = np.random.default_rng(11)
+    edges = list({(int(a), int(b)) for a, b in rng.integers(0, 50, (400, 2)) if a != b})
+    a = _run_lp(edges, iters=4, nbuckets=1)
+    b = _run_lp(edges, iters=4, nbuckets=7)
+    assert a == b == _reference_lp(edges, iters=4)
+
+
+def test_label_prop_tie_breaks_to_smallest(ray_session):
+    # node 5 hears labels 1 and 2 once each -> takes 1
+    got = _run_lp([(1, 5), (2, 5)], iters=1, nbuckets=2)
+    assert got[5] == 1
+    # sources have no in-edges: keep their own labels
+    assert got[1] == 1 and got[2] == 2
+
+
+def test_label_prop_duplicate_edges_one_vote(ray_session):
+    # dup (2,5) must NOT outvote (1,5): one vote per distinct edge
+    got = _run_lp([(1, 5), (2, 5), (2, 5), (2, 5)], iters=1, nbuckets=3)
+    assert got[5] == 1
+
+
+def test_purchase_communities_shape(ray_session, sf_small):
+    t = purchase_communities(sf_small, iters=2).take_all()
+    assert len(t) > 0
+    nodes = {r["node"] for r in t}
+    assert len(nodes) == len(t)
+    # labels are node ids (propagated), so all labels are known nodes
+    assert {r["label"] for r in t} <= nodes

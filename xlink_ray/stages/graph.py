@@ -57,7 +57,13 @@ from ray.data import Dataset
 
 from xlink_ray.stages._bucket import bucket_shuffle
 
-__all__ = ["pagerank_fixed", "purchase_graph_edges", "purchase_pagerank"]
+__all__ = [
+    "pagerank_fixed",
+    "label_prop",
+    "purchase_graph_edges",
+    "purchase_pagerank",
+    "purchase_communities",
+]
 
 
 def _dedupe_sorted(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -192,6 +198,35 @@ def _rank_table(nodes: np.ndarray, ranks: np.ndarray) -> pa.Table:
     return pa.table({"node": pa.array(nodes, pa.int64()), "r": pa.array(ranks, pa.int64())})
 
 
+def _graph_state(edges: Dataset, nb: int):
+    """Shared iteration harness setup: hash-split the edge blocks once,
+    build per-src-bucket static state (dedupe, out-degree, dst-bucket
+    permutation) and the co-partitioned sorted node arrays.  Returns
+    (states, nodes) as lists of ObjectRefs, or None for no blocks."""
+    blocks = edges.to_arrow_refs()
+    if not blocks:
+        return None
+    split = [_split_block.options(num_returns=nb).remote(blk, nb) for blk in blocks]
+    if nb == 1:  # num_returns=1 yields a single ref to the list
+        split = [[s] for s in split]
+    built = [
+        _build_bucket.options(num_returns=nb + 1).remote(
+            nb, *[split[i][k] for i in range(len(split))]
+        )
+        for k in range(nb)
+    ]
+    states = [b[0] for b in built]
+    # node sets: own distinct srcs ∪ distinct dsts shipped from every bucket
+    nodes = [
+        _node_union.remote(
+            _src_nodes_task.remote(states[k]),
+            *[built[j][1 + k] for j in range(nb)],
+        )
+        for k in range(nb)
+    ]
+    return states, nodes
+
+
 def pagerank_fixed(
     edges: Dataset,
     iters: int = 5,
@@ -213,31 +248,12 @@ def pagerank_fixed(
     base = scale * (damp_den - damp_num) // damp_den
     nb = nbuckets
 
-    blocks = edges.to_arrow_refs()
-    if not blocks:
+    harness = _graph_state(edges, nb)
+    if harness is None:
         return rd.from_arrow(
             pa.table({"node": pa.array([], pa.int64()), "r": pa.array([], pa.int64())})
         )
-
-    # one hash split of the edge blocks + per-bucket static build
-    split = [_split_block.options(num_returns=nb).remote(blk, nb) for blk in blocks]
-    if nb == 1:  # num_returns=1 yields a single ref to the list
-        split = [[s] for s in split]
-    built = [
-        _build_bucket.options(num_returns=nb + 1).remote(
-            nb, *[split[i][k] for i in range(len(split))]
-        )
-        for k in range(nb)
-    ]
-    states = [b[0] for b in built]
-    # node sets: own distinct srcs ∪ distinct dsts shipped from every bucket
-    nodes = [
-        _node_union.remote(
-            _src_nodes_task.remote(states[k]),
-            *[built[j][1 + k] for j in range(nb)],
-        )
-        for k in range(nb)
-    ]
+    states, nodes = harness
     ranks = [_init_ranks.remote(nodes[k], scale) for k in range(nb)]
 
     for _ in range(iters):
@@ -256,6 +272,102 @@ def pagerank_fixed(
 
     tables = [_rank_table.remote(nodes[k], ranks[k]) for k in range(nb)]
     return rd.from_arrow_refs(tables)
+
+
+@ray.remote
+def _lp_map(state: dict, nodes: np.ndarray, labels: np.ndarray, nbuckets: int) -> list:
+    """One src bucket, one iteration: attach current labels to the
+    bucket's srcs and ship one (dst, label) vote per distinct edge,
+    split by dst bucket via the precomputed permutation."""
+    src = state["src"]
+    if len(src) == 0:
+        return [(_EMPTY_I64, _EMPTY_I64)] * nbuckets
+    lab = labels[np.searchsorted(nodes, src)][state["perm"]]
+    bounds, dst = state["bounds"], state["dst_perm"]
+    return [(dst[bounds[k] : bounds[k + 1]], lab[bounds[k] : bounds[k + 1]]) for k in range(nbuckets)]
+
+
+@ray.remote
+def _lp_reduce(nodes: np.ndarray, labels: np.ndarray, *pieces) -> np.ndarray:
+    """One node bucket: majority vote over shipped (dst, label) pairs,
+    ties broken toward the SMALLEST label (deterministic); nodes with
+    no in-edges keep their current label.  Fully vectorized: one
+    lexsort to count (node, label) runs, one to pick the winner."""
+    pieces = _flatten_pieces(pieces)
+    dsts = [p[0] for p in pieces if len(p[0])]
+    if not dsts:
+        return labels
+    node_idx = np.searchsorted(nodes, np.concatenate(dsts))
+    lab = np.concatenate([p[1] for p in pieces if len(p[0])])
+    order = np.lexsort((lab, node_idx))
+    node_idx, lab = node_idx[order], lab[order]
+    starts = np.flatnonzero(np.r_[True, (node_idx[1:] != node_idx[:-1]) | (lab[1:] != lab[:-1])])
+    cnt = np.diff(np.r_[starts, len(node_idx)])
+    node_u, lab_u = node_idx[starts], lab[starts]
+    # winner per node: max count, then min label (lab_u is already
+    # ascending within a node from the first sort — stable keeps it)
+    win = np.lexsort((-cnt, node_u))
+    node_u, lab_u = node_u[win], lab_u[win]
+    first = np.flatnonzero(np.r_[True, node_u[1:] != node_u[:-1]])
+    out = labels.copy()
+    out[node_u[first]] = lab_u[first]
+    return out
+
+
+@ray.remote
+def _label_table(nodes: np.ndarray, labels: np.ndarray) -> pa.Table:
+    return pa.table({"node": pa.array(nodes, pa.int64()), "label": pa.array(labels, pa.int64())})
+
+
+@ray.remote
+def _init_labels(nodes: np.ndarray) -> np.ndarray:
+    return nodes.copy()
+
+
+def label_prop(edges: Dataset, iters: int = 5, nbuckets: int = 32) -> Dataset:
+    """Synchronous label propagation (community detection) over directed
+    edges (src:int64, dst:int64) → (node, label):
+
+        label[0][v]   = v
+        label[i+1][v] = most frequent label among in-neighbor labels,
+                        ties → smallest label; no in-edges → unchanged
+
+    Duplicate edges are collapsed (one vote per distinct edge), so the
+    result is deterministic on ANY partitioning and matches the DuckDB
+    unrolled-iteration replica (query ``communities``).  Same raw-task
+    bucket harness as :func:`pagerank_fixed` — the edges are hash-split
+    once, labels live co-partitioned with the node arrays, and each
+    round is ``nbuckets`` map + ``nbuckets`` reduce tasks with direct
+    object passing (no per-round Dataset shuffle).
+    """
+    nb = nbuckets
+    harness = _graph_state(edges, nb)
+    if harness is None:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})
+        )
+    states, nodes = harness
+    labels = [_init_labels.remote(nodes[k]) for k in range(nb)]
+
+    for _ in range(iters):
+        pieces = [
+            _lp_map.options(num_returns=nb).remote(states[k], nodes[k], labels[k], nb)
+            for k in range(nb)
+        ]
+        if nb == 1:
+            pieces = [[p] for p in pieces]
+        labels = [
+            _lp_reduce.remote(nodes[k], labels[k], *[pieces[j][k] for j in range(nb)])
+            for k in range(nb)
+        ]
+
+    tables = [_label_table.remote(nodes[k], labels[k]) for k in range(nb)]
+    return rd.from_arrow_refs(tables)
+
+
+def purchase_communities(sf_dir: str, iters: int = 5) -> Dataset:
+    """Label-propagation communities of the purchase graph → (node, label)."""
+    return label_prop(purchase_graph_edges(sf_dir), iters=iters)
 
 
 def purchase_graph_edges(sf_dir: str, nbuckets: int = 32) -> Dataset:
