@@ -133,6 +133,16 @@ def _q_er_clusters_dist(sf_dir: str):
     return er.customer_clusters(sf_dir, method="distributed")
 
 
+def _q_er_clusters_bucket(sf_dir: str):
+    """Same result via the raw-task Hash-Min + pointer-jumping path
+    (stages/graph.py cc_min_label): labels live co-partitioned with
+    int64 node buckets; ~4·nbuckets tiny tasks per round instead of
+    ~6 materialized Dataset executions."""
+    from xlink_ray.pipelines import er
+
+    return er.customer_clusters(sf_dir, method="bucket")
+
+
 def _q_doc_mentions(sf_dir: str):
     """Per-document mention occurrence counts (candidate-generation
     surface, SQL-checkable)."""
@@ -1055,6 +1065,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_pairs_jw": _q_er_pairs_jw,
         "er_clusters": _q_er_clusters,
         "er_clusters_dist": _q_er_clusters_dist,
+        "er_clusters_bucket": _q_er_clusters_bucket,
         "doc_mentions": _q_doc_mentions,
         "links": _q_links,
         "links_partitioned": _q_links_partitioned,
@@ -1602,6 +1613,19 @@ SELECT u.doc_id, u.n_words, u.n_distinct_words,
        COALESCE(b3.top_3gram_n, 0) AS top_3gram_n
 FROM uni u LEFT JOIN b2 ON u.doc_id = b2.doc_id
            LEFT JOIN b3 ON u.doc_id = b3.doc_id""",
+        "er_clusters_bucket": """
+WITH RECURSIVE e AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+sym AS (SELECT id_a AS u, id_b AS v FROM e UNION SELECT id_b, id_a FROM e),
+reach(u, v) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
+SELECT u AS member_id, CAST(min(v) AS BIGINT) AS cluster_id
+FROM reach GROUP BY u""",
         "er_clusters_dist": """
 WITH RECURSIVE e AS (
   SELECT a.c_custkey AS id_a, b.c_custkey AS id_b

@@ -157,3 +157,78 @@ def test_purchase_communities_shape(ray_session, sf_small):
     assert len(nodes) == len(t)
     # labels are node ids (propagated), so all labels are known nodes
     assert {r["label"] for r in t} <= nodes
+
+
+# ---- connected components (Hash-Min + pointer jumping) ----
+
+from xlink_ray.stages.graph import cc_min_label
+
+
+def _reference_cc(edges, extra_nodes=()):
+    """Driver union-find reference."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        rs, rd_ = find(s), find(d)
+        if rs != rd_:
+            parent[max(rs, rd_)] = min(rs, rd_)
+    for n in extra_nodes:
+        find(n)
+    return {n: find(n) for n in parent}
+
+
+def _run_cc(edges, extra=None, **kw):
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([s for s, _ in edges], pa.int64()),
+                "dst": pa.array([d for _, d in edges], pa.int64()),
+            }
+        )
+    )
+    nodes = None
+    if extra is not None:
+        nodes = rd.from_arrow(pa.table({"node": pa.array(extra, pa.int64())}))
+    out = cc_min_label(ds, nodes=nodes, **kw).take_all()
+    return {r["node"]: r["comp"] for r in out}
+
+
+def test_cc_matches_union_find(ray_session):
+    rng = np.random.default_rng(7)
+    edges = list({(int(a), int(b)) for a, b in rng.integers(0, 200, (150, 2)) if a != b})
+    got = _run_cc(edges, nbuckets=5)
+    assert got == _reference_cc(edges)
+
+
+def test_cc_long_path_converges_fast(ray_session):
+    # a 400-node chain: diameter 399, pointer jumping must converge
+    # within max_rounds=64 (plain min-prop would need ~400 rounds)
+    edges = [(i, i + 1) for i in range(400)]
+    got = _run_cc(edges, nbuckets=4, max_rounds=64)
+    assert set(got.values()) == {0}
+    assert len(got) == 401
+
+
+def test_cc_singletons_and_bucket_invariance(ray_session):
+    edges = [(1, 2), (2, 3), (10, 11)]
+    extra = [1, 2, 3, 10, 11, 99, 100]
+    want = _reference_cc(edges, extra)
+    a = _run_cc(edges, extra=extra, nbuckets=1)
+    b = _run_cc(edges, extra=extra, nbuckets=7)
+    assert a == b == want
+    assert a[99] == 99 and a[100] == 100
+
+
+def test_cc_bucket_method_equals_local(ray_session, sf_small):
+    from xlink_ray.pipelines import er
+
+    a = {(r["member_id"], r["cluster_id"]) for r in er.customer_clusters(sf_small, method="bucket").take_all()}
+    b = {(r["member_id"], r["cluster_id"]) for r in er.customer_clusters(sf_small, method="local").take_all()}
+    assert a == b

@@ -324,6 +324,32 @@ def connected_components(
     scale path when the live-node set outgrows a single worker)."""
     e = _edges_table(edges, a, b)
 
+    if method == "bucket":
+        # raw-task Hash-Min + pointer jumping over co-partitioned int64
+        # bucket state (stages/graph.py) — per round ~4·nbuckets tiny
+        # tasks instead of ~6 materialized Dataset executions; requires
+        # integer node ids (string-keyed graphs take the Dataset path)
+        from xlink_ray.stages.graph import cc_min_label
+
+        sch = e.schema()
+        for col, typ in zip(sch.names, sch.types):
+            if col in ("u", "v") and not pa.types.is_integer(typ):
+                raise ValueError(
+                    f"method='bucket' needs integer node ids; edge column {col} has {typ}"
+                )
+
+        e64 = e.map_batches(
+            lambda t: pa.table(
+                {"src": t["u"].cast(pa.int64()), "dst": t["v"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        out = cc_min_label(e64, nodes=nodes, node_col=node_col or "node")
+        return out.map_batches(
+            lambda t: pa.table({"member_id": t["node"], "cluster_id": t["comp"]}),
+            batch_format="pyarrow",
+        )
+
     if method == "auto":
         # materialize before counting — counting a lazy pipeline and then
         # consuming it again would execute the whole upstream twice

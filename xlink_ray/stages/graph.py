@@ -60,6 +60,7 @@ from xlink_ray.stages._bucket import bucket_shuffle
 __all__ = [
     "pagerank_fixed",
     "label_prop",
+    "cc_min_label",
     "purchase_graph_edges",
     "purchase_pagerank",
     "purchase_communities",
@@ -368,6 +369,163 @@ def label_prop(edges: Dataset, iters: int = 5, nbuckets: int = 32) -> Dataset:
 def purchase_communities(sf_dir: str, iters: int = 5) -> Dataset:
     """Label-propagation communities of the purchase graph → (node, label)."""
     return label_prop(purchase_graph_edges(sf_dir), iters=iters)
+
+
+# ------------------------------------------- connected components (Hash-Min)
+
+@ray.remote(num_returns=2)
+def _cc_relax_reduce(nodes: np.ndarray, parent: np.ndarray, *pieces):
+    """One node bucket: parent[v] = min(parent[v], min shipped parent
+    over in-edges).  Grouped min via one sort + minimum.reduceat
+    (ufunc.at is an order of magnitude slower).  Returns (new parents,
+    number changed) — the scalar drives the driver's convergence loop."""
+    pieces = _flatten_pieces(pieces)
+    dsts = [p[0] for p in pieces if len(p[0])]
+    if not dsts:
+        return parent, 0
+    idx = np.searchsorted(nodes, np.concatenate(dsts))
+    val = np.concatenate([p[1] for p in pieces if len(p[0])])
+    order = np.argsort(idx, kind="stable")
+    idx, val = idx[order], val[order]
+    starts = np.flatnonzero(np.r_[True, idx[1:] != idx[:-1]])
+    out = parent.copy()
+    tgt = idx[starts]
+    out[tgt] = np.minimum(out[tgt], np.minimum.reduceat(val, starts))
+    return out, int(np.count_nonzero(out != parent))
+
+
+@ray.remote
+def _jump_request(parent: np.ndarray, nbuckets: int) -> list:
+    """Group this bucket's parent pointers by the owning bucket of the
+    pointed-to node → nbuckets (positions, parent-ids) pieces."""
+    b = parent % nbuckets
+    order = np.argsort(b, kind="stable")
+    bounds = np.searchsorted(b[order], np.arange(nbuckets + 1))
+    return [
+        (order[bounds[k] : bounds[k + 1]], parent[order[bounds[k] : bounds[k + 1]]])
+        for k in range(nbuckets)
+    ]
+
+
+@ray.remote
+def _jump_answer(nodes: np.ndarray, parent: np.ndarray, piece) -> tuple:
+    """Answer one bucket's pointer queries: parent[requested ids]
+    (requested ids are always node ids of THIS bucket — parents only
+    ever hold graph node ids)."""
+    if isinstance(piece, list):  # num_returns=1 ships the whole list
+        piece = piece[0]
+    pos, vals = piece
+    if len(pos) == 0:
+        return pos, vals
+    return pos, parent[np.searchsorted(nodes, vals)]
+
+
+@ray.remote
+def _jump_update(parent: np.ndarray, *answers) -> np.ndarray:
+    """Apply the answered pointer jumps: parent[v] = parent[parent[v]]."""
+    out = parent.copy()
+    for pos, vals in _flatten_pieces(answers):
+        if len(pos):
+            out[pos] = vals
+    return out
+
+
+@ray.remote
+def _comp_table(nodes: np.ndarray, parent: np.ndarray) -> pa.Table:
+    return pa.table({"node": pa.array(nodes, pa.int64()), "comp": pa.array(parent, pa.int64())})
+
+
+def cc_min_label(
+    edges: Dataset,
+    nodes: Dataset | None = None,
+    node_col: str = "node",
+    nbuckets: int = 32,
+    max_rounds: int = 64,
+) -> Dataset:
+    """Connected components over undirected edges (src:int64, dst:int64)
+    → (node, comp) with ``comp`` = the smallest node id of the
+    component.  Optional ``nodes`` adds isolated nodes as singletons.
+
+    Algorithm: Hash-Min label propagation (Rastogi et al., "Finding
+    Connected Components in Map-Reduce in Logarithmic Rounds", ICDE'13
+    — public algorithm) with a pointer-jumping step per round
+    (parent[v] ← parent[parent[v]]), on the same raw-task bucket
+    harness as :func:`pagerank_fixed`.  Each round is one edge-relax
+    map+reduce wave plus one two-wave pointer exchange — ~4·nbuckets
+    tiny tasks moving only int64 label arrays, versus the
+    Dataset-shuffle alternative (stages/clustering.py's
+    large-star/small-star) which pays ~6 materialized dataset
+    executions per round.  Convergence: when an edge-relax wave changes
+    nothing, every edge already joins equal labels, so the labeling is
+    component-constant and equal to the component min (the min node's
+    own label can never drop below itself).  The driver reads one int
+    per bucket per round — no data ever leaves the workers.
+
+    Semantics match clustering.connected_components (er_clusters); the
+    harness requires int64 node ids — string-keyed graphs go through
+    the Dataset path instead.
+    """
+    nb = nbuckets
+
+    def sym(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "src" not in t.schema.names:
+            return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        s = t["src"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = t["dst"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([s, d]), pa.int64()),
+                "dst": pa.array(np.concatenate([d, s]), pa.int64()),
+            }
+        )
+
+    both = edges.map_batches(sym, batch_format="pyarrow")
+    if nodes is not None:
+        # isolated nodes ride along as self-loops (no effect on mins)
+        def self_loops(t: pa.Table) -> pa.Table:
+            n = t[node_col].cast(pa.int64())
+            return pa.table({"src": n, "dst": n})
+
+        both = both.union(nodes.map_batches(self_loops, batch_format="pyarrow"))
+
+    harness = _graph_state(both, nb)
+    if harness is None:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "comp": pa.array([], pa.int64())})
+        )
+    states, node_arrs = harness
+    parent = [_init_labels.remote(node_arrs[k]) for k in range(nb)]
+
+    for _ in range(max_rounds):
+        pieces = [
+            _lp_map.options(num_returns=nb).remote(states[k], node_arrs[k], parent[k], nb)
+            for k in range(nb)
+        ]
+        if nb == 1:
+            pieces = [[p] for p in pieces]
+        relaxed = [
+            _cc_relax_reduce.remote(
+                node_arrs[k], parent[k], *[pieces[j][k] for j in range(nb)]
+            )
+            for k in range(nb)
+        ]
+        parent = [r[0] for r in relaxed]
+        if sum(ray.get([r[1] for r in relaxed])) == 0:
+            break
+        req = [_jump_request.options(num_returns=nb).remote(parent[k], nb) for k in range(nb)]
+        if nb == 1:
+            req = [[r] for r in req]
+        answers = [
+            [
+                _jump_answer.remote(node_arrs[j], parent[j], req[k][j])
+                for j in range(nb)
+            ]
+            for k in range(nb)
+        ]
+        parent = [_jump_update.remote(parent[k], *answers[k]) for k in range(nb)]
+
+    tables = [_comp_table.remote(node_arrs[k], parent[k]) for k in range(nb)]
+    return rd.from_arrow_refs(tables)
 
 
 def purchase_graph_edges(sf_dir: str, nbuckets: int = 32) -> Dataset:
