@@ -86,3 +86,15 @@ def _oracle_cc(edges, nodes):
     for x in nodes or []:
         find(x)
     return {x: find(x) for x in parent}
+
+
+def test_auto_routes_big_int_graphs_to_bucket(ray_session, monkeypatch):
+    # force the "big" branch: int node ids must take the bucket path
+    # and still produce the union-find result
+    from xlink_ray.stages import clustering
+
+    monkeypatch.setattr(clustering, "_LOCAL_EDGE_LIMIT", 0)
+    edges = [(5, 3), (3, 1), (8, 9)]
+    eds = rd.from_items([{"id_a": a, "id_b": b} for a, b in edges])
+    got = _cc_dict(connected_components(eds, method="auto"))
+    assert got == _oracle_cc(edges, None)

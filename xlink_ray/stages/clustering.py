@@ -301,6 +301,33 @@ def _distributed_cc(
     )
 
 
+def _bucket_cc(e: Dataset, nodes: Dataset | None, node_col: str | None) -> Dataset:
+    """Raw-task Hash-Min + pointer jumping over co-partitioned int64
+    bucket state (stages/graph.py cc_min_label) — per round ~4·nbuckets
+    tiny tasks instead of ~6 materialized Dataset executions; requires
+    integer node ids (string-keyed graphs take the Dataset path)."""
+    from xlink_ray.stages.graph import cc_min_label
+
+    sch = e.schema()
+    for col, typ in zip(sch.names, sch.types):
+        if col in ("u", "v") and not pa.types.is_integer(typ):
+            raise ValueError(
+                f"method='bucket' needs integer node ids; edge column {col} has {typ}"
+            )
+
+    e64 = e.map_batches(
+        lambda t: pa.table(
+            {"src": t["u"].cast(pa.int64()), "dst": t["v"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    out = cc_min_label(e64, nodes=nodes, node_col=node_col or "node")
+    return out.map_batches(
+        lambda t: pa.table({"member_id": t["node"], "cluster_id": t["comp"]}),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------- entry
 
 def connected_components(
@@ -325,36 +352,22 @@ def connected_components(
     e = _edges_table(edges, a, b)
 
     if method == "bucket":
-        # raw-task Hash-Min + pointer jumping over co-partitioned int64
-        # bucket state (stages/graph.py) — per round ~4·nbuckets tiny
-        # tasks instead of ~6 materialized Dataset executions; requires
-        # integer node ids (string-keyed graphs take the Dataset path)
-        from xlink_ray.stages.graph import cc_min_label
-
-        sch = e.schema()
-        for col, typ in zip(sch.names, sch.types):
-            if col in ("u", "v") and not pa.types.is_integer(typ):
-                raise ValueError(
-                    f"method='bucket' needs integer node ids; edge column {col} has {typ}"
-                )
-
-        e64 = e.map_batches(
-            lambda t: pa.table(
-                {"src": t["u"].cast(pa.int64()), "dst": t["v"].cast(pa.int64())}
-            ),
-            batch_format="pyarrow",
-        )
-        out = cc_min_label(e64, nodes=nodes, node_col=node_col or "node")
-        return out.map_batches(
-            lambda t: pa.table({"member_id": t["node"], "cluster_id": t["comp"]}),
-            batch_format="pyarrow",
-        )
+        return _bucket_cc(e, nodes, node_col)
 
     if method == "auto":
         # materialize before counting — counting a lazy pipeline and then
         # consuming it again would execute the whole upstream twice
         e = e.materialize()
-        method = "local" if e.count() <= _LOCAL_EDGE_LIMIT else "distributed"
+        if e.count() <= _LOCAL_EDGE_LIMIT:
+            method = "local"
+        else:
+            # big graphs: the raw-task bucket path when node ids are
+            # integers (rounds are cheap label-array exchanges), the
+            # star-contraction Dataset path otherwise
+            sch = e.schema()
+            if all(pa.types.is_integer(t) for t in sch.types):
+                return _bucket_cc(e, nodes, node_col)
+            method = "distributed"
 
     if method == "local":
         batches = [pa.table(bt) for bt in e.iter_batches(batch_format="pyarrow")]
