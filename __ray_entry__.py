@@ -917,6 +917,19 @@ def _q_pagerank(sf_dir: str):
     return purchase_pagerank(sf_dir)
 
 
+def _q_hll_tokens(sf_dir: str):
+    """HyperLogLog register state over the corpus token stream
+    (stages/sketch.py hll_registers, p=6): per-batch partial collapse
+    to ≤64 rows, one tiny groupby — approximate distinct counting
+    without a vocabulary shuffle.  All-int registers, exact compare."""
+    import ray.data as rd
+
+    from xlink_ray.stages.sketch import hll_registers
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return hll_registers(docs, p=6)
+
+
 def _q_communities(sf_dir: str):
     """Synchronous label propagation over the purchase graph
     (stages/graph.py label_prop) — same raw-task bucket harness as
@@ -1115,6 +1128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ranks": _q_doc_ranks,
         "pagerank": _q_pagerank,
         "communities": _q_communities,
+        "hll_tokens": _q_hll_tokens,
         "dup_ngrams": _q_dup_ngrams,
         "cdc_chunks": _q_cdc_chunks,
         "fidelity_links": _q_fidelity_links,
@@ -1668,6 +1682,18 @@ FROM reach GROUP BY u""",
         # all-integer math — bit-identical across engines by design.
         "pagerank": _pagerank_sql(),
         "communities": _label_prop_sql(),
+        # HyperLogLog registers (stages/sketch.py): md5-low64 token
+        # hash, register = top 6 bits, rho = leading-zero rank of the
+        # 58-bit remainder (+1); bin() gives the exact bit length.
+        "hll_tokens": """
+WITH toks AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents),
+h AS (SELECT ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS hash FROM toks),
+r AS (SELECT CAST(hash >> 58 AS BIGINT) AS register,
+             hash & ((1::UBIGINT << 58) - 1) AS rem
+      FROM h)
+SELECT register,
+       CAST(max(CASE WHEN rem = 0 THEN 59 ELSE 59 - length(bin(rem)) END) AS BIGINT) AS rho
+FROM r GROUP BY register""",
         # Duplicate n-gram coverage (stages/substring.py): same M61
         # Horner gram hashes as winnow_fps; a gram is duplicated iff
         # ≥2 distinct docs contain it; covered = equal-interval union

@@ -46,3 +46,43 @@ def test_threshold_boundary_inclusive(ray_session):
 def test_empty_corpus(ray_session):
     got = frequent_tokens(_ds([]), k=8)
     assert got.num_rows == 0
+
+
+# -------------------------------------------------- HyperLogLog
+
+from xlink_ray.stages.sketch import hll_registers, hll_estimate, _bit_length_u64
+
+
+def test_bit_length_u64_exact():
+    vals = np.array([0, 1, 2, 3, 4, 2**52, 2**53 + 1, 2**58 - 1, 2**63], dtype=np.uint64)
+    got = _bit_length_u64(vals)
+    want = np.array([v.bit_length() for v in vals.tolist()], dtype=np.int64)
+    assert (got == want).all()
+
+
+def test_hll_registers_match_bruteforce(ray_session):
+    import hashlib
+
+    texts = [f"w{i} w{i+1} common" for i in range(0, 200, 2)]
+    ds = rd.from_items([{"text": t} for t in texts])
+    got = {r["register"]: r["rho"] for r in hll_registers(ds, p=6).take_all()}
+
+    toks = set()
+    for t in texts:
+        toks.update(t.split(" "))
+    want = {}
+    for tok in toks:
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+        reg, rem = h >> 58, h & ((1 << 58) - 1)
+        want[reg] = max(want.get(reg, 0), 58 - rem.bit_length() + 1)
+    assert got == want
+
+
+def test_hll_estimate_within_error(ray_session):
+    # 5000 distinct tokens, p=8 -> sigma ~ 1.04/16 = 6.5%; allow 4 sigma
+    n = 5000
+    texts = [" ".join(f"tok{j}" for j in range(i, min(i + 50, n))) for i in range(0, n, 50)]
+    ds = rd.from_items([{"text": t} for t in texts])
+    regs = hll_registers(ds, p=8).take_all()
+    est = hll_estimate(regs, p=8)
+    assert abs(est - n) / n < 0.26

@@ -25,7 +25,7 @@ import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
-__all__ = ["frequent_tokens"]
+__all__ = ["frequent_tokens", "hll_registers", "hll_estimate"]
 
 
 def frequent_tokens(
@@ -95,3 +95,90 @@ def frequent_tokens(
             "n": pa.array(n[order].astype(np.int64)),
         }
     )
+
+
+# -------------------------------------------------- HyperLogLog sketch
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Exact bit length of uint64 values, vectorized 6-step binary
+    search (float log2 rounds wrong above 2^53)."""
+    x = x.copy()
+    n = np.zeros(x.shape, dtype=np.int64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = x >= (np.uint64(1) << np.uint64(shift))
+        n[big] += shift
+        x[big] >>= np.uint64(shift)
+    n += x.astype(np.int64)  # x is now 0 or 1
+    return n
+
+
+def hll_registers(ds: Dataset, text_col: str = "text", p: int = 6) -> Dataset:
+    """HyperLogLog register state over the corpus token stream →
+    (register:int64, rho:int64), 2^p rows max (Flajolet et al. 2007 —
+    public algorithm).
+
+    hash = md5-low64 of the token (the SQL-stable hash, matching
+    DuckDB ``('0x'||substr(md5(t),1,16))::UBIGINT``); register = top
+    ``p`` bits; rho = position of the highest set bit inside the
+    remaining 64-p bits, counted from the top (all-zero remainder →
+    64-p+1).
+
+    Scale shape: each batch collapses to ≤ 2^p partial rows inside
+    ``map_batches`` (register-max is a monoid), so the only shuffle is
+    a 2^p-key groupby over tiny partials — approximate distinct counts
+    at 100 TB without a vocabulary exchange.  The registers themselves
+    are the output (all-int, exactly comparable across engines);
+    :func:`hll_estimate` turns them into the cardinality estimate
+    driver-side.
+    """
+    from xlink_ray.functions.hashing import md5_low64
+
+    rem_bits = np.uint64(64 - p)
+    rem_mask = (np.uint64(1) << rem_bits) - np.uint64(1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(t[text_col], " "))
+        toks = pc.unique(flat).to_pylist()
+        if not toks:
+            return pa.table(
+                {"register": pa.array([], pa.int64()), "rho": pa.array([], pa.int64())}
+            )
+        h = md5_low64(toks)
+        reg = (h >> rem_bits).astype(np.int64)
+        rem = h & rem_mask
+        rho = (int(rem_bits) - _bit_length_u64(rem) + 1).astype(np.int64)
+        order = np.lexsort((-rho, reg))
+        reg_s, rho_s = reg[order], rho[order]
+        first = np.flatnonzero(np.r_[True, reg_s[1:] != reg_s[:-1]])
+        return pa.table(
+            {
+                "register": pa.array(reg_s[first], pa.int64()),
+                "rho": pa.array(rho_s[first], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Max
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("register")
+        .aggregate(Max("rho", alias_name="rho"))
+        .select_columns(["register", "rho"])
+    )
+
+
+def hll_estimate(registers: "pa.Table | list[dict]", p: int = 6) -> float:
+    """Cardinality estimate from (register, rho) rows: the standard
+    HLL estimator with the small-range (linear counting) correction.
+    Driver-side float math over ≤ 2^p rows."""
+    m = 1 << p
+    rho = np.zeros(m, dtype=np.int64)
+    rows = registers.to_pylist() if isinstance(registers, pa.Table) else registers
+    for r in rows:
+        rho[int(r["register"])] = int(r["rho"])
+    alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(p, 0.7213 / (1 + 1.079 / m))
+    est = alpha * m * m / np.sum(np.exp2(-rho.astype(np.float64)))
+    zeros = int(np.count_nonzero(rho == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting for small ranges
+    return float(est)
