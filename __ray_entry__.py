@@ -917,6 +917,16 @@ def _q_pagerank(sf_dir: str):
     return purchase_pagerank(sf_dir)
 
 
+def _q_supplier_triangles(sf_dir: str):
+    """Exact per-node triangle counts of the supplier co-supply graph
+    (stages/graph.py triangle_counts): degree-ordered orientation
+    bounds every out-neighborhood at O(sqrt(m)); six bucket shuffles,
+    vectorized kernels, no driver state."""
+    from xlink_ray.stages.graph import cosupply_triangles
+
+    return cosupply_triangles(sf_dir)
+
+
 def _q_hll_tokens(sf_dir: str):
     """HyperLogLog register state over the corpus token stream
     (stages/sketch.py hll_registers, p=6): per-batch partial collapse
@@ -1129,6 +1139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "communities": _q_communities,
         "hll_tokens": _q_hll_tokens,
+        "supplier_triangles": _q_supplier_triangles,
         "dup_ngrams": _q_dup_ngrams,
         "cdc_chunks": _q_cdc_chunks,
         "fidelity_links": _q_fidelity_links,
@@ -1694,6 +1705,22 @@ r AS (SELECT CAST(hash >> 58 AS BIGINT) AS register,
 SELECT register,
        CAST(max(CASE WHEN rem = 0 THEN 59 ELSE 59 - length(bin(rem)) END) AS BIGINT) AS rho
 FROM r GROUP BY register""",
+        # Triangle counts (stages/graph.py triangle_counts): the oracle
+        # counts each triangle once via an a<b<c three-way self-join —
+        # orientation-free, so it checks the algorithm's RESULT, not
+        # its degree-ordering mechanics.
+        "supplier_triangles": """
+WITH eds AS (
+  SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM eds e1 JOIN eds e2 ON e2.a = e1.b
+              JOIN eds e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT node, CAST(count(*) AS BIGINT) AS triangles
+FROM (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+GROUP BY node""",
         # Duplicate n-gram coverage (stages/substring.py): same M61
         # Horner gram hashes as winnow_fps; a gram is duplicated iff
         # ≥2 distinct docs contain it; covered = equal-interval union

@@ -232,3 +232,80 @@ def test_cc_bucket_method_equals_local(ray_session, sf_small):
     a = {(r["member_id"], r["cluster_id"]) for r in er.customer_clusters(sf_small, method="bucket").take_all()}
     b = {(r["member_id"], r["cluster_id"]) for r in er.customer_clusters(sf_small, method="local").take_all()}
     assert a == b
+
+
+# ---- triangle counting ----
+
+from xlink_ray.stages.graph import triangle_counts, cosupply_triangles
+from xlink_ray.stages.graph import _triu_pairs_by_group
+
+
+def test_triu_pairs_by_group_exact():
+    counts = np.array([0, 1, 2, 3, 5, 100])
+    gid, i, j = _triu_pairs_by_group(counts)
+    want = []
+    for g, c in enumerate(counts):
+        for a in range(c):
+            for b in range(a + 1, c):
+                want.append((g, a, b))
+    got = list(zip(gid.tolist(), i.tolist(), j.tolist()))
+    assert got == want
+
+
+def _reference_triangles(edges):
+    """Brute-force per-node triangle counts."""
+    es = set()
+    for s, d in edges:
+        if s != d:
+            es.add((min(s, d), max(s, d)))
+    nodes = sorted({n for e in es for n in e})
+    adj = {n: set() for n in nodes}
+    for a, b in es:
+        adj[a].add(b)
+        adj[b].add(a)
+    cnt = {}
+    for a, b in es:
+        for c in adj[a] & adj[b]:
+            if c > b:  # each triangle once (a < b < c)
+                for n in (a, b, c):
+                    cnt[n] = cnt.get(n, 0) + 1
+    return cnt
+
+
+def _run_tri(edges, **kw):
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([s for s, _ in edges], pa.int64()),
+                "dst": pa.array([d for _, d in edges], pa.int64()),
+            }
+        )
+    )
+    out = triangle_counts(ds, **kw).take_all()
+    return {r["node"]: r["triangles"] for r in out}
+
+
+def test_triangles_match_bruteforce(ray_session):
+    rng = np.random.default_rng(23)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 40, (300, 2))]
+    got = _run_tri(edges, nbuckets=5)
+    assert got == _reference_triangles(edges)
+
+
+def test_triangles_dup_edges_and_loops_ignored(ray_session):
+    edges = [(1, 2), (2, 3), (3, 1), (1, 2), (2, 1), (3, 3)]
+    got = _run_tri(edges, nbuckets=3)
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangles_k4(ray_session):
+    # complete graph on 4 nodes: each node in C(3,2)=3 triangles
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    got = _run_tri(edges, nbuckets=2)
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_cosupply_triangles_shape(ray_session, sf_small):
+    t = cosupply_triangles(sf_small).take_all()
+    assert len(t) > 0
+    assert all(r["triangles"] > 0 for r in t)

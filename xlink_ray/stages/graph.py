@@ -61,6 +61,8 @@ __all__ = [
     "pagerank_fixed",
     "label_prop",
     "cc_min_label",
+    "triangle_counts",
+    "cosupply_triangles",
     "purchase_graph_edges",
     "purchase_pagerank",
     "purchase_communities",
@@ -526,6 +528,331 @@ def cc_min_label(
 
     tables = [_comp_table.remote(node_arrs[k], parent[k]) for k in range(nb)]
     return rd.from_arrow_refs(tables)
+
+
+# --------------------------------------------------- triangle counting
+
+def _triu_pairs_by_group(counts: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """For groups of sizes ``counts`` laid out consecutively, the
+    (group, i, j) index triples of every within-group pair i<j —
+    vectorized triangular-number inversion (sqrt + integer fix-up;
+    float error is <1 at any realistic group size)."""
+    counts = counts.astype(np.int64)
+    P = counts * (counts - 1) // 2
+    total = int(P.sum())
+    if total == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z
+    gid = np.repeat(np.arange(len(counts), dtype=np.int64), P)
+    r = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(P) - P, P)
+    c = counts[gid]
+    i = ((2 * c - 1) - np.sqrt((2 * c - 1.0) ** 2 - 8.0 * r)).astype(np.int64) // 2
+    # exact fix-up: off(i) = i*(2c-i-1)/2 must satisfy off(i) <= r < off(i+1)
+    for _ in range(2):
+        off = i * (2 * c - i - 1) // 2
+        i -= (r < off).astype(np.int64)
+        off = i * (2 * c - i - 1) // 2
+        i += (r >= off + (c - i - 1)).astype(np.int64)
+    off = i * (2 * c - i - 1) // 2
+    j = i + 1 + (r - off)
+    return gid, i, j
+
+
+def triangle_counts(edges: Dataset, nbuckets: int = 32) -> Dataset:
+    """Exact per-node triangle counts over undirected edges
+    (src:int64, dst:int64) → (node, triangles), nodes in ≥1 triangle.
+
+    Standard degree-ordered-orientation algorithm (Cohen, "Graph twiddling
+    in a MapReduce world", CiSE'09 / Suri & Vassilvitskii WWW'11 — public):
+    orient each edge from its lower-(degree, id) endpoint, generate
+    wedges from each apex's out-neighborhood (out-degree is bounded by
+    O(sqrt(m)) under this orientation — no hub blowup), and close
+    wedges against the oriented edge set.  Every step is ONE
+    hash-bucket exchange with a vectorized per-bucket kernel
+    (np.unique / searchsorted / triangular-number pair expansion) —
+    six bucket shuffles total, no driver-side state.
+
+    Node ids must fit in uint32 (the closing-edge membership test
+    packs a pair into one uint64); asserted per bucket.
+    """
+    from xlink_ray.functions.hashing import mix64
+
+    empty_pair = pa.table(
+        {"lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64())}
+    )
+
+    def canon(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "src" not in t.schema.names:
+            return empty_pair
+        s = t["src"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = t["dst"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table(
+            {
+                "lo": pa.array(np.minimum(s, d), pa.int64()),
+                "hi": pa.array(np.maximum(s, d), pa.int64()),
+            }
+        )
+
+    def distinct_bucket(g: pa.Table) -> pa.Table:
+        lo = g["lo"].to_numpy(zero_copy_only=False)
+        hi = g["hi"].to_numpy(zero_copy_only=False)
+        lo, hi = _dedupe_sorted(lo, hi)
+        return pa.table({"lo": pa.array(lo, pa.int64()), "hi": pa.array(hi, pa.int64())})
+
+    # shared intermediates are consumed by TWO downstream branches each
+    # (dedup → degrees + attach; degrees → both attaches; oriented →
+    # wedges + closing side): materialize them once, or Ray re-executes
+    # the whole upstream subtree per consumer
+    dedup = bucket_shuffle(edges.map_batches(canon, batch_format="pyarrow"),
+                           "lo", nbuckets, distinct_bucket).materialize()
+
+    # degrees: per-batch partial counts, one node shuffle to sum
+    def deg_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.int64()), "c": pa.array([], pa.int64())})
+        n = np.concatenate(
+            [t["lo"].to_numpy(zero_copy_only=False), t["hi"].to_numpy(zero_copy_only=False)]
+        )
+        u, c = np.unique(n, return_counts=True)
+        return pa.table({"node": pa.array(u, pa.int64()), "c": pa.array(c, pa.int64())})
+
+    def deg_sum(g: pa.Table) -> pa.Table:
+        n = g["node"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(n, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, c)
+        return pa.table({"node": pa.array(u, pa.int64()), "deg": pa.array(s, pa.int64())})
+
+    degrees = bucket_shuffle(
+        dedup.map_batches(deg_partial, batch_format="pyarrow"), "node", nbuckets, deg_sum
+    ).materialize()
+
+    # attach deg to each endpoint in turn (tagged union + in-bucket stamp)
+    def stamp(key_col: str, out_col: str):
+        def fn(g: pa.Table) -> pa.Table:
+            side = g["__side"].to_numpy(zero_copy_only=False)
+            is_deg = side == 1
+            dn = g["__k"].to_numpy(zero_copy_only=False)[is_deg]
+            dv = g["deg"].to_numpy(zero_copy_only=False)[is_deg]
+            order = np.argsort(dn, kind="stable")
+            dn, dv = dn[order], dv[order]
+            e = g.filter(pa.array(~is_deg))
+            k = e["__k"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(dn, k)
+            vals = dv[idx]  # every endpoint has a degree row by construction
+            cols = {
+                c: e[c] for c in e.schema.names if c not in ("__k", "__side", "deg", "__b")
+            }
+            cols[out_col] = pa.array(vals, pa.int64())
+            return pa.table(cols)
+
+        return fn
+
+    def tag_edges(key_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {c: t[c] for c in t.schema.names}
+            cols["__k"] = t[key_col].cast(pa.int64())
+            cols["__side"] = pa.array(np.zeros(t.num_rows, np.int8))
+            cols["deg"] = pa.array(np.full(t.num_rows, -1, np.int64))
+            return pa.table(cols)
+
+        return fn
+
+    def tag_degs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lo": pa.array(np.full(t.num_rows, -1, np.int64)),
+                "hi": pa.array(np.full(t.num_rows, -1, np.int64)),
+                "__k": t["node"].cast(pa.int64()),
+                "__side": pa.array(np.ones(t.num_rows, np.int8)),
+                "deg": t["deg"].cast(pa.int64()),
+            }
+        )
+
+    def tag_degs2(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lo": pa.array(np.full(t.num_rows, -1, np.int64)),
+                "hi": pa.array(np.full(t.num_rows, -1, np.int64)),
+                "deg_lo": pa.array(np.full(t.num_rows, -1, np.int64)),
+                "__k": t["node"].cast(pa.int64()),
+                "__side": pa.array(np.ones(t.num_rows, np.int8)),
+                "deg": t["deg"].cast(pa.int64()),
+            }
+        )
+
+    e1 = bucket_shuffle(
+        dedup.map_batches(tag_edges("lo"), batch_format="pyarrow").union(
+            degrees.map_batches(tag_degs, batch_format="pyarrow")
+        ),
+        "__k",
+        nbuckets,
+        stamp("lo", "deg_lo"),
+    )
+    e2 = bucket_shuffle(
+        e1.map_batches(tag_edges("hi"), batch_format="pyarrow").union(
+            degrees.map_batches(tag_degs2, batch_format="pyarrow")
+        ),
+        "__k",
+        nbuckets,
+        stamp("hi", "deg_hi"),
+    )
+
+    # orient from the lower-(deg, id) endpoint; keep dst's (deg, id) so
+    # wedge pairs can be emitted in closing-edge orientation
+    def orient(t: pa.Table) -> pa.Table:
+        lo = t["lo"].to_numpy(zero_copy_only=False)
+        hi = t["hi"].to_numpy(zero_copy_only=False)
+        dlo = t["deg_lo"].to_numpy(zero_copy_only=False)
+        dhi = t["deg_hi"].to_numpy(zero_copy_only=False)
+        lo_first = (dlo < dhi) | ((dlo == dhi) & (lo < hi))
+        src = np.where(lo_first, lo, hi)
+        dst = np.where(lo_first, hi, lo)
+        ddst = np.where(lo_first, dhi, dlo)
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "ddst": pa.array(ddst, pa.int64()),
+            }
+        )
+
+    oriented = e2.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def wedges(g: pa.Table) -> pa.Table:
+        src = g["src"].to_numpy(zero_copy_only=False)
+        dst = g["dst"].to_numpy(zero_copy_only=False)
+        ddst = g["ddst"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((dst, src))
+        src, dst, ddst = src[order], dst[order], ddst[order]
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        counts = np.diff(np.r_[starts, len(src)])
+        gid, i, j = _triu_pairs_by_group(counts)
+        if len(gid) == 0:
+            return pa.table(
+                {
+                    "x": pa.array([], pa.int64()),
+                    "y": pa.array([], pa.int64()),
+                    "apex": pa.array([], pa.int64()),
+                }
+            )
+        ai, bj = starts[gid] + i, starts[gid] + j
+        a, b = dst[ai], dst[bj]
+        da, db = ddst[ai], ddst[bj]
+        # closing edge is stored oriented by (deg, id): order the pair
+        a_first = (da < db) | ((da == db) & (a < b))
+        return pa.table(
+            {
+                "x": pa.array(np.where(a_first, a, b), pa.int64()),
+                "y": pa.array(np.where(a_first, b, a), pa.int64()),
+                "apex": pa.array(src[starts[gid]], pa.int64()),
+            }
+        )
+
+    wedge_ds = bucket_shuffle(oriented, "src", nbuckets, wedges)
+
+    # close wedges against the oriented edge set: tagged union bucketed
+    # on a pair hash, uint64-packed membership test per bucket
+    def pack_key(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        assert x.max(initial=0) < 2**32 and y.max(initial=0) < 2**32, "node ids must fit uint32"
+        return ((x.astype(np.uint64) << np.uint64(32)) | y.astype(np.uint64)).astype(np.int64)
+
+    def tag_wedge(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "pk": pa.array(
+                    mix64(pack_key(x, y).astype(np.uint64)).astype(np.int64) & (2**62 - 1)
+                ),
+                "x": t["x"],
+                "y": t["y"],
+                "apex": t["apex"],
+                "__side": pa.array(np.zeros(t.num_rows, np.int8)),
+            }
+        )
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        x = t["src"].to_numpy(zero_copy_only=False)
+        y = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "pk": pa.array(
+                    mix64(pack_key(x, y).astype(np.uint64)).astype(np.int64) & (2**62 - 1)
+                ),
+                "x": t["src"],
+                "y": t["dst"],
+                "apex": pa.array(np.full(t.num_rows, -1, np.int64)),
+                "__side": pa.array(np.ones(t.num_rows, np.int8)),
+            }
+        )
+
+    def close_bucket(g: pa.Table) -> pa.Table:
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        x = g["x"].to_numpy(zero_copy_only=False)
+        y = g["y"].to_numpy(zero_copy_only=False)
+        ek = np.sort(pack_key(x[side == 1], y[side == 1]))
+        wx, wy = x[side == 0], y[side == 0]
+        wk = pack_key(wx, wy)
+        idx = np.searchsorted(ek, wk)
+        idx[idx == len(ek)] = 0
+        hit = len(ek) > 0
+        ok = (ek[idx] == wk) if hit else np.zeros(len(wk), bool)
+        apex = g["apex"].to_numpy(zero_copy_only=False)[side == 0][ok]
+        n = np.concatenate([wx[ok], wy[ok], apex])
+        u, c = np.unique(n, return_counts=True)
+        return pa.table({"node": pa.array(u, pa.int64()), "c": pa.array(c, pa.int64())})
+
+    closed = bucket_shuffle(
+        wedge_ds.map_batches(tag_wedge, batch_format="pyarrow").union(
+            oriented.map_batches(tag_edge, batch_format="pyarrow")
+        ),
+        "pk",
+        nbuckets,
+        close_bucket,
+    )
+
+    def tri_sum(g: pa.Table) -> pa.Table:
+        n = g["node"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(n, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, c)
+        return pa.table({"node": pa.array(u, pa.int64()), "triangles": pa.array(s, pa.int64())})
+
+    return bucket_shuffle(closed, "node", nbuckets, tri_sum)
+
+
+def cosupply_triangles(sf_dir: str, nbuckets: int = 32) -> Dataset:
+    """Per-supplier triangle counts of the co-supply graph (suppliers
+    connected when they appear in the same order) → (node, triangles)."""
+    items = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+
+    def per_order_pairs(g: pa.Table) -> pa.Table:
+        ok = g["l_orderkey"].to_numpy(zero_copy_only=False)
+        sk = g["l_suppkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sk, ok))
+        ok, sk = ok[order], sk[order]
+        # distinct (order, supplier)
+        keep = np.r_[True, (ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1])]
+        ok, sk = ok[keep], sk[keep]
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        counts = np.diff(np.r_[starts, len(ok)])
+        gid, i, j = _triu_pairs_by_group(counts)
+        return pa.table(
+            {
+                "src": pa.array(sk[starts[gid] + i], pa.int64()),
+                "dst": pa.array(sk[starts[gid] + j], pa.int64()),
+            }
+        )
+
+    edges = bucket_shuffle(items, "l_orderkey", nbuckets, per_order_pairs)
+    return triangle_counts(edges, nbuckets=nbuckets)
 
 
 def purchase_graph_edges(sf_dir: str, nbuckets: int = 32) -> Dataset:
