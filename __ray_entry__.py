@@ -917,6 +917,19 @@ def _q_pagerank(sf_dir: str):
     return purchase_pagerank(sf_dir)
 
 
+def _q_stripped_corpus(sf_dir: str):
+    """Inter-document duplicate-span REMOVAL (stages/substring.py
+    strip_dup_spans, Lee et al. 2022's dedup transform): redundant
+    5-gram occurrences (a lower doc_id holds the same gram) are
+    interval-stamped out of the text; the minimal doc keeps its copy."""
+    import ray.data as rd
+
+    from xlink_ray.stages.substring import strip_dup_spans
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return strip_dup_spans(docs, k=5)
+
+
 def _q_supplier_triangles(sf_dir: str):
     """Exact per-node triangle counts of the supplier co-supply graph
     (stages/graph.py triangle_counts): degree-ordered orientation
@@ -1140,6 +1153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "communities": _q_communities,
         "hll_tokens": _q_hll_tokens,
         "supplier_triangles": _q_supplier_triangles,
+        "stripped_corpus": _q_stripped_corpus,
         "dup_ngrams": _q_dup_ngrams,
         "cdc_chunks": _q_cdc_chunks,
         "fidelity_links": _q_fidelity_links,
@@ -1721,6 +1735,39 @@ tri AS (
 SELECT node, CAST(count(*) AS BIGINT) AS triangles
 FROM (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
 GROUP BY node""",
+        # Duplicate-span removal (stages/substring.py strip_dup_spans):
+        # same gram-hash fold as dup_ngrams; an occurrence is redundant
+        # when a smaller doc_id holds the gram; kept text = tokens not
+        # inside any redundant [j, j+5) interval, space-joined in order.
+        "stripped_corpus": """
+WITH th AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         list_transform(string_split(text, ' '),
+           t -> ('0x' || substr(md5(t), 1, 16))::UBIGINT % 2305843009213693951) AS hs
+  FROM documents
+), g AS (
+  SELECT doc_id, j,
+         list_reduce(hs[j : j + 4],
+           (a, b) -> CAST((CAST(a AS UHUGEINT) * 1000003 + CAST(b AS UHUGEINT))
+                          % 2305843009213693951 AS UBIGINT)) AS h
+  FROM th, LATERAL (SELECT unnest(generate_series(1, len(hs) - 4)) AS j) s(j)
+), md AS (SELECT h, MIN(doc_id) AS mdoc FROM g GROUP BY h),
+red AS (SELECT g.doc_id, g.j FROM g JOIN md USING (h) WHERE g.doc_id > md.mdoc),
+tok AS (
+  SELECT doc_id, unnest(toks) AS tk,
+         unnest(generate_series(1, len(toks))) AS i
+  FROM th
+), keep AS (
+  SELECT t.doc_id, t.tk, t.i,
+         EXISTS (SELECT 1 FROM red r WHERE r.doc_id = t.doc_id
+                 AND r.j <= t.i AND t.i < r.j + 5) AS cov
+  FROM tok t
+)
+SELECT h.doc_id,
+       COALESCE(string_agg(tk, ' ' ORDER BY i) FILTER (WHERE NOT cov), '') AS text,
+       CAST(COALESCE(COUNT(*) FILTER (WHERE cov), 0) AS BIGINT) AS removed_tokens
+FROM th h LEFT JOIN keep USING (doc_id)
+GROUP BY h.doc_id""",
         # Duplicate n-gram coverage (stages/substring.py): same M61
         # Horner gram hashes as winnow_fps; a gram is duplicated iff
         # ≥2 distinct docs contain it; covered = equal-interval union

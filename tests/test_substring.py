@@ -54,3 +54,51 @@ def test_short_doc_zeroes(ray_session):
     # 9's single gram appears in 10 → fully covered
     assert got[9]["dup_grams"] == 1 and got[9]["covered_tokens"] == 5
     assert got[10]["dup_grams"] == 1 and got[10]["covered_tokens"] == 5
+
+
+# ---- duplicate-span removal ----
+
+from xlink_ray.stages.substring import strip_dup_spans
+
+
+def test_strip_dup_spans_basic(ray_session):
+    import ray.data as rd
+
+    shared = "alpha beta gamma delta epsilon"  # one 5-gram
+    docs = [
+        {"doc_id": 1, "text": f"{shared} tail one"},
+        {"doc_id": 2, "text": f"head {shared} tail two"},
+        {"doc_id": 3, "text": "totally different words here now"},
+    ]
+    out = {r["doc_id"]: r for r in strip_dup_spans(rd.from_items(docs), k=5).take_all()}
+    # doc 1 is the minimal holder: untouched
+    assert out[1]["text"] == docs[0]["text"] and out[1]["removed_tokens"] == 0
+    # doc 2 loses the shared run INCLUDING 'tail' (the overlapping
+    # gram 'beta gamma delta epsilon tail' is also shared with doc 1)
+    assert out[2]["text"] == "head two" and out[2]["removed_tokens"] == 6
+    # doc 3 untouched (and too short / unique anyway)
+    assert out[3]["text"] == docs[2]["text"] and out[3]["removed_tokens"] == 0
+
+
+def test_strip_dup_spans_within_doc_repeat_kept(ray_session):
+    import ray.data as rd
+
+    t = "a b c d e a b c d e"  # gram repeats only within ONE doc
+    out = strip_dup_spans(
+        rd.from_items([{"doc_id": 7, "text": t}]), k=5
+    ).take_all()
+    assert out[0]["text"] == t and out[0]["removed_tokens"] == 0
+
+
+def test_strip_dup_spans_full_overlap_strips_everything(ray_session):
+    import ray.data as rd
+
+    t = "one two three four five"
+    out = {
+        r["doc_id"]: r
+        for r in strip_dup_spans(
+            rd.from_items([{"doc_id": 1, "text": t}, {"doc_id": 2, "text": t}]), k=5
+        ).take_all()
+    }
+    assert out[1]["text"] == t
+    assert out[2]["text"] == "" and out[2]["removed_tokens"] == 5

@@ -38,7 +38,7 @@ from ray.data import Dataset
 from xlink_ray.stages._bucket import bucket_shuffle
 from xlink_ray.stages.winnow import _positional_gram_hashes
 
-__all__ = ["dup_ngram_coverage"]
+__all__ = ["dup_ngram_coverage", "strip_dup_spans"]
 
 _EMPTY = pa.table(
     {
@@ -174,3 +174,143 @@ def dup_ngram_coverage(
         ds.map_batches(holder_rows, batch_format="pyarrow")
     )
     return bucket_shuffle(tagged, "doc_id", nbuckets, coverage_bucket)
+
+
+def strip_dup_spans(
+    ds: Dataset,
+    k: int = 5,
+    nbuckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Remove inter-document duplicated token spans from the corpus →
+    ``(doc_id, text, removed_tokens)`` — the TRANSFORM counterpart of
+    :func:`dup_ngram_coverage` (Lee et al. 2022's actual dedup step:
+    keep one canonical copy, strip the rest).
+
+    A gram occurrence is *redundant* when some LOWER doc_id contains
+    the same k-gram (the minimal doc_id keeps its copy — deterministic
+    arbitration, no cross-round state).  A document's output text is
+    the space-join of tokens not covered by any redundant occurrence's
+    ``[pos, pos+k)`` interval; within-document repeats are untouched
+    (min doc_id == self).
+
+    Scale shape mirrors dup_ngram_coverage: one gram-hash shuffle
+    (redundant detection is a vectorized run-min per hash bucket), one
+    doc shuffle (interval stamping by difference array + per-doc
+    token-mask join — string assembly is inherently per-document; the
+    mask math is all numpy).
+    """
+    if k < 1:
+        raise ValueError("k must be positive")
+
+    def gram_occurrences(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        doc_idx, pos, h = _positional_gram_hashes(t[text_col], k)
+        return pa.table(
+            {
+                "h": pa.array(h.view(np.int64)),
+                "doc_id": pa.array(ids[doc_idx], pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    def redundant_only(g: pa.Table) -> pa.Table:
+        """Occurrences whose gram also lives in a smaller doc_id."""
+        h = g["h"].to_numpy(zero_copy_only=False)
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        if len(h) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "pos": pa.array([], pa.int64())}
+            )
+        order = np.lexsort((doc, h))
+        hs, ds_ = h[order], doc[order]
+        starts = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
+        counts = np.diff(np.r_[starts, len(hs)])
+        run_min = np.repeat(ds_[starts], counts)  # doc-sorted within run
+        kept = order[ds_ > run_min]
+        return pa.table(
+            {
+                "doc_id": g["doc_id"].take(pa.array(kept, pa.int64())),
+                "pos": g["pos"].take(pa.array(kept, pa.int64())),
+            }
+        )
+
+    red = bucket_shuffle(
+        ds.map_batches(gram_occurrences, batch_format="pyarrow"),
+        "h",
+        nbuckets,
+        redundant_only,
+    )
+
+    def member_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.schema.names:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "text": pa.array([], pa.string()),
+                    "side": pa.array([], pa.int8()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "pos": t["pos"],
+                "text": pa.array([None] * t.num_rows, pa.string()),
+                "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def holder_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "doc_id": pa.array(t[id_col].to_numpy(zero_copy_only=False), pa.int64()),
+                "pos": pa.array(np.full(n, -1, dtype=np.int64)),
+                "text": t[text_col].cast(pa.string()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+            }
+        )
+
+    def strip_bucket(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        holders = np.flatnonzero(side == 1)
+        hdoc = doc[holders]
+        horder = np.argsort(hdoc, kind="stable")
+        hdoc = hdoc[horder]
+        htext = g["text"].take(pa.array(holders[horder], pa.int64())).to_pylist()
+        members = np.flatnonzero(side == 0)
+        mdoc = doc[members]
+        mpos = g["pos"].to_numpy(zero_copy_only=False)[members]
+        morder = np.argsort(mdoc, kind="stable")
+        mdoc, mpos = mdoc[morder], mpos[morder]
+        bounds = np.searchsorted(mdoc, np.r_[hdoc, np.iinfo(np.int64).max])
+        out_text: list[str] = []
+        removed = np.zeros(len(hdoc), dtype=np.int64)
+        for i, text in enumerate(htext):
+            toks = text.split(" ")
+            spans = mpos[bounds[i] : bounds[i + 1]]
+            if len(spans) == 0:
+                out_text.append(text)
+                continue
+            delta = np.zeros(len(toks) + 1, dtype=np.int64)
+            np.add.at(delta, spans, 1)
+            np.add.at(delta, np.minimum(spans + k, len(toks)), -1)
+            covered = np.cumsum(delta[:-1]) > 0
+            removed[i] = int(covered.sum())
+            kept = np.asarray(toks, dtype=object)[~covered]
+            out_text.append(" ".join(kept))
+        return pa.table(
+            {
+                "doc_id": pa.array(hdoc, pa.int64()),
+                "text": pa.array(out_text, pa.string()),
+                "removed_tokens": pa.array(removed, pa.int64()),
+            }
+        )
+
+    tagged = red.map_batches(member_rows, batch_format="pyarrow").union(
+        ds.map_batches(holder_rows, batch_format="pyarrow")
+    )
+    return bucket_shuffle(tagged, "doc_id", nbuckets, strip_bucket)
