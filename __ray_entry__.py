@@ -917,6 +917,16 @@ def _q_pagerank(sf_dir: str):
     return purchase_pagerank(sf_dir)
 
 
+def _q_purchase_walks(sf_dir: str):
+    """Deterministic DeepWalk-style walks over the purchase graph
+    (stages/graph.py graph_walks): neighbor rank chosen by a
+    SQL-stable md5 of (start, cur, step) — reproducible on any
+    partitioning; raw-task bucket routing per step."""
+    from xlink_ray.stages.graph import purchase_walks
+
+    return purchase_walks(sf_dir)
+
+
 def _q_stripped_corpus(sf_dir: str):
     """Inter-document duplicate-span REMOVAL (stages/substring.py
     strip_dup_spans, Lee et al. 2022's dedup transform): redundant
@@ -1030,6 +1040,36 @@ lb{i + 1} AS (
       GROUP BY e.dst, l.label) WHERE rn = 1) w ON w.node = p.node)"""
         )
     sql.append(f"\nSELECT node, label FROM lb{iters}")
+    return "".join(sql)
+
+
+def _walks_sql(walk_len: int = 4) -> str:
+    """DuckDB replica of stages/graph.graph_walks over the purchase
+    graph: neighbor rank = md5-low64(start-cur-step) % degree over the
+    ascending neighbor list — one chained join per step."""
+    sql = [
+        """WITH eds AS (
+  SELECT DISTINCT 2*o.o_custkey AS src, 2*l.l_suppkey+1 AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+edges AS (SELECT src, dst FROM eds UNION SELECT dst, src FROM eds),
+adj AS (SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS r,
+               COUNT(*) OVER (PARTITION BY src) AS d
+        FROM edges),
+nodes AS (SELECT DISTINCT src AS node FROM edges)
+SELECT n.node AS start"""
+    ]
+    for t in range(1, walk_len + 1):
+        sql.append(f", a{t}.dst AS s{t}")
+    sql.append("\nFROM nodes n")
+    for t in range(1, walk_len + 1):
+        cur = "n.node" if t == 1 else f"a{t - 1}.dst"
+        sql.append(
+            f"""
+JOIN adj a{t} ON a{t}.src = {cur}
+  AND a{t}.r = CAST(('0x' || substr(md5(n.node::VARCHAR || '-' || {cur}::VARCHAR || '-{t - 1}'), 1, 16))::UBIGINT
+                    % CAST(a{t}.d AS UBIGINT) AS BIGINT)"""
+        )
     return "".join(sql)
 
 
@@ -1154,6 +1194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_tokens": _q_hll_tokens,
         "supplier_triangles": _q_supplier_triangles,
         "stripped_corpus": _q_stripped_corpus,
+        "purchase_walks": _q_purchase_walks,
         "dup_ngrams": _q_dup_ngrams,
         "cdc_chunks": _q_cdc_chunks,
         "fidelity_links": _q_fidelity_links,
@@ -1707,6 +1748,7 @@ FROM reach GROUP BY u""",
         # all-integer math — bit-identical across engines by design.
         "pagerank": _pagerank_sql(),
         "communities": _label_prop_sql(),
+        "purchase_walks": _walks_sql(),
         # HyperLogLog registers (stages/sketch.py): md5-low64 token
         # hash, register = top 6 bits, rho = leading-zero rank of the
         # 58-bit remainder (+1); bin() gives the exact bit length.

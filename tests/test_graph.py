@@ -309,3 +309,69 @@ def test_cosupply_triangles_shape(ray_session, sf_small):
     t = cosupply_triangles(sf_small).take_all()
     assert len(t) > 0
     assert all(r["triangles"] > 0 for r in t)
+
+
+# ---- deterministic walks ----
+
+from xlink_ray.stages.graph import graph_walks, purchase_walks
+
+
+def _reference_walks(edges, walk_len=4):
+    """Single-process replica of the md5 walk rule."""
+    import hashlib
+
+    adj = {}
+    for s, d in edges:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    adj = {n: sorted(v) for n, v in adj.items()}
+    out = {}
+    for start in sorted(adj):
+        cur, path = start, []
+        for t in range(walk_len):
+            nbrs = adj[cur]
+            h = int.from_bytes(hashlib.md5(f"{start}-{cur}-{t}".encode()).digest()[:8], "big")
+            cur = nbrs[h % len(nbrs)]
+            path.append(cur)
+        out[start] = tuple(path)
+    return out
+
+
+def _run_walks(edges, **kw):
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([s for s, _ in edges], pa.int64()),
+                "dst": pa.array([d for _, d in edges], pa.int64()),
+            }
+        )
+    )
+    out = graph_walks(ds, **kw).take_all()
+    cols = sorted(
+        (k for k in out[0] if k != "start"), key=lambda c: int(c[1:])
+    )
+    return {r["start"]: tuple(r[c] for c in cols) for r in out}
+
+
+def test_walks_match_reference(ray_session):
+    rng = np.random.default_rng(5)
+    edges = list({(int(a), int(b)) for a, b in rng.integers(0, 60, (200, 2)) if a != b})
+    got = _run_walks(edges, walk_len=4, nbuckets=5)
+    assert got == _reference_walks(edges, walk_len=4)
+
+
+def test_walks_bucket_invariance(ray_session):
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4)]
+    a = _run_walks(edges, walk_len=6, nbuckets=1)
+    b = _run_walks(edges, walk_len=6, nbuckets=7)
+    assert a == b == _reference_walks(edges, walk_len=6)
+
+
+def test_walks_steps_stay_on_edges(ray_session, sf_small):
+    rows = purchase_walks(sf_small, walk_len=3).take_all()
+    assert len(rows) > 0
+    for r in rows[:50]:
+        # parity alternates on the bipartite purchase graph
+        assert r["start"] % 2 != r["s1"] % 2
+        assert r["s1"] % 2 != r["s2"] % 2

@@ -63,6 +63,8 @@ __all__ = [
     "cc_min_label",
     "triangle_counts",
     "cosupply_triangles",
+    "graph_walks",
+    "purchase_walks",
     "purchase_graph_edges",
     "purchase_pagerank",
     "purchase_communities",
@@ -528,6 +530,145 @@ def cc_min_label(
 
     tables = [_comp_table.remote(node_arrs[k], parent[k]) for k in range(nb)]
     return rd.from_arrow_refs(tables)
+
+
+# ------------------------------------------------ deterministic walks
+
+@ray.remote
+def _walk_adj(nbuckets: int, *pieces) -> dict:
+    """All pieces of one src bucket → CSR-ish adjacency: sorted
+    distinct srcs, neighbor offsets, and dsts ascending within a src
+    (so 'the r-th neighbor' is engine-independent)."""
+    pieces = _flatten_pieces(pieces)
+    if pieces:
+        s = np.concatenate([p[0] for p in pieces])
+        d = np.concatenate([p[1] for p in pieces])
+    else:
+        s = d = _EMPTY_I64
+    s, d = _dedupe_sorted(s, d)
+    if len(s):
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        nodes = s[starts]
+        offsets = np.r_[starts, len(s)]
+    else:
+        nodes = _EMPTY_I64
+        offsets = np.zeros(1, dtype=np.int64)
+    return {"nodes": nodes, "offsets": offsets, "dst": d}
+
+
+@ray.remote
+def _walk_step(adj: dict, nbuckets: int, step: int, walkers) -> list:
+    """Advance every walker currently in this bucket by one step:
+    neighbor index = md5-low64(f"{start}-{cur}-{step}") % degree
+    (the SQL-stable choice rule), then split walkers by the new
+    node's bucket.  Walker state = (start, path...) int64 columns."""
+    from xlink_ray.functions.hashing import md5_low64
+
+    if isinstance(walkers, list):  # num_returns=1 ships the whole list
+        walkers = walkers[0] if walkers else None
+    if walkers is None or len(walkers[0]) == 0:
+        return [tuple([_EMPTY_I64] * (step + 2))] * nbuckets
+    cols = list(walkers)  # [start, s1, ..., s_{step}] (cur = last)
+    start, cur = cols[0], cols[-1]
+    keys = [f"{a}-{b}-{step}" for a, b in zip(start.tolist(), cur.tolist())]
+    h = md5_low64(keys)
+    idx = np.searchsorted(adj["nodes"], cur)
+    lo = adj["offsets"][idx]
+    deg = (adj["offsets"][idx + 1] - lo).astype(np.uint64)
+    nxt = adj["dst"][lo + (h % deg).astype(np.int64)]
+    cols.append(nxt)
+    b = nxt % nbuckets
+    order = np.argsort(b, kind="stable")
+    bounds = np.searchsorted(b[order], np.arange(nbuckets + 1))
+    return [
+        tuple(c[order][bounds[k] : bounds[k + 1]] for c in cols) for k in range(nbuckets)
+    ]
+
+
+@ray.remote
+def _walk_gather(step: int, *pieces) -> tuple:
+    pieces = _flatten_pieces(pieces)
+    pieces = [p for p in pieces if len(p[0])]
+    if not pieces:
+        return tuple([_EMPTY_I64] * (step + 2))
+    return tuple(np.concatenate([p[c] for p in pieces]) for c in range(step + 2))
+
+
+@ray.remote
+def _walk_init(adj: dict) -> tuple:
+    return (adj["nodes"].copy(),)
+
+
+@ray.remote
+def _walk_table(cols: tuple) -> pa.Table:
+    names = ["start"] + [f"s{i}" for i in range(1, len(cols))]
+    return pa.table({n: pa.array(c, pa.int64()) for n, c in zip(names, cols)})
+
+
+def graph_walks(edges: Dataset, walk_len: int = 4, nbuckets: int = 32) -> Dataset:
+    """One deterministic walk of ``walk_len`` steps from EVERY node of
+    the undirected graph → (start, s1, .., s_walk_len), all int64.
+
+    DeepWalk-style corpus generation (Perozzi et al., KDD'14 — public
+    algorithm) made engine-reproducible: instead of RNG, step ``t``
+    from node ``cur`` on the walk started at ``start`` takes neighbor
+    rank ``md5low64(f"{start}-{cur}-{t}") % degree(cur)`` over the
+    ascending-sorted neighbor list — the same rule is one SQL
+    expression, so the whole corpus is DuckDB-checkable (query
+    ``purchase_walks``) and independent of partitioning.
+
+    Execution: the same raw-task bucket discipline as the other
+    iterative graph ops — adjacency is hash-split once into CSR-ish
+    per-bucket state; each step routes walker arrays (start + path
+    columns) to the bucket owning their current node; nothing touches
+    the driver.  Walks feed skip-gram style embedding trainers
+    (stages/train_embed.py) the way the reference's train_kg edge
+    lists feed its KG embeddings (reference main.py).
+    """
+    nb = nbuckets
+
+    def sym(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "src" not in t.schema.names:
+            return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        s = t["src"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = t["dst"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([s, d]), pa.int64()),
+                "dst": pa.array(np.concatenate([d, s]), pa.int64()),
+            }
+        )
+
+    blocks = edges.map_batches(sym, batch_format="pyarrow").to_arrow_refs()
+    if not blocks:
+        return rd.from_arrow(pa.table({"start": pa.array([], pa.int64())}))
+    split = [_split_block.options(num_returns=nb).remote(blk, nb) for blk in blocks]
+    if nb == 1:
+        split = [[s] for s in split]
+    adj = [
+        _walk_adj.remote(nb, *[split[i][k] for i in range(len(split))]) for k in range(nb)
+    ]
+    walkers = [_walk_init.remote(adj[k]) for k in range(nb)]
+
+    for t in range(walk_len):
+        pieces = [
+            _walk_step.options(num_returns=nb).remote(adj[k], nb, t, walkers[k])
+            for k in range(nb)
+        ]
+        if nb == 1:
+            pieces = [[p] for p in pieces]
+        walkers = [
+            _walk_gather.remote(t, *[pieces[j][k] for j in range(nb)]) for k in range(nb)
+        ]
+
+    return rd.from_arrow_refs([_walk_table.remote(walkers[k]) for k in range(nb)])
+
+
+def purchase_walks(sf_dir: str, walk_len: int = 4) -> Dataset:
+    """Deterministic 4-step walks over the purchase graph."""
+    return graph_walks(purchase_graph_edges(sf_dir), walk_len=walk_len)
 
 
 # --------------------------------------------------- triangle counting
