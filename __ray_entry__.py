@@ -917,6 +917,15 @@ def _q_pagerank(sf_dir: str):
     return purchase_pagerank(sf_dir)
 
 
+def _q_cosupply_edges(sf_dir: str):
+    """Bipartite projection (stages/graph.py bipartite_project):
+    lineitem's (order, supplier) → weighted supplier co-occurrence
+    edges; pair gen per key + one pair-hash weight shuffle."""
+    from xlink_ray.stages.graph import cosupply_edges
+
+    return cosupply_edges(sf_dir)
+
+
 def _q_purchase_walks(sf_dir: str):
     """Deterministic DeepWalk-style walks over the purchase graph
     (stages/graph.py graph_walks): neighbor rank chosen by a
@@ -1195,6 +1204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_triangles": _q_supplier_triangles,
         "stripped_corpus": _q_stripped_corpus,
         "purchase_walks": _q_purchase_walks,
+        "cosupply_edges": _q_cosupply_edges,
         "dup_ngrams": _q_dup_ngrams,
         "cdc_chunks": _q_cdc_chunks,
         "fidelity_links": _q_fidelity_links,
@@ -1749,6 +1759,14 @@ FROM reach GROUP BY u""",
         "pagerank": _pagerank_sql(),
         "communities": _label_prop_sql(),
         "purchase_walks": _walks_sql(),
+        # Bipartite projection (stages/graph.py bipartite_project):
+        # weight = number of distinct shared keys.
+        "cosupply_edges": """
+WITH di AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+SELECT a.l_suppkey AS src, b.l_suppkey AS dst, CAST(count(*) AS BIGINT) AS w
+FROM di a JOIN di b
+  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+GROUP BY a.l_suppkey, b.l_suppkey""",
         # HyperLogLog registers (stages/sketch.py): md5-low64 token
         # hash, register = top 6 bits, rho = leading-zero rank of the
         # 58-bit remainder (+1); bin() gives the exact bit length.

@@ -375,3 +375,35 @@ def test_walks_steps_stay_on_edges(ray_session, sf_small):
         # parity alternates on the bipartite purchase graph
         assert r["start"] % 2 != r["s1"] % 2
         assert r["s1"] % 2 != r["s2"] % 2
+
+
+# ---- bipartite projection ----
+
+from xlink_ray.stages.graph import bipartite_project
+
+
+def _run_proj(rows, **kw):
+    ds = rd.from_items([{"k": k, "v": v} for k, v in rows])
+    out = bipartite_project(ds, "k", "v", **kw).take_all()
+    return {(r["src"], r["dst"]): r["w"] for r in out}
+
+
+def test_bipartite_project_weights(ray_session):
+    rows = [(1, 10), (1, 11), (1, 12), (2, 10), (2, 11), (3, 10), (3, 11), (1, 10)]
+    got = _run_proj(rows, nbuckets=3)
+    assert got == {(10, 11): 3, (10, 12): 1, (11, 12): 1}
+
+
+def test_bipartite_project_cap_drops_hot_keys(ray_session):
+    rows = [(1, i) for i in range(10)] + [(2, 10), (2, 11)]
+    got = _run_proj(rows, nbuckets=2, max_items_per_key=5)
+    assert got == {(10, 11): 1}
+
+
+def test_cosupply_triangles_consistent_with_edges(ray_session, sf_small):
+    from xlink_ray.stages.graph import cosupply_edges
+
+    edges = [(r["src"], r["dst"]) for r in cosupply_edges(sf_small).take_all()]
+    want = _reference_triangles(edges)
+    got = {r["node"]: r["triangles"] for r in cosupply_triangles(sf_small).take_all()}
+    assert got == want

@@ -65,6 +65,8 @@ __all__ = [
     "cosupply_triangles",
     "graph_walks",
     "purchase_walks",
+    "bipartite_project",
+    "cosupply_edges",
     "purchase_graph_edges",
     "purchase_pagerank",
     "purchase_communities",
@@ -967,32 +969,99 @@ def triangle_counts(edges: Dataset, nbuckets: int = 32) -> Dataset:
     return bucket_shuffle(closed, "node", nbuckets, tri_sum)
 
 
-def cosupply_triangles(sf_dir: str, nbuckets: int = 32) -> Dataset:
-    """Per-supplier triangle counts of the co-supply graph (suppliers
-    connected when they appear in the same order) → (node, triangles)."""
-    items = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
-    )
+def bipartite_project(
+    ds: Dataset,
+    key_col: str,
+    item_col: str,
+    nbuckets: int = 32,
+    max_items_per_key: int | None = None,
+) -> Dataset:
+    """Project a bipartite (key, item) table onto the item side →
+    weighted co-occurrence edges ``(src, dst, w)`` with ``src < dst``
+    and ``w`` = number of distinct keys the pair shares.
 
-    def per_order_pairs(g: pa.Table) -> pa.Table:
-        ok = g["l_orderkey"].to_numpy(zero_copy_only=False)
-        sk = g["l_suppkey"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((sk, ok))
-        ok, sk = ok[order], sk[order]
-        # distinct (order, supplier)
-        keep = np.r_[True, (ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1])]
-        ok, sk = ok[keep], sk[keep]
-        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
-        counts = np.diff(np.r_[starts, len(ok)])
+    Two bucket shuffles: pair generation per key (distinct items
+    within a key, vectorized triangular expansion), then a pair-hash
+    shuffle summing weights.  Keys with more than ``max_items_per_key``
+    distinct items (n² blowup — the hot-key hazard of any projection)
+    are DROPPED and counted to stdout when the cap is set; pass None
+    (default) for exact semantics on bounded-fanout keys like orders.
+    """
+    from xlink_ray.functions.hashing import mix64
+
+    def per_key_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or key_col not in g.schema.names:
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            )
+        kk = g[key_col].to_numpy(zero_copy_only=False)
+        it = g[item_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((it, kk))
+        kk, it = kk[order], it[order]
+        keep = np.r_[True, (kk[1:] != kk[:-1]) | (it[1:] != it[:-1])]
+        kk, it = kk[keep], it[keep]
+        starts = np.flatnonzero(np.r_[True, kk[1:] != kk[:-1]])
+        counts = np.diff(np.r_[starts, len(kk)])
+        if max_items_per_key is not None:
+            big = counts > max_items_per_key
+            if big.any():
+                print(
+                    f"bipartite_project: dropped {int(big.sum())} keys over "
+                    f"max_items_per_key={max_items_per_key}"
+                )
+                keep_run = np.repeat(~big, counts)
+                kk, it = kk[keep_run], it[keep_run]
+                starts = np.flatnonzero(np.r_[True, kk[1:] != kk[:-1]]) if len(kk) else np.zeros(0, np.int64)
+                counts = np.diff(np.r_[starts, len(kk)]) if len(kk) else np.zeros(0, np.int64)
         gid, i, j = _triu_pairs_by_group(counts)
         return pa.table(
             {
-                "src": pa.array(sk[starts[gid] + i], pa.int64()),
-                "dst": pa.array(sk[starts[gid] + j], pa.int64()),
+                "src": pa.array(it[starts[gid] + i] if len(gid) else np.zeros(0, np.int64), pa.int64()),
+                "dst": pa.array(it[starts[gid] + j] if len(gid) else np.zeros(0, np.int64), pa.int64()),
             }
         )
 
-    edges = bucket_shuffle(items, "l_orderkey", nbuckets, per_order_pairs)
+    pairs = bucket_shuffle(ds, key_col, nbuckets, per_key_pairs)
+
+    def add_pair_key(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pk = (mix64(s) + np.uint64(3) * mix64(d)).astype(np.int64) & (2**62 - 1)
+        return t.append_column("pk", pa.array(pk))
+
+    def weight_bucket(g: pa.Table) -> pa.Table:
+        s = g["src"].to_numpy(zero_copy_only=False)
+        d = g["dst"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        starts = np.flatnonzero(np.r_[True, (s[1:] != s[:-1]) | (d[1:] != d[:-1])])
+        w = np.diff(np.r_[starts, len(s)])
+        return pa.table(
+            {
+                "src": pa.array(s[starts], pa.int64()),
+                "dst": pa.array(d[starts], pa.int64()),
+                "w": pa.array(w, pa.int64()),
+            }
+        )
+
+    return bucket_shuffle(
+        pairs.map_batches(add_pair_key, batch_format="pyarrow"), "pk", nbuckets, weight_bucket
+    )
+
+
+def cosupply_edges(sf_dir: str, nbuckets: int = 32) -> Dataset:
+    """Weighted supplier co-occurrence edges: (src, dst, w = number of
+    orders both suppliers appear in)."""
+    items = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+    return bipartite_project(items, "l_orderkey", "l_suppkey", nbuckets=nbuckets)
+
+
+def cosupply_triangles(sf_dir: str, nbuckets: int = 32) -> Dataset:
+    """Per-supplier triangle counts of the co-supply graph (suppliers
+    connected when they appear in the same order) → (node, triangles)."""
+    edges = cosupply_edges(sf_dir, nbuckets=nbuckets).select_columns(["src", "dst"])
     return triangle_counts(edges, nbuckets=nbuckets)
 
 
