@@ -628,6 +628,15 @@ def _q_customers_without_orders(sf_dir: str):
     return relational.customers_without_orders(sf_dir)
 
 
+def _q_revenue_rollup(sf_dir: str):
+    """Multi-level ROLLUP revenue (pipelines/relational.py): one
+    distributed finest-level groupby; coarser levels re-aggregated
+    from the dimension-bounded finest result."""
+    from xlink_ray.pipelines import relational
+
+    return relational.revenue_rollup(sf_dir)
+
+
 def _q_vocab_counts(sf_dir: str):
     from xlink_ray.pipelines import relational
 
@@ -1179,6 +1188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mktsegments": _q_mktsegments,
         "customers_without_orders": _q_customers_without_orders,
         "vocab_counts": _q_vocab_counts,
+        "revenue_rollup": _q_revenue_rollup,
         "window_agg": _q_window_agg,
         "hopping_agg": _q_hopping_agg,
         "sessions": _q_sessions,
@@ -1502,6 +1512,16 @@ FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id""",
 SELECT token, CAST(count(*) AS BIGINT) AS n
 FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
 GROUP BY token HAVING count(*) >= 5""",
+        # Multi-level ROLLUP (pipelines/relational.revenue_rollup):
+        # 'ALL' sentinel instead of NULL so the hash compare is exact.
+        "revenue_rollup": """
+SELECT COALESCE(r.r_name, 'ALL') AS r_name,
+       COALESCE(n.n_name, 'ALL') AS n_name,
+       CAST(round(sum(o.o_totalprice) * 10000) AS BIGINT) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP(r.r_name, n.n_name)""",
         "window_agg": """
 SELECT event_type, date_trunc('hour', ts) AS window_start,
        CAST(count(*) AS BIGINT) AS n,

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from xlink_ray.util import pool_size
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -42,6 +43,7 @@ __all__ = [
     "mktsegments",
     "customers_without_orders",
     "vocab_counts",
+    "revenue_rollup",
 ]
 
 
@@ -206,3 +208,92 @@ def vocab_counts(sf_dir: str, min_count: int = 5) -> Dataset:
         lambda t: t.filter(pc.greater_equal(t["n"], min_count)).select(["token", "n"]),
         batch_format="pyarrow",
     )
+
+
+class _JoinCustRegion:
+    """Stamp (r_name, n_name) onto orders via the broadcast customer →
+    nation → region dimension table (built once per actor)."""
+
+    def __init__(self, side_ref):
+        import ray
+
+        side = ray.get(side_ref)
+        keys = side["c_custkey"].to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        self.keys = keys[order]
+        self.r = side["r_name"].take(pa.array(order, pa.int64()))
+        self.n = side["n_name"].take(pa.array(order, pa.int64()))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(self.keys, ck)
+        idx[idx == len(self.keys)] = 0
+        ok = self.keys[idx] == ck
+        sel = pa.array(idx[ok], pa.int64())
+        return pa.table(
+            {
+                "r_name": self.r.take(sel),
+                "n_name": self.n.take(sel),
+                "o_totalprice": t["o_totalprice"].filter(pa.array(ok)),
+            }
+        )
+
+
+def revenue_rollup(sf_dir: str) -> Dataset:
+    """Multi-level (ROLLUP) revenue: (r_name, n_name), (r_name, 'ALL'),
+    ('ALL', 'ALL') — the finest level is ONE distributed groupby; the
+    coarser levels re-aggregate the finest result, which is
+    dimension-bounded (≤ regions × nations rows) and therefore safe to
+    assemble driver-side at any corpus scale.  Revenue in integer 1e-4
+    units (money4) at every level."""
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def _dim(table: str, cols: list[str]) -> pa.Table:
+        return pa.concat_tables(
+            [
+                pa.table(b)
+                for b in rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=cols)
+                .iter_batches(batch_format="pyarrow")
+            ]
+        )
+
+    cust = _dim("customer", ["c_custkey", "c_nationkey"])
+    nation = _dim("nation", ["n_nationkey", "n_name", "n_regionkey"])
+    region = _dim("region", ["r_regionkey", "r_name"])
+    side = (
+        cust.join(nation, keys="c_nationkey", right_keys="n_nationkey")
+        .join(region, keys="n_regionkey", right_keys="r_regionkey")
+        .select(["c_custkey", "n_name", "r_name"])
+    )
+    side_ref = broadcast_table(side)
+
+    fine = (
+        orders.map_batches(
+            _JoinCustRegion,
+            fn_constructor_args=(side_ref,),
+            batch_format="pyarrow",
+            concurrency=pool_size(),
+        )
+        .groupby(["r_name", "n_name"])
+        .aggregate(Sum("o_totalprice", alias_name="rev"))
+        .take_all()
+    )
+    # rollup from the finest float sums, money4 applied per level
+    by_region: dict[str, float] = {}
+    rows = []
+    for r in sorted(fine, key=lambda x: (x["r_name"], x["n_name"])):
+        rows.append((r["r_name"], r["n_name"], r["rev"]))
+        by_region[r["r_name"]] = by_region.get(r["r_name"], 0.0) + r["rev"]
+    for rn in sorted(by_region):
+        rows.append((rn, "ALL", by_region[rn]))
+    rows.append(("ALL", "ALL", sum(by_region.values())))
+    out = pa.table(
+        {
+            "r_name": pa.array([a for a, _, _ in rows], pa.string()),
+            "n_name": pa.array([b for _, b, _ in rows], pa.string()),
+            "revenue": money4(pa.array([c for _, _, c in rows], pa.float64())),
+        }
+    )
+    return rd.from_arrow(out)
