@@ -926,6 +926,16 @@ def _q_pagerank(sf_dir: str):
     return purchase_pagerank(sf_dir)
 
 
+def _q_weighted_pagerank(sf_dir: str):
+    """Weighted fixed-point PageRank over the symmetrized co-supply
+    graph (stages/graph.py pagerank_weighted): contribution =
+    rank * w // strength, all int64 — bit-identical to the oracle's
+    unrolled replica on any partitioning."""
+    from xlink_ray.stages.graph import cosupply_pagerank
+
+    return cosupply_pagerank(sf_dir)
+
+
 def _q_cosupply_edges(sf_dir: str):
     """Bipartite projection (stages/graph.py bipartite_project):
     lineitem's (order, supplier) → weighted supplier co-occurrence
@@ -1091,6 +1101,35 @@ JOIN adj a{t} ON a{t}.src = {cur}
     return "".join(sql)
 
 
+def _weighted_pagerank_sql(iters: int = 5, scale: int = 10**9, dn: int = 85, dd: int = 100) -> str:
+    """Unrolled replica of stages/graph.pagerank_weighted over the
+    symmetrized co-supply graph: contribution = r * w // strength."""
+    base = scale * (dd - dn) // dd
+    sql = [
+        f"""WITH di AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+wed AS (
+  SELECT a.l_suppkey AS src, b.l_suppkey AS dst, count(*) AS w
+  FROM di a JOIN di b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY a.l_suppkey, b.l_suppkey),
+edges AS (SELECT src, dst, w FROM wed UNION ALL SELECT dst, src, w FROM wed),
+st AS (SELECT src, SUM(w) AS strength FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+pr0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM nodes)"""
+    ]
+    for i in range(iters):
+        sql.append(
+            f""",
+pr{i + 1} AS (
+  SELECT n.node, CAST({base} + ({dn} * COALESCE(s.m, 0)) // {dd} AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.r * e.w // t.strength) AS m
+    FROM edges e JOIN st t ON e.src = t.src JOIN pr{i} p ON p.node = e.src
+    GROUP BY e.dst) s ON n.node = s.node)"""
+        )
+    sql.append(f"\nSELECT node, r AS pr_fp FROM pr{iters}")
+    return "".join(sql)
+
+
 def _q_winnow_fps(sf_dir: str):
     """Winnowing (MOSS) fingerprint selection: per doc, the
     rightmost-min gram hash of each w-window of word-k-gram hashes."""
@@ -1215,6 +1254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stripped_corpus": _q_stripped_corpus,
         "purchase_walks": _q_purchase_walks,
         "cosupply_edges": _q_cosupply_edges,
+        "weighted_pagerank": _q_weighted_pagerank,
         "dup_ngrams": _q_dup_ngrams,
         "cdc_chunks": _q_cdc_chunks,
         "fidelity_links": _q_fidelity_links,
@@ -1779,6 +1819,7 @@ FROM reach GROUP BY u""",
         "pagerank": _pagerank_sql(),
         "communities": _label_prop_sql(),
         "purchase_walks": _walks_sql(),
+        "weighted_pagerank": _weighted_pagerank_sql(),
         # Bipartite projection (stages/graph.py bipartite_project):
         # weight = number of distinct shared keys.
         "cosupply_edges": """

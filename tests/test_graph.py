@@ -407,3 +407,79 @@ def test_cosupply_triangles_consistent_with_edges(ray_session, sf_small):
     want = _reference_triangles(edges)
     got = {r["node"]: r["triangles"] for r in cosupply_triangles(sf_small).take_all()}
     assert got == want
+
+
+# ---- weighted pagerank ----
+
+from xlink_ray.stages.graph import pagerank_weighted, cosupply_pagerank
+
+
+def _reference_wpr(edges, iters=5, scale=10**9, dn=85, dd=100):
+    """edges: {(s,d): w} dict (already distinct); single-process replica."""
+    strength = {}
+    for (s, _), w in edges.items():
+        strength[s] = strength.get(s, 0) + w
+    nodes = sorted({n for e in edges for n in e})
+    base = scale * (dd - dn) // dd
+    r = {n: scale for n in nodes}
+    for _ in range(iters):
+        acc = {n: 0 for n in nodes}
+        for (s, d), w in edges.items():
+            acc[d] += r[s] * w // strength[s]
+        r = {n: base + dn * acc[n] // dd for n in nodes}
+    return r
+
+
+def _run_wpr(edges, **kw):
+    items = [(s, d, w) for (s, d), w in edges.items()]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([s for s, _, _ in items], pa.int64()),
+                "dst": pa.array([d for _, d, _ in items], pa.int64()),
+                "w": pa.array([w for _, _, w in items], pa.int64()),
+            }
+        )
+    )
+    out = pagerank_weighted(ds, **kw).take_all()
+    return {r["node"]: r["r"] for r in out}
+
+
+def test_weighted_pagerank_matches_reference(ray_session):
+    rng = np.random.default_rng(13)
+    edges = {}
+    for a, b in rng.integers(0, 30, (150, 2)):
+        if a != b:
+            edges[(int(a), int(b))] = int(rng.integers(1, 9))
+    got = _run_wpr(edges, iters=4, nbuckets=5)
+    assert got == _reference_wpr(edges, iters=4)
+
+
+def test_weighted_pagerank_unit_weights_equal_unweighted(ray_session):
+    raw = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)]
+    edges = {e: 1 for e in raw}
+    a = _run_wpr(edges, iters=3, nbuckets=3, scale=10**12)
+    b = _run(raw, iters=3, nbuckets=3, scale=10**12)
+    assert a == b
+
+
+def test_weighted_pagerank_duplicate_rows_sum(ray_session):
+    # duplicate (src,dst) rows must behave as one edge with summed w
+    items = [(1, 2, 2), (1, 2, 3), (2, 1, 5)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([s for s, _, _ in items], pa.int64()),
+                "dst": pa.array([d for _, d, _ in items], pa.int64()),
+                "w": pa.array([w for _, _, w in items], pa.int64()),
+            }
+        )
+    )
+    got = {r["node"]: r["r"] for r in pagerank_weighted(ds, iters=2, nbuckets=2).take_all()}
+    want = _reference_wpr({(1, 2): 5, (2, 1): 5}, iters=2)
+    assert got == want
+
+
+def test_cosupply_pagerank_shape(ray_session, sf_small):
+    t = cosupply_pagerank(sf_small, iters=2).take_all()
+    assert len(t) > 0 and all(r["pr_fp"] > 0 for r in t)

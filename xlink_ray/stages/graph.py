@@ -59,6 +59,8 @@ from xlink_ray.stages._bucket import bucket_shuffle
 
 __all__ = [
     "pagerank_fixed",
+    "pagerank_weighted",
+    "cosupply_pagerank",
     "label_prop",
     "cc_min_label",
     "triangle_counts",
@@ -532,6 +534,165 @@ def cc_min_label(
 
     tables = [_comp_table.remote(node_arrs[k], parent[k]) for k in range(nb)]
     return rd.from_arrow_refs(tables)
+
+
+# --------------------------------------------------- weighted PageRank
+
+@ray.remote
+def _split_block_w(tbl: pa.Table, nbuckets: int) -> list:
+    """One weighted edge block → nbuckets (src, dst, w) pieces."""
+    if tbl.num_rows == 0 or "src" not in tbl.schema.names:
+        return [(_EMPTY_I64, _EMPTY_I64, _EMPTY_I64)] * nbuckets
+    s = tbl["src"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    d = tbl["dst"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    w = tbl["w"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    b = s % nbuckets
+    order = np.argsort(b, kind="stable")
+    s, d, w, b = s[order], d[order], w[order], b[order]
+    bounds = np.searchsorted(b, np.arange(nbuckets + 1))
+    return [
+        (s[bounds[k] : bounds[k + 1]], d[bounds[k] : bounds[k + 1]], w[bounds[k] : bounds[k + 1]])
+        for k in range(nbuckets)
+    ]
+
+
+@ray.remote
+def _build_bucket_w(nbuckets: int, *pieces) -> list:
+    """One src bucket of weighted edges → [state, dst sets × nbuckets].
+    Duplicate (src, dst) weights are SUMMED; strength = Σw per src."""
+    pieces = _flatten_pieces(pieces)
+    if pieces:
+        s = np.concatenate([p[0] for p in pieces])
+        d = np.concatenate([p[1] for p in pieces])
+        w = np.concatenate([p[2] for p in pieces])
+    else:
+        s = d = w = _EMPTY_I64
+    order = np.lexsort((d, s))
+    s, d, w = s[order], d[order], w[order]
+    if len(s):
+        first = np.flatnonzero(np.r_[True, (s[1:] != s[:-1]) | (d[1:] != d[:-1])])
+        wsum = np.add.reduceat(w, first)
+        s, d, w = s[first], d[first], wsum
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        counts = np.diff(np.r_[starts, len(s)])
+        strength = np.repeat(np.add.reduceat(w, starts), counts)
+        src_nodes = s[starts]
+    else:
+        strength = src_nodes = _EMPTY_I64
+    db = d % nbuckets if len(d) else _EMPTY_I64
+    perm = np.argsort(db, kind="stable")
+    bounds = np.searchsorted(db[perm], np.arange(nbuckets + 1))
+    state = {
+        "src": s,
+        "w": w,
+        "strength": strength,
+        "dst_perm": d[perm],
+        "perm": perm,
+        "bounds": bounds,
+        "src_nodes": src_nodes,
+    }
+    dst_sets = [np.unique(state["dst_perm"][bounds[k] : bounds[k + 1]]) for k in range(nbuckets)]
+    return [state] + dst_sets
+
+
+@ray.remote
+def _iter_map_w(state: dict, nodes: np.ndarray, ranks: np.ndarray, nbuckets: int) -> list:
+    """Weighted contribution: rank * w // strength (int64; callers must
+    keep scale × max-weight within int64 — asserted here)."""
+    src = state["src"]
+    if len(src) == 0:
+        return [(_EMPTY_I64, _EMPTY_I64)] * nbuckets
+    idx = np.searchsorted(nodes, src)
+    r, w = ranks[idx], state["w"]
+    assert r.max(initial=0) <= (2**62) // max(int(w.max(initial=1)), 1), "rank*w overflows int64"
+    c = (r * w // state["strength"])[state["perm"]]
+    bounds, dst = state["bounds"], state["dst_perm"]
+    return [(dst[bounds[k] : bounds[k + 1]], c[bounds[k] : bounds[k + 1]]) for k in range(nbuckets)]
+
+
+def pagerank_weighted(
+    edges: Dataset,
+    iters: int = 5,
+    scale: int = 10**9,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    nbuckets: int = 32,
+) -> Dataset:
+    """Weighted fixed-point PageRank over (src:int64, dst:int64, w:int64)
+    → (node, r):
+
+        pr[i+1] = base + damp_num * S // damp_den,
+        S = Σ over in-edges of pr[i][src] * w // strength[src]
+
+    with ``strength`` = Σw of the node's out-edges (duplicate (src,
+    dst) rows have their weights summed).  Same raw-task bucket harness
+    and bit-stability guarantees as :func:`pagerank_fixed`; default
+    ``scale`` is 10^9 so rank × weight stays far from int64 overflow.
+    """
+    base = scale * (damp_den - damp_num) // damp_den
+    nb = nbuckets
+
+    blocks = edges.to_arrow_refs()
+    if not blocks:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "r": pa.array([], pa.int64())})
+        )
+    split = [_split_block_w.options(num_returns=nb).remote(blk, nb) for blk in blocks]
+    if nb == 1:
+        split = [[s] for s in split]
+    built = [
+        _build_bucket_w.options(num_returns=nb + 1).remote(
+            nb, *[split[i][k] for i in range(len(split))]
+        )
+        for k in range(nb)
+    ]
+    states = [b[0] for b in built]
+    nodes = [
+        _node_union.remote(
+            _src_nodes_task.remote(states[k]), *[built[j][1 + k] for j in range(nb)]
+        )
+        for k in range(nb)
+    ]
+    ranks = [_init_ranks.remote(nodes[k], scale) for k in range(nb)]
+
+    for _ in range(iters):
+        pieces = [
+            _iter_map_w.options(num_returns=nb).remote(states[k], nodes[k], ranks[k], nb)
+            for k in range(nb)
+        ]
+        if nb == 1:
+            pieces = [[p] for p in pieces]
+        ranks = [
+            _iter_reduce.remote(
+                nodes[k], base, damp_num, damp_den, *[pieces[j][k] for j in range(nb)]
+            )
+            for k in range(nb)
+        ]
+
+    return rd.from_arrow_refs([_rank_table.remote(nodes[k], ranks[k]) for k in range(nb)])
+
+
+def cosupply_pagerank(sf_dir: str, iters: int = 5) -> Dataset:
+    """Weighted PageRank over the symmetrized co-supply graph →
+    (node, pr_fp); edge weight = number of shared orders."""
+    wed = cosupply_edges(sf_dir)
+
+    def sym(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([s, d]), pa.int64()),
+                "dst": pa.array(np.concatenate([d, s]), pa.int64()),
+                "w": pa.array(np.concatenate([w, w]), pa.int64()),
+            }
+        )
+
+    ranks = pagerank_weighted(wed.map_batches(sym, batch_format="pyarrow"), iters=iters)
+    return ranks.map_batches(
+        lambda t: pa.table({"node": t["node"], "pr_fp": t["r"]}), batch_format="pyarrow"
+    )
 
 
 # ------------------------------------------------ deterministic walks
