@@ -926,6 +926,15 @@ def _q_pagerank(sf_dir: str):
     return purchase_pagerank(sf_dir)
 
 
+def _q_purchase_distances(sf_dir: str):
+    """Level-synchronous BFS hops over the purchase graph from the
+    smallest customer node (stages/graph.py bfs_distances): min-plus
+    relax waves on the bucket harness, stops at the fixpoint."""
+    from xlink_ray.stages.graph import purchase_distances
+
+    return purchase_distances(sf_dir)
+
+
 def _q_weighted_pagerank(sf_dir: str):
     """Weighted fixed-point PageRank over the symmetrized co-supply
     graph (stages/graph.py pagerank_weighted): contribution =
@@ -1255,6 +1264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_walks": _q_purchase_walks,
         "cosupply_edges": _q_cosupply_edges,
         "weighted_pagerank": _q_weighted_pagerank,
+        "purchase_distances": _q_purchase_distances,
         "dup_ngrams": _q_dup_ngrams,
         "cdc_chunks": _q_cdc_chunks,
         "fidelity_links": _q_fidelity_links,
@@ -1820,6 +1830,21 @@ FROM reach GROUP BY u""",
         "communities": _label_prop_sql(),
         "purchase_walks": _walks_sql(),
         "weighted_pagerank": _weighted_pagerank_sql(),
+        # BFS distances (stages/graph.py bfs_distances): bounded
+        # recursive closure + MIN(dist) per reached node; the bound
+        # (dist < 64) mirrors the Ray side's max_rounds.
+        "purchase_distances": """
+WITH RECURSIVE eds AS (
+  SELECT DISTINCT 2*o.o_custkey AS src, 2*l.l_suppkey+1 AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+edges AS (SELECT src, dst FROM eds UNION SELECT dst, src FROM eds),
+seed AS (SELECT 2 * MIN(o_custkey) AS node FROM orders),
+walk(node, d) AS (
+  SELECT node, 0 FROM seed
+  UNION
+  SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.d < 64)
+SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM walk GROUP BY node""",
         # Bipartite projection (stages/graph.py bipartite_project):
         # weight = number of distinct shared keys.
         "cosupply_edges": """

@@ -483,3 +483,59 @@ def test_weighted_pagerank_duplicate_rows_sum(ray_session):
 def test_cosupply_pagerank_shape(ray_session, sf_small):
     t = cosupply_pagerank(sf_small, iters=2).take_all()
     assert len(t) > 0 and all(r["pr_fp"] > 0 for r in t)
+
+
+# ---- BFS distances ----
+
+from xlink_ray.stages.graph import bfs_distances, purchase_distances
+
+
+def _reference_bfs(edges, seeds):
+    from collections import deque
+
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, []):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist
+
+
+def _run_bfs(edges, seeds, **kw):
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([s for s, _ in edges], pa.int64()),
+                "dst": pa.array([d for _, d in edges], pa.int64()),
+            }
+        )
+    )
+    out = bfs_distances(ds, seeds=seeds, **kw).take_all()
+    return {r["node"]: r["dist"] for r in out}
+
+
+def test_bfs_matches_reference(ray_session):
+    rng = np.random.default_rng(17)
+    edges = list({(int(a), int(b)) for a, b in rng.integers(0, 80, (250, 2)) if a != b})
+    got = _run_bfs(edges, seeds=[0, 1], nbuckets=5)
+    assert got == _reference_bfs(edges, [0, 1])
+
+
+def test_bfs_unreached_omitted_and_directed(ray_session):
+    got = _run_bfs([(1, 2), (2, 3), (9, 1)], seeds=[1], nbuckets=2)
+    # 9 -> 1 is directed: 9 unreachable FROM 1
+    assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_purchase_distances_bipartite_parity(ray_session, sf_small):
+    rows = purchase_distances(sf_small).take_all()
+    assert len(rows) > 0
+    for r in rows:
+        # even nodes (customers) at even hops, suppliers at odd hops
+        assert (r["node"] % 2) == (r["dist"] % 2)

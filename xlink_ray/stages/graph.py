@@ -63,6 +63,8 @@ __all__ = [
     "cosupply_pagerank",
     "label_prop",
     "cc_min_label",
+    "bfs_distances",
+    "purchase_distances",
     "triangle_counts",
     "cosupply_triangles",
     "graph_walks",
@@ -534,6 +536,105 @@ def cc_min_label(
 
     tables = [_comp_table.remote(node_arrs[k], parent[k]) for k in range(nb)]
     return rd.from_arrow_refs(tables)
+
+
+# ------------------------------------------------------- BFS distances
+
+_INF64 = np.int64(2**62)
+
+
+@ray.remote
+def _bfs_init(nodes: np.ndarray, seeds: np.ndarray) -> np.ndarray:
+    dist = np.full(len(nodes), _INF64, dtype=np.int64)
+    if len(nodes):
+        idx = np.searchsorted(nodes, seeds)
+        ok = (idx < len(nodes)) & (nodes[np.minimum(idx, len(nodes) - 1)] == seeds)
+        dist[idx[ok]] = 0
+    return dist
+
+
+@ray.remote
+def _bfs_map(state: dict, nodes: np.ndarray, dist: np.ndarray, nbuckets: int) -> list:
+    """Ship dist[src] + 1 along every edge whose src is reached."""
+    src = state["src"]
+    if len(src) == 0:
+        return [(_EMPTY_I64, _EMPTY_I64)] * nbuckets
+    d = dist[np.searchsorted(nodes, src)]
+    live = d < _INF64
+    perm = state["perm"]
+    livep = live[perm]
+    dp = (d + 1)[perm]
+    bounds, dsts = state["bounds"], state["dst_perm"]
+    out = []
+    for k in range(nbuckets):
+        sl = slice(bounds[k], bounds[k + 1])
+        m = livep[sl]
+        out.append((dsts[sl][m], dp[sl][m]))
+    return out
+
+
+def bfs_distances(
+    edges: Dataset,
+    seeds: "list[int]",
+    nbuckets: int = 32,
+    max_rounds: int = 64,
+) -> Dataset:
+    """Unweighted shortest distances from a seed set over directed
+    edges (src, dst) → (node, dist) for every REACHED node (seeds at
+    0; unreached nodes are omitted).
+
+    Level-synchronous BFS as min-plus relaxation on the raw-task
+    bucket harness: each round ships dist+1 along edges out of reached
+    nodes and takes per-node minima (the same relax/reduce wave as
+    :func:`cc_min_label`); the driver reads one changed-count per
+    bucket per round and stops at the fixpoint — rounds =
+    eccentricity of the seed set.  Seeds are a driver-side list
+    (query-sized); everything else stays in the object store.
+    """
+    nb = nbuckets
+    harness = _graph_state(edges, nb)
+    if harness is None:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "dist": pa.array([], pa.int64())})
+        )
+    states, nodes = harness
+    seed_arr = np.asarray(sorted(set(int(s) for s in seeds)), dtype=np.int64)
+    dist = [_bfs_init.remote(nodes[k], seed_arr) for k in range(nb)]
+
+    for _ in range(max_rounds):
+        pieces = [
+            _bfs_map.options(num_returns=nb).remote(states[k], nodes[k], dist[k], nb)
+            for k in range(nb)
+        ]
+        if nb == 1:
+            pieces = [[p] for p in pieces]
+        relaxed = [
+            _cc_relax_reduce.remote(nodes[k], dist[k], *[pieces[j][k] for j in range(nb)])
+            for k in range(nb)
+        ]
+        dist = [r[0] for r in relaxed]
+        if sum(ray.get([r[1] for r in relaxed])) == 0:
+            break
+
+    @ray.remote
+    def reached_table(nodes_k: np.ndarray, dist_k: np.ndarray) -> pa.Table:
+        m = dist_k < _INF64
+        return pa.table(
+            {
+                "node": pa.array(nodes_k[m], pa.int64()),
+                "dist": pa.array(dist_k[m], pa.int64()),
+            }
+        )
+
+    return rd.from_arrow_refs([reached_table.remote(nodes[k], dist[k]) for k in range(nb)])
+
+
+def purchase_distances(sf_dir: str) -> Dataset:
+    """BFS hops over the purchase graph from the smallest customer node."""
+    seed = 2 * int(
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"]).min("o_custkey")
+    )
+    return bfs_distances(purchase_graph_edges(sf_dir), seeds=[seed])
 
 
 # --------------------------------------------------- weighted PageRank
