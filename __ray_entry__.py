@@ -628,6 +628,15 @@ def _q_customers_without_orders(sf_dir: str):
     return relational.customers_without_orders(sf_dir)
 
 
+def _q_segment_pivot(sf_dir: str):
+    """Long→wide pivot (pipelines/relational.pivot_counts): customers
+    per (nation, mktsegment) with segments as columns; partial collapse
+    + one groupby; wide assembly is dimension-bounded driver work."""
+    from xlink_ray.pipelines import relational
+
+    return relational.segment_pivot(sf_dir)
+
+
 def _q_revenue_rollup(sf_dir: str):
     """Multi-level ROLLUP revenue (pipelines/relational.py): one
     distributed finest-level groupby; coarser levels re-aggregated
@@ -1237,6 +1246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": _q_customers_without_orders,
         "vocab_counts": _q_vocab_counts,
         "revenue_rollup": _q_revenue_rollup,
+        "segment_pivot": _q_segment_pivot,
         "window_agg": _q_window_agg,
         "hopping_agg": _q_hopping_agg,
         "sessions": _q_sessions,
@@ -1572,6 +1582,17 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY ROLLUP(r.r_name, n.n_name)""",
+        # Pivot (pipelines/relational.pivot_counts): conditional counts,
+        # one column per mktsegment.
+        "segment_pivot": """
+SELECT n.n_name,
+       CAST(count(*) FILTER (WHERE c.c_mktsegment = 'AUTOMOBILE') AS BIGINT) AS automobile,
+       CAST(count(*) FILTER (WHERE c.c_mktsegment = 'BUILDING') AS BIGINT) AS building,
+       CAST(count(*) FILTER (WHERE c.c_mktsegment = 'FURNITURE') AS BIGINT) AS furniture,
+       CAST(count(*) FILTER (WHERE c.c_mktsegment = 'HOUSEHOLD') AS BIGINT) AS household,
+       CAST(count(*) FILTER (WHERE c.c_mktsegment = 'MACHINERY') AS BIGINT) AS machinery
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name""",
         "window_agg": """
 SELECT event_type, date_trunc('hour', ts) AS window_start,
        CAST(count(*) AS BIGINT) AS n,

@@ -44,6 +44,8 @@ __all__ = [
     "customers_without_orders",
     "vocab_counts",
     "revenue_rollup",
+    "pivot_counts",
+    "segment_pivot",
 ]
 
 
@@ -297,3 +299,85 @@ def revenue_rollup(sf_dir: str) -> Dataset:
         }
     )
     return rd.from_arrow(out)
+
+
+def pivot_counts(
+    ds: Dataset, row_col: str, cat_col: str, nbuckets: int = 32
+) -> Dataset:
+    """Long → wide: one output row per ``row_col`` value with a count
+    column per ``cat_col`` category (lower-cased column names, sorted).
+
+    Per-batch partial (row, cat, n) collapse inside ``map_batches``,
+    ONE distributed groupby summing the partials, then the wide
+    assembly happens driver-side — the pivoted result is
+    dimension-bounded (rows × categories) by definition, so collecting
+    it is safe at any input scale.  Category discovery is part of the
+    same pass (no second scan)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"r": t[row_col], "c": t[cat_col]})
+            .group_by(["r", "c"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table({"r": g["r"], "c": g["c"], "n": g["count_all"]})
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["r", "c"])
+        .aggregate(_Sum("n", alias_name="n"))
+        .take_all()
+    )
+    cats = sorted({row["c"] for row in fine})
+    rows = sorted({row["r"] for row in fine})
+    idx = {r: i for i, r in enumerate(rows)}
+    cols = {c: np.zeros(len(rows), dtype=np.int64) for c in cats}
+    for row in fine:
+        cols[row["c"]][idx[row["r"]]] = row["n"]
+    out = {row_col: pa.array(rows)}
+    for c in cats:
+        out[str(c).lower()] = pa.array(cols[c], pa.int64())
+    return rd.from_arrow(pa.table(out))
+
+
+def segment_pivot(sf_dir: str) -> Dataset:
+    """Customers per (nation, mktsegment), segments pivoted to columns."""
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_mktsegment"]
+    )
+    nation = pa.concat_tables(
+        [
+            pa.table(b)
+            for b in rd.read_parquet(
+                f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+            ).iter_batches(batch_format="pyarrow")
+        ]
+    )
+    ref = broadcast_table(nation)
+
+    class _StampNation:
+        def __init__(self, side_ref):
+            import ray
+
+            side = ray.get(side_ref)
+            k = side["n_nationkey"].to_numpy(zero_copy_only=False)
+            order = np.argsort(k, kind="stable")
+            self.k = k[order]
+            self.name = side["n_name"].take(pa.array(order, pa.int64()))
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.k, nk)
+            return pa.table(
+                {
+                    "n_name": self.name.take(pa.array(idx, pa.int64())),
+                    "c_mktsegment": t["c_mktsegment"],
+                }
+            )
+
+    stamped = cust.map_batches(
+        _StampNation, fn_constructor_args=(ref,), batch_format="pyarrow",
+        concurrency=pool_size(),
+    )
+    return pivot_counts(stamped, "n_name", "c_mktsegment")
