@@ -586,6 +586,19 @@ def _q_media_features(sf_dir: str):
     )
 
 
+def _q_media_features_raw(sf_dir: str):
+    """REAL codec-free decode path: uncompressed RGB payloads →
+    bilinear resize to 16x16 → mean/std/luma-histogram features
+    (stages/multimodal.py backend='raw'; rows-only — image features
+    are not SQL-expressible)."""
+    import ray.data as rd
+
+    from xlink_ray.stages.multimodal import media_features, resize_images, synth_media_raw
+
+    small = resize_images(rd.from_arrow(synth_media_raw(64)), 16, 16, backend="raw")
+    return media_features(small, backend="raw").select_columns(["media_id", "media_type"])
+
+
 def _q_media_frames(sf_dir: str):
     """Video frame sampling plumbing (decode slot stubbed; expansion
     and schema real)."""
@@ -1238,6 +1251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontamination": _q_decontamination,
         "curated_corpus": _q_curated_corpus,
         "media_features": _q_media_features,
+        "media_features_raw": _q_media_features_raw,
         "media_frames": _q_media_frames,
         "pricing_summary": _q_pricing_summary,
         "nation_revenue": _q_nation_revenue,

@@ -2,6 +2,7 @@
 frame sampling."""
 
 import numpy as np
+import pytest
 import ray.data as rd
 
 
@@ -75,3 +76,58 @@ def test_frame_sampling_plumbing(ray_session):
     for mid, dur in zip(vids["media_id"], vids["duration_ms"]):
         assert g[mid] == (dur // 500) * 500
     assert out["frame"].map(len).eq(64).all()
+
+
+# ---- raw (codec-free) decode path ----
+
+from xlink_ray.stages.multimodal import (
+    synth_media_raw,
+    _raw_rgb,
+    _bilinear_resize,
+)
+
+
+def test_raw_rgb_roundtrip():
+    img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    assert (_raw_rgb(img.tobytes(), 6, 4) == img).all()
+    with pytest.raises(ValueError):
+        _raw_rgb(img.tobytes()[:-1], 6, 4)
+
+
+def test_bilinear_constant_image_stays_constant():
+    img = np.full((9, 7, 3), 123, dtype=np.uint8)
+    out = _bilinear_resize(img, 32, 16)
+    assert out.shape == (16, 32, 3)
+    assert np.allclose(out, 123.0)
+
+
+def test_bilinear_identity_resize():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    out = _bilinear_resize(img, 8, 8)
+    assert np.allclose(out, img.astype(np.float32))
+
+
+def test_raw_feature_vector_real_values(ray_session):
+    import ray.data as rd
+    from xlink_ray.stages.multimodal import media_features
+
+    tbl = synth_media_raw(12)
+    ds = rd.from_arrow(tbl)
+    out = {r["media_id"]: r["feature"] for r in media_features(ds, backend="raw").take_all()}
+    assert len(out) == 12
+    img = _raw_rgb(tbl["payload"][0].as_py(), tbl["width"][0].as_py(), tbl["height"][0].as_py())
+    f = np.asarray(out[0])
+    assert abs(f[0] - img[..., 0].mean() / 255.0) < 1e-6
+    assert abs(f[8:24].sum() - 1.0) < 1e-5  # luma histogram normalized
+
+
+def test_raw_resize_pipeline(ray_session):
+    import ray.data as rd
+    from xlink_ray.stages.multimodal import resize_images
+
+    ds = rd.from_arrow(synth_media_raw(6))
+    out = resize_images(ds, target_w=8, target_h=8, backend="raw").take_all()
+    for r in out:
+        assert r["width"] == 8 and r["height"] == 8
+        assert len(r["payload"]) == 8 * 8 * 3

@@ -2,13 +2,16 @@
 ``binary`` columns + typed metadata, processed by actor-pool
 ``map_batches`` stages.
 
-The container ships no image/audio codecs, so the *decode* kernel is
+The container ships no image/audio codecs, so COMPRESSED decode is
 stubbed: ``decode_backend='none'`` raises NotImplementedError exactly
-where a real libjpeg/ffmpeg call would go, and the default
-``'fake'`` backend derives a deterministic feature vector from the
-payload bytes. Everything around the kernel — schema, batch sizing for
-large binary payloads, actor signature, output layout — is real and
-tested, so swapping in a real decoder is a one-function change.
+where a real libjpeg/ffmpeg call would go, and ``'fake'`` derives a
+deterministic feature vector from the payload bytes.  The ``'raw'``
+backend is a REAL decoder for uncompressed payloads (width × height ×
+3 interleaved uint8 RGB): reshape + vectorized bilinear resize + mean/
+std/luma-histogram features, all numpy — no codec needed.  Everything
+around the kernel — schema, batch sizing for large binary payloads,
+actor signature, output layout — is shared by all three backends, so
+swapping in libjpeg is still a one-function change.
 """
 
 from __future__ import annotations
@@ -25,6 +28,7 @@ from ray.data import Dataset
 __all__ = [
     "MEDIA_SCHEMA",
     "synth_media",
+    "synth_media_raw",
     "MediaFeatureActor",
     "media_features",
     "ImageResizeActor",
@@ -68,6 +72,64 @@ def synth_media(n: int = 256, seed: int = 7) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
 
 
+def _raw_rgb(payload: bytes, w: int, h: int) -> np.ndarray:
+    """Uncompressed interleaved RGB payload → (h, w, 3) uint8 view."""
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    if len(buf) != w * h * 3:
+        raise ValueError(f"raw RGB payload is {len(buf)} bytes, expected {w * h * 3}")
+    return buf.reshape(h, w, 3)
+
+
+def _bilinear_resize(px: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Vectorized bilinear resample of an (h, w, 3) image to (th, tw, 3)
+    float32 (pixel-center sampling, edges clamped)."""
+    h, w = px.shape[:2]
+    xs = (np.arange(tw, dtype=np.float64) + 0.5) * w / tw - 0.5
+    ys = (np.arange(th, dtype=np.float64) + 0.5) * h / th - 0.5
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    fx = np.clip(xs - x0, 0.0, 1.0).astype(np.float32)
+    fy = np.clip(ys - y0, 0.0, 1.0).astype(np.float32)
+    p = px.astype(np.float32)
+    top = p[y0[:, None], x0[None, :]] * (1 - fx)[None, :, None] + p[y0[:, None], x1[None, :]] * fx[None, :, None]
+    bot = p[y1[:, None], x0[None, :]] * (1 - fx)[None, :, None] + p[y1[:, None], x1[None, :]] * fx[None, :, None]
+    return top * (1 - fy)[:, None, None] + bot * fy[:, None, None]
+
+
+def synth_media_raw(n: int = 64, seed: int = 11) -> pa.Table:
+    """Deterministic media table whose image payloads are REAL
+    uncompressed RGB arrays (smooth two-axis gradients + per-image
+    offset), for exercising the 'raw' decode/resize/feature path."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        w, h = 16 * (1 + i % 3), 12 * (1 + i % 3)
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = rng.integers(0, 64)
+        img = np.stack(
+            [
+                (xx * 255 // max(w - 1, 1) + base) % 256,
+                (yy * 255 // max(h - 1, 1) + base) % 256,
+                ((xx + yy) * 255 // max(w + h - 2, 1) + base) % 256,
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        rows.append(
+            {
+                "media_id": i,
+                "doc_id": i % 10,
+                "media_type": "image",
+                "payload": img.tobytes(),
+                "width": w,
+                "height": h,
+                "duration_ms": 0,
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
 class MediaFeatureActor:
     """payload → fixed-size feature vector.
 
@@ -80,17 +142,31 @@ class MediaFeatureActor:
     DIM = 32
 
     def __init__(self, backend: str = "fake", batch_pixel_budget: int = 1 << 24):
-        if backend not in ("fake", "none"):
+        if backend not in ("fake", "raw", "none"):
             raise ValueError(backend)
         self.backend = backend
         self.batch_pixel_budget = batch_pixel_budget
 
-    def _decode(self, payload: bytes, media_type: str) -> np.ndarray:
+    def _decode(self, payload: bytes, media_type: str, w: int = 0, h: int = 0) -> np.ndarray:
         if self.backend == "none":
             raise NotImplementedError(
                 "real decode requires an image/audio codec (libjpeg/ffmpeg); "
-                "not available in this container — use backend='fake'"
+                "not available in this container — use backend='fake' or 'raw'"
             )
+        if self.backend == "raw" and media_type == "image" and w and h:
+            # real decode of uncompressed interleaved RGB: per-channel
+            # mean/std + a 16-bin luma histogram (normalized), 32-dim
+            px = _raw_rgb(payload, w, h).astype(np.float32)
+            luma = px @ np.array([0.2126, 0.7152, 0.0722], dtype=np.float32)
+            hist = np.histogram(luma, bins=16, range=(0.0, 256.0))[0].astype(np.float32)
+            hist /= max(float(hist.sum()), 1.0)
+            v = np.zeros(self.DIM, dtype=np.float32)
+            v[0:3] = px.reshape(-1, 3).mean(axis=0) / 255.0
+            v[3:6] = px.reshape(-1, 3).std(axis=0) / 255.0
+            v[6] = float(luma.mean()) / 255.0
+            v[7] = float(luma.std()) / 255.0
+            v[8:24] = hist
+            return v
         d = hashlib.blake2b(payload, digest_size=self.DIM * 2).digest()
         v = np.frombuffer(d, dtype=np.uint16).astype(np.float32)
         v = v / np.linalg.norm(v)
@@ -98,8 +174,13 @@ class MediaFeatureActor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = [
-            self._decode(p, t)
-            for p, t in zip(batch["payload"].to_pylist(), batch["media_type"].to_pylist())
+            self._decode(p, t, w or 0, h or 0)
+            for p, t, w, h in zip(
+                batch["payload"].to_pylist(),
+                batch["media_type"].to_pylist(),
+                batch["width"].to_pylist(),
+                batch["height"].to_pylist(),
+            )
         ]
         mat = np.stack(feats) if feats else np.zeros((0, self.DIM), dtype=np.float32)
         return pa.table(
@@ -121,7 +202,7 @@ class ImageResizeActor:
     grid; ``'none'`` is the libjpeg slot and raises)."""
 
     def __init__(self, target_w: int = 32, target_h: int = 32, backend: str = "fake"):
-        if backend not in ("fake", "none"):
+        if backend not in ("fake", "raw", "none"):
             raise ValueError(backend)
         self.tw, self.th = target_w, target_h
         self.backend = backend
@@ -130,7 +211,7 @@ class ImageResizeActor:
         if self.backend == "none":
             raise NotImplementedError(
                 "real decode requires an image codec (libjpeg); "
-                "not available in this container — use backend='fake'"
+                "not available in this container — use backend='fake' or 'raw'"
             )
         buf = np.frombuffer(payload, dtype=np.uint8)
         reps = -(-(w * h) // max(len(buf), 1))
@@ -150,8 +231,16 @@ class ImageResizeActor:
                 out_w.append(w)
                 out_h.append(h)
                 continue
-            px = self._pixels(p, w, h)
-            resized = px[np.ix_(rows * h // self.th, cols * w // self.tw)]
+            if self.backend == "raw":
+                # real bilinear resample of the uncompressed RGB array
+                resized = (
+                    _bilinear_resize(_raw_rgb(p, w, h), self.tw, self.th)
+                    .round()
+                    .astype(np.uint8)
+                )
+            else:
+                px = self._pixels(p, w, h)
+                resized = px[np.ix_(rows * h // self.th, cols * w // self.tw)]
             out_payload.append(resized.tobytes())
             out_w.append(self.tw)
             out_h.append(self.th)
