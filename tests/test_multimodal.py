@@ -128,6 +128,43 @@ def test_raw_resize_pipeline(ray_session):
 
     ds = rd.from_arrow(synth_media_raw(6))
     out = resize_images(ds, target_w=8, target_h=8, backend="raw").take_all()
-    for r in out:
+    images = [r for r in out if r["media_type"] == "image"]
+    assert images
+    for r in images:
         assert r["width"] == 8 and r["height"] == 8
         assert len(r["payload"]) == 8 * 8 * 3
+    # audio rows pass through untouched
+    for r in out:
+        if r["media_type"] == "audio":
+            assert r["width"] == 0 and r["duration_ms"] > 0
+
+
+def test_raw_audio_features_sine(ray_session):
+    import ray.data as rd
+    from xlink_ray.stages.multimodal import (
+        MediaFeatureActor,
+        RAW_AUDIO_RATE,
+        _audio_features,
+    )
+
+    # pure 440 Hz sine: centroid ~ 440/(sr/2), ZCR ~ 2f/sr
+    t = np.arange(RAW_AUDIO_RATE) / RAW_AUDIO_RATE
+    pcm = (0.8 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16)
+    f = _audio_features(pcm, MediaFeatureActor.DIM)
+    assert abs(f[2] * (RAW_AUDIO_RATE / 2) - 440) < 10  # spectral centroid
+    assert abs(f[1] - 2 * 440 / RAW_AUDIO_RATE) < 0.01  # zero crossings
+    assert abs(f[0] - 0.8 / np.sqrt(2)) < 0.01  # RMS of a sine
+    assert abs(f[4:16].sum() - 1.0) < 1e-4  # band energies normalized
+
+
+def test_raw_media_features_cover_audio_rows(ray_session):
+    import ray.data as rd
+    from xlink_ray.stages.multimodal import media_features, synth_media_raw
+
+    tbl = synth_media_raw(12)
+    out = {r["media_id"]: r for r in media_features(rd.from_arrow(tbl), backend="raw").take_all()}
+    assert len(out) == 12
+    audio_ids = [i for i in range(12) if i % 3 == 2]
+    for i in audio_ids:
+        assert out[i]["media_type"] == "audio"
+        assert np.asarray(out[i]["feature"])[0] > 0.1  # real RMS, not hash noise

@@ -98,13 +98,59 @@ def _bilinear_resize(px: np.ndarray, tw: int, th: int) -> np.ndarray:
     return top * (1 - fy)[:, None, None] + bot * fy[:, None, None]
 
 
+RAW_AUDIO_RATE = 8000  # Hz, int16 mono PCM for the 'raw' audio payloads
+
+
+def _audio_features(pcm: np.ndarray, dim: int) -> np.ndarray:
+    """Real DSP features of int16 mono PCM: RMS, zero-crossing rate,
+    FFT spectral centroid/rolloff, and a 12-band energy profile."""
+    x = pcm.astype(np.float32) / 32768.0
+    v = np.zeros(dim, dtype=np.float32)
+    if len(x) == 0:
+        return v
+    v[0] = float(np.sqrt(np.mean(x * x)))
+    v[1] = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))  # ZCR
+    spec = np.abs(np.fft.rfft(x))
+    freqs = np.fft.rfftfreq(len(x), d=1.0 / RAW_AUDIO_RATE)
+    power = spec * spec
+    tot = float(power.sum())
+    if tot > 0:
+        v[2] = float((freqs * power).sum() / tot) / (RAW_AUDIO_RATE / 2)  # centroid
+        cum = np.cumsum(power)
+        v[3] = float(freqs[np.searchsorted(cum, 0.85 * tot)]) / (RAW_AUDIO_RATE / 2)
+        # 12 equal bands of the spectrum, energy fractions
+        bands = np.array_split(power, 12)
+        v[4:16] = np.array([float(b.sum()) for b in bands], dtype=np.float32) / tot
+    return v
+
+
 def synth_media_raw(n: int = 64, seed: int = 11) -> pa.Table:
     """Deterministic media table whose image payloads are REAL
     uncompressed RGB arrays (smooth two-axis gradients + per-image
-    offset), for exercising the 'raw' decode/resize/feature path."""
+    offset) and whose audio payloads are REAL int16 mono PCM sine
+    mixes at RAW_AUDIO_RATE, for the 'raw' decode/resize/feature
+    paths.  Every third row is audio."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
+        if i % 3 == 2:  # audio row: two-tone sine mix, 0.25-1.0 s
+            dur = 0.25 * (1 + i % 4)
+            t = np.arange(int(RAW_AUDIO_RATE * dur)) / RAW_AUDIO_RATE
+            f1, f2 = 200 + 40 * (i % 7), 800 + 60 * (i % 5)
+            x = 0.5 * np.sin(2 * np.pi * f1 * t) + 0.25 * np.sin(2 * np.pi * f2 * t)
+            pcm = (x * 32767).astype(np.int16)
+            rows.append(
+                {
+                    "media_id": i,
+                    "doc_id": i % 10,
+                    "media_type": "audio",
+                    "payload": pcm.tobytes(),
+                    "width": 0,
+                    "height": 0,
+                    "duration_ms": int(dur * 1000),
+                }
+            )
+            continue
         w, h = 16 * (1 + i % 3), 12 * (1 + i % 3)
         yy, xx = np.mgrid[0:h, 0:w]
         base = rng.integers(0, 64)
@@ -153,6 +199,8 @@ class MediaFeatureActor:
                 "real decode requires an image/audio codec (libjpeg/ffmpeg); "
                 "not available in this container — use backend='fake' or 'raw'"
             )
+        if self.backend == "raw" and media_type == "audio":
+            return _audio_features(np.frombuffer(payload, dtype=np.int16), self.DIM)
         if self.backend == "raw" and media_type == "image" and w and h:
             # real decode of uncompressed interleaved RGB: per-channel
             # mean/std + a 16-bin luma histogram (normalized), 32-dim
