@@ -1,4 +1,28 @@
-"""Distributed PageRank in fixed-point integer arithmetic.
+"""Distributed graph toolkit over co-partitioned raw-task bucket state.
+
+Operators (each oracle-checked against a DuckDB replica):
+
+  * :func:`pagerank_fixed` / :func:`pagerank_weighted` — fixed-point
+    integer PageRank (bit-identical on any partitioning).
+  * :func:`label_prop` — synchronous majority-vote label propagation
+    (communities), smallest-label tie-break.
+  * :func:`cc_min_label` — connected components via Hash-Min with a
+    pointer-jumping step per round (also wired as
+    clustering.connected_components(method='bucket') and the auto
+    route for big integer-keyed graphs).
+  * :func:`bfs_distances` — level-synchronous BFS (min-plus relax).
+  * :func:`triangle_counts` — exact per-node triangles with
+    degree-ordered orientation (out-degree bounded O(sqrt m)).
+  * :func:`graph_walks` — deterministic DeepWalk corpora (md5-chosen
+    neighbor ranks, reproducible across engines).
+  * :func:`bipartite_project` — weighted co-occurrence projection.
+
+All iterative operators share one harness (:func:`_graph_state`):
+edges are hash-split ONCE into per-src-bucket static state, per-node
+vectors live co-partitioned in the object store, and each round is
+O(nbuckets) small tasks exchanging int64 arrays — no per-round Dataset
+shuffle, no driver-side data (the driver sees only convergence
+scalars).
 
 Why fixed point: floating-point PageRank sums contributions in
 partition order, so two engines (or two partitionings of the same
