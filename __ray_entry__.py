@@ -534,6 +534,17 @@ def _q_decontamination(sf_dir: str):
     return decontaminate(_docs(sf_dir), k=8, n_bench=32)
 
 
+def _q_bloom_flags(sf_dir: str):
+    """Bloom-filter decontamination (stages/curation.py
+    bloom_decontaminate): the benchmark gram set folds into a 65536-bit
+    filter via per-batch bitmap OR-reduce (constant size regardless of
+    suite size); flagged is a deterministic superset of `contaminated`
+    — salted-md5 positions replicated exactly in SQL."""
+    from xlink_ray.stages.curation import bloom_decontaminate
+
+    return bloom_decontaminate(_docs(sf_dir), k=8, n_bench=32)
+
+
 def _q_doc_sample_stratified(sf_dir: str):
     """Per-language deterministic downsampling rates in one pass."""
     from xlink_ray.stages.curation import stratified_hash_sample
@@ -1249,6 +1260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": _q_top_docs_per_lang,
         "length_quantiles": _q_length_quantiles,
         "decontamination": _q_decontamination,
+        "bloom_flags": _q_bloom_flags,
         "curated_corpus": _q_curated_corpus,
         "media_features": _q_media_features,
         "media_features_raw": _q_media_features_raw,
@@ -1582,6 +1594,44 @@ SELECT d.doc_id,
        COALESCE(hits.n_hits, 0) AS n_hits,
        COALESCE(hits.n_hits, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id""",
+        # Bloom decontamination (stages/curation.bloom_decontaminate):
+        # M61 Horner gram hashes (same fold as dup_ngrams), 3 salted
+        # md5 positions mod 65536; a gram blooms iff ALL 3 positions
+        # are set by some benchmark gram.
+        "bloom_flags": """
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT AS hh
+  FROM documents
+), bench AS (
+  SELECT doc_id FROM h ORDER BY hh, doc_id LIMIT 32
+), th AS (
+  SELECT doc_id, list_transform(string_split(text, ' '),
+           t -> ('0x' || substr(md5(t), 1, 16))::UBIGINT % 2305843009213693951) AS hs
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id,
+         list_reduce(hs[j : j + 7],
+           (a, b) -> CAST((CAST(a AS UHUGEINT) * 1000003 + CAST(b AS UHUGEINT))
+                          % 2305843009213693951 AS UBIGINT)) AS gh
+  FROM th, LATERAL (SELECT unnest(generate_series(1, len(hs) - 7)) AS j) s(j)
+), salts(s) AS (VALUES (0), (1), (2)),
+bits AS (
+  SELECT DISTINCT ('0x' || substr(md5(CAST(s AS VARCHAR) || ':' || CAST(gh AS VARCHAR)), 1, 16))::UBIGINT % 65536 AS b
+  FROM g JOIN bench USING (doc_id), salts
+), dpos AS (
+  SELECT doc_id, gh, s,
+         ('0x' || substr(md5(CAST(s AS VARCHAR) || ':' || CAST(gh AS VARCHAR)), 1, 16))::UBIGINT % 65536 AS b
+  FROM g, salts
+), ghit AS (
+  SELECT doc_id, gh FROM dpos WHERE b IN (SELECT b FROM bits)
+  GROUP BY doc_id, gh HAVING COUNT(*) = 3
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS bloom_hits FROM ghit GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.bloom_hits, 0) AS bloom_hits,
+       COALESCE(a.bloom_hits, 0) > 0 AS flagged
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
         "vocab_counts": """
 SELECT token, CAST(count(*) AS BIGINT) AS n
 FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

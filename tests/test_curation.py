@@ -204,3 +204,41 @@ def test_curated_corpus_v2_composition(ray_session, sf_small):
     import numpy as np
 
     assert np.array_equal(np.sort(sub), np.sort(got_sorted))
+
+
+# ---- Bloom-filter decontamination ----
+
+from xlink_ray.stages.curation import (
+    bloom_decontaminate,
+    bloom_filter_bits,
+    _bloom_positions,
+)
+
+
+def test_bloom_filter_bits_or_reduce(ray_session):
+    import ray.data as rd
+
+    keys = np.array([11, 22, 33, 44], dtype=np.uint64)
+    # two batches vs one batch must OR to the same filter
+    one = bloom_filter_bits(
+        rd.from_arrow(pa.table({"gh": pa.array(keys)})), "gh", m_bits=1 << 10
+    )
+    two = bloom_filter_bits(
+        rd.from_arrow(pa.table({"gh": pa.array(keys)})).repartition(4), "gh", m_bits=1 << 10
+    )
+    assert (one == two).all()
+    pos = _bloom_positions(keys, 1 << 10, 3)
+    assert one[pos].all()
+
+
+def test_bloom_flags_superset_of_exact(ray_session, sf_small):
+    import ray.data as rd
+    from xlink_ray.stages.curation import decontaminate
+
+    docs = rd.read_parquet(f"{sf_small}/documents.parquet", columns=["doc_id", "text"])
+    exact = {r["doc_id"]: r["contaminated"] for r in decontaminate(docs, k=8, n_bench=32).take_all()}
+    bloom = {r["doc_id"]: r["flagged"] for r in bloom_decontaminate(docs, k=8, n_bench=32).take_all()}
+    assert set(exact) == set(bloom)
+    for d, c in exact.items():
+        if c:
+            assert bloom[d], "bloom must never miss a truly contaminated doc"

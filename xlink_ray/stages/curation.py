@@ -28,6 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
+import ray.data as rd
 from ray.data import Dataset
 
 from xlink_ray.functions.hashing import M61, affine61, md5_low64
@@ -39,6 +40,8 @@ __all__ = [
     "benchmark_gram_ref",
     "contamination_counts",
     "decontaminate",
+    "bloom_filter_bits",
+    "bloom_decontaminate",
 ]
 
 _GRAM_BASE = np.uint64(1000003)
@@ -235,3 +238,92 @@ def contamination_counts(
         hit = bench[pos] == gram
         np.add.at(n_hits, doc_idx[hit], 1)
     return n_hits
+
+
+def _bloom_positions(grams: np.ndarray, m_bits: int, n_hash: int) -> np.ndarray:
+    """(len(grams), n_hash) bit positions: md5-low64 of "salt:gram" mod
+    m_bits — the SQL-stable salted hash family."""
+    from xlink_ray.functions.hashing import md5_low64
+
+    out = np.empty((len(grams), n_hash), dtype=np.int64)
+    vals = [int(g) for g in grams.tolist()]
+    for s in range(n_hash):
+        out[:, s] = (md5_low64([f"{s}:{g}" for g in vals]) % np.uint64(m_bits)).astype(
+            np.int64
+        )
+    return out
+
+
+def bloom_filter_bits(
+    keys_ds: Dataset, col: str, m_bits: int = 1 << 16, n_hash: int = 3
+) -> np.ndarray:
+    """Build a Bloom filter over a key Dataset → bool[m_bits].
+
+    The fixed-size-sketch reduce pattern (like the HLL registers): each
+    batch folds into an m_bits/8-byte bitmap inside ``map_batches``, and
+    the bitmaps OR together — a contamination set of ANY size reduces
+    to a constant-size broadcastable filter, where the exact-set
+    broadcast of :func:`decontaminate` grows with the set.  (The final
+    OR runs on the driver over one bitmap per batch; at extreme batch
+    counts, OR in a tree via ``map_batches`` over bitmap rows first.)
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t[col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bm = np.zeros(m_bits, dtype=bool)
+        if len(g):
+            bm[_bloom_positions(g, m_bits, n_hash).ravel()] = True
+        return pa.table({"bm": pa.array([np.packbits(bm).tobytes()], pa.binary())})
+
+    acc = np.zeros(m_bits // 8, dtype=np.uint8)
+    for row in keys_ds.map_batches(partial, batch_format="pyarrow").take_all():
+        acc |= np.frombuffer(row["bm"], dtype=np.uint8)
+    return np.unpackbits(acc).astype(bool)
+
+
+def bloom_decontaminate(
+    ds: Dataset,
+    k: int = 8,
+    n_bench: int = 32,
+    m_bits: int = 1 << 16,
+    n_hash: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """(doc_id, bloom_hits, flagged) — :func:`decontaminate`'s scale
+    path: instead of broadcasting the exact benchmark gram set, fold it
+    into an ``m_bits``-bit Bloom filter (constant size regardless of
+    how big the benchmark suite grows) and probe every document's
+    distinct k-gram hashes against it.  ``flagged`` is a deterministic
+    SUPERSET of the exact ``contaminated`` flag (Bloom false positives
+    are possible, false negatives are not) — both engines replicate the
+    same salted-md5 positions, so the output is exactly comparable.
+    """
+    bench_grams = ray.get(
+        benchmark_gram_ref(ds, k=k, n_bench=n_bench, id_col=id_col, text_col=text_col)
+    )
+    bits = bloom_filter_bits(
+        rd.from_arrow(pa.table({"gh": pa.array(bench_grams.astype(np.uint64))})),
+        "gh",
+        m_bits=m_bits,
+        n_hash=n_hash,
+    )
+    bits_ref = ray.put(bits)
+
+    def probe(t: pa.Table) -> pa.Table:
+        b = ray.get(bits_ref)
+        doc_idx, gram = _gram_hashes(t[text_col], k)
+        hits = np.zeros(t.num_rows, dtype=np.int64)
+        if len(gram):
+            pos = _bloom_positions(gram, m_bits, n_hash)
+            hit = b[pos].all(axis=1)
+            np.add.at(hits, doc_idx, hit.astype(np.int64))
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "bloom_hits": pa.array(hits),
+                "flagged": pa.array(hits > 0),
+            }
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow")
