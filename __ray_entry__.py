@@ -534,6 +534,29 @@ def _q_decontamination(sf_dir: str):
     return decontaminate(_docs(sf_dir), k=8, n_bench=32)
 
 
+def _q_cms_counts(sf_dir: str):
+    """Count-Min point-frequency estimates (stages/sketch.py
+    count_min_sketch, 3x1024 int64): per-batch matrix partials summed —
+    token frequencies in 24 KB with no vocabulary shuffle.  Probe set =
+    distinct tokens of the 4 smallest-hash docs; all-int estimates are
+    exactly replicated by the cell-sum SQL."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xlink_ray.stages.curation import _benchmark_rows
+    from xlink_ray.stages.sketch import cms_estimates, count_min_sketch
+
+    docs = _docs(sf_dir)
+    mat = count_min_sketch(docs, w=1024, d=3)
+    bt = _benchmark_rows(docs, 4, text_col="text")
+    toks = sorted({t for txt in bt["text"].to_pylist() for t in txt.split(" ")})
+    est = cms_estimates(mat, toks)
+    return rd.from_arrow(
+        pa.table({"token": pa.array(toks, pa.string()), "cms_count": pa.array(est, pa.int64())})
+    )
+
+
 def _q_bloom_flags(sf_dir: str):
     """Bloom-filter decontamination (stages/curation.py
     bloom_decontaminate): the benchmark gram set folds into a 65536-bit
@@ -1261,6 +1284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantiles": _q_length_quantiles,
         "decontamination": _q_decontamination,
         "bloom_flags": _q_bloom_flags,
+        "cms_counts": _q_cms_counts,
         "curated_corpus": _q_curated_corpus,
         "media_features": _q_media_features,
         "media_features_raw": _q_media_features_raw,
@@ -1632,6 +1656,34 @@ bits AS (
 SELECT d.doc_id, COALESCE(a.bloom_hits, 0) AS bloom_hits,
        COALESCE(a.bloom_hits, 0) > 0 AS flagged
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
+        # Count-Min estimates (stages/sketch.count_min_sketch): cell
+        # (s, c) = sum of counts of ALL tokens hashing there; estimate
+        # = min over the 3 rows. All-int — exact compare.
+        "cms_counts": """
+WITH tc AS (
+  SELECT token, count(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+), salts(s) AS (VALUES (0), (1), (2)),
+cells AS (
+  SELECT s, ('0x' || substr(md5(CAST(s AS VARCHAR) || ':' || token), 1, 16))::UBIGINT % 1024 AS c,
+         SUM(n) AS v
+  FROM tc, salts GROUP BY s, c
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT AS hh
+  FROM documents
+), bench AS (SELECT doc_id FROM h ORDER BY hh, doc_id LIMIT 4),
+probe AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS token
+  FROM documents JOIN bench USING (doc_id)
+), pos AS (
+  SELECT token, s,
+         ('0x' || substr(md5(CAST(s AS VARCHAR) || ':' || token), 1, 16))::UBIGINT % 1024 AS c
+  FROM probe, salts
+)
+SELECT p.token, CAST(MIN(cl.v) AS BIGINT) AS cms_count
+FROM pos p JOIN cells cl ON cl.s = p.s AND cl.c = p.c
+GROUP BY p.token""",
         "vocab_counts": """
 SELECT token, CAST(count(*) AS BIGINT) AS n
 FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

@@ -86,3 +86,30 @@ def test_hll_estimate_within_error(ray_session):
     regs = hll_registers(ds, p=8).take_all()
     est = hll_estimate(regs, p=8)
     assert abs(est - n) / n < 0.26
+
+
+# -------------------------------------------------- Count-Min
+
+from xlink_ray.stages.sketch import count_min_sketch, cms_estimates
+
+
+def test_cms_never_underestimates_and_is_tight_when_sparse(ray_session):
+    texts = ["a a a b", "b c", "a d"]
+    ds = rd.from_items([{"text": t} for t in texts])
+    mat = count_min_sketch(ds, w=4096, d=3)
+    est = cms_estimates(mat, ["a", "b", "c", "d", "zzz"])
+    true = {"a": 4, "b": 2, "c": 1, "d": 1, "zzz": 0}
+    for tok, e in zip(["a", "b", "c", "d", "zzz"], est):
+        assert e >= true[tok]
+    # with 5 tokens in 4096 columns, collisions are wildly unlikely
+    assert list(est[:4]) == [4, 2, 1, 1]
+
+
+def test_cms_partition_invariance(ray_session):
+    texts = [f"tok{i % 7} filler" for i in range(40)]
+    a = count_min_sketch(rd.from_items([{"text": t} for t in texts]), w=64, d=2)
+    b = count_min_sketch(
+        rd.from_items([{"text": t} for t in texts]).repartition(8), w=64, d=2
+    )
+    assert (a == b).all()
+    assert a.sum() == 2 * 80  # every token counted once per row

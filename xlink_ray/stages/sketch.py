@@ -25,7 +25,13 @@ import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
-__all__ = ["frequent_tokens", "hll_registers", "hll_estimate"]
+__all__ = [
+    "frequent_tokens",
+    "hll_registers",
+    "hll_estimate",
+    "count_min_sketch",
+    "cms_estimates",
+]
 
 
 def frequent_tokens(
@@ -182,3 +188,60 @@ def hll_estimate(registers: "pa.Table | list[dict]", p: int = 6) -> float:
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)  # linear counting for small ranges
     return float(est)
+
+
+# -------------------------------------------------- Count-Min sketch
+
+def _cms_positions(tokens: "list[str]", w: int, d: int) -> np.ndarray:
+    """(len(tokens), d) column positions: md5-low64 of "salt:token"
+    mod w — the same SQL-stable salted family as the Bloom filter."""
+    from xlink_ray.functions.hashing import md5_low64
+
+    out = np.empty((len(tokens), d), dtype=np.int64)
+    for s in range(d):
+        out[:, s] = (md5_low64([f"{s}:{t}" for t in tokens]) % np.uint64(w)).astype(np.int64)
+    return out
+
+
+def count_min_sketch(
+    ds: Dataset, text_col: str = "text", w: int = 1024, d: int = 3
+) -> np.ndarray:
+    """Count-Min sketch of the corpus token stream → (d, w) int64
+    matrix (Cormode & Muthukrishnan 2005 — public algorithm).
+
+    Fixed-size-sketch reduce, same shape as the Bloom/HLL builders:
+    each batch folds its token counts into a d×w matrix inside
+    ``map_batches`` and the matrices SUM — token-frequency estimates
+    over any corpus size in d·w·8 bytes, no vocabulary shuffle.  All
+    integer, so estimates are exactly comparable across engines."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(t[text_col], " "))
+        counts = (
+            pa.table({"tk": flat}).group_by("tk").aggregate([([], "count_all")])
+        )
+        toks = counts["tk"].to_pylist()
+        n = counts["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.zeros((d, w), dtype=np.int64)
+        if toks:
+            pos = _cms_positions(toks, w, d)
+            for s in range(d):
+                np.add.at(mat[s], pos[:, s], n)
+        return pa.table({"m": pa.array([mat.tobytes()], pa.binary())})
+
+    acc = np.zeros((d, w), dtype=np.int64)
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        acc += np.frombuffer(row["m"], dtype=np.int64).reshape(d, w)
+    return acc
+
+
+def cms_estimates(mat: np.ndarray, tokens: "list[str]") -> np.ndarray:
+    """Point-frequency estimates: min over the d rows (never
+    underestimates the true count)."""
+    d, w = mat.shape
+    if not tokens:
+        return np.zeros(0, dtype=np.int64)
+    pos = _cms_positions(tokens, w, d)
+    return np.min(
+        np.stack([mat[s][pos[:, s]] for s in range(d)], axis=1), axis=1
+    ).astype(np.int64)
