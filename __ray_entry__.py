@@ -534,6 +534,39 @@ def _q_decontamination(sf_dir: str):
     return decontaminate(_docs(sf_dir), k=8, n_bench=32)
 
 
+def _q_corpus_diff(sf_dir: str):
+    """Recrawl delta (stages/curation.py corpus_diff): documents vs a
+    deterministically perturbed 'recrawl' (every 97th doc changed,
+    every 101st dropped, every 103rd cloned under a new id) → (doc_id,
+    status); one id shuffle moving 16-byte digests, not texts."""
+    import numpy as np
+    import pyarrow as pa
+
+    from xlink_ray.stages.curation import corpus_diff
+
+    old = _docs(sf_dir)
+
+    def perturb(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        keep = ids % 101 != 0
+        out_ids = list(ids[keep])
+        out_txt = [
+            txt + " v2" if i % 97 == 0 else txt
+            for i, txt in zip(ids[keep].tolist(), [texts[j] for j in np.flatnonzero(keep)])
+        ]
+        for i, txt in zip(ids.tolist(), texts):
+            if i % 103 == 0:
+                out_ids.append(i + 1_000_000)
+                out_txt.append("new doc " + str(i))
+        return pa.table(
+            {"doc_id": pa.array(out_ids, pa.int64()), "text": pa.array(out_txt, pa.string())}
+        )
+
+    new = _docs(sf_dir).map_batches(perturb, batch_format="pyarrow")
+    return corpus_diff(old, new)
+
+
 def _q_cms_counts(sf_dir: str):
     """Count-Min point-frequency estimates (stages/sketch.py
     count_min_sketch, 3x1024 int64): per-batch matrix partials summed —
@@ -1285,6 +1318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontamination": _q_decontamination,
         "bloom_flags": _q_bloom_flags,
         "cms_counts": _q_cms_counts,
+        "corpus_diff": _q_corpus_diff,
         "curated_corpus": _q_curated_corpus,
         "media_features": _q_media_features,
         "media_features_raw": _q_media_features_raw,
@@ -1656,6 +1690,23 @@ bits AS (
 SELECT d.doc_id, COALESCE(a.bloom_hits, 0) AS bloom_hits,
        COALESCE(a.bloom_hits, 0) > 0 AS flagged
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
+        # Recrawl delta (stages/curation.corpus_diff): the perturbed
+        # 'new' side is defined by the same deterministic rules.
+        "corpus_diff": """
+WITH old AS (SELECT doc_id, text FROM documents),
+new AS (
+  SELECT doc_id, CASE WHEN doc_id % 97 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 101 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, 'new doc ' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 103 = 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text""",
         # Count-Min estimates (stages/sketch.count_min_sketch): cell
         # (s, c) = sum of counts of ALL tokens hashing there; estimate
         # = min over the 3 rows. All-int — exact compare.

@@ -242,3 +242,36 @@ def test_bloom_flags_superset_of_exact(ray_session, sf_small):
     for d, c in exact.items():
         if c:
             assert bloom[d], "bloom must never miss a truly contaminated doc"
+
+
+# ---- corpus diff ----
+
+from xlink_ray.stages.curation import corpus_diff
+
+
+def test_corpus_diff_statuses(ray_session):
+    import ray.data as rd
+
+    old = rd.from_items(
+        [
+            {"doc_id": 1, "text": "same"},
+            {"doc_id": 2, "text": "will change"},
+            {"doc_id": 3, "text": "will vanish"},
+        ]
+    )
+    new = rd.from_items(
+        [
+            {"doc_id": 1, "text": "same"},
+            {"doc_id": 2, "text": "changed!"},
+            {"doc_id": 4, "text": "brand new"},
+        ]
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).take_all()}
+    assert got == {2: "changed", 3: "removed", 4: "added"}
+
+
+def test_corpus_diff_identical_is_empty(ray_session):
+    import ray.data as rd
+
+    docs = rd.from_items([{"doc_id": i, "text": f"t{i}"} for i in range(20)])
+    assert corpus_diff(docs, docs).count() == 0

@@ -42,6 +42,7 @@ __all__ = [
     "decontaminate",
     "bloom_filter_bits",
     "bloom_decontaminate",
+    "corpus_diff",
 ]
 
 _GRAM_BASE = np.uint64(1000003)
@@ -327,3 +328,67 @@ def bloom_decontaminate(
         )
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def corpus_diff(
+    old: Dataset,
+    new: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    nbuckets: int = 64,
+) -> Dataset:
+    """Recrawl delta: (doc_id, status) with status ∈ {'added',
+    'removed', 'changed'} — unchanged documents are omitted (the
+    overwhelming majority of a recrawl; emitting them would make the
+    diff corpus-sized).
+
+    One tagged union + ONE hash-bucket shuffle on the id; texts are
+    compared inside the bucket (md5-low64 digests travel instead of
+    the texts themselves, so the shuffle moves 16 bytes per doc).
+    """
+    from xlink_ray.functions.hashing import md5_low64
+    from xlink_ray.stages._bucket import bucket_shuffle
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            texts = t[text_col].to_pylist()
+            return pa.table(
+                {
+                    "doc_id": t[id_col].cast(pa.int64()),
+                    "h": pa.array(md5_low64(texts).view(np.int64)),
+                    "side": pa.array(np.full(t.num_rows, side, np.int8)),
+                }
+            )
+
+        return fn
+
+    tagged = old.map_batches(tag(0), batch_format="pyarrow").union(
+        new.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def diff_bucket(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        h = g["h"].to_numpy(zero_copy_only=False)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, ids))
+        ids, h, side = ids[order], h[order], side[order]
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        counts = np.diff(np.r_[starts, len(ids)])
+        out_id, out_st = [], []
+        one = counts == 1
+        # singletons: side 0 → removed, side 1 → added
+        out_id.append(ids[starts[one]])
+        out_st.append(np.where(side[starts[one]] == 0, "removed", "added"))
+        both = starts[counts == 2]
+        if len(both):
+            changed = h[both] != h[both + 1]
+            out_id.append(ids[both[changed]])
+            out_st.append(np.full(int(changed.sum()), "changed", dtype=object))
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "status": pa.array(np.concatenate(out_st).astype(str), pa.string()),
+            }
+        )
+
+    return bucket_shuffle(tagged, "doc_id", nbuckets, diff_bucket)
