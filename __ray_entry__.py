@@ -1015,6 +1015,16 @@ def _q_pagerank(sf_dir: str):
     return purchase_pagerank(sf_dir)
 
 
+def _q_purchase_kcore(sf_dir: str):
+    """Synchronous k-core peeling over the purchase graph
+    (stages/graph.py kcore_peel, k=10): fixed-round semantics so the
+    unrolled-CTE oracle replicates exactly; monotone peeling lets the
+    Ray side stop at the fixpoint."""
+    from xlink_ray.stages.graph import purchase_kcore
+
+    return purchase_kcore(sf_dir, k=10, rounds=12)
+
+
 def _q_purchase_distances(sf_dir: str):
     """Level-synchronous BFS hops over the purchase graph from the
     smallest customer node (stages/graph.py bfs_distances): min-plus
@@ -1228,6 +1238,33 @@ pr{i + 1} AS (
     return "".join(sql)
 
 
+def _kcore_sql(k: int = 10, rounds: int = 12) -> str:
+    """Unrolled replica of stages/graph.kcore_peel over the purchase
+    graph: each round keeps alive nodes with >= k alive neighbors."""
+    sql = [
+        """WITH eds AS MATERIALIZED (
+  SELECT DISTINCT 2*o.o_custkey AS src, 2*l.l_suppkey+1 AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+edges AS MATERIALIZED (SELECT src, dst FROM eds UNION SELECT dst, src FROM eds),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+a0 AS (SELECT node FROM nodes)"""
+    ]
+    for i in range(rounds):
+        sql.append(
+            f""",
+a{i + 1} AS MATERIALIZED (
+  SELECT n.node FROM a{i} n
+  JOIN edges e ON e.dst = n.node
+  JOIN a{i} s ON s.node = e.src
+  GROUP BY n.node HAVING COUNT(*) >= {k})"""
+        )
+    sql.append(
+        f"""
+SELECT n.node, n.node IN (SELECT node FROM a{rounds}) AS in_core FROM nodes n"""
+    )
+    return "".join(sql)
+
+
 def _q_winnow_fps(sf_dir: str):
     """Winnowing (MOSS) fingerprint selection: per doc, the
     rightmost-min gram hash of each w-window of word-k-gram hashes."""
@@ -1359,6 +1396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosupply_edges": _q_cosupply_edges,
         "weighted_pagerank": _q_weighted_pagerank,
         "purchase_distances": _q_purchase_distances,
+        "purchase_kcore": _q_purchase_kcore,
         "dup_ngrams": _q_dup_ngrams,
         "cdc_chunks": _q_cdc_chunks,
         "fidelity_links": _q_fidelity_links,
@@ -2018,6 +2056,7 @@ FROM reach GROUP BY u""",
         "communities": _label_prop_sql(),
         "purchase_walks": _walks_sql(),
         "weighted_pagerank": _weighted_pagerank_sql(),
+        "purchase_kcore": _kcore_sql(),
         # BFS distances (stages/graph.py bfs_distances): bounded
         # recursive closure + MIN(dist) per reached node; the bound
         # (dist < 64) mirrors the Ray side's max_rounds.

@@ -539,3 +539,70 @@ def test_purchase_distances_bipartite_parity(ray_session, sf_small):
     for r in rows:
         # even nodes (customers) at even hops, suppliers at odd hops
         assert (r["node"] % 2) == (r["dist"] % 2)
+
+
+# ---- k-core peeling ----
+
+from xlink_ray.stages.graph import kcore_peel, purchase_kcore
+
+
+def _reference_kcore(edges, k):
+    """True k-core via iterative peeling."""
+    adj = {}
+    for s, d in set(edges):
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    alive = set(adj)
+    while True:
+        drop = {v for v in alive if len(adj[v] & alive) < k}
+        if not drop:
+            return {v: v in alive for v in adj}
+        alive -= drop
+
+
+def _run_kcore(edges, k, **kw):
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([s for s, _ in edges], pa.int64()),
+                "dst": pa.array([d for _, d in edges], pa.int64()),
+            }
+        )
+    )
+    sym = edges + [(d, s) for s, d in edges]
+    out = kcore_peel(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([s for s, _ in sym], pa.int64()),
+                    "dst": pa.array([d for _, d in sym], pa.int64()),
+                }
+            )
+        ),
+        k=k,
+        **kw,
+    ).take_all()
+    return {r["node"]: r["in_core"] for r in out}
+
+
+def test_kcore_matches_reference(ray_session):
+    rng = np.random.default_rng(29)
+    edges = list({(int(a), int(b)) for a, b in rng.integers(0, 60, (300, 2)) if a != b})
+    for k in (2, 3, 5):
+        got = _run_kcore(edges, k, rounds=64, nbuckets=5)
+        assert got == _reference_kcore(edges, k)
+
+
+def test_kcore_cascade_peel(ray_session):
+    # a triangle with a pendant chain: 2-core = the triangle only,
+    # and the chain peels off over multiple cascading rounds
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6)]
+    got = _run_kcore(edges, 2, rounds=16, nbuckets=3)
+    assert got == {1: True, 2: True, 3: True, 4: False, 5: False, 6: False}
+
+
+def test_purchase_kcore_shape(ray_session, sf_small):
+    rows = purchase_kcore(sf_small, k=3, rounds=12).take_all()
+    assert len(rows) > 0
+    assert {r["in_core"] for r in rows} <= {True, False}

@@ -89,6 +89,8 @@ __all__ = [
     "cc_min_label",
     "bfs_distances",
     "purchase_distances",
+    "kcore_peel",
+    "purchase_kcore",
     "triangle_counts",
     "cosupply_triangles",
     "graph_walks",
@@ -659,6 +661,85 @@ def purchase_distances(sf_dir: str) -> Dataset:
         rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"]).min("o_custkey")
     )
     return bfs_distances(purchase_graph_edges(sf_dir), seeds=[seed])
+
+
+# --------------------------------------------------------- k-core peel
+
+@ray.remote
+def _peel_map(state: dict, nodes: np.ndarray, alive: np.ndarray, nbuckets: int) -> list:
+    """Ship one degree vote per edge whose SRC is still alive."""
+    src = state["src"]
+    if len(src) == 0:
+        return [_EMPTY_I64] * nbuckets
+    ok = alive[np.searchsorted(nodes, src)][state["perm"]]
+    bounds, dst = state["bounds"], state["dst_perm"]
+    return [dst[bounds[k] : bounds[k + 1]][ok[bounds[k] : bounds[k + 1]]] for k in range(nbuckets)]
+
+
+@ray.remote(num_returns=2)
+def _peel_reduce(nodes: np.ndarray, alive: np.ndarray, k: int, *pieces):
+    """alive[v] &= (votes from alive in-neighbors >= k)."""
+    deg = np.zeros(len(nodes), dtype=np.int64)
+    for arr in _flatten_pieces(pieces):
+        if len(arr):
+            np.add.at(deg, np.searchsorted(nodes, arr), 1)
+    out = alive & (deg >= k)
+    return out, int(np.count_nonzero(out != alive))
+
+
+@ray.remote
+def _alive_init(nodes: np.ndarray) -> np.ndarray:
+    return np.ones(len(nodes), dtype=bool)
+
+
+@ray.remote
+def _core_table(nodes: np.ndarray, alive: np.ndarray) -> pa.Table:
+    return pa.table(
+        {"node": pa.array(nodes, pa.int64()), "in_core": pa.array(alive, pa.bool_())}
+    )
+
+
+def kcore_peel(edges: Dataset, k: int, rounds: int = 12, nbuckets: int = 32) -> Dataset:
+    """Synchronous k-core peeling over undirected edges → (node,
+    in_core) after ``rounds`` peel rounds (each round simultaneously
+    removes every node whose degree within the surviving subgraph is
+    below ``k``).  A fixed round budget keeps the semantics
+    engine-independent and SQL-unrollable; peeling is monotone, so once
+    a round changes nothing the result IS the true k-core and the
+    driver stops early (extra unrolled rounds on the oracle side are
+    no-ops).  Same bucket harness as the other iterative operators;
+    duplicate edges collapse (degree counts distinct neighbors).
+    """
+    nb = nbuckets
+    harness = _graph_state(edges, nb)
+    if harness is None:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "in_core": pa.array([], pa.bool_())})
+        )
+    states, nodes = harness
+    alive = [_alive_init.remote(nodes[j]) for j in range(nb)]
+
+    for _ in range(rounds):
+        pieces = [
+            _peel_map.options(num_returns=nb).remote(states[j], nodes[j], alive[j], nb)
+            for j in range(nb)
+        ]
+        if nb == 1:
+            pieces = [[p] for p in pieces]
+        res = [
+            _peel_reduce.remote(nodes[j], alive[j], k, *[pieces[i][j] for i in range(nb)])
+            for j in range(nb)
+        ]
+        alive = [r[0] for r in res]
+        if sum(ray.get([r[1] for r in res])) == 0:
+            break
+
+    return rd.from_arrow_refs([_core_table.remote(nodes[j], alive[j]) for j in range(nb)])
+
+
+def purchase_kcore(sf_dir: str, k: int = 10, rounds: int = 12) -> Dataset:
+    """k-core membership of the purchase graph."""
+    return kcore_peel(purchase_graph_edges(sf_dir), k=k, rounds=rounds)
 
 
 # --------------------------------------------------- weighted PageRank
