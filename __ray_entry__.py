@@ -534,6 +534,20 @@ def _q_decontamination(sf_dir: str):
     return decontaminate(_docs(sf_dir), k=8, n_bench=32)
 
 
+def _q_constraint_violations(sf_dir: str):
+    """Data-quality gate (stages/validate.py check_constraints): null /
+    length / key-uniqueness violation counts — row-local rules fold to
+    per-batch partials; uniqueness is one hash-bucket shuffle."""
+    import ray.data as rd
+
+    from xlink_ray.stages.validate import check_constraints
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    return check_constraints(
+        docs, not_null=["text", "lang"], unique=["doc_id"], max_len={"text": 2000}
+    )
+
+
 def _q_corpus_diff(sf_dir: str):
     """Recrawl delta (stages/curation.py corpus_diff): documents vs a
     deterministically perturbed 'recrawl' (every 97th doc changed,
@@ -1356,6 +1370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_flags": _q_bloom_flags,
         "cms_counts": _q_cms_counts,
         "corpus_diff": _q_corpus_diff,
+        "constraint_violations": _q_constraint_violations,
         "curated_corpus": _q_curated_corpus,
         "media_features": _q_media_features,
         "media_features_raw": _q_media_features_raw,
@@ -1728,6 +1743,17 @@ bits AS (
 SELECT d.doc_id, COALESCE(a.bloom_hits, 0) AS bloom_hits,
        COALESCE(a.bloom_hits, 0) > 0 AS flagged
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
+        # Constraint checks (stages/validate.check_constraints).
+        "constraint_violations": """
+SELECT 'max_len:text' AS rule,
+       CAST(count(*) FILTER (WHERE length(text) > 2000) AS BIGINT) AS violations
+FROM documents
+UNION ALL
+SELECT 'not_null:lang', CAST(count(*) FILTER (WHERE lang IS NULL) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'not_null:text', CAST(count(*) FILTER (WHERE text IS NULL) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'unique:doc_id', CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) FROM documents""",
         # Recrawl delta (stages/curation.corpus_diff): the perturbed
         # 'new' side is defined by the same deterministic rules.
         "corpus_diff": """
