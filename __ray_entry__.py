@@ -1113,6 +1113,18 @@ def _q_hll_tokens(sf_dir: str):
     return hll_registers(docs, p=6)
 
 
+def _q_hll_by_lang(sf_dir: str):
+    """Grouped HyperLogLog (stages/sketch.py hll_registers_by): one
+    distinct-token sketch per language — per-batch register-max
+    collapse, one tiny (lang, register) groupby."""
+    import ray.data as rd
+
+    from xlink_ray.stages.sketch import hll_registers_by
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    return hll_registers_by(docs, "lang", p=6)
+
+
 def _q_communities(sf_dir: str):
     """Synchronous label propagation over the purchase graph
     (stages/graph.py label_prop) — same raw-task bucket harness as
@@ -1405,6 +1417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "communities": _q_communities,
         "hll_tokens": _q_hll_tokens,
+        "hll_by_lang": _q_hll_by_lang,
         "supplier_triangles": _q_supplier_triangles,
         "stripped_corpus": _q_stripped_corpus,
         "purchase_walks": _q_purchase_walks,
@@ -2118,6 +2131,15 @@ r AS (SELECT CAST(hash >> 58 AS BIGINT) AS register,
 SELECT register,
        CAST(max(CASE WHEN rem = 0 THEN 59 ELSE 59 - length(bin(rem)) END) AS BIGINT) AS rho
 FROM r GROUP BY register""",
+        "hll_by_lang": """
+WITH toks AS (SELECT DISTINCT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+h AS (SELECT lang, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS hash FROM toks),
+r AS (SELECT lang, CAST(hash >> 58 AS BIGINT) AS register,
+             hash & ((1::UBIGINT << 58) - 1) AS rem
+      FROM h)
+SELECT lang, register,
+       CAST(max(CASE WHEN rem = 0 THEN 59 ELSE 59 - length(bin(rem)) END) AS BIGINT) AS rho
+FROM r GROUP BY lang, register""",
         # Triangle counts (stages/graph.py triangle_counts): the oracle
         # counts each triangle once via an a<b<c three-way self-join —
         # orientation-free, so it checks the algorithm's RESULT, not

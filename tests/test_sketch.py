@@ -113,3 +113,22 @@ def test_cms_partition_invariance(ray_session):
     )
     assert (a == b).all()
     assert a.sum() == 2 * 80  # every token counted once per row
+
+
+def test_hll_registers_by_group(ray_session):
+    from xlink_ray.stages.sketch import hll_registers_by
+
+    rows = [{"g": "a", "text": "x y z"}, {"g": "b", "text": "x q"}, {"g": "a", "text": "y w"}]
+    got = {
+        (r["g"], r["register"]): r["rho"]
+        for r in hll_registers_by(rd.from_items(rows), "g", p=4).take_all()
+    }
+    # per-group sketch equals the ungrouped sketch of that group's text
+    for g, texts in (("a", ["x y z", "y w"]), ("b", ["x q"])):
+        solo = {
+            r["register"]: r["rho"]
+            for r in hll_registers(
+                rd.from_items([{"text": t} for t in texts]), p=4
+            ).take_all()
+        }
+        assert {k[1]: v for k, v in got.items() if k[0] == g} == solo

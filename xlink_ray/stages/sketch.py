@@ -28,6 +28,7 @@ from ray.data import Dataset
 __all__ = [
     "frequent_tokens",
     "hll_registers",
+    "hll_registers_by",
     "hll_estimate",
     "count_min_sketch",
     "cms_estimates",
@@ -116,6 +117,64 @@ def _bit_length_u64(x: np.ndarray) -> np.ndarray:
         x[big] >>= np.uint64(shift)
     n += x.astype(np.int64)  # x is now 0 or 1
     return n
+
+
+def hll_registers_by(
+    ds: Dataset, group_col: str, text_col: str = "text", p: int = 6
+) -> Dataset:
+    """Grouped HyperLogLog: (group, register, rho) — one sketch per
+    ``group_col`` value.  Same per-batch register-max collapse as
+    :func:`hll_registers` (≤ groups·2^p partial rows per batch), one
+    small groupby; per-group cardinality estimates at corpus scale
+    without a per-group vocabulary shuffle."""
+    from xlink_ray.functions.hashing import md5_low64
+
+    rem_bits = np.uint64(64 - p)
+    rem_mask = (np.uint64(1) << rem_bits) - np.uint64(1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.cast(t[text_col], pa.string()), " ")
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        grp = t[group_col].to_numpy(zero_copy_only=False)
+        grp_of = np.repeat(grp, counts)
+        empty = pa.table(
+            {
+                group_col: pa.array([], t[group_col].type),
+                "register": pa.array([], pa.int64()),
+                "rho": pa.array([], pa.int64()),
+            }
+        )
+        if len(flat) == 0:
+            return empty
+        # distinct (group, token) before hashing
+        tk = np.asarray(flat.to_pylist(), dtype=object)
+        order = np.lexsort((tk, grp_of))
+        grp_s, tk_s = grp_of[order], tk[order]
+        first = np.r_[True, (grp_s[1:] != grp_s[:-1]) | (tk_s[1:] != tk_s[:-1])]
+        grp_s, tk_s = grp_s[first], tk_s[first]
+        h = md5_low64(list(tk_s))
+        reg = (h >> rem_bits).astype(np.int64)
+        rho = (int(rem_bits) - _bit_length_u64(h & rem_mask) + 1).astype(np.int64)
+        order2 = np.lexsort((-rho, reg, grp_s))
+        g2, r2, rho2 = grp_s[order2], reg[order2], rho[order2]
+        keep = np.r_[True, (g2[1:] != g2[:-1]) | (r2[1:] != r2[:-1])]
+        return pa.table(
+            {
+                group_col: pa.array(list(g2[keep])),
+                "register": pa.array(r2[keep], pa.int64()),
+                "rho": pa.array(rho2[keep], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Max
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "register"])
+        .aggregate(Max("rho", alias_name="rho"))
+        .select_columns([group_col, "register", "rho"])
+    )
 
 
 def hll_registers(ds: Dataset, text_col: str = "text", p: int = 6) -> Dataset:
