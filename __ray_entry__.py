@@ -534,6 +534,21 @@ def _q_decontamination(sf_dir: str):
     return decontaminate(_docs(sf_dir), k=8, n_bench=32)
 
 
+def _q_table_profile(sf_dir: str):
+    """Column profiling (stages/validate.py profile_columns): rows /
+    nulls / exact distincts / min-max per column of orders — local
+    stats as per-batch partials, distincts via one hash-bucket shuffle
+    per column (keys never collected)."""
+    import ray.data as rd
+
+    from xlink_ray.stages.validate import profile_columns
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderstatus"]
+    )
+    return profile_columns(orders, int_cols=["o_orderkey", "o_custkey"], str_cols=["o_orderstatus"])
+
+
 def _q_constraint_violations(sf_dir: str):
     """Data-quality gate (stages/validate.py check_constraints): null /
     length / key-uniqueness violation counts — row-local rules fold to
@@ -1383,6 +1398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_counts": _q_cms_counts,
         "corpus_diff": _q_corpus_diff,
         "constraint_violations": _q_constraint_violations,
+        "table_profile": _q_table_profile,
         "curated_corpus": _q_curated_corpus,
         "media_features": _q_media_features,
         "media_features_raw": _q_media_features_raw,
@@ -1756,6 +1772,22 @@ bits AS (
 SELECT d.doc_id, COALESCE(a.bloom_hits, 0) AS bloom_hits,
        COALESCE(a.bloom_hits, 0) > 0 AS flagged
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
+        # Column profiles (stages/validate.profile_columns): -1
+        # sentinels for string min/max keep the schema uniform.
+        "table_profile": """
+SELECT 'o_orderkey' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(min(o_orderkey) AS BIGINT) AS min_v, CAST(max(o_orderkey) AS BIGINT) AS max_v
+FROM orders
+UNION ALL
+SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+       count(DISTINCT o_custkey), min(o_custkey), max(o_custkey)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+       count(DISTINCT o_orderstatus), -1, -1
+FROM orders""",
         # Constraint checks (stages/validate.check_constraints).
         "constraint_violations": """
 SELECT 'max_len:text' AS rule,

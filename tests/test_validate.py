@@ -37,3 +37,26 @@ def test_unique_counts_across_partitions(ray_session):
     ds = rd.from_items([{"id": i % 5} for i in range(50)]).repartition(10)
     got = _rules(ds, unique=["id"])
     assert got == {"unique:id": 45}
+
+
+# ---- column profiling ----
+
+from xlink_ray.stages.validate import profile_columns
+
+
+def test_profile_columns_basic(ray_session):
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([5, 1, 1, None, 9], pa.int64()),
+                "s": pa.array(["x", "x", None, "y", "z"], pa.string()),
+            }
+        )
+    ).repartition(3)
+    got = {r["column"]: r for r in profile_columns(ds, int_cols=["a"], str_cols=["s"]).take_all()}
+    a = got["a"]
+    assert (a["n_rows"], a["n_null"], a["min_v"], a["max_v"]) == (5, 1, 1, 9)
+    s = got["s"]
+    assert (s["n_rows"], s["n_null"], s["min_v"], s["max_v"]) == (5, 1, -1, -1)
+    assert s["n_distinct"] == 3  # x, y, z (nulls excluded, SQL semantics)
+    assert a["n_distinct"] == 3  # 5, 1, 9
