@@ -534,6 +534,25 @@ def _q_decontamination(sf_dir: str):
     return decontaminate(_docs(sf_dir), k=8, n_bench=32)
 
 
+def _q_blocking_quality(sf_dir: str):
+    """Blocking-scheme validation (stages/blocking.py blocking_quality):
+    reduction ratio + pairs completeness of the nation-key blocker
+    against the UNBLOCKED all-pairs truth (run on samples at scale) —
+    exact ppm integers."""
+    from xlink_ray.functions.similarity import levenshtein_pairs
+    from xlink_ray.pipelines.er import _customers
+    from xlink_ray.stages.blocking import blocking_quality
+
+    return blocking_quality(
+        _customers(sf_dir),
+        key_cols="c_nationkey",
+        id_col="c_custkey",
+        attr_col="c_name",
+        scorer=lambda A, B: levenshtein_pairs(A, B, max_dist=1),
+        keep=lambda s: s <= 1,
+    )
+
+
 def _q_table_profile(sf_dir: str):
     """Column profiling (stages/validate.py profile_columns): rows /
     nulls / exact distincts / min-max per column of orders — local
@@ -1399,6 +1418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_diff": _q_corpus_diff,
         "constraint_violations": _q_constraint_violations,
         "table_profile": _q_table_profile,
+        "blocking_quality": _q_blocking_quality,
         "curated_corpus": _q_curated_corpus,
         "media_features": _q_media_features,
         "media_features_raw": _q_media_features_raw,
@@ -1772,6 +1792,29 @@ bits AS (
 SELECT d.doc_id, COALESCE(a.bloom_hits, 0) AS bloom_hits,
        COALESCE(a.bloom_hits, 0) > 0 AS flagged
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
+        # Blocking quality (stages/blocking.blocking_quality): exact
+        # ppm integers via floor division on both sides.
+        "blocking_quality": """
+WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer),
+blocks AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS c FROM customer GROUP BY 1),
+cand AS (SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS s FROM blocks),
+tp AS (
+  SELECT CAST(count(*) AS BIGINT) AS s
+  FROM customer a JOIN customer b
+    ON a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1),
+cb AS (
+  SELECT CAST(count(*) AS BIGINT) AS s
+  FROM customer a JOIN customer b
+    ON a.c_custkey < b.c_custkey AND a.c_nationkey = b.c_nationkey
+   AND levenshtein(a.c_name, b.c_name) <= 1)
+SELECT t.n AS n_rows,
+       t.n * (t.n - 1) // 2 AS total_pairs,
+       cand.s AS candidate_pairs,
+       tp.s AS true_pairs,
+       cb.s AS co_blocked,
+       (t.n * (t.n - 1) // 2 - cand.s) * 1000000 // (t.n * (t.n - 1) // 2) AS reduction_ppm,
+       cb.s * 1000000 // tp.s AS completeness_ppm
+FROM t, cand, tp, cb""",
         # Column profiles (stages/validate.profile_columns): -1
         # sentinels for string min/max keep the schema uniform.
         "table_profile": """

@@ -59,3 +59,40 @@ def test_empty_edges_string_nodes(ray_session):
     )
     assert list(out["member_id"]) == ["u#1", "u#2", "x#0"]
     assert list(out["cluster_id"]) == ["u#1", "u#2", "x#0"]  # all singletons
+
+
+# ---- blocking quality metrics ----
+
+def test_blocking_quality_counts(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xlink_ray.stages.blocking import blocking_quality
+
+    # 6 rows, 2 blocks; names: exact dup inside block A, a cross-block
+    # dup that blocking MISSES, and unrelated names
+    rows = [
+        {"id": 1, "blk": 0, "name": "anna"},
+        {"id": 2, "blk": 0, "name": "anna"},
+        {"id": 3, "blk": 0, "name": "zzzz"},
+        {"id": 4, "blk": 1, "name": "anna"},   # true dup of 1,2 — other block
+        {"id": 5, "blk": 1, "name": "qqqq"},
+        {"id": 6, "blk": 1, "name": "wwww"},
+    ]
+    out = blocking_quality(
+        rd.from_items(rows),
+        key_cols="blk",
+        id_col="id",
+        attr_col="name",
+        scorer=lambda A, B: np.array(
+            [0 if a == b else 5 for a, b in zip(A, B)], dtype=np.int64
+        ),
+        keep=lambda s: s <= 1,
+    ).take_all()[0]
+    assert out["n_rows"] == 6 and out["total_pairs"] == 15
+    assert out["candidate_pairs"] == 6  # C(3,2) per block
+    assert out["true_pairs"] == 3       # (1,2), (1,4), (2,4)
+    assert out["co_blocked"] == 1       # only (1,2) share a block
+    assert out["reduction_ppm"] == (15 - 6) * 1_000_000 // 15
+    assert out["completeness_ppm"] == 1_000_000 // 3

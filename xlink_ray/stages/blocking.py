@@ -34,7 +34,7 @@ import pyarrow.compute as pc
 
 from ray.data import Dataset
 
-__all__ = ["normalize_key", "block_score_pairs", "group_sizes", "salt_hot_keys"]
+__all__ = ["normalize_key", "block_score_pairs", "group_sizes", "salt_hot_keys", "blocking_quality"]
 
 # pairs per scorer call: bounds every similarity kernel's DP buffers to
 # a few MB (cache-resident; a fresh worker's first-touch page-fault tax
@@ -333,3 +333,68 @@ def group_sizes(ds: Dataset, key_cols: list[str]) -> Dataset:
     from xlink_ray.stages.aggregates import grouped_count
 
     return grouped_count(ds, key_cols, "n")
+
+
+def blocking_quality(
+    ds: Dataset,
+    key_cols: "list[str] | str",
+    id_col: str,
+    attr_col: str,
+    scorer,
+    keep,
+) -> Dataset:
+    """Blocking-scheme quality report → ONE row: (n_rows, total_pairs,
+    candidate_pairs, true_pairs, co_blocked, reduction_ppm,
+    completeness_ppm) — the two standard blocking metrics (reduction
+    ratio, pairs completeness) in exact parts-per-million integers.
+
+    ``true_pairs`` re-scores WITHOUT blocking (one all-pairs pass via
+    the same chunked grid), so this is a VALIDATION op: run it on a
+    sample at corpus scale — the unblocked truth is O(n²) by
+    definition; the candidate/reduction side stays cheap (one
+    group-size count).  Ratios use integer floor division so both
+    engines agree bit-for-bit.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    n_rows = ds.count()
+    sizes = group_sizes(ds, keys).take_all()
+    candidate = sum(int(r["n"]) * (int(r["n"]) - 1) // 2 for r in sizes)
+    total = n_rows * (n_rows - 1) // 2
+
+    def with_const(t: pa.Table) -> pa.Table:
+        return t.append_column("__one", pa.array(np.zeros(t.num_rows, np.int8)))
+
+    true_pairs = block_score_pairs(
+        ds.map_batches(with_const, batch_format="pyarrow"),
+        key_cols="__one",
+        id_col=id_col,
+        attr_col=attr_col,
+        scorer=scorer,
+        keep=keep,
+    ).count()
+    co_blocked = block_score_pairs(
+        ds, key_cols=keys, id_col=id_col, attr_col=attr_col, scorer=scorer, keep=keep
+    ).count()
+
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_rows": pa.array([n_rows], pa.int64()),
+                "total_pairs": pa.array([total], pa.int64()),
+                "candidate_pairs": pa.array([candidate], pa.int64()),
+                "true_pairs": pa.array([true_pairs], pa.int64()),
+                "co_blocked": pa.array([co_blocked], pa.int64()),
+                "reduction_ppm": pa.array(
+                    [(total - candidate) * 1_000_000 // total if total else 1_000_000],
+                    pa.int64(),
+                ),
+                "completeness_ppm": pa.array(
+                    [co_blocked * 1_000_000 // true_pairs if true_pairs else 1_000_000],
+                    pa.int64(),
+                ),
+            }
+        )
+    )
