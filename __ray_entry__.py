@@ -534,6 +534,23 @@ def _q_decontamination(sf_dir: str):
     return decontaminate(_docs(sf_dir), k=8, n_bench=32)
 
 
+def _q_cluster_f1(sf_dir: str):
+    """Pairwise precision/recall/F1 between two clusterings — the
+    north rule's grading metric as a distributed operator
+    (stages/clustering.py pairwise_cluster_f1): JW-threshold clusters
+    scored against the Levenshtein-rule clusters; tp = contingency-cell
+    pair sums, no pair set materialized."""
+    from xlink_ray.pipelines import er
+    from xlink_ray.stages.clustering import connected_components, pairwise_cluster_f1
+
+    pred = connected_components(
+        er.customer_pairs_jw(sf_dir),
+        nodes=er._customers(sf_dir),
+        node_col="c_custkey",
+    )
+    return pairwise_cluster_f1(pred, er.customer_clusters(sf_dir))
+
+
 def _q_blocking_quality(sf_dir: str):
     """Blocking-scheme validation (stages/blocking.py blocking_quality):
     reduction ratio + pairs completeness of the nation-key blocker
@@ -1419,6 +1436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "constraint_violations": _q_constraint_violations,
         "table_profile": _q_table_profile,
         "blocking_quality": _q_blocking_quality,
+        "cluster_f1": _q_cluster_f1,
         "curated_corpus": _q_curated_corpus,
         "media_features": _q_media_features,
         "media_features_raw": _q_media_features_raw,
@@ -1792,6 +1810,46 @@ bits AS (
 SELECT d.doc_id, COALESCE(a.bloom_hits, 0) AS bloom_hits,
        COALESCE(a.bloom_hits, 0) > 0 AS flagged
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
+        # Pairwise cluster F1 (stages/clustering.pairwise_cluster_f1):
+        # tp = sum of C(cell,2) over the contingency table of the two
+        # recursive-closure clusterings; exact ppm floor division.
+        "cluster_f1": """
+WITH RECURSIVE
+e1 AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+  WHERE jaro_winkler_similarity(a.c_name, b.c_name) >= 0.94),
+sym1 AS (SELECT id_a AS u, id_b AS v FROM e1 UNION SELECT id_b, id_a FROM e1),
+r1(u, v) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION
+  SELECT r.u, s.v FROM r1 r JOIN sym1 s ON r.v = s.u),
+c1 AS (SELECT u AS id, MIN(v) AS p FROM r1 GROUP BY u),
+e2 AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+sym2 AS (SELECT id_a AS u, id_b AS v FROM e2 UNION SELECT id_b, id_a FROM e2),
+r2(u, v) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION
+  SELECT r.u, s.v FROM r2 r JOIN sym2 s ON r.v = s.u),
+c2 AS (SELECT u AS id, MIN(v) AS t FROM r2 GROUP BY u),
+j AS (SELECT c1.p, c2.t FROM c1 JOIN c2 USING (id)),
+cells AS (SELECT p, t, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY p, t),
+tpx AS (SELECT CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT) AS s FROM cells),
+ppx AS (SELECT CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT) AS s
+        FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM j GROUP BY p)),
+ptx AS (SELECT CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT) AS s
+        FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM j GROUP BY t))
+SELECT ppx.s AS pairs_pred, ptx.s AS pairs_true, tpx.s AS tp,
+       CASE WHEN ppx.s = 0 THEN 1000000 ELSE tpx.s * 1000000 // ppx.s END AS precision_ppm,
+       CASE WHEN ptx.s = 0 THEN 1000000 ELSE tpx.s * 1000000 // ptx.s END AS recall_ppm,
+       CASE WHEN ppx.s + ptx.s = 0 THEN 1000000
+            ELSE 2 * tpx.s * 1000000 // (ppx.s + ptx.s) END AS f1_ppm
+FROM ppx, ptx, tpx""",
         # Blocking quality (stages/blocking.blocking_quality): exact
         # ppm integers via floor division on both sides.
         "blocking_quality": """

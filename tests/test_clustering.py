@@ -98,3 +98,31 @@ def test_auto_routes_big_int_graphs_to_bucket(ray_session, monkeypatch):
     eds = rd.from_items([{"id_a": a, "id_b": b} for a, b in edges])
     got = _cc_dict(connected_components(eds, method="auto"))
     assert got == _oracle_cc(edges, None)
+
+
+# ---- pairwise cluster F1 ----
+
+def test_pairwise_cluster_f1_exact_counts(ray_session):
+    from xlink_ray.stages.clustering import pairwise_cluster_f1
+
+    # truth: {1,2,3} {4,5}; pred: {1,2} {3,4} {5}
+    truth = rd.from_items(
+        [{"member_id": i, "cluster_id": c} for i, c in [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)]]
+    )
+    pred = rd.from_items(
+        [{"member_id": i, "cluster_id": c} for i, c in [(1, 1), (2, 1), (3, 3), (4, 3), (5, 5)]]
+    )
+    r = pairwise_cluster_f1(pred, truth).take_all()[0]
+    # pred pairs: (1,2), (3,4); truth pairs: (1,2),(1,3),(2,3),(4,5)
+    assert (r["pairs_pred"], r["pairs_true"], r["tp"]) == (2, 4, 1)
+    assert r["precision_ppm"] == 500000
+    assert r["recall_ppm"] == 250000
+    assert r["f1_ppm"] == 2 * 1 * 1_000_000 // 6
+
+
+def test_pairwise_cluster_f1_identical_is_one(ray_session):
+    from xlink_ray.stages.clustering import pairwise_cluster_f1
+
+    c = rd.from_items([{"member_id": i, "cluster_id": i % 3} for i in range(30)])
+    r = pairwise_cluster_f1(c, c).take_all()[0]
+    assert r["precision_ppm"] == r["recall_ppm"] == r["f1_ppm"] == 1_000_000

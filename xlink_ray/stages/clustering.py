@@ -44,7 +44,7 @@ from ray.data.aggregate import Min
 
 from xlink_ray.state.broadcast import broadcast_table
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "pairwise_cluster_f1"]
 
 _LOCAL_EDGE_LIMIT = 2_000_000
 
@@ -388,3 +388,122 @@ def connected_components(
         return rd.from_arrow(_local_cc(tbl, extra))
 
     return _distributed_cc(e, nodes, node_col, max_rounds, attach=attach)
+
+
+def pairwise_cluster_f1(
+    pred: Dataset,
+    truth: Dataset,
+    id_col: str = "member_id",
+    cluster_col: str = "cluster_id",
+    nbuckets: int = 64,
+) -> Dataset:
+    """Pairwise precision/recall/F1 of one clustering against another
+    (the north rule's grading metric: pairs co-clustered in both) →
+    ONE row (pairs_pred, pairs_true, tp, precision_ppm, recall_ppm,
+    f1_ppm), exact ppm integers.
+
+    No pair set is ever materialized: tp = Σ C(n_ij, 2) over the
+    (pred, truth) contingency cells, and each side's pair count =
+    Σ C(cluster size, 2) — three hash-bucket counting shuffles over
+    id-aligned label rows.  Members must appear in both labelings
+    (inner join on id; one bucket shuffle aligns them).
+    """
+    import numpy as np
+
+    from xlink_ray.stages._bucket import bucket_shuffle
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "id": t[id_col].cast(pa.int64()),
+                    "c": t[cluster_col].cast(pa.int64()),
+                    "side": pa.array(np.full(t.num_rows, side, np.int8)),
+                }
+            )
+
+        return fn
+
+    tagged = pred.map_batches(tag(0), batch_format="pyarrow").union(
+        truth.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def align(g: pa.Table) -> pa.Table:
+        ids = g["id"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, ids))
+        ids, c, side = ids[order], c[order], side[order]
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        counts = np.diff(np.r_[starts, len(ids)])
+        both = starts[counts == 2]
+        return pa.table(
+            {
+                "pa_": pa.array(c[both], pa.int64()),
+                "tb": pa.array(c[both + 1], pa.int64()),
+            }
+        )
+
+    joined = bucket_shuffle(tagged, "id", nbuckets, align).materialize()
+
+    def pair_sum(keyed: Dataset, key: str) -> int:
+        def count_bucket(g: pa.Table) -> pa.Table:
+            k = g[key].to_numpy(zero_copy_only=False)
+            _, n = np.unique(k, return_counts=True)
+            return pa.table({"s": pa.array([int((n * (n - 1) // 2).sum())], pa.int64())})
+
+        return int(
+            sum(r["s"] for r in bucket_shuffle(keyed, key, nbuckets, count_bucket).take_all())
+        )
+
+    from xlink_ray.functions.hashing import mix64
+
+    def cell_key(t: pa.Table) -> pa.Table:
+        a = t["pa_"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["tb"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ck = (mix64(a) + np.uint64(3) * mix64(b)).astype(np.int64) & (2**62 - 1)
+        return t.append_column("ck", pa.array(ck))
+
+    def cell_bucket(g: pa.Table) -> pa.Table:
+        a = g["pa_"].to_numpy(zero_copy_only=False)
+        b = g["tb"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        starts = np.flatnonzero(np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        n = np.diff(np.r_[starts, len(a)])
+        return pa.table({"s": pa.array([int((n * (n - 1) // 2).sum())], pa.int64())})
+
+    tp = int(
+        sum(
+            r["s"]
+            for r in bucket_shuffle(
+                joined.map_batches(cell_key, batch_format="pyarrow"), "ck", nbuckets, cell_bucket
+            ).take_all()
+        )
+    )
+    pairs_pred = pair_sum(joined, "pa_")
+    pairs_true = pair_sum(joined, "tb")
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "pairs_pred": pa.array([pairs_pred], pa.int64()),
+                "pairs_true": pa.array([pairs_true], pa.int64()),
+                "tp": pa.array([tp], pa.int64()),
+                "precision_ppm": pa.array(
+                    [tp * 1_000_000 // pairs_pred if pairs_pred else 1_000_000], pa.int64()
+                ),
+                "recall_ppm": pa.array(
+                    [tp * 1_000_000 // pairs_true if pairs_true else 1_000_000], pa.int64()
+                ),
+                "f1_ppm": pa.array(
+                    [
+                        2 * tp * 1_000_000 // (pairs_pred + pairs_true)
+                        if pairs_pred + pairs_true
+                        else 1_000_000
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+    )
