@@ -126,3 +126,17 @@ def test_pairwise_cluster_f1_identical_is_one(ray_session):
     c = rd.from_items([{"member_id": i, "cluster_id": i % 3} for i in range(30)])
     r = pairwise_cluster_f1(c, c).take_all()[0]
     assert r["precision_ppm"] == r["recall_ppm"] == r["f1_ppm"] == 1_000_000
+
+
+def test_pairwise_cluster_f1_string_ids(ray_session):
+    from xlink_ray.stages.clustering import pairwise_cluster_f1
+
+    truth = rd.from_items(
+        [{"member_id": m, "cluster_id": c} for m, c in [("a#0", "x"), ("b#1", "x"), ("c#2", "y")]]
+    )
+    pred = rd.from_items(
+        [{"member_id": m, "cluster_id": c} for m, c in [("a#0", "p"), ("b#1", "q"), ("c#2", "q")]]
+    )
+    r = pairwise_cluster_f1(pred, truth).take_all()[0]
+    assert (r["pairs_pred"], r["pairs_true"], r["tp"]) == (1, 1, 0)
+    assert r["f1_ppm"] == 0

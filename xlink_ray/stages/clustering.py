@@ -412,12 +412,21 @@ def pairwise_cluster_f1(
 
     from xlink_ray.stages._bucket import bucket_shuffle
 
+    def to_i64(col: "pa.ChunkedArray") -> pa.Array:
+        """int columns cast; string ids md5-hash to int64 (the metric
+        only needs pair structure — collisions are ~n²/2^64)."""
+        from xlink_ray.functions.hashing import md5_low64
+
+        if pa.types.is_integer(col.type):
+            return col.cast(pa.int64())
+        return pa.array(md5_low64([str(s) for s in col.to_pylist()]).view(np.int64))
+
     def tag(side: int):
         def fn(t: pa.Table) -> pa.Table:
             return pa.table(
                 {
-                    "id": t[id_col].cast(pa.int64()),
-                    "c": t[cluster_col].cast(pa.int64()),
+                    "id": to_i64(t[id_col]),
+                    "c": to_i64(t[cluster_col]),
                     "side": pa.array(np.full(t.num_rows, side, np.int8)),
                 }
             )
