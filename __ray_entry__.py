@@ -370,6 +370,103 @@ def _q_ann_ivf(sf_dir: str):
     return ivf_topk(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), queries, k=10)
 
 
+def _kmeans_queries(sf_dir: str):
+    """Shared fit for the k-means family: deterministic rank init,
+    4 quantized Lloyd updates (see xlink_ray/stages/kmeans.py), then a
+    final streaming assignment pass."""
+    import ray.data as rd
+
+    from xlink_ray.stages.kmeans import kmeans_assign, kmeans_fit
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_fit(ds, k=10, iters=4)
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet"), cents
+
+
+def _q_kmeans_sizes(sf_dir: str):
+    """Distributed Lloyd k-means: final cell → member count (per-batch
+    bincount partials; driver holds only the k-vector)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from xlink_ray.stages.kmeans import kmeans_assign
+
+    ds, cents = _kmeans_queries(sf_dir)
+    k = len(cents)
+    asg = kmeans_assign(ds, cents).select_columns(["cell"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = np.bincount(t["cell"].to_numpy(zero_copy_only=False), minlength=k)
+        return pa.table(
+            {"cell": pa.array(np.arange(k, dtype=np.int64)), "n": pa.array(c.astype(np.int64))}
+        )
+
+    total = np.zeros(k, dtype=np.int64)
+    for b in asg.map_batches(partial, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        np.add.at(total, t["cell"].to_numpy(zero_copy_only=False), t["n"].to_numpy(zero_copy_only=False))
+    keep = total > 0
+    return pa.table(
+        {
+            "cell": pa.array(np.arange(k, dtype=np.int64)[keep]),
+            "n": pa.array(total[keep]),
+        }
+    )
+
+
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup semantic near-dup prune: k-means cells as blocks, drop
+    rows with a lower-id cosine-≥τ neighbor in the same cell."""
+    from xlink_ray.stages.kmeans import semantic_dedup
+
+    ds, cents = _kmeans_queries(sf_dir)
+    return semantic_dedup(ds, cents, tau=0.35)
+
+
+def _kmeans_cte(k: int = 10, iters: int = 4, quant: int = 6) -> str:
+    """DuckDB replica of kmeans_fit + the final assignment: unrolled
+    Lloyd iterations; centroid coordinates rounded to `quant` decimals
+    each update exactly as the Ray stage does, so both sides walk the
+    same quantized centroid sequence.  Exposes `a_final` (vec_id, v,
+    cell) under the final centroids."""
+    parts = [
+        "base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "ranked AS (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM base)",
+        f"""c0 AS (
+  SELECT CAST(t.c AS BIGINT) AS cell, list_transform(r.v, x -> round(x, {quant})) AS cv
+  FROM range({k}) t(c)
+  JOIN ranked r ON r.rn = (t.c * (SELECT count(*) FROM base)) // {k})""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""a{t} AS (
+  SELECT b.vec_id, b.v,
+         (SELECT c.cell FROM c{t - 1} c
+          ORDER BY list_distance(b.v, c.cv) ASC, c.cell ASC LIMIT 1) AS cell
+  FROM base b)"""
+        )
+        parts.append(
+            f"""u{t} AS (
+  SELECT cell, pos, round(avg(val), {quant}) AS m
+  FROM (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a{t})
+  GROUP BY cell, pos)"""
+        )
+        parts.append(
+            f"""c{t} AS (
+  SELECT p.cell, COALESCE(l.cv, p.cv) AS cv
+  FROM c{t - 1} p
+  LEFT JOIN (SELECT cell, list(m ORDER BY pos) AS cv FROM u{t} GROUP BY cell) l USING (cell))"""
+        )
+    parts.append(
+        f"""a_final AS (
+  SELECT b.vec_id, b.v,
+         (SELECT c.cell FROM c{iters} c
+          ORDER BY list_distance(b.v, c.cv) ASC, c.cell ASC LIMIT 1) AS cell
+  FROM base b)"""
+    )
+    return "WITH " + ",\n".join(parts)
+
+
 def _q_minhash_pairs(sf_dir: str):
     from xlink_ray.stages.dedup import minhash_lsh_pairs
 
@@ -1491,6 +1588,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "title_entities": _q_title_entities,
         "ann_ivf": _q_ann_ivf,
         "joint_norms": _q_joint_norms,
+        "kmeans_sizes": _q_kmeans_sizes,
+        "semantic_dedup": _q_semantic_dedup,
     }
 
 
@@ -2479,4 +2578,12 @@ UNION ALL
 SELECT o.* FROM orig o
 WHERE NOT EXISTS (SELECT 1 FROM manual m
                   WHERE m.mention = o.mention AND m.entity_id = o.entity_id)""",
+        "kmeans_sizes": f"""{_kmeans_cte()}
+SELECT cell, CAST(count(*) AS BIGINT) AS n FROM a_final GROUP BY cell""",
+        "semantic_dedup": f"""{_kmeans_cte()}
+SELECT a.vec_id, a.cell FROM a_final a
+WHERE NOT EXISTS (
+  SELECT 1 FROM a_final b
+  WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+    AND round(list_cosine_similarity(a.v, b.v), 9) >= 0.35)""",
     }
