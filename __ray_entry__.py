@@ -370,6 +370,111 @@ def _q_ann_ivf(sf_dir: str):
     return ivf_topk(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), queries, k=10)
 
 
+_URL_TLDS = ["com", "org", "net", "co.uk", "com.au"]
+_URL_BLOCKLIST = frozenset({"site0.com", "site3.co.uk"})
+
+
+def _docs_with_urls(sf_dir: str):
+    """documents + a deterministic crawl-shaped url column (scheme,
+    subdomain, multi-label public suffixes and path depth all vary with
+    doc_id — replicated verbatim in the SQL oracles)."""
+    import pyarrow as pa
+
+    def add_urls(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        srcs = t["source"].to_pylist()
+        urls = [
+            f"{'http' if i % 4 == 0 else 'https'}://"
+            f"{'www.' if i % 3 == 0 else ''}site{i % 7}.{_URL_TLDS[i % 5]}"
+            f"/{s}/{'d/' * (i % 3)}{i:08d}.html"
+            for i, s in zip(ids, srcs)
+        ]
+        return t.append_column("url", pa.array(urls, pa.string()))
+
+    return _docs(sf_dir).map_batches(add_urls, batch_format="pyarrow")
+
+
+def _url_cte() -> str:
+    tld_list = ", ".join(f"'{t}'" for t in _URL_TLDS)
+    return f"""WITH u AS (
+  SELECT doc_id, n_chars,
+    (CASE WHEN doc_id % 4 = 0 THEN 'http' ELSE 'https' END) || '://' ||
+    (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
+    'site' || CAST(doc_id % 7 AS VARCHAR) || '.' ||
+    ([{tld_list}])[CAST(doc_id % 5 AS INT) + 1] ||
+    '/' || source || '/' || repeat('d/', CAST(doc_id % 3 AS INT)) ||
+    printf('%08d', doc_id) || '.html' AS url
+  FROM documents),
+f AS (
+  SELECT doc_id, n_chars, url,
+    regexp_extract(url, '^(https?)://', 1) AS scheme,
+    regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+    regexp_extract(url, '^https?://[^/]+(/.*)$', 1) AS pth
+  FROM u),
+g AS (
+  SELECT doc_id, n_chars, scheme = 'https' AS https, host,
+    string_split(host, '.') AS p,
+    length(pth) - length(replace(pth, '/', '')) - 1 AS path_depth
+  FROM f),
+feat AS (
+  SELECT doc_id, n_chars, https, host, path_depth,
+    CASE WHEN len(p) >= 3
+              AND p[len(p)-1] || '.' || p[len(p)] IN ('co.uk','com.au','co.jp','org.uk')
+         THEN p[len(p)-2] || '.' || p[len(p)-1] || '.' || p[len(p)]
+         ELSE p[len(p)-1] || '.' || p[len(p)] END AS domain,
+    CASE WHEN len(p) >= 3
+              AND p[len(p)-1] || '.' || p[len(p)] IN ('co.uk','com.au','co.jp','org.uk')
+         THEN p[len(p)-1] || '.' || p[len(p)]
+         ELSE p[len(p)] END AS tld
+  FROM g)"""
+
+
+def _q_url_features(sf_dir: str):
+    """Crawl url parsing: scheme/host/registered-domain/public-suffix/
+    path-depth per page (stages/urlstats.py)."""
+    from xlink_ray.stages.urlstats import url_features
+
+    return url_features(_docs_with_urls(sf_dir)).select_columns(
+        ["doc_id", "https", "host", "domain", "tld", "path_depth"]
+    )
+
+
+def _q_domain_stats(sf_dir: str):
+    """Per-registered-domain corpus rollup after a domain-blocklist
+    filter: doc count + summed chars (partial agg per batch, one small
+    domain shuffle)."""
+    from xlink_ray.stages.urlstats import domain_filter, domain_stats
+
+    kept = domain_filter(_docs_with_urls(sf_dir), _URL_BLOCKLIST)
+    return domain_stats(kept, weight_col="n_chars")
+
+
+def _q_dataset_split(sf_dir: str):
+    """Deterministic leak-proof train/val/test split: per-(split, lang)
+    row counts (stages/curation.py hash_split)."""
+    import pyarrow as pa
+
+    from xlink_ray.stages.curation import hash_split
+
+    labeled = hash_split(_docs(sf_dir), {"train": 90, "val": 5, "test": 5})
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["split", "lang"])
+            .group_by(["split", "lang"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["split", "lang", "n"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        labeled.map_batches(partial, batch_format="pyarrow")
+        .groupby(["split", "lang"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
 def _kmeans_queries(sf_dir: str):
     """Shared fit for the k-means family: deterministic rank init,
     4 quantized Lloyd updates (see xlink_ray/stages/kmeans.py), then a
@@ -1590,6 +1695,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "joint_norms": _q_joint_norms,
         "kmeans_sizes": _q_kmeans_sizes,
         "semantic_dedup": _q_semantic_dedup,
+        "url_features": _q_url_features,
+        "domain_stats": _q_domain_stats,
+        "dataset_split": _q_dataset_split,
     }
 
 
@@ -2586,4 +2694,17 @@ WHERE NOT EXISTS (
   SELECT 1 FROM a_final b
   WHERE b.cell = a.cell AND b.vec_id < a.vec_id
     AND round(list_cosine_similarity(a.v, b.v), 9) >= 0.35)""",
+        "url_features": f"""{_url_cte()}
+SELECT doc_id, https, host, domain, tld, CAST(path_depth AS BIGINT) AS path_depth FROM feat""",
+        "domain_stats": f"""{_url_cte()}
+SELECT domain, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS weight
+FROM feat WHERE domain NOT IN ({", ".join(f"'{d}'" for d in sorted(_URL_BLOCKLIST))})
+GROUP BY domain""",
+        "dataset_split": """WITH h AS (
+  SELECT lang,
+         CASE WHEN hv < 90 THEN 'train' WHEN hv < 95 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT lang,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 100 AS hv
+        FROM documents))
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY split, lang""",
     }

@@ -36,6 +36,7 @@ from xlink_ray.functions.hashing import M61, affine61, md5_low64
 __all__ = [
     "hash_sample",
     "stratified_hash_sample",
+    "hash_split",
     "benchmark_doc_ids",
     "benchmark_gram_ref",
     "contamination_counts",
@@ -92,6 +93,35 @@ def stratified_hash_sample(
             count=t.num_rows,
         )
         return t.filter(pa.array(h < pct))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def hash_split(
+    ds: Dataset,
+    splits: "dict[str, int]",
+    mod: int = 100,
+    id_col: str = "doc_id",
+    rest_label: str = "rest",
+) -> Dataset:
+    """Append a deterministic ``split`` label (train/val/test …):
+    splits claim consecutive hash ranges in dict order — with
+    ``{"train": 90, "val": 5, "test": 5}`` a row goes to train when
+    md5_low64(str(id)) % mod < 90, to val when < 95, else test.  Rows
+    past the last bound (when the rates don't sum to ``mod``) get
+    ``rest_label``.  Same stability guarantees as :func:`hash_sample`;
+    disjoint and exhaustive by construction, so a doc can never leak
+    between train and test across reruns or cluster sizes."""
+    names = list(splits)
+    bounds = np.cumsum(np.asarray([splits[n] for n in names], dtype=np.int64))
+    if bounds[-1] > mod:
+        raise ValueError(f"split rates sum to {bounds[-1]} > mod={mod}")
+    labels = np.asarray(names + [rest_label], dtype=object)
+
+    def fn(t: pa.Table) -> pa.Table:
+        h = (_id_hashes(t[id_col]) % np.uint64(mod)).astype(np.int64)
+        idx = np.searchsorted(bounds, h, side="right")
+        return t.append_column("split", pa.array(labels[idx], pa.string()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
