@@ -475,6 +475,19 @@ def _q_dataset_split(sf_dir: str):
     )
 
 
+def _q_user_running_stats(sf_dir: str):
+    """SQL window-function family (lag / gap / running sum / rolling
+    mean / row_number) per user over event time — one hash exchange,
+    numpy run-kernels (stages/ordered.py)."""
+    import ray.data as rd
+
+    from xlink_ray.stages.ordered import keyed_window_stats
+
+    return keyed_window_stats(
+        rd.read_parquet(f"{sf_dir}/events.parquet"), window=3
+    )
+
+
 def _kmeans_queries(sf_dir: str):
     """Shared fit for the k-means family: deterministic rank init,
     4 quantized Lloyd updates (see xlink_ray/stages/kmeans.py), then a
@@ -1695,6 +1708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "joint_norms": _q_joint_norms,
         "kmeans_sizes": _q_kmeans_sizes,
         "semantic_dedup": _q_semantic_dedup,
+        "user_running_stats": _q_user_running_stats,
         "url_features": _q_url_features,
         "domain_stats": _q_domain_stats,
         "dataset_split": _q_dataset_split,
@@ -2694,6 +2708,14 @@ WHERE NOT EXISTS (
   SELECT 1 FROM a_final b
   WHERE b.cell = a.cell AND b.vec_id < a.vec_id
     AND round(list_cosine_similarity(a.v, b.v), 9) >= 0.35)""",
+        "user_running_stats": """SELECT event_id, user_id,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       lag(value) OVER w AS lag_value,
+       date_diff('microsecond', lag(ts) OVER w, ts) AS gap_us,
+       sum(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_sum,
+       avg(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
         "url_features": f"""{_url_cte()}
 SELECT doc_id, https, host, domain, tld, CAST(path_depth AS BIGINT) AS path_depth FROM feat""",
         "domain_stats": f"""{_url_cte()}
