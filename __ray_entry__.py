@@ -475,6 +475,43 @@ def _q_dataset_split(sf_dir: str):
     )
 
 
+def _q_clean_paragraphs(sf_dir: str):
+    """C4-style paragraph cleaning: explode docs into 12-word
+    paragraphs, keep full windows containing 'the', reassemble
+    surviving paragraphs per doc (stages/paragraphs.py — flat
+    expansion, streaming filter, one doc-keyed reassembly shuffle)."""
+    from xlink_ray.stages.paragraphs import (
+        explode_paragraphs,
+        filter_paragraphs,
+        reassemble_docs,
+    )
+
+    paras = explode_paragraphs(_docs(sf_dir), fixed_width=12)
+    kept = filter_paragraphs(paras, min_words=12, require_token="the")
+    return reassemble_docs(kept, sep="\n")
+
+
+_ACCENT_SUFFIXES = ["Café", "NAÏVE", "über", "RÉSUMÉ"]
+
+
+def _q_normalized_docs(sf_dir: str):
+    """Unicode text normalization (lower → strip accents → collapse
+    whitespace → trim); a deterministic accented suffix is appended
+    first so the op is exercised on non-ASCII input."""
+    import pyarrow as pa
+
+    from xlink_ray.stages.curation import normalize_corpus
+
+    def add_suffix(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        out = [f"{s}  {_ACCENT_SUFFIXES[i % 4]} " for i, s in zip(ids, texts)]
+        return t.set_column(t.schema.get_field_index("text"), "text", pa.array(out, pa.string()))
+
+    ds = _docs(sf_dir).map_batches(add_suffix, batch_format="pyarrow")
+    return normalize_corpus(ds).select_columns(["doc_id", "norm_text"])
+
+
 def _q_user_running_stats(sf_dir: str):
     """SQL window-function family (lag / gap / running sum / rolling
     mean / row_number) per user over event time — one hash exchange,
@@ -1709,6 +1746,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_sizes": _q_kmeans_sizes,
         "semantic_dedup": _q_semantic_dedup,
         "user_running_stats": _q_user_running_stats,
+        "clean_paragraphs": _q_clean_paragraphs,
+        "normalized_docs": _q_normalized_docs,
         "url_features": _q_url_features,
         "domain_stats": _q_domain_stats,
         "dataset_split": _q_dataset_split,
@@ -2708,6 +2747,29 @@ WHERE NOT EXISTS (
   SELECT 1 FROM a_final b
   WHERE b.cell = a.cell AND b.vec_id < a.vec_id
     AND round(list_cosine_similarity(a.v, b.v), 9) >= 0.35)""",
+        "clean_paragraphs": """WITH w AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents),
+p AS (
+  SELECT doc_id, (pos - 1) // 12 AS pidx,
+         string_agg(tok, ' ' ORDER BY pos) AS para,
+         CAST(count(*) AS BIGINT) AS nw
+  FROM w GROUP BY doc_id, (pos - 1) // 12),
+k AS (
+  SELECT doc_id, pidx, para FROM p
+  WHERE nw >= 12 AND list_contains(string_split(para, ' '), 'the'))
+SELECT doc_id, string_agg(para, chr(10) ORDER BY pidx) AS text,
+       CAST(count(*) AS BIGINT) AS n_paras
+FROM k GROUP BY doc_id""",
+        "normalized_docs": f"""WITH s AS (
+  SELECT doc_id,
+         text || '  ' || (['{_ACCENT_SUFFIXES[0]}','{_ACCENT_SUFFIXES[1]}','{_ACCENT_SUFFIXES[2]}','{_ACCENT_SUFFIXES[3]}'])[CAST(doc_id % 4 AS INT) + 1] || ' ' AS text
+  FROM documents)
+SELECT doc_id,
+       trim(regexp_replace(strip_accents(lower(text)), '\\s+', ' ', 'g')) AS norm_text
+FROM s""",
         "user_running_stats": """SELECT event_id, user_id,
        CAST(row_number() OVER w AS BIGINT) AS rn,
        lag(value) OVER w AS lag_value,

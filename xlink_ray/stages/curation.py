@@ -37,6 +37,7 @@ __all__ = [
     "hash_sample",
     "stratified_hash_sample",
     "hash_split",
+    "normalize_corpus",
     "benchmark_doc_ids",
     "benchmark_gram_ref",
     "contamination_counts",
@@ -122,6 +123,42 @@ def hash_split(
         h = (_id_hashes(t[id_col]) % np.uint64(mod)).astype(np.int64)
         idx = np.searchsorted(bounds, h, side="right")
         return t.append_column("split", pa.array(labels[idx], pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def normalize_corpus(ds: Dataset, col: str = "text", out_col: str = "norm_text") -> Dataset:
+    """Canonical text normalization: lowercase → strip accents (NFD,
+    drop combining marks, NFC) → collapse whitespace runs → trim.
+    Matches DuckDB ``trim(regexp_replace(strip_accents(lower(x)),
+    '\\s+', ' ', 'g'))``.  Lowercase/collapse/trim are Arrow kernels;
+    the python accent pass runs only on rows that actually contain
+    non-ASCII (mask-gated), so ASCII-heavy crawls stay vectorized."""
+    import unicodedata
+
+    def strip_accents(s: str) -> str:
+        return unicodedata.normalize(
+            "NFC",
+            "".join(
+                ch
+                for ch in unicodedata.normalize("NFD", s)
+                if unicodedata.category(ch) != "Mn"
+            ),
+        )
+
+    def fn(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t[col])
+        non_ascii = pc.match_substring_regex(low, r"[^\x00-\x7F]")
+        if pc.any(non_ascii).as_py():
+            vals = low.to_pylist()
+            mask = non_ascii.to_numpy(zero_copy_only=False)
+            for i in np.flatnonzero(mask):
+                vals[i] = strip_accents(vals[i])
+            low = pa.array(vals, pa.string())
+        out = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(low, r"\s+", " ")
+        )
+        return t.append_column(out_col, out)
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
