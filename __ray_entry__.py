@@ -475,6 +475,17 @@ def _q_dataset_split(sf_dir: str):
     )
 
 
+def _q_length_band_docs(sf_dir: str):
+    """Per-language interquartile length band: keep documents whose
+    n_chars sits inside the lang's [p25, p75] (winsorizing outlier
+    filter; band table is group-cardinality-sized and broadcast)."""
+    from xlink_ray.stages.stats import quantile_band_filter
+
+    return quantile_band_filter(
+        _docs(sf_dir), group_col="lang", val_col="n_chars"
+    ).select_columns(["doc_id", "lang", "n_chars"])
+
+
 def _q_clean_paragraphs(sf_dir: str):
     """C4-style paragraph cleaning: explode docs into 12-word
     paragraphs, keep full windows containing 'the', reassemble
@@ -1747,6 +1758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": _q_semantic_dedup,
         "user_running_stats": _q_user_running_stats,
         "clean_paragraphs": _q_clean_paragraphs,
+        "length_band_docs": _q_length_band_docs,
         "normalized_docs": _q_normalized_docs,
         "url_features": _q_url_features,
         "domain_stats": _q_domain_stats,
@@ -2747,6 +2759,19 @@ WHERE NOT EXISTS (
   SELECT 1 FROM a_final b
   WHERE b.cell = a.cell AND b.vec_id < a.vec_id
     AND round(list_cosine_similarity(a.v, b.v), 9) >= 0.35)""",
+        "length_band_docs": """WITH r AS (
+  SELECT lang, n_chars,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+         sum(cnt) OVER (PARTITION BY lang) AS tot
+  FROM (SELECT lang, n_chars, count(*) AS cnt FROM documents GROUP BY lang, n_chars)),
+b AS (
+  SELECT lang,
+         min(n_chars) FILTER (WHERE cum >= ceil(0.25 * tot)) AS lo_v,
+         min(n_chars) FILTER (WHERE cum >= ceil(0.75 * tot)) AS hi_v
+  FROM r GROUP BY lang)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN b USING (lang)
+WHERE d.n_chars BETWEEN b.lo_v AND b.hi_v""",
         "clean_paragraphs": """WITH w AS (
   SELECT doc_id,
          generate_subscripts(string_split(text, ' '), 1) AS pos,

@@ -124,3 +124,40 @@ def test_global_rank_empty(ray_session):
         pa.table({"doc_id": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
     )
     assert global_rank(ds, "v").take_all() == []
+
+
+def test_quantile_band_filter_matches_pandas(ray_session):
+    from xlink_ray.stages.stats import quantile_band_filter
+
+    rng = np.random.default_rng(23)
+    rows = pa.table(
+        {
+            "id": pa.array(np.arange(600, dtype=np.int64)),
+            "g": pa.array([f"g{int(x)}" for x in rng.integers(0, 4, 600)]),
+            "v": pa.array(rng.integers(0, 1000, 600).astype(np.int64)),
+        }
+    )
+    got = (
+        quantile_band_filter(
+            rd.from_arrow(rows).repartition(7), group_col="g", val_col="v"
+        )
+        .to_pandas()
+        .sort_values("id")
+    )
+    import pandas as pd
+
+    df = rows.to_pandas()
+
+    def band(s):
+        v = np.sort(s.to_numpy())
+        n = len(v)
+        lo = v[int(np.ceil(0.25 * n)) - 1]
+        hi = v[int(np.ceil(0.75 * n)) - 1]
+        return lo, hi
+
+    keep = []
+    for g, sub in df.groupby("g"):
+        lo, hi = band(sub["v"])
+        keep.append(sub[(sub["v"] >= lo) & (sub["v"] <= hi)])
+    want = pd.concat(keep).sort_values("id")
+    assert got["id"].tolist() == want["id"].tolist()

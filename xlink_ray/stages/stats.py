@@ -23,7 +23,7 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
-__all__ = ["group_topk", "grouped_quantiles", "global_rank"]
+__all__ = ["group_topk", "grouped_quantiles", "quantile_band_filter", "global_rank"]
 
 
 def _topk_batch(
@@ -143,6 +143,52 @@ def grouped_quantiles(
     return hist.groupby(group_col).map_groups(
         quantiles_of_group, batch_format="pyarrow"
     )
+
+
+def quantile_band_filter(
+    ds: Dataset,
+    group_col: str,
+    val_col: str,
+    lo: float = 0.25,
+    hi: float = 0.75,
+) -> Dataset:
+    """Winsorizing per-group outlier filter: keep rows whose value sits
+    inside the group's [q_lo, q_hi] quantile band (inclusive) — e.g.
+    drop per-language length outliers before training.
+
+    The band table is GROUP-cardinality-sized: computed distributed by
+    :func:`grouped_quantiles`, collected once, ``ray.put`` once, probed
+    in a streaming filter pass.  Prefer dyadic quantiles (0.25, 0.75,
+    0.5 …) — their rank arithmetic is exact in both numpy and SQL
+    floats, so the oracle replica can use plain ``ceil(q·n)``."""
+    import ray
+
+    bands = grouped_quantiles(ds, group_col, val_col, qs=(lo, hi))
+    tbl = pa.concat_tables(
+        pa.table(b) for b in bands.iter_batches(batch_format="pyarrow")
+    )
+    lo_map: dict = {}
+    hi_map: dict = {}
+    for g, q, v in zip(
+        tbl[group_col].to_pylist(), tbl["q"].to_pylist(), tbl["v"].to_pylist()
+    ):
+        (lo_map if q == lo else hi_map)[g] = v
+    ref = ray.put((lo_map, hi_map))
+
+    class BandFilter:
+        def __init__(self):
+            self.lo, self.hi = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            v = t[val_col].to_numpy(zero_copy_only=False)
+            gs = t[group_col].to_pylist()
+            lo_v = np.fromiter((self.lo[g] for g in gs), np.float64, t.num_rows)
+            hi_v = np.fromiter((self.hi[g] for g in gs), np.float64, t.num_rows)
+            return t.filter(pa.array((v >= lo_v) & (v <= hi_v)))
+
+    from xlink_ray.util import pool_size
+
+    return ds.map_batches(BandFilter, batch_format="pyarrow", concurrency=pool_size())
 
 
 def global_rank(
