@@ -475,6 +475,42 @@ def _q_dataset_split(sf_dir: str):
     )
 
 
+def _q_er_pairs_snm(sf_dir: str):
+    """Sorted-Neighborhood blocking (the classic SNM alternative to
+    key-equality blocking): candidates = name-adjacent customers within
+    a 5-row window of the global (name, id) order, scored with exact
+    Levenshtein on the pair rows (stages/snm.py)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from xlink_ray.functions.similarity import levenshtein_pairs
+    from xlink_ray.pipelines.er import _customers
+    from xlink_ray.stages.snm import sorted_neighborhood_pairs
+
+    pairs = sorted_neighborhood_pairs(
+        _customers(sf_dir), key_col="c_name", id_col="c_custkey", window=5
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                 "dist": pa.array([], pa.int64())}
+            )
+        ka = np.asarray(t["key_a"].to_pylist(), dtype=object)
+        kb = np.asarray(t["key_b"].to_pylist(), dtype=object)
+        d = levenshtein_pairs(ka, kb, max_dist=64)
+        return pa.table(
+            {
+                "id_a": t["id_a"],
+                "id_b": t["id_b"],
+                "dist": pa.array(d.astype(np.int64)),
+            }
+        )
+
+    return pairs.map_batches(score, batch_format="pyarrow")
+
+
 def _q_length_band_docs(sf_dir: str):
     """Per-language interquartile length band: keep documents whose
     n_chars sits inside the lang's [p25, p75] (winsorizing outlier
@@ -1759,6 +1795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_stats": _q_user_running_stats,
         "clean_paragraphs": _q_clean_paragraphs,
         "length_band_docs": _q_length_band_docs,
+        "er_pairs_snm": _q_er_pairs_snm,
         "normalized_docs": _q_normalized_docs,
         "url_features": _q_url_features,
         "domain_stats": _q_domain_stats,
@@ -2759,6 +2796,13 @@ WHERE NOT EXISTS (
   SELECT 1 FROM a_final b
   WHERE b.cell = a.cell AND b.vec_id < a.vec_id
     AND round(list_cosine_similarity(a.v, b.v), 9) >= 0.35)""",
+        "er_pairs_snm": """WITH r AS (
+  SELECT c_custkey AS id, c_name AS key,
+         row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+  FROM customer)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 5""",
         "length_band_docs": """WITH r AS (
   SELECT lang, n_chars,
          sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
