@@ -475,6 +475,50 @@ def _q_dataset_split(sf_dir: str):
     )
 
 
+def _q_part_fuzzy_pairs(sf_dir: str):
+    """Token-sort fuzzy matching (the fuzzywuzzy token_sort_ratio
+    shape): block parts on brand, compare Levenshtein over the
+    token-SORTED names so word order can't hide a match."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from xlink_ray.functions.similarity import levenshtein_pairs
+    from xlink_ray.stages.blocking import block_score_pairs
+
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_brand"]
+    )
+
+    def add_sorted(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["p_name"], " ")
+        skey = [" ".join(sorted(ws)) for ws in toks.to_pylist()]
+        return t.append_column("skey", pa.array(skey, pa.string()))
+
+    edges = block_score_pairs(
+        parts.map_batches(add_sorted, batch_format="pyarrow"),
+        key_cols="p_brand",
+        id_col="p_partkey",
+        attr_col="skey",
+        scorer=lambda A, B: levenshtein_pairs(A, B, max_dist=3),
+        keep=lambda s: s <= 3,
+        skew_cap=8192,
+    )
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id_a": pc.cast(t["id_a"], pa.int64()),
+                "id_b": pc.cast(t["id_b"], pa.int64()),
+                "dist": pc.cast(t["score"], pa.int64()),
+            }
+        )
+
+    return edges.map_batches(fmt, batch_format="pyarrow")
+
+
 def _q_er_pairs_snm(sf_dir: str):
     """Sorted-Neighborhood blocking (the classic SNM alternative to
     key-equality blocking): candidates = name-adjacent customers within
@@ -1796,6 +1840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_paragraphs": _q_clean_paragraphs,
         "length_band_docs": _q_length_band_docs,
         "er_pairs_snm": _q_er_pairs_snm,
+        "part_fuzzy_pairs": _q_part_fuzzy_pairs,
         "normalized_docs": _q_normalized_docs,
         "url_features": _q_url_features,
         "domain_stats": _q_domain_stats,
@@ -2796,6 +2841,14 @@ WHERE NOT EXISTS (
   SELECT 1 FROM a_final b
   WHERE b.cell = a.cell AND b.vec_id < a.vec_id
     AND round(list_cosine_similarity(a.v, b.v), 9) >= 0.35)""",
+        "part_fuzzy_pairs": """WITH p AS (
+  SELECT p_partkey, p_brand,
+         list_aggregate(list_sort(string_split(p_name, ' ')), 'string_agg', ' ') AS skey
+  FROM part)
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       CAST(levenshtein(a.skey, b.skey) AS BIGINT) AS dist
+FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.skey, b.skey) <= 3""",
         "er_pairs_snm": """WITH r AS (
   SELECT c_custkey AS id, c_name AS key,
          row_number() OVER (ORDER BY c_name, c_custkey) AS rn
