@@ -475,6 +475,18 @@ def _q_dataset_split(sf_dir: str):
     )
 
 
+def _q_part_codes(sf_dir: str):
+    """Dictionary-encoding: dense value-ordered int codes for p_name
+    (stages/stats.py categorify — distinct-only shuffle, broadcast
+    vocab, streaming index_in attach)."""
+    import ray.data as rd
+
+    from xlink_ray.stages.stats import categorify
+
+    parts = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+    return categorify(parts, "p_name").select_columns(["p_partkey", "p_name_code"])
+
+
 def _q_part_fuzzy_pairs(sf_dir: str):
     """Token-sort fuzzy matching (the fuzzywuzzy token_sort_ratio
     shape): block parts on brand, compare Levenshtein over the
@@ -1841,6 +1853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_band_docs": _q_length_band_docs,
         "er_pairs_snm": _q_er_pairs_snm,
         "part_fuzzy_pairs": _q_part_fuzzy_pairs,
+        "part_codes": _q_part_codes,
         "normalized_docs": _q_normalized_docs,
         "url_features": _q_url_features,
         "domain_stats": _q_domain_stats,
@@ -2841,6 +2854,9 @@ WHERE NOT EXISTS (
   SELECT 1 FROM a_final b
   WHERE b.cell = a.cell AND b.vec_id < a.vec_id
     AND round(list_cosine_similarity(a.v, b.v), 9) >= 0.35)""",
+        "part_codes": """SELECT p_partkey,
+       CAST(dense_rank() OVER (ORDER BY p_name) - 1 AS BIGINT) AS p_name_code
+FROM part""",
         "part_fuzzy_pairs": """WITH p AS (
   SELECT p_partkey, p_brand,
          list_aggregate(list_sort(string_split(p_name, ' ')), 'string_agg', ' ') AS skey

@@ -161,3 +161,18 @@ def test_quantile_band_filter_matches_pandas(ray_session):
         keep.append(sub[(sub["v"] >= lo) & (sub["v"] <= hi)])
     want = pd.concat(keep).sort_values("id")
     assert got["id"].tolist() == want["id"].tolist()
+
+
+def test_categorify_dense_value_ordered_codes(ray_session):
+    from xlink_ray.stages.stats import categorify
+
+    rng = np.random.default_rng(41)
+    vals = [f"v{int(x):03d}" for x in rng.integers(0, 60, 500)]
+    t = pa.table({"id": pa.array(range(500), pa.int64()),
+                  "s": pa.array(vals, pa.string())})
+    got = categorify(rd.from_arrow(t).repartition(7), "s").to_pandas()
+    uniq = sorted(set(vals))
+    code_of = {v: i for i, v in enumerate(uniq)}
+    assert got["s_code"].tolist() == [code_of[v] for v in got["s"]]
+    # dense: codes cover 0..n_distinct-1
+    assert sorted(set(got["s_code"])) == list(range(len(uniq)))

@@ -23,7 +23,7 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
-__all__ = ["group_topk", "grouped_quantiles", "quantile_band_filter", "global_rank"]
+__all__ = ["group_topk", "grouped_quantiles", "quantile_band_filter", "global_rank", "categorify"]
 
 
 def _topk_batch(
@@ -269,3 +269,60 @@ def global_rank(
         )
 
     return bucketed.groupby("__b").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def categorify(
+    ds: Dataset,
+    col: str,
+    out_col: str | None = None,
+    nbuckets: int = 64,
+) -> Dataset:
+    """Dictionary-encode a string column to dense int64 codes, ordered
+    by value (SQL ``dense_rank() OVER (ORDER BY col) - 1``).
+
+    Scale shape: per-batch distinct → one hash-bucket shuffle of the
+    DISTINCT values only (never the rows) → the vocabulary (dictionary-
+    sized by definition, same stance as train_embed.build_vocab) is
+    collected once, sorted, ``ray.put`` once, and codes attach in a
+    streaming ``index_in`` pass over the corpus."""
+    import ray
+
+    out_col = out_col or f"{col}_code"
+
+    def partial_distinct(t: pa.Table) -> pa.Table:
+        vals = pc.drop_null(t[col]).unique()
+        return pa.table({"v": vals})
+
+    def bucket_of(t: pa.Table) -> pa.Table:
+        from xlink_ray.functions.hashing import md5_low64
+
+        h = md5_low64(t["v"].to_pylist()) % np.uint64(nbuckets)
+        return t.append_column("__b", pa.array(h.astype(np.int64)))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        return pa.table({"v": g["v"].unique()})
+
+    distinct = (
+        ds.map_batches(partial_distinct, batch_format="pyarrow")
+        .map_batches(bucket_of, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    vocab = pa.concat_tables(
+        pa.table(b) for b in distinct.iter_batches(batch_format="pyarrow")
+    )
+    ordered = pa.compute.sort_indices(vocab["v"].combine_chunks())
+    vocab_arr = vocab["v"].combine_chunks().take(ordered)
+    ref = ray.put(vocab_arr)
+
+    class Attach:
+        def __init__(self):
+            self.vocab = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            codes = pc.index_in(t[col], value_set=self.vocab)
+            return t.append_column(out_col, codes.cast(pa.int64()))
+
+    from xlink_ray.util import pool_size
+
+    return ds.map_batches(Attach, batch_format="pyarrow", concurrency=pool_size())
