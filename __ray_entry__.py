@@ -475,6 +475,47 @@ def _q_dataset_split(sf_dir: str):
     )
 
 
+def _q_part_soundex(sf_dir: str):
+    """Phonetic blocking keys: simplified Soundex per part name
+    (functions/text.py soundex — amortized over unique values)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from xlink_ray.functions.text import soundex_keys
+
+    parts = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"p_partkey": t["p_partkey"], "sdx": soundex_keys(t["p_name"])}
+        )
+
+    return parts.map_batches(fn, batch_format="pyarrow")
+
+
+def _soundex_sql(col: str) -> str:
+    """DuckDB replica of functions/text.soundex (RE2 has no
+    backreferences, so adjacent-run collapse is 5 rounds of pairwise
+    replaces — enough for runs up to 32)."""
+    expr = "s"
+    for _ in range(5):
+        for d in "0123456":
+            expr = f"replace({expr}, '{d}{d}', '{d}')"
+    return f"""WITH uu AS (
+  SELECT p_partkey, upper(regexp_replace({col}, '[^A-Za-z]', '', 'g')) AS u FROM part),
+m AS (
+  SELECT p_partkey, u,
+         translate(u, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230120022455012623010202') AS s
+  FROM uu),
+c AS (SELECT p_partkey, u, {expr} AS s2 FROM m)
+SELECT p_partkey,
+       CASE WHEN length(u) = 0 THEN ''
+            ELSE substr(u, 1, 1) || substr(replace(substr(s2, 2), '0', '') || '000', 1, 3)
+       END AS sdx
+FROM c"""
+
+
 def _q_part_codes(sf_dir: str):
     """Dictionary-encoding: dense value-ordered int codes for p_name
     (stages/stats.py categorify — distinct-only shuffle, broadcast
@@ -1854,6 +1895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_pairs_snm": _q_er_pairs_snm,
         "part_fuzzy_pairs": _q_part_fuzzy_pairs,
         "part_codes": _q_part_codes,
+        "part_soundex": _q_part_soundex,
         "normalized_docs": _q_normalized_docs,
         "url_features": _q_url_features,
         "domain_stats": _q_domain_stats,
@@ -2854,6 +2896,7 @@ WHERE NOT EXISTS (
   SELECT 1 FROM a_final b
   WHERE b.cell = a.cell AND b.vec_id < a.vec_id
     AND round(list_cosine_similarity(a.v, b.v), 9) >= 0.35)""",
+        "part_soundex": _soundex_sql("p_name"),
         "part_codes": """SELECT p_partkey,
        CAST(dense_rank() OVER (ORDER BY p_name) - 1 AS BIGINT) AS p_name_code
 FROM part""",

@@ -65,3 +65,27 @@ def test_cosine_rows():
     y = np.array([[1.0, 0.0], [1.0, 0.0], [1.0, 1.0]])
     got = cosine_rows(x, y)
     assert np.allclose(got, [1.0, 1 / np.sqrt(2), 0.0])
+
+
+def test_soundex_standard_vectors():
+    from xlink_ray.functions.text import soundex
+
+    # classic test vectors under the simplified (H/W/Y-as-vowel) spec
+    assert soundex("Robert") == soundex("Rupert") == "R163"
+    assert soundex("Smith") == soundex("Smyth") == "S530"
+    assert soundex("Honeyman") == "H555"
+    assert soundex("Pfister") == "P236"   # adjacent same-code lead pair collapses
+    assert soundex("Tymczak") == "T522"
+    assert soundex("a") == "A000"
+    assert soundex("123") == ""
+    assert soundex("small ring") == "S546"  # non-alpha stripped first
+
+
+def test_soundex_keys_batch_matches_scalar():
+    import pyarrow as pa
+
+    from xlink_ray.functions.text import soundex, soundex_keys
+
+    names = ["Robert", "robert", "Lee", "Lu", "O'Brien", "O Brien", ""]
+    got = soundex_keys(pa.array(names, pa.string())).to_pylist()
+    assert got == [soundex(n) for n in names]

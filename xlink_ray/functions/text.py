@@ -11,6 +11,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = [
+    "soundex",
+    "soundex_keys",
     "strip_fromtitle",
     "strip_quotation_marks",
     "get_mention_from_title",
@@ -90,3 +92,38 @@ def collapse_cjk_spaces(text: str) -> str:
     every other gap in one pass — reproduced by using the same single
     ``re.sub`` pass."""
     return _CJK_SPACE_RE.sub(r"\1\3", text)
+
+
+_SOUNDEX_MAP = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "01230120022455012623010202"
+)
+_NON_ALPHA_RE = re.compile(r"[^A-Za-z]")
+
+
+def soundex(name: str) -> str:
+    """Simplified American Soundex (H/W/Y treated as vowels): letter +
+    3 digits. Spec, mirrored verbatim by the SQL oracle:
+    strip non-alpha → uppercase → map letters to codes (vowels→0) →
+    collapse adjacent equal codes → drop the first code (the lead
+    letter's own run) → drop zeros → first letter + 3 digits padded
+    with '0'. Empty after stripping → ''."""
+    u = _NON_ALPHA_RE.sub("", name).upper()
+    if not u:
+        return ""
+    s = u.translate(_SOUNDEX_MAP)
+    collapsed = s[0] + "".join(
+        c for prev, c in zip(s, s[1:]) if c != prev
+    )
+    digits = collapsed[1:].replace("0", "")
+    return u[0] + (digits + "000")[:3]
+
+
+def soundex_keys(names: pa.Array) -> pa.Array:
+    """Batch soundex — amortized over UNIQUE values (names repeat
+    heavily in blocking workloads)."""
+    import numpy as np
+
+    vals = np.asarray(names.to_pylist(), dtype=object)
+    uniq, inv = np.unique(vals, return_inverse=True)
+    codes = np.asarray([soundex(v) for v in uniq], dtype=object)
+    return pa.array(codes[inv], pa.string())
