@@ -475,6 +475,57 @@ def _q_dataset_split(sf_dir: str):
     )
 
 
+def _q_embedding_znorm(sf_dir: str):
+    """Per-dimension standardization (one 3×d-partial pass + broadcast
+    transform): L2 norm of each z-scored vector
+    (stages/projection.py)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from xlink_ray.stages.projection import dim_moments, standardize
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet").materialize()
+    mean, std, _ = dim_moments(ds)
+    z = standardize(ds, mean, std)
+
+    def norm(t: pa.Table) -> pa.Table:
+        m = np.asarray(t["zvec"].to_pylist(), dtype=np.float64)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "znorm": pa.array(np.sqrt((m * m).sum(axis=1)), pa.float64()),
+            }
+        )
+
+    return z.map_batches(norm, batch_format="pyarrow")
+
+
+def _q_pca_variance(sf_dir: str):
+    """Distributed exact PCA (d×d Gram partials, driver eigh): top-8
+    explained variance + ratio (not SQL-expressible — rows-only; the
+    numpy-reference equality lives in tests/test_projection.py)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from xlink_ray.stages.projection import pca_fit
+
+    _, evar, _ = pca_fit(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet"), n_components=8
+    )
+    total = evar.sum()
+    return pa.table(
+        {
+            "component": pa.array(np.arange(len(evar), dtype=np.int64)),
+            "explained_var": pa.array(np.round(evar, 9), pa.float64()),
+            "ratio": pa.array(np.round(evar / total, 9), pa.float64()),
+        }
+    )
+
+
 def _q_part_soundex(sf_dir: str):
     """Phonetic blocking keys: simplified Soundex per part name
     (functions/text.py soundex — amortized over unique values)."""
@@ -1896,6 +1947,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_fuzzy_pairs": _q_part_fuzzy_pairs,
         "part_codes": _q_part_codes,
         "part_soundex": _q_part_soundex,
+        "embedding_znorm": _q_embedding_znorm,
+        "pca_variance": _q_pca_variance,
         "normalized_docs": _q_normalized_docs,
         "url_features": _q_url_features,
         "domain_stats": _q_domain_stats,
@@ -2897,6 +2950,16 @@ WHERE NOT EXISTS (
   WHERE b.cell = a.cell AND b.vec_id < a.vec_id
     AND round(list_cosine_similarity(a.v, b.v), 9) >= 0.35)""",
         "part_soundex": _soundex_sql("p_name"),
+        "embedding_znorm": """WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings),
+st AS (SELECT pos, avg(val) AS mu, stddev_pop(val) AS sd FROM e GROUP BY pos),
+z AS (
+  SELECT e.vec_id,
+         (e.val - st.mu) / (CASE WHEN st.sd = 0 THEN 1 ELSE st.sd END) AS zv
+  FROM e JOIN st USING (pos))
+SELECT vec_id, sqrt(sum(zv * zv)) AS znorm FROM z GROUP BY vec_id""",
         "part_codes": """SELECT p_partkey,
        CAST(dense_rank() OVER (ORDER BY p_name) - 1 AS BIGINT) AS p_name_code
 FROM part""",
