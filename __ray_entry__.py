@@ -475,6 +475,39 @@ def _q_dataset_split(sf_dir: str):
     )
 
 
+_MIX_TARGETS = {"en": 50, "de": 15, "es": 15, "fr": 10, "zh": 10}
+
+
+def _mix_plan_cte() -> str:
+    vals = ", ".join(f"('{k}', {v})" for k, v in sorted(_MIX_TARGETS.items()))
+    return f"""w AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS weight FROM documents GROUP BY lang),
+tgt(lang, share) AS (VALUES {vals}),
+tm AS (SELECT min(w.weight * 100 // t.share) AS t_max FROM w JOIN tgt t USING (lang)),
+plan AS (
+  SELECT w.lang, w.weight,
+         ((t.share * tm.t_max // 100) * 1000000) // w.weight AS rate_ppm
+  FROM w JOIN tgt t USING (lang), tm)"""
+
+
+def _q_mixture_plan(sf_dir: str):
+    """Training-mix planning: per-language keep rates hitting the
+    largest feasible corpus at the target shares, integer-exact
+    (stages/curation.py mixture_plan)."""
+    from xlink_ray.stages.curation import mixture_plan
+
+    return mixture_plan(_docs(sf_dir), _MIX_TARGETS)
+
+
+def _q_mixture_corpus(sf_dir: str):
+    """Apply the mixture plan: deterministic per-language hash sample
+    at the planned ppm rates."""
+    from xlink_ray.stages.curation import mixture_sample
+
+    return mixture_sample(_docs(sf_dir), _MIX_TARGETS).select_columns(
+        ["doc_id", "lang"]
+    )
+
+
 def _q_embedding_znorm(sf_dir: str):
     """Per-dimension standardization (one 3×d-partial pass + broadcast
     transform): L2 norm of each z-scored vector
@@ -1948,6 +1981,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_codes": _q_part_codes,
         "part_soundex": _q_part_soundex,
         "embedding_znorm": _q_embedding_znorm,
+        "mixture_plan": _q_mixture_plan,
+        "mixture_corpus": _q_mixture_corpus,
         "pca_variance": _q_pca_variance,
         "normalized_docs": _q_normalized_docs,
         "url_features": _q_url_features,
@@ -2950,6 +2985,12 @@ WHERE NOT EXISTS (
   WHERE b.cell = a.cell AND b.vec_id < a.vec_id
     AND round(list_cosine_similarity(a.v, b.v), 9) >= 0.35)""",
         "part_soundex": _soundex_sql("p_name"),
+        "mixture_plan": f"""WITH {_mix_plan_cte()}
+SELECT lang, weight, CAST(rate_ppm AS BIGINT) AS rate_ppm FROM plan""",
+        "mixture_corpus": f"""WITH {_mix_plan_cte()}
+SELECT d.doc_id, d.lang
+FROM documents d JOIN plan p USING (lang)
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 16))::UBIGINT % 1000000 < p.rate_ppm""",
         "embedding_znorm": """WITH e AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
          CAST(unnest(embedding) AS DOUBLE) AS val

@@ -275,3 +275,48 @@ def test_corpus_diff_identical_is_empty(ray_session):
 
     docs = rd.from_items([{"doc_id": i, "text": f"t{i}"} for i in range(20)])
     assert corpus_diff(docs, docs).count() == 0
+
+
+def test_mixture_plan_integer_exact_and_feasible(ray_session):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from xlink_ray.stages.curation import mixture_plan
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(9), pa.int64()),
+            "lang": pa.array(["a"] * 6 + ["b"] * 3),
+            "n_chars": pa.array([100] * 6 + [200] * 3, pa.int64()),
+        }
+    )
+    # weights: a=600, b=600; targets a:75 b:25 → T bound by a: 600*100//75=800
+    plan = mixture_plan(
+        rd.from_arrow(t).repartition(4), {"a": 75, "b": 25},
+        strat_col="lang", weight_col="n_chars",
+    ).to_pandas().set_index("lang")
+    assert plan.loc["a", "weight"] == 600 and plan.loc["b", "weight"] == 600
+    # desired: a = 75*800//100 = 600 (rate 1.0); b = 25*800//100 = 200 (rate 1/3)
+    assert plan.loc["a", "rate_ppm"] == 1_000_000
+    assert plan.loc["b", "rate_ppm"] == 333_333
+
+
+def test_mixture_sample_drops_untargeted_strata(ray_session):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from xlink_ray.stages.curation import mixture_sample
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(100), pa.int64()),
+            "lang": pa.array(["a"] * 50 + ["junk"] * 50),
+            "n_chars": pa.array([10] * 100, pa.int64()),
+        }
+    )
+    kept = mixture_sample(
+        rd.from_arrow(t), {"a": 100}, strat_col="lang", weight_col="n_chars"
+    ).to_pandas()
+    assert set(kept["lang"]) == {"a"} and len(kept) == 50

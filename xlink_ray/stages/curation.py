@@ -38,6 +38,8 @@ __all__ = [
     "stratified_hash_sample",
     "hash_split",
     "normalize_corpus",
+    "mixture_plan",
+    "mixture_sample",
     "benchmark_doc_ids",
     "benchmark_gram_ref",
     "contamination_counts",
@@ -123,6 +125,87 @@ def hash_split(
         h = (_id_hashes(t[id_col]) % np.uint64(mod)).astype(np.int64)
         idx = np.searchsorted(bounds, h, side="right")
         return t.append_column("split", pa.array(labels[idx], pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def mixture_plan(
+    ds: Dataset,
+    targets: "dict[str, int]",
+    strat_col: str = "lang",
+    weight_col: str = "n_chars",
+    mod: int = 10**6,
+) -> pa.Table:
+    """Training-mix planning: given target stratum shares (integers
+    summing to any denominator), compute per-stratum keep rates that
+    hit the LARGEST feasible corpus with exactly those proportions,
+    never upsampling.  All arithmetic is integer (floor), so the SQL
+    replica is bit-identical:
+
+    T = min_s( weight_s · den // share_s );  desired_s = share_s·T // den;
+    rate_ppm_s = desired_s · mod // weight_s.
+
+    One small grouped-sum shuffle; the plan table is stratum-sized.
+    Returns (stratum, weight, rate_ppm)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            t.select([strat_col, weight_col])
+            .group_by(strat_col)
+            .aggregate([(weight_col, "sum")])
+            .rename_columns([strat_col, "w"])
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(strat_col)
+        .aggregate(Sum("w", alias_name="w"))
+        .take_all()
+    )
+    weights = {r[strat_col]: int(r["w"]) for r in rows}
+    missing = set(targets) - set(weights)
+    if missing:
+        raise ValueError(f"mixture targets name absent strata: {sorted(missing)}")
+    den = sum(targets.values())
+    t_max = min(weights[s] * den // share for s, share in targets.items() if share > 0)
+    strata = sorted(targets)
+    rate = {
+        s: ((targets[s] * t_max // den) * mod // weights[s] if targets[s] > 0 else 0)
+        for s in strata
+    }
+    return pa.table(
+        {
+            strat_col: pa.array(strata, pa.string()),
+            "weight": pa.array([weights[s] for s in strata], pa.int64()),
+            "rate_ppm": pa.array([rate[s] for s in strata], pa.int64()),
+        }
+    )
+
+
+def mixture_sample(
+    ds: Dataset,
+    targets: "dict[str, int]",
+    strat_col: str = "lang",
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    mod: int = 10**6,
+) -> Dataset:
+    """Apply :func:`mixture_plan`: keep a row when
+    md5_low64(str(id)) % mod < rate_ppm(stratum).  Strata outside the
+    target map are dropped (rate 0).  Deterministic and resumable like
+    every hash sampler here."""
+    plan = mixture_plan(ds, targets, strat_col, weight_col, mod)
+    rates = dict(zip(plan[strat_col].to_pylist(), plan["rate_ppm"].to_pylist()))
+
+    def fn(t: pa.Table) -> pa.Table:
+        h = _id_hashes(t[id_col]) % np.uint64(mod)
+        pct = np.fromiter(
+            (rates.get(s, 0) for s in t[strat_col].to_pylist()),
+            dtype=np.uint64,
+            count=t.num_rows,
+        )
+        return t.filter(pa.array(h < pct))
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
