@@ -508,6 +508,86 @@ def _q_mixture_corpus(sf_dir: str):
     )
 
 
+def _q_pair_features(sf_dir: str):
+    """ER pair feature vectors (classifier input): for every SNM
+    candidate pair, exact Levenshtein, Jaro-Winkler (basis points) and
+    absolute length difference — all pair-axis vectorized on the pair
+    rows, no extra join."""
+    import numpy as np
+    import pyarrow as pa
+
+    from xlink_ray.functions.similarity import jaro_winkler_pairs, levenshtein_pairs
+    from xlink_ray.pipelines.er import _customers
+    from xlink_ray.stages.snm import sorted_neighborhood_pairs
+
+    pairs = sorted_neighborhood_pairs(
+        _customers(sf_dir), key_col="c_name", id_col="c_custkey", window=5
+    )
+
+    def feats(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"id_a": z, "id_b": z, "lev": z, "jw_bp": z, "len_diff": z})
+        ka = np.asarray(t["key_a"].to_pylist(), dtype=object)
+        kb = np.asarray(t["key_b"].to_pylist(), dtype=object)
+        lev = levenshtein_pairs(ka, kb, max_dist=64).astype(np.int64)
+        jw = np.floor(jaro_winkler_pairs(ka, kb) * 10000.0).astype(np.int64)
+        ld = np.abs(
+            np.asarray([len(x) for x in ka], dtype=np.int64)
+            - np.asarray([len(x) for x in kb], dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "id_a": t["id_a"],
+                "id_b": t["id_b"],
+                "lev": pa.array(lev),
+                "jw_bp": pa.array(jw),
+                "len_diff": pa.array(ld),
+            }
+        )
+
+    return pairs.map_batches(feats, batch_format="pyarrow")
+
+
+def _q_er_threshold_sweep(sf_dir: str):
+    """ER operating-point evaluation: precision/recall (ppm) of the
+    Jaro-Winkler matcher at five thresholds, gold = the Levenshtein≤1
+    rule, over the nation-blocked candidate pairs. One scorer pass
+    computes both signals (encoded), pr_threshold_sweep folds
+    threshold-sized partials (stages/evaluation.py)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from xlink_ray.functions.similarity import jaro_winkler_pairs, levenshtein_pairs
+    from xlink_ray.pipelines.er import _customers
+    from xlink_ray.stages.blocking import block_score_pairs
+    from xlink_ray.stages.evaluation import pr_threshold_sweep
+
+    def scorer(A, B):
+        jw = np.floor(jaro_winkler_pairs(A, B) * 10000.0).astype(np.int64)
+        gold = (levenshtein_pairs(A, B, max_dist=1) <= 1).astype(np.int64)
+        return jw * 2 + gold
+
+    edges = block_score_pairs(
+        _customers(sf_dir),
+        key_cols="c_nationkey",
+        id_col="c_custkey",
+        attr_col="c_name",
+        scorer=scorer,
+        keep=lambda s: (s % 2 == 1) | (s >= 9000 * 2),
+        skew_cap=8192,
+    )
+
+    def decode(t: pa.Table) -> pa.Table:
+        s = t["score"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"score": pa.array(s // 2), "gold": pa.array((s % 2).astype(bool))}
+        )
+
+    labeled = edges.map_batches(decode, batch_format="pyarrow")
+    return pr_threshold_sweep(labeled, [9000, 9200, 9400, 9600, 9800])
+
+
 def _q_embedding_znorm(sf_dir: str):
     """Per-dimension standardization (one 3×d-partial pass + broadcast
     transform): L2 norm of each z-scored vector
@@ -1982,6 +2062,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_soundex": _q_part_soundex,
         "embedding_znorm": _q_embedding_znorm,
         "mixture_plan": _q_mixture_plan,
+        "pair_features": _q_pair_features,
+        "er_threshold_sweep": _q_er_threshold_sweep,
         "mixture_corpus": _q_mixture_corpus,
         "pca_variance": _q_pca_variance,
         "normalized_docs": _q_normalized_docs,
@@ -2985,6 +3067,32 @@ WHERE NOT EXISTS (
   WHERE b.cell = a.cell AND b.vec_id < a.vec_id
     AND round(list_cosine_similarity(a.v, b.v), 9) >= 0.35)""",
         "part_soundex": _soundex_sql("p_name"),
+        "er_threshold_sweep": """WITH s AS (
+  SELECT CAST(floor(jaro_winkler_similarity(a.c_name, b.c_name) * 10000) AS BIGINT) AS jw,
+         (levenshtein(a.c_name, b.c_name) <= 1) AS gold
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey),
+t(th) AS (VALUES (9000), (9200), (9400), (9600), (9800)),
+agg AS (
+  SELECT t.th,
+         count(*) FILTER (WHERE s.jw >= t.th AND s.gold) AS tp,
+         count(*) FILTER (WHERE s.jw >= t.th AND NOT s.gold) AS fp,
+         (SELECT count(*) FROM s WHERE gold) AS gold_n
+  FROM s, t GROUP BY t.th)
+SELECT CAST(th AS BIGINT) AS th, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(gold_n - tp AS BIGINT) AS fn,
+       CAST(CASE WHEN tp + fp > 0 THEN tp * 1000000 // (tp + fp) ELSE 0 END AS BIGINT) AS prec_ppm,
+       CAST(CASE WHEN gold_n > 0 THEN tp * 1000000 // gold_n ELSE 0 END AS BIGINT) AS rec_ppm
+FROM agg""",
+        "pair_features": """WITH r AS (
+  SELECT c_custkey AS id, c_name AS key,
+         row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+  FROM customer)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.key, b.key) AS BIGINT) AS lev,
+       CAST(floor(jaro_winkler_similarity(a.key, b.key) * 10000) AS BIGINT) AS jw_bp,
+       CAST(abs(length(a.key) - length(b.key)) AS BIGINT) AS len_diff
+FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 5""",
         "mixture_plan": f"""WITH {_mix_plan_cte()}
 SELECT lang, weight, CAST(rate_ppm AS BIGINT) AS rate_ppm FROM plan""",
         "mixture_corpus": f"""WITH {_mix_plan_cte()}

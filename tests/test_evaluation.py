@@ -52,3 +52,32 @@ def test_flagship_eval_sf0001(ray_session, sf_small):
     # ambiguous aliases resolve on noisy context → ED accuracy between
     # the unambiguous floor and 1
     assert 0.6 < out["ed_accuracy"] < 1.0
+
+
+def test_pr_threshold_sweep_hand_counts(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from xlink_ray.stages.evaluation import pr_threshold_sweep
+
+    # scores: 10,20,30,40; gold: T,F,T,F
+    t = pa.table(
+        {
+            "score": pa.array([10, 20, 30, 40], pa.int64()),
+            "gold": pa.array([True, False, True, False]),
+        }
+    )
+    out = (
+        pr_threshold_sweep(rd.from_arrow(t).repartition(3), [15, 35])
+        .to_pandas()
+        .set_index("th")
+    )
+    # th=15: pred {20,30,40} → tp=1 fp=2 fn=1
+    assert out.loc[15, ["tp", "fp", "fn"]].tolist() == [1, 2, 1]
+    assert out.loc[15, "prec_ppm"] == 1_000_000 // 3
+    assert out.loc[15, "rec_ppm"] == 500_000
+    # th=35: pred {40} → tp=0 fp=1 fn=2
+    assert out.loc[35, ["tp", "fp", "fn"]].tolist() == [0, 1, 2]
+    assert out.loc[35, "prec_ppm"] == 0

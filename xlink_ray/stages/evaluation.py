@@ -19,7 +19,7 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Max, Sum
 
-__all__ = ["linking_eval"]
+__all__ = ["linking_eval", "pr_threshold_sweep"]
 
 
 def linking_eval(pred: Dataset, gold: Dataset) -> pa.Table:
@@ -113,5 +113,69 @@ def linking_eval(pred: Dataset, gold: Dataset) -> pa.Table:
             "recall": pa.array([recall], pa.float64()),
             "f1": pa.array([f1], pa.float64()),
             "ed_accuracy": pa.array([ed_acc], pa.float64()),
+        }
+    )
+
+
+def pr_threshold_sweep(
+    pairs: Dataset,
+    thresholds: "list[int]",
+    score_col: str = "score",
+    gold_col: str = "gold",
+) -> pa.Table:
+    """Precision/recall sweep over score thresholds for labeled pairs:
+    for each t, predicted = score ≥ t, gold = the boolean label.
+
+    One streaming pass: every batch emits a (len(thresholds) × 3)
+    partial (tp, fp, plus the batch's gold count once) — driver state
+    is threshold-sized. Integer ppm outputs (floor), so a SQL FILTER
+    replica is bit-identical. Returns (th, tp, fp, fn, prec_ppm,
+    rec_ppm)."""
+    import numpy as np
+
+    ths = np.asarray(sorted(thresholds), dtype=np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t[score_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = t[gold_col].to_numpy(zero_copy_only=False).astype(bool)
+        pred = s[None, :] >= ths[:, None]  # (nth, n)
+        tp = (pred & g[None, :]).sum(axis=1).astype(np.int64)
+        fp = (pred & ~g[None, :]).sum(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "th": pa.array(ths),
+                "tp": pa.array(tp),
+                "fp": pa.array(fp),
+                "gold_n": pa.array(np.full(len(ths), int(g.sum()), dtype=np.int64)),
+            }
+        )
+
+    import numpy as _np
+
+    tp = _np.zeros(len(ths), dtype=_np.int64)
+    fp = _np.zeros(len(ths), dtype=_np.int64)
+    gold_n = 0
+    for b in pairs.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        t = pa.table(b)
+        idx = _np.searchsorted(ths, t["th"].to_numpy(zero_copy_only=False))
+        _np.add.at(tp, idx, t["tp"].to_numpy(zero_copy_only=False))
+        _np.add.at(fp, idx, t["fp"].to_numpy(zero_copy_only=False))
+        # gold_n repeats per threshold row within one partial — count
+        # each partial's gold once (rows where th == smallest threshold)
+        first = t["th"].to_numpy(zero_copy_only=False) == ths[0]
+        gold_n += int(t["gold_n"].to_numpy(zero_copy_only=False)[first].sum())
+    fn = gold_n - tp
+    prec = _np.where(tp + fp > 0, tp * 1_000_000 // _np.maximum(tp + fp, 1), 0)
+    rec = _np.where(gold_n > 0, tp * 1_000_000 // max(gold_n, 1), 0)
+    return pa.table(
+        {
+            "th": pa.array(ths),
+            "tp": pa.array(tp),
+            "fp": pa.array(fp),
+            "fn": pa.array(fn),
+            "prec_ppm": pa.array(prec.astype(_np.int64)),
+            "rec_ppm": pa.array(rec.astype(_np.int64)),
         }
     )
