@@ -11,7 +11,7 @@ query's bucket and its 1-bit neighbors.
 
 from __future__ import annotations
 
-from xlink_ray.util import pool_size
+from xlink_ray.util import pool_size, vecs_to_numpy
 
 import numpy as np
 import pyarrow as pa
@@ -48,7 +48,7 @@ def brute_topk(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-            m = _normalize(np.asarray(batch[vec_col].to_pylist(), dtype=np.float64))
+            m = _normalize(vecs_to_numpy(batch[vec_col]))
             sims = self.q @ m.T  # (nq, nb)
             nq, nb = sims.shape
             kk = min(k, nb)
@@ -119,7 +119,7 @@ def lsh_topk(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-            m = _normalize(np.asarray(batch[vec_col].to_pylist(), dtype=np.float64))
+            m = _normalize(vecs_to_numpy(batch[vec_col]))
             bks = bucket_of(m)
             uniq_b, inv = np.unique(bks, return_inverse=True)
             qs, vids, sims_out = [], [], []
@@ -228,7 +228,7 @@ def ivf_topk(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-            m = _normalize(np.asarray(batch[vec_col].to_pylist(), dtype=np.float64))
+            m = _normalize(vecs_to_numpy(batch[vec_col]))
             assign = np.argmax(m @ self.cents.T, axis=1)
             uniq_c, inv = np.unique(assign, return_inverse=True)
             qs, vids, sims_out = [], [], []

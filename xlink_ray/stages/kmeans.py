@@ -49,7 +49,9 @@ __all__ = ["kmeans_fit", "kmeans_assign", "semantic_dedup"]
 
 
 def _vecs(batch: pa.Table, vec_col: str) -> np.ndarray:
-    return np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+    from xlink_ray.util import vecs_to_numpy
+
+    return vecs_to_numpy(batch[vec_col])
 
 
 def _assign(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
@@ -104,29 +106,25 @@ def kmeans_fit(
     d = cents.shape[1]
 
     for _ in range(iters):
-        c_ref = ray.put(cents)
-
-        class Partial:
-            def __init__(self):
-                self.c = ray.get(c_ref)
-
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                m = _vecs(batch, vec_col)
-                a = _assign(m, self.c)
-                sums = np.zeros((k, d))
-                np.add.at(sums, a, m)
-                cnt = np.bincount(a, minlength=k).astype(np.int64)
-                return pa.table(
-                    {
-                        "cell": pa.array(np.arange(k, dtype=np.int64)),
-                        "cnt": pa.array(cnt),
-                        "vsum": pa.array(list(sums), pa.list_(pa.float64())),
-                    }
-                )
+        # centroids are k×d (tiny) — ship in the task closure; a plain
+        # task pool avoids a fresh actor-pool spin-up every iteration
+        def partial(batch: pa.Table, c: np.ndarray = cents) -> pa.Table:
+            m = _vecs(batch, vec_col)
+            a = _assign(m, c)
+            sums = np.zeros((k, d))
+            np.add.at(sums, a, m)
+            cnt = np.bincount(a, minlength=k).astype(np.int64)
+            return pa.table(
+                {
+                    "cell": pa.array(np.arange(k, dtype=np.int64)),
+                    "cnt": pa.array(cnt),
+                    "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                }
+            )
 
         sums = np.zeros((k, d))
         cnt = np.zeros(k, dtype=np.int64)
-        parts = ds.map_batches(Partial, batch_format="pyarrow", concurrency=pool_size())
+        parts = ds.map_batches(partial, batch_format="pyarrow")
         for b in parts.iter_batches(batch_format="pyarrow"):
             t = pa.table(b)
             # one iter_batches batch may concatenate several partials →

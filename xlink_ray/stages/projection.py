@@ -30,7 +30,9 @@ __all__ = ["dim_moments", "standardize", "pca_fit", "pca_transform"]
 
 
 def _vecs(batch: pa.Table, vec_col: str) -> np.ndarray:
-    return np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+    from xlink_ray.util import vecs_to_numpy
+
+    return vecs_to_numpy(batch[vec_col])
 
 
 def dim_moments(ds: Dataset, vec_col: str = "embedding") -> tuple[np.ndarray, np.ndarray, int]:

@@ -115,3 +115,32 @@ def prewarm_workers(mb: int = 64) -> int:
 
     pids = ray.get([_warm.remote(mb) for _ in range(ncpu)])
     return len(set(pids))
+
+
+def vecs_to_numpy(col, dtype="float64"):
+    """Zero-copy-ish (vector list column → 2-D numpy): flattens the
+    Arrow list buffer and reshapes when rows are uniform width —
+    avoiding the to_pylist() python-object round trip that costs ~100×
+    on wide embedding columns. Ragged input falls back to to_pylist."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 0), dtype=dtype)
+    if pa.types.is_fixed_size_list(arr.type):
+        d = arr.type.list_size
+        return (
+            arr.flatten().to_numpy(zero_copy_only=False).reshape(n, d).astype(dtype)
+        )
+    widths = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+    if (widths == widths[0]).all():
+        return (
+            arr.flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(n, int(widths[0]))
+            .astype(dtype)
+        )
+    return np.asarray(arr.to_pylist(), dtype=dtype)
