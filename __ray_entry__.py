@@ -549,6 +549,53 @@ def _q_pair_features(sf_dir: str):
     return pairs.map_batches(feats, batch_format="pyarrow")
 
 
+def _q_latest_events(sf_dir: str):
+    """Per-key argmax dedup (crawl-recency shape): each user's latest
+    event by (ts, event_id) — per-batch trim before the one key
+    shuffle (stages/stats.py latest_per_key)."""
+    import ray.data as rd
+
+    from xlink_ray.stages.stats import latest_per_key
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return latest_per_key(
+        ev, key_col="user_id", order_col="ts", tie_col="event_id"
+    ).select_columns(["user_id", "event_id"])
+
+
+def _q_event_props(sf_dir: str):
+    """JSON property extraction + rollup: parse props.k per event,
+    aggregate count and sum per event type."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from xlink_ray.stages.stats import json_field
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+    withk = json_field(ev, "props", "k", dtype=pa.int64())
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["event_type", "k"])
+            .group_by("event_type")
+            .aggregate([("k", "count"), ("k", "sum")])
+            .rename_columns(["event_type", "n", "sum_k"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        withk.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_k", alias_name="sum_k"))
+    )
+
+
 def _q_er_threshold_sweep(sf_dir: str):
     """ER operating-point evaluation: precision/recall (ppm) of the
     Jaro-Winkler matcher at five thresholds, gold = the Levenshtein≤1
@@ -2064,6 +2111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_plan": _q_mixture_plan,
         "pair_features": _q_pair_features,
         "er_threshold_sweep": _q_er_threshold_sweep,
+        "latest_events": _q_latest_events,
+        "event_props": _q_event_props,
         "mixture_corpus": _q_mixture_corpus,
         "pca_variance": _q_pca_variance,
         "normalized_docs": _q_normalized_docs,
@@ -3067,6 +3116,14 @@ WHERE NOT EXISTS (
   WHERE b.cell = a.cell AND b.vec_id < a.vec_id
     AND round(list_cosine_similarity(a.v, b.v), 9) >= 0.35)""",
         "part_soundex": _soundex_sql("p_name"),
+        "latest_events": """SELECT user_id, event_id FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1""",
+        "event_props": """SELECT event_type,
+       CAST(count(json_extract_string(props, '$.k')) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY event_type""",
         "er_threshold_sweep": """WITH s AS (
   SELECT CAST(floor(jaro_winkler_similarity(a.c_name, b.c_name) * 10000) AS BIGINT) AS jw,
          (levenshtein(a.c_name, b.c_name) <= 1) AS gold

@@ -176,3 +176,45 @@ def test_categorify_dense_value_ordered_codes(ray_session):
     assert got["s_code"].tolist() == [code_of[v] for v in got["s"]]
     # dense: codes cover 0..n_distinct-1
     assert sorted(set(got["s_code"])) == list(range(len(uniq)))
+
+
+def test_latest_per_key_matches_pandas(ray_session):
+    from xlink_ray.stages.stats import latest_per_key
+
+    rng = np.random.default_rng(53)
+    n = 500
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "k": pa.array(rng.integers(0, 40, n).astype(np.int64)),
+            # coarse ts so (k, ts) duplicates exercise the id tie-break
+            "ts": pa.array(rng.integers(0, 20, n).astype(np.int64)),
+        }
+    )
+    got = (
+        latest_per_key(rd.from_arrow(t).repartition(9), "k", "ts", "id")
+        .to_pandas()
+        .sort_values("k")
+    )
+    df = t.to_pandas().sort_values(["k", "ts", "id"]).groupby("k").tail(1)
+    want = df.sort_values("k")
+    assert got["id"].tolist() == want["id"].tolist()
+    assert len(got) == t.to_pandas()["k"].nunique()
+
+
+def test_json_field_extraction_and_nulls(ray_session):
+    from xlink_ray.stages.stats import json_field
+
+    t = pa.table(
+        {
+            "id": pa.array([0, 1, 2, 3], pa.int64()),
+            "props": pa.array(['{"k": 7}', '{"other": 1}', None, "not json"]),
+        }
+    )
+    out = (
+        json_field(rd.from_arrow(t), "props", "k", dtype=pa.int64())
+        .to_pandas()
+        .sort_values("id")
+    )
+    vals = out["k"].tolist()
+    assert vals[0] == 7 and all(v is None or v != v for v in vals[1:])

@@ -23,7 +23,7 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
-__all__ = ["group_topk", "grouped_quantiles", "quantile_band_filter", "global_rank", "categorify"]
+__all__ = ["group_topk", "grouped_quantiles", "quantile_band_filter", "global_rank", "categorify", "latest_per_key", "json_field"]
 
 
 def _topk_batch(
@@ -326,3 +326,69 @@ def categorify(
     from xlink_ray.util import pool_size
 
     return ds.map_batches(Attach, batch_format="pyarrow", concurrency=pool_size())
+
+
+def latest_per_key(
+    ds: Dataset,
+    key_col: str,
+    order_col: str,
+    tie_col: str,
+    nbuckets: int = 64,
+) -> Dataset:
+    """Keep each key's row with the max (order_col, tie_col) — the
+    crawl-recency dedup ("latest snapshot per url") and the generic
+    per-group argmax.
+
+    Two-level: every batch first trims to its local winner per key
+    (vectorized lexsort + run-last), so the ONE hash-bucket shuffle
+    moves at most one row per (key, block); the in-bucket kernel
+    repeats the same trim to pick the global winner. Equals SQL
+    ``row_number() OVER (PARTITION BY key ORDER BY ord DESC, tie
+    DESC) = 1``."""
+    from xlink_ray.stages._bucket import bucket_shuffle
+
+    def best_per_key(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        o = t[order_col].to_numpy(zero_copy_only=False)
+        if o.dtype.kind == "M":
+            o = o.astype("datetime64[us]").astype(np.int64)
+        tie = t[tie_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, o, k))
+        ks = k[order]
+        last = np.r_[ks[1:] != ks[:-1], True]  # run-last = max (o, tie)
+        return t.take(pa.array(order[last]))
+
+    trimmed = ds.map_batches(best_per_key, batch_format="pyarrow")
+    return bucket_shuffle(trimmed, key_col, nbuckets, best_per_key)
+
+
+def json_field(
+    ds: Dataset,
+    col: str,
+    field: str,
+    out_col: str | None = None,
+    dtype: "pa.DataType | None" = None,
+) -> Dataset:
+    """Extract one top-level field from a JSON-string column (the
+    events `props` shape). JSON decode is inherently per-row; the
+    parse is the kernel, everything around it stays Arrow. Missing
+    fields / nulls → null."""
+    import json
+
+    out_col = out_col or field
+
+    def fn(t: pa.Table) -> pa.Table:
+        vals = []
+        for s in t[col].to_pylist():
+            if s is None:
+                vals.append(None)
+                continue
+            try:
+                vals.append(json.loads(s).get(field))
+            except (ValueError, AttributeError):
+                vals.append(None)
+        return t.append_column(out_col, pa.array(vals, dtype))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
