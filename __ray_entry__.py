@@ -549,6 +549,40 @@ def _q_pair_features(sf_dir: str):
     return pairs.map_batches(feats, batch_format="pyarrow")
 
 
+def _q_paragraph_dedup(sf_dir: str):
+    """Cross-document exact paragraph dedup (the RefinedWeb step):
+    explode docs into 12-word paragraphs, keep only the FIRST global
+    occurrence of each distinct paragraph (min doc, then min position;
+    md5 hash as the shuffle key), reassemble the survivors per doc.
+    Pure composition: paragraphs.explode/reassemble + the min-variant
+    per-key argmax."""
+    import numpy as np
+    import pyarrow as pa
+
+    from xlink_ray.functions.hashing import md5_low64
+    from xlink_ray.stages.paragraphs import explode_paragraphs, reassemble_docs
+    from xlink_ray.stages.stats import latest_per_key
+
+    paras = explode_paragraphs(_docs(sf_dir), fixed_width=12)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        h = (md5_low64(t["para"].to_pylist()) >> np.uint64(1)).astype(np.int64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        pidx = t["pidx"].to_numpy(zero_copy_only=False)
+        if (pidx >= 1 << 20).any():
+            raise ValueError("pidx exceeds the packed-order budget")
+        packed = ids * (1 << 20) + pidx
+        return t.append_column("h", pa.array(h)).append_column(
+            "ord", pa.array(packed.astype(np.int64))
+        )
+
+    keyed = paras.map_batches(add_key, batch_format="pyarrow")
+    first = latest_per_key(keyed, key_col="h", order_col="ord", tie_col="ord", keep="min")
+    return reassemble_docs(
+        first.select_columns(["doc_id", "pidx", "para"]), sep="\n"
+    )
+
+
 def _q_latest_events(sf_dir: str):
     """Per-key argmax dedup (crawl-recency shape): each user's latest
     event by (ts, event_id) — per-batch trim before the one key
@@ -2112,6 +2146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pair_features": _q_pair_features,
         "er_threshold_sweep": _q_er_threshold_sweep,
         "latest_events": _q_latest_events,
+        "paragraph_dedup": _q_paragraph_dedup,
         "event_props": _q_event_props,
         "mixture_corpus": _q_mixture_corpus,
         "pca_variance": _q_pca_variance,
@@ -3116,6 +3151,22 @@ WHERE NOT EXISTS (
   WHERE b.cell = a.cell AND b.vec_id < a.vec_id
     AND round(list_cosine_similarity(a.v, b.v), 9) >= 0.35)""",
         "part_soundex": _soundex_sql("p_name"),
+        "paragraph_dedup": """WITH w AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents),
+p AS (
+  SELECT doc_id, (pos - 1) // 12 AS pidx,
+         string_agg(tok, ' ' ORDER BY pos) AS para
+  FROM w GROUP BY doc_id, (pos - 1) // 12),
+k AS (
+  SELECT doc_id, pidx, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pidx) AS rn
+  FROM p)
+SELECT doc_id, string_agg(para, chr(10) ORDER BY pidx) AS text,
+       CAST(count(*) AS BIGINT) AS n_paras
+FROM k WHERE rn = 1 GROUP BY doc_id""",
         "latest_events": """SELECT user_id, event_id FROM (
   SELECT user_id, event_id,
          row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn

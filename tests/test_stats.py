@@ -218,3 +218,19 @@ def test_json_field_extraction_and_nulls(ray_session):
     )
     vals = out["k"].tolist()
     assert vals[0] == 7 and all(v is None or v != v for v in vals[1:])
+
+
+def test_latest_per_key_min_variant(ray_session):
+    from xlink_ray.stages.stats import latest_per_key
+
+    t = pa.table(
+        {
+            "id": pa.array([0, 1, 2, 3], pa.int64()),
+            "k": pa.array([7, 7, 8, 8], pa.int64()),
+            "o": pa.array([5, 3, 1, 1], pa.int64()),
+        }
+    )
+    lo = latest_per_key(rd.from_arrow(t).repartition(3), "k", "o", "id", keep="min")
+    out = lo.to_pandas().sort_values("k")
+    # k=7 → min o=3 (id 1); k=8 → o tie, min id=2
+    assert out["id"].tolist() == [1, 2]

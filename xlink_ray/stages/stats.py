@@ -334,6 +334,7 @@ def latest_per_key(
     order_col: str,
     tie_col: str,
     nbuckets: int = 64,
+    keep: str = "max",
 ) -> Dataset:
     """Keep each key's row with the max (order_col, tie_col) — the
     crawl-recency dedup ("latest snapshot per url") and the generic
@@ -344,7 +345,10 @@ def latest_per_key(
     moves at most one row per (key, block); the in-bucket kernel
     repeats the same trim to pick the global winner. Equals SQL
     ``row_number() OVER (PARTITION BY key ORDER BY ord DESC, tie
-    DESC) = 1``."""
+    DESC) = 1`` (or ASC with ``keep="min"`` — the first-occurrence
+    winner used by cross-document exact dedup)."""
+    if keep not in ("max", "min"):
+        raise ValueError(f"keep must be 'max' or 'min', got {keep!r}")
     from xlink_ray.stages._bucket import bucket_shuffle
 
     def best_per_key(t: pa.Table) -> pa.Table:
@@ -357,8 +361,11 @@ def latest_per_key(
         tie = t[tie_col].to_numpy(zero_copy_only=False)
         order = np.lexsort((tie, o, k))
         ks = k[order]
-        last = np.r_[ks[1:] != ks[:-1], True]  # run-last = max (o, tie)
-        return t.take(pa.array(order[last]))
+        if keep == "max":
+            sel = np.r_[ks[1:] != ks[:-1], True]  # run-last = max (o, tie)
+        else:
+            sel = np.r_[True, ks[1:] != ks[:-1]]  # run-first = min (o, tie)
+        return t.take(pa.array(order[sel]))
 
     trimmed = ds.map_batches(best_per_key, batch_format="pyarrow")
     return bucket_shuffle(trimmed, key_col, nbuckets, best_per_key)
