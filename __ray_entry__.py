@@ -549,6 +549,21 @@ def _q_pair_features(sf_dir: str):
     return pairs.map_batches(feats, batch_format="pyarrow")
 
 
+def _q_bigram_lm(sf_dir: str):
+    """Bigram stupid-backoff LM scoring against a held-out model: the
+    model is counted from EVEN doc_ids only (so odd docs exercise the
+    backoff), unigrams broadcast, bigram counts joined reduce-side
+    (stages/ngram_lm.py)."""
+    import pyarrow.compute as pc
+
+    from xlink_ray.stages.ngram_lm import bigram_lm_scores
+
+    return bigram_lm_scores(
+        _docs(sf_dir),
+        model_filter=lambda t: pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0),
+    )
+
+
 def _q_paragraph_dedup(sf_dir: str):
     """Cross-document exact paragraph dedup (the RefinedWeb step):
     explode docs into 12-word paragraphs, keep only the FIRST global
@@ -2147,6 +2162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_threshold_sweep": _q_er_threshold_sweep,
         "latest_events": _q_latest_events,
         "paragraph_dedup": _q_paragraph_dedup,
+        "bigram_lm": _q_bigram_lm,
         "event_props": _q_event_props,
         "mixture_corpus": _q_mixture_corpus,
         "pca_variance": _q_pca_variance,
@@ -3151,6 +3167,31 @@ WHERE NOT EXISTS (
   WHERE b.cell = a.cell AND b.vec_id < a.vec_id
     AND round(list_cosine_similarity(a.v, b.v), 9) >= 0.35)""",
         "part_soundex": _soundex_sql("p_name"),
+        "bigram_lm": """WITH w AS (
+  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents),
+mw AS (SELECT * FROM w WHERE doc_id % 2 = 0),
+uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM mw GROUP BY tok),
+tot AS (SELECT count(*) AS n FROM mw),
+bg AS (
+  SELECT a.tok AS w1, b.tok AS w2, CAST(count(*) AS BIGINT) AS c
+  FROM mw a JOIN mw b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2),
+p AS (
+  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+sc AS (
+  SELECT p.doc_id,
+         CASE WHEN bg.c IS NOT NULL AND COALESCE(u1.c, 0) > 0
+              THEN log10(CAST(bg.c AS DOUBLE) / u1.c)
+              ELSE log10(0.4 * (COALESCE(u2.c, 0) + 1) / ((SELECT n FROM tot) + 1))
+         END AS lp
+  FROM p LEFT JOIN bg ON bg.w1 = p.w1 AND bg.w2 = p.w2
+         LEFT JOIN uni u1 ON u1.tok = p.w1
+         LEFT JOIN uni u2 ON u2.tok = p.w2)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, sum(lp) AS logprob
+FROM sc GROUP BY doc_id""",
         "paragraph_dedup": """WITH w AS (
   SELECT doc_id,
          generate_subscripts(string_split(text, ' '), 1) AS pos,
