@@ -549,6 +549,15 @@ def _q_pair_features(sf_dir: str):
     return pairs.map_batches(feats, batch_format="pyarrow")
 
 
+def _q_doc_keywords(sf_dir: str):
+    """Top-5 TF-IDF keywords per document; integer-quantized idf makes
+    the (score, token) ranking deterministic (stages/bm25.py
+    tfidf_keywords)."""
+    from xlink_ray.stages.bm25 import tfidf_keywords
+
+    return tfidf_keywords(_docs(sf_dir), k=5)
+
+
 def _q_bigram_lm(sf_dir: str):
     """Bigram stupid-backoff LM scoring against a held-out model: the
     model is counted from EVEN doc_ids only (so odd docs exercise the
@@ -2163,6 +2172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_events": _q_latest_events,
         "paragraph_dedup": _q_paragraph_dedup,
         "bigram_lm": _q_bigram_lm,
+        "doc_keywords": _q_doc_keywords,
         "event_props": _q_event_props,
         "mixture_corpus": _q_mixture_corpus,
         "pca_variance": _q_pca_variance,
@@ -3167,6 +3177,20 @@ WHERE NOT EXISTS (
   WHERE b.cell = a.cell AND b.vec_id < a.vec_id
     AND round(list_cosine_similarity(a.v, b.v), 9) >= 0.35)""",
         "part_soundex": _soundex_sql("p_name"),
+        "doc_keywords": """WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY doc_id, token),
+dfx AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM w GROUP BY token),
+nd AS (SELECT count(*) AS n FROM documents),
+sc AS (
+  SELECT tf.doc_id, tf.token,
+         tf.tf * CAST(round(ln((nd.n + 1.0) / (dfx.df + 1)) * 1000000) AS BIGINT) AS score_m
+  FROM tf JOIN dfx USING (token), nd),
+r AS (
+  SELECT doc_id, token, score_m,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score_m DESC, token) AS BIGINT) AS rank
+  FROM sc)
+SELECT doc_id, token, score_m, rank FROM r WHERE rank <= 5""",
         "bigram_lm": """WITH w AS (
   SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
          unnest(string_split(text, ' ')) AS tok

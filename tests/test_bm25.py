@@ -72,3 +72,48 @@ def test_bm25_empty_corpus(ray_session):
     # the schema at the Dataset level instead
     assert sorted(out.schema().names) == ["doc_id", "query_id", "score"]
     assert out.count() == 0
+
+
+def test_tfidf_keywords_matches_reference(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from xlink_ray.stages.bm25 import tfidf_keywords
+
+    docs = [
+        (0, "apple apple banana cherry"),
+        (1, "banana banana banana date"),
+        (2, "apple cherry cherry cherry date"),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs], pa.string()),
+        }
+    )
+    got = (
+        tfidf_keywords(rd.from_arrow(t).repartition(2), k=2)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+    # reference
+    from collections import Counter
+
+    n = len(docs)
+    df = Counter()
+    for _, txt in docs:
+        df.update(set(txt.split()))
+    rows = []
+    for i, txt in docs:
+        tf = Counter(txt.split())
+        scored = sorted(
+            ((c * int(round(np.log((n + 1) / (df[w] + 1)) * 1e6)), w) for w, c in tf.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:2]
+        for r, (s, w) in enumerate(scored, 1):
+            rows.append((i, w, s, r))
+    assert list(map(tuple, got[["doc_id", "token", "score_m", "rank"]].to_numpy())) == rows

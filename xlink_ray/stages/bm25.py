@@ -22,7 +22,7 @@ import pyarrow.compute as pc
 
 from ray.data import Dataset
 
-__all__ = ["bm25_scores"]
+__all__ = ["bm25_scores", "tfidf_keywords"]
 
 
 def bm25_scores(
@@ -119,3 +119,97 @@ def bm25_scores(
         )
 
     return docs.map_batches(score_batch, batch_format="pyarrow")
+
+
+def tfidf_keywords(
+    docs: Dataset,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Top-k TF-IDF keywords per document: (doc_id, token, score_m,
+    rank), score_m = tf · round(ln((N+1)/(df+1)) · 1e6) — the idf is
+    quantized to an INTEGER so ranking (score desc, token asc) is
+    deterministic and bit-identical to the SQL replica (a float tf·idf
+    would tie-break on 1-ulp log differences).
+
+    Scale shape: df is vocabulary-sized (one grouped-sum shuffle,
+    broadcast once); tf + top-k are per-doc local in one streaming
+    pass — (doc, token) counting is a vectorized unique over packed
+    (doc, token-code) int pairs, the per-doc top-k the usual
+    grouped-lexsort trim."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from xlink_ray.util import pool_size
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t[text_col], " ")
+        n = t.num_rows
+        flat = np.asarray(pc.list_flatten(toks).to_pylist(), dtype=object)
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+        codes, first_idx = np.unique(flat, return_inverse=True)
+        pair = doc_of * np.int64(len(codes)) + first_idx
+        uniq_pair = np.unique(pair)
+        tok_idx = (uniq_pair % len(codes)).astype(np.int64)
+        u, c = np.unique(tok_idx, return_counts=True)
+        return pa.table(
+            {
+                "token": pa.array(codes[u], pa.string()),
+                "df": pa.array(c.astype(np.int64)),
+                "nd": pa.array(np.full(len(u), n, dtype=np.int64)),
+            }
+        )
+
+    rows = (
+        docs.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+        .take_all()
+    )
+    n_docs = docs.count()
+    df = {r["token"]: int(r["df"]) for r in rows}
+    idf_m = {
+        t: int(round(np.log((n_docs + 1) / (d + 1)) * 1_000_000)) for t, d in df.items()
+    }
+    ref = ray.put(idf_m)
+
+    class TopK:
+        def __init__(self):
+            self.idf = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            toks = pc.split_pattern(t[text_col], " ")
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+            flat = np.asarray(pc.list_flatten(toks).to_pylist(), dtype=object)
+            doc_of = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)
+            codes, inv = np.unique(flat, return_inverse=True)
+            pair = doc_of * np.int64(len(codes)) + inv
+            uniq_pair, tf = np.unique(pair, return_counts=True)
+            d_idx = (uniq_pair // len(codes)).astype(np.int64)
+            t_idx = (uniq_pair % len(codes)).astype(np.int64)
+            toks_u = codes[t_idx]
+            idf = np.fromiter(
+                (self.idf.get(w, 0) for w in toks_u), np.int64, len(toks_u)
+            )
+            score = tf.astype(np.int64) * idf
+            # per-doc top-k: (doc, score desc, token asc)
+            order = np.lexsort((toks_u, -score, d_idx))
+            ds_sorted = d_idx[order]
+            new = np.r_[True, ds_sorted[1:] != ds_sorted[:-1]]
+            start = np.maximum.accumulate(np.where(new, np.arange(len(ds_sorted)), 0))
+            rank = np.arange(len(ds_sorted)) - start + 1
+            keep = rank <= k
+            sel = order[keep]
+            return pa.table(
+                {
+                    id_col: pa.array(ids[d_idx[sel]]),
+                    "token": pa.array(toks_u[sel], pa.string()),
+                    "score_m": pa.array(score[sel]),
+                    "rank": pa.array(rank[keep].astype(np.int64)),
+                }
+            )
+
+    return docs.map_batches(TopK, batch_format="pyarrow", concurrency=pool_size())
