@@ -126,6 +126,17 @@ def _q_er_clusters(sf_dir: str):
     return er.customer_clusters(sf_dir)
 
 
+def _q_er_attach(sf_dir: str):
+    """Incremental linkage (stages/attach.py): new records (1-in-4
+    customers) attach to the best Jaro-Winkler match among the standing
+    base records' clusters within their nation block, or found a
+    singleton. One blocking shuffle + an in-task bipartite argmax —
+    the pair grid never leaves the group task."""
+    from xlink_ray.pipelines import er
+
+    return er.customer_attach(sf_dir)
+
+
 def _q_er_clusters_dist(sf_dir: str):
     """Same result via the distributed label-propagation path."""
     from xlink_ray.pipelines import er
@@ -2076,6 +2087,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_clusters": _q_er_clusters,
         "er_clusters_dist": _q_er_clusters_dist,
         "er_clusters_bucket": _q_er_clusters_bucket,
+        "er_attach": _q_er_attach,
         "doc_mentions": _q_doc_mentions,
         "links": _q_links,
         "links_partitioned": _q_links_partitioned,
@@ -2860,6 +2872,27 @@ SELECT u.doc_id, u.n_words, u.n_distinct_words,
        COALESCE(b3.top_3gram_n, 0) AS top_3gram_n
 FROM uni u LEFT JOIN b2 ON u.doc_id = b2.doc_id
            LEFT JOIN b3 ON u.doc_id = b3.doc_id""",
+        "er_attach": """
+WITH base AS (
+  SELECT c_custkey AS id, c_name, c_nationkey, c_custkey // 2 AS cluster_id
+  FROM customer WHERE c_custkey % 4 <> 0),
+newr AS (
+  SELECT c_custkey AS id, c_name, c_nationkey
+  FROM customer WHERE c_custkey % 4 = 0),
+scored AS (
+  SELECT n.id AS nid, b.id AS bid, b.cluster_id AS bcl,
+         CAST(floor(jaro_winkler_similarity(n.c_name, b.c_name) * 10000) AS BIGINT) AS sim_bp
+  FROM newr n JOIN base b ON n.c_nationkey = b.c_nationkey),
+best AS (
+  SELECT nid, bid, bcl, sim_bp,
+         row_number() OVER (PARTITION BY nid ORDER BY sim_bp DESC, bid) AS rn
+  FROM scored)
+SELECT n.id AS id,
+       CASE WHEN coalesce(b.sim_bp, -1) >= 9700 THEN b.bcl ELSE n.id END AS cluster_id,
+       coalesce(b.bid, -1) AS best_id,
+       coalesce(b.sim_bp, -1) AS sim_bp,
+       CASE WHEN coalesce(b.sim_bp, -1) >= 9700 THEN 1 ELSE 0 END AS matched
+FROM newr n LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON n.id = b.nid""",
         "er_clusters_bucket": """
 WITH RECURSIVE e AS (
   SELECT a.c_custkey AS id_a, b.c_custkey AS id_b

@@ -1,0 +1,91 @@
+"""Incremental cluster attachment (stages/attach.py): argmax rule,
+singleton fallback, and exact equality of the salted skew path."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from xlink_ray.functions.similarity import jaro_winkler_pairs
+from xlink_ray.stages.attach import attach_to_clusters
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _toy():
+    base = pa.Table.from_pylist(
+        [
+            {"key": 0, "id": 1, "cluster": 10, "name": "acme corp"},
+            {"key": 0, "id": 2, "cluster": 10, "name": "acme corp."},
+            {"key": 0, "id": 3, "cluster": 30, "name": "zenith ltd"},
+            {"key": 1, "id": 4, "cluster": 40, "name": "orbit gmbh"},
+        ]
+    )
+    new = pa.Table.from_pylist(
+        [
+            {"key": 0, "id": 100, "name": "acme corp"},   # exact → cluster 10
+            {"key": 0, "id": 101, "name": "qqqqqq"},      # below threshold → singleton
+            {"key": 2, "id": 102, "name": "acme corp"},   # empty block → singleton
+        ]
+    )
+    return rd.from_arrow(base), rd.from_arrow(new)
+
+
+def _attach(base, new, **kw):
+    out = attach_to_clusters(
+        base,
+        new,
+        key_cols="key",
+        id_col="id",
+        cluster_col="cluster",
+        attr_col="name",
+        scorer=jaro_winkler_pairs,
+        min_sim_bp=9000,
+        **kw,
+    ).to_pandas()
+    return out.sort_values("id").reset_index(drop=True)
+
+
+def test_attach_rules(ray_session):
+    base, new = _toy()
+    out = _attach(base, new)
+    by_id = {int(r.id): r for r in out.itertuples()}
+    # exact match: ties (id 1 and 2 both score 10000? no — names differ)
+    # id 100 matches base id 1 exactly (sim_bp 10000), adopts cluster 10
+    assert by_id[100].best_id == 1 and by_id[100].cluster_id == 10
+    assert by_id[100].matched == 1 and by_id[100].sim_bp == 10000
+    # below threshold: singleton, but best partner still reported
+    assert by_id[101].matched == 0 and by_id[101].cluster_id == 101
+    assert by_id[101].best_id != -1
+    # no block partner at all: -1 sentinels
+    assert by_id[102].matched == 0 and by_id[102].cluster_id == 102
+    assert by_id[102].best_id == -1 and by_id[102].sim_bp == -1
+
+
+def test_attach_tie_breaks_to_smallest_base_id(ray_session):
+    base = rd.from_arrow(
+        pa.Table.from_pylist(
+            [
+                {"key": 0, "id": 7, "cluster": 70, "name": "same"},
+                {"key": 0, "id": 5, "cluster": 50, "name": "same"},
+            ]
+        )
+    )
+    new = rd.from_arrow(pa.Table.from_pylist([{"key": 0, "id": 9, "name": "same"}]))
+    out = _attach(base, new)
+    assert int(out["best_id"][0]) == 5 and int(out["cluster_id"][0]) == 50
+
+
+def test_attach_salted_path_identical(ray_session):
+    from xlink_ray.pipelines import er
+
+    plain = er.customer_attach(SF_SMALL).to_pandas().sort_values("id").reset_index(drop=True)
+    salted = (
+        er.customer_attach(SF_SMALL, skew_cap=7)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert plain.equals(salted)
+    # every new record accounted for exactly once
+    assert plain["id"].is_unique and (plain["id"] % 4 == 0).all()

@@ -22,7 +22,7 @@ from xlink_ray.functions.similarity import levenshtein_pairs
 from xlink_ray.stages.blocking import block_score_pairs
 from xlink_ray.stages.clustering import connected_components
 
-__all__ = ["customer_pairs", "customer_clusters"]
+__all__ = ["customer_pairs", "customer_clusters", "customer_attach"]
 
 LEV_THRESHOLD = 1
 
@@ -110,4 +110,50 @@ def customer_clusters(
         nodes=_customers(sf_dir),
         node_col="c_custkey",
         method=method,
+    )
+
+
+def customer_attach(
+    sf_dir: str, min_sim_bp: int = 9700, skew_cap: int | None = None
+) -> Dataset:
+    """Incremental linkage: customers with ``c_custkey % 4 == 0`` are the
+    "new crawl"; the rest are the standing base, each base record
+    carrying cluster_id = c_custkey // 2 (a deterministic stand-in for
+    a prior clustering run's labels). New records attach to the best
+    Jaro-Winkler base match within their nation block at
+    sim ≥ min_sim_bp basis points, else found a singleton cluster.
+
+    Output: (id, cluster_id, best_id, sim_bp, matched) per new record.
+    """
+    import pyarrow.compute as pc
+
+    from xlink_ray.functions.similarity import jaro_winkler_pairs
+    from xlink_ray.stages.attach import attach_to_clusters
+
+    def _base(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(_mod4(t), 0))
+        return t.append_column(
+            "cluster_id", pc.cast(pc.divide(t["c_custkey"], 2), pa.int64())
+        )
+
+    def _mod4(t: pa.Table):
+        import numpy as np
+
+        return pa.array(t["c_custkey"].to_numpy(zero_copy_only=False) % 4)
+
+    cust = _customers(sf_dir)
+    base = cust.map_batches(_base, batch_format="pyarrow")
+    new = cust.map_batches(
+        lambda t: t.filter(pc.equal(_mod4(t), 0)), batch_format="pyarrow"
+    )
+    return attach_to_clusters(
+        base,
+        new,
+        key_cols="c_nationkey",
+        id_col="c_custkey",
+        cluster_col="cluster_id",
+        attr_col="c_name",
+        scorer=jaro_winkler_pairs,
+        min_sim_bp=min_sim_bp,
+        skew_cap=skew_cap,
     )

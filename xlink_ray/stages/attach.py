@@ -1,0 +1,272 @@
+"""Incremental cluster attachment: link NEW records to EXISTING entity
+clusters without re-clustering the corpus (the "attach" half of an
+incremental record-linkage run — reference XLink rebuilds its whole
+dictionary per corpus drop; at crawl scale the engine must instead
+absorb a delta against the standing clusters).
+
+Shape (all-Ray, no driver data):
+
+1. tag base rows (carry ``cluster_id``) and new rows into one dataset;
+2. ONE ``groupby(block_key [+ salt])`` shuffle — the same explicit
+   blocking exchange as ``block_score_pairs``;
+3. inside each group task a chunked bipartite grid scores every
+   (new, base) pair with a vectorized kernel and reduces to the
+   per-new-record argmax on the spot (best base similarity, smallest
+   base id on ties) — the pair table never leaves the task;
+4. one tiny hash-bucket reduce over the per-(new, salt-cell) winners
+   merges salted replicas and applies the acceptance threshold:
+   sim ≥ threshold → adopt the best base record's cluster, else the
+   new record founds a singleton cluster (cluster_id = own id).
+
+Skew: when ``skew_cap`` is set, base-side block sizes are pre-counted
+(`group_sizes`); a hot block is split into S = ceil(n/cap) salts by
+stable hash of the base id, and each new row of that block is
+replicated into ALL S salt cells — every (new, base) pair appears in
+exactly one cell, every cell is bounded, and the final reduce restores
+the per-new argmax across cells. Only the hot-key list touches the
+driver.
+
+Similarity is carried in integer basis points (floor(sim·10⁴)) so the
+threshold and the argmax tie-break are integer-stable and DuckDB-equal.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+__all__ = ["attach_to_clusters"]
+
+_PAIR_CHUNK = 32768
+
+
+def _merge_best(
+    best_sbp: np.ndarray,
+    best_bid: np.ndarray,
+    best_cluster: np.ndarray,
+    nidx: np.ndarray,
+    sbp: np.ndarray,
+    bid: np.ndarray,
+    cluster: np.ndarray,
+) -> None:
+    """Fold a chunk of scored (new-row-idx, base) pairs into the running
+    per-new-row best, rule: max sim_bp, then min base id."""
+    # collapse the chunk to one candidate per new row first
+    order = np.lexsort((bid, -sbp, nidx))
+    u, first = np.unique(nidx[order], return_index=True)
+    pos = order[first]
+    c_sbp, c_bid, c_cluster = sbp[pos], bid[pos], cluster[pos]
+    cur_s, cur_b = best_sbp[u], best_bid[u]
+    better = (c_sbp > cur_s) | ((c_sbp == cur_s) & (c_bid < cur_b))
+    upd = u[better]
+    best_sbp[upd] = c_sbp[better]
+    best_bid[upd] = c_bid[better]
+    best_cluster[upd] = c_cluster[better]
+
+
+def attach_to_clusters(
+    base: Dataset,
+    new: Dataset,
+    key_cols: "list[str] | str",
+    id_col: str,
+    cluster_col: str,
+    attr_col: str,
+    scorer: Callable[[np.ndarray, np.ndarray], np.ndarray],
+    min_sim_bp: int,
+    max_block_rows: int = 4096,
+    skew_cap: int | None = None,
+) -> Dataset:
+    """→ (id, cluster_id, best_id, sim_bp, matched) — one row per NEW
+    record. ``scorer`` maps parallel attr arrays → similarity in [0,1];
+    acceptance and ties are decided on floor(sim·10000) basis points.
+    ``best_id``/``sim_bp`` are -1 for records with no block partner.
+    """
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+
+    base = base.select_columns(key_cols + [id_col, cluster_col, attr_col])
+    new = new.select_columns(key_cols + [id_col, attr_col])
+
+    # ---- optional base-side hot-block salting (exact) ----
+    nsalt_ref = None
+    if skew_cap is not None:
+        import ray
+
+        from xlink_ray.functions.hashing import md5_low64
+        from xlink_ray.stages.blocking import group_sizes
+
+        sizes = group_sizes(base, key_cols)
+        hot_tbl = pa.concat_tables(
+            [
+                pa.table(b)
+                for b in sizes.map_batches(
+                    lambda t: t.filter(pc.greater(t["n"], skew_cap)),
+                    batch_format="pyarrow",
+                ).iter_batches(batch_format="pyarrow")
+            ]
+            or [pa.table({k: pa.array([]) for k in key_cols + ["n"]})]
+        )
+        hot = {
+            tuple(str(hot_tbl[k][r].as_py()) for k in key_cols): int(
+                np.ceil(hot_tbl["n"][r].as_py() / skew_cap)
+            )
+            for r in range(hot_tbl.num_rows)
+        }
+        nsalt_ref = ray.put(hot)
+
+        def _salt_of(t: pa.Table, replicate: bool) -> pa.Table:
+            from xlink_ray.state.cached import cached_state
+
+            hot_map = cached_state(
+                ("attach_hot", nsalt_ref.hex()), lambda: ray.get(nsalt_ref)
+            )
+            n = t.num_rows
+            if not hot_map or n == 0:
+                return t.append_column("salt", pa.array(np.zeros(n, dtype=np.int32)))
+            keys = [
+                tuple(str(v) for v in row)
+                for row in zip(*(t[k].to_pylist() for k in key_cols))
+            ]
+            ids = t[id_col].to_pylist()
+            idx: list[int] = []
+            salts: list[int] = []
+            for r in range(n):
+                S = hot_map.get(keys[r], 1)
+                if S <= 1:
+                    idx.append(r)
+                    salts.append(0)
+                elif replicate:  # new rows visit every salt cell
+                    for s in range(S):
+                        idx.append(r)
+                        salts.append(s)
+                else:  # base rows stay in their own cell
+                    idx.append(r)
+                    salts.append(int(md5_low64([str(ids[r])])[0] % np.uint64(S)))
+            rep = t.take(pa.array(idx, pa.int64()))
+            return rep.append_column("salt", pa.array(salts, pa.int32()))
+
+        base = base.map_batches(lambda t: _salt_of(t, False), batch_format="pyarrow")
+        new = new.map_batches(lambda t: _salt_of(t, True), batch_format="pyarrow")
+
+    group_keys = key_cols + (["salt"] if skew_cap is not None else [])
+
+    def tag_base(t: pa.Table) -> pa.Table:
+        t = t.append_column("side", pa.array(np.zeros(t.num_rows, dtype=np.int8)))
+        return t.rename_columns(
+            [
+                {cluster_col: "__cluster", id_col: "__id", attr_col: "__attr"}.get(c, c)
+                for c in t.column_names
+            ]
+        )
+
+    def tag_new(t: pa.Table) -> pa.Table:
+        t = t.append_column("side", pa.array(np.ones(t.num_rows, dtype=np.int8)))
+        t = t.append_column("__cluster", pa.array(np.full(t.num_rows, -1, dtype=np.int64)))
+        return t.rename_columns(
+            [{id_col: "__id", attr_col: "__attr"}.get(c, c) for c in t.column_names]
+        )
+
+    def order_cols(t: pa.Table) -> pa.Table:
+        cols = group_keys + ["side", "__id", "__cluster", "__attr"]
+        return t.select(cols)
+
+    tagged = (
+        base.map_batches(tag_base, batch_format="pyarrow")
+        .map_batches(order_cols, batch_format="pyarrow")
+        .union(
+            new.map_batches(tag_new, batch_format="pyarrow").map_batches(
+                order_cols, batch_format="pyarrow"
+            )
+        )
+    )
+
+    def per_block(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        ids = group["__id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        clusters = group["__cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+        attrs = group["__attr"].to_numpy(zero_copy_only=False)
+        n_idx = np.nonzero(side == 1)[0]
+        b_idx = np.nonzero(side == 0)[0]
+        if len(n_idx) == 0:
+            return pa.table(
+                {
+                    "id": pa.array([], pa.int64()),
+                    "best_id": pa.array([], pa.int64()),
+                    "best_cluster": pa.array([], pa.int64()),
+                    "sim_bp": pa.array([], pa.int64()),
+                }
+            )
+        best_sbp = np.full(len(n_idx), -1, dtype=np.int64)
+        best_bid = np.full(len(n_idx), np.iinfo(np.int64).max, dtype=np.int64)
+        best_cluster = np.full(len(n_idx), -1, dtype=np.int64)
+        # chunked bipartite grid: every step's buffers bounded
+        for ci in range(0, len(n_idx), max_block_rows):
+            ni = np.arange(ci, min(ci + max_block_rows, len(n_idx)))
+            for cj in range(0, len(b_idx), max_block_rows):
+                bj = b_idx[cj : cj + max_block_rows]
+                gi, gj = np.meshgrid(ni, bj, indexing="ij")
+                gi, gj = gi.ravel(), gj.ravel()
+                for p0 in range(0, len(gi), _PAIR_CHUNK):
+                    pgi = gi[p0 : p0 + _PAIR_CHUNK]
+                    pgj = gj[p0 : p0 + _PAIR_CHUNK]
+                    sim = scorer(attrs[n_idx[pgi]], attrs[pgj])
+                    sbp = np.floor(sim * 10000.0).astype(np.int64)
+                    _merge_best(
+                        best_sbp,
+                        best_bid,
+                        best_cluster,
+                        pgi,
+                        sbp,
+                        ids[pgj],
+                        clusters[pgj],
+                    )
+        no_hit = best_sbp < 0
+        best_bid[no_hit] = -1
+        return pa.table(
+            {
+                "id": pa.array(ids[n_idx]),
+                "best_id": pa.array(best_bid),
+                "best_cluster": pa.array(best_cluster),
+                "sim_bp": pa.array(best_sbp),
+            }
+        )
+
+    winners = tagged.groupby(group_keys).map_groups(per_block, batch_format="pyarrow")
+
+    # ---- merge salted replicas + apply the threshold ----
+    from xlink_ray.stages._bucket import bucket_shuffle
+
+    def finalize(bucket: pa.Table) -> pa.Table:
+        ids = bucket["id"].to_numpy(zero_copy_only=False)
+        bid = bucket["best_id"].to_numpy(zero_copy_only=False)
+        bcl = bucket["best_cluster"].to_numpy(zero_copy_only=False)
+        sbp = bucket["sim_bp"].to_numpy(zero_copy_only=False)
+        # same rule as in-task: max sim_bp then min base id (with -1
+        # no-hit rows losing to any hit because their sim_bp is -1)
+        tie_bid = np.where(bid < 0, np.iinfo(np.int64).max, bid)
+        order = np.lexsort((tie_bid, -sbp, ids))
+        u, first = np.unique(ids[order], return_index=True)
+        pos = order[first]
+        w_bid, w_bcl, w_sbp = bid[pos], bcl[pos], sbp[pos]
+        matched = w_sbp >= min_sim_bp
+        cluster_id = np.where(matched, w_bcl, u)
+        return pa.table(
+            {
+                "id": pa.array(u),
+                "cluster_id": pa.array(cluster_id),
+                "best_id": pa.array(w_bid),
+                "sim_bp": pa.array(w_sbp),
+                "matched": pa.array(matched.astype(np.int64)),
+            }
+        ).drop_columns([])
+
+    out = bucket_shuffle(winners, "id", 64, finalize)
+    return out.map_batches(
+        lambda t: t.drop_columns(["__b"]) if "__b" in t.column_names else t,
+        batch_format="pyarrow",
+    )
