@@ -137,6 +137,23 @@ def _q_er_attach(sf_dir: str):
     return er.customer_attach(sf_dir)
 
 
+def _q_fs_weights(sf_dir: str):
+    """Fellegi–Sunter m/u probabilities + log2 weights per agreement
+    field (stages/fs.py), learned from labeled blocked customer pairs
+    (label = the er_pairs edit-distance rule)."""
+    from xlink_ray.pipelines import er
+
+    return er.customer_fs_weights(sf_dir)
+
+
+def _q_fs_scores(sf_dir: str):
+    """Every blocked customer pair scored by the learned FS
+    log-likelihood-ratio sum."""
+    from xlink_ray.pipelines import er
+
+    return er.customer_fs_scores(sf_dir)
+
+
 def _q_er_clusters_dist(sf_dir: str):
     """Same result via the distributed label-propagation path."""
     from xlink_ray.pipelines import er
@@ -2088,6 +2105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_clusters_dist": _q_er_clusters_dist,
         "er_clusters_bucket": _q_er_clusters_bucket,
         "er_attach": _q_er_attach,
+        "fs_weights": _q_fs_weights,
+        "fs_scores": _q_fs_scores,
         "doc_mentions": _q_doc_mentions,
         "links": _q_links,
         "links_partitioned": _q_links_partitioned,
@@ -2893,6 +2912,45 @@ SELECT n.id AS id,
        coalesce(b.sim_bp, -1) AS sim_bp,
        CASE WHEN coalesce(b.sim_bp, -1) >= 9700 THEN 1 ELSE 0 END AS matched
 FROM newr n LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON n.id = b.nid""",
+        "fs_weights": """
+WITH c AS (SELECT c_custkey AS id, c_nationkey AS k, c_mktsegment AS seg,
+  CAST(floor(c_acctbal/1000) AS BIGINT) AS bal, right(c_name,1) AS last1, c_name FROM customer),
+p AS (SELECT a.id AS ia, b.id AS ib,
+  CASE WHEN a.seg=b.seg THEN 1 ELSE 0 END AS a_seg,
+  CASE WHEN a.bal=b.bal THEN 1 ELSE 0 END AS a_bal,
+  CASE WHEN a.last1=b.last1 THEN 1 ELSE 0 END AS a_last1,
+  CASE WHEN levenshtein(a.c_name,b.c_name)<=1 THEN 1 ELSE 0 END AS lbl
+ FROM c a JOIN c b ON a.k=b.k AND a.id<b.id),
+s AS (SELECT sum(lbl) AS n1, sum(1-lbl) AS n0,
+  sum(a_seg*lbl) AS s1_seg, sum(a_seg*(1-lbl)) AS s0_seg,
+  sum(a_bal*lbl) AS s1_bal, sum(a_bal*(1-lbl)) AS s0_bal,
+  sum(a_last1*lbl) AS s1_last1, sum(a_last1*(1-lbl)) AS s0_last1 FROM p),
+w AS (
+ SELECT 'seg' AS field, (s1_seg+0.5)/(n1+1) AS m, (s0_seg+0.5)/(n0+1) AS u FROM s
+ UNION ALL SELECT 'bal', (s1_bal+0.5)/(n1+1), (s0_bal+0.5)/(n0+1) FROM s
+ UNION ALL SELECT 'last1', (s1_last1+0.5)/(n1+1), (s0_last1+0.5)/(n0+1) FROM s)
+SELECT field, m, u, log2(m/u) AS w_agree, log2((1-m)/(1-u)) AS w_disagree FROM w""",
+        "fs_scores": """
+WITH c AS (SELECT c_custkey AS id, c_nationkey AS k, c_mktsegment AS seg,
+  CAST(floor(c_acctbal/1000) AS BIGINT) AS bal, right(c_name,1) AS last1, c_name FROM customer),
+p AS (SELECT a.id AS ia, b.id AS ib,
+  CASE WHEN a.seg=b.seg THEN 1 ELSE 0 END AS a_seg,
+  CASE WHEN a.bal=b.bal THEN 1 ELSE 0 END AS a_bal,
+  CASE WHEN a.last1=b.last1 THEN 1 ELSE 0 END AS a_last1,
+  CASE WHEN levenshtein(a.c_name,b.c_name)<=1 THEN 1 ELSE 0 END AS lbl
+ FROM c a JOIN c b ON a.k=b.k AND a.id<b.id),
+s AS (SELECT sum(lbl) AS n1, sum(1-lbl) AS n0,
+  sum(a_seg*lbl) AS s1_seg, sum(a_seg*(1-lbl)) AS s0_seg,
+  sum(a_bal*lbl) AS s1_bal, sum(a_bal*(1-lbl)) AS s0_bal,
+  sum(a_last1*lbl) AS s1_last1, sum(a_last1*(1-lbl)) AS s0_last1 FROM p)
+SELECT p.ia AS id_a, p.ib AS id_b, p.lbl AS label,
+ (CASE WHEN p.a_seg=1 THEN log2(((s.s1_seg+0.5)/(s.n1+1))/((s.s0_seg+0.5)/(s.n0+1)))
+       ELSE log2((1-(s.s1_seg+0.5)/(s.n1+1))/(1-(s.s0_seg+0.5)/(s.n0+1))) END)
+ + (CASE WHEN p.a_bal=1 THEN log2(((s.s1_bal+0.5)/(s.n1+1))/((s.s0_bal+0.5)/(s.n0+1)))
+       ELSE log2((1-(s.s1_bal+0.5)/(s.n1+1))/(1-(s.s0_bal+0.5)/(s.n0+1))) END)
+ + (CASE WHEN p.a_last1=1 THEN log2(((s.s1_last1+0.5)/(s.n1+1))/((s.s0_last1+0.5)/(s.n0+1)))
+       ELSE log2((1-(s.s1_last1+0.5)/(s.n1+1))/(1-(s.s0_last1+0.5)/(s.n0+1))) END) AS score
+FROM p CROSS JOIN s""",
         "er_clusters_bucket": """
 WITH RECURSIVE e AS (
   SELECT a.c_custkey AS id_a, b.c_custkey AS id_b

@@ -157,3 +157,65 @@ def customer_attach(
         min_sim_bp=min_sim_bp,
         skew_cap=skew_cap,
     )
+
+
+FS_FIELDS = ["seg", "bal", "last1"]
+
+
+def _customer_fs_features(sf_dir: str) -> Dataset:
+    """Blocked pair-agreement features for the Fellegi–Sunter scorer:
+    block on nation; agreement fields = market segment, account-balance
+    band (floor/1000), last name character; ground-truth label =
+    levenshtein(name) ≤ 1 (the er_pairs rule)."""
+    import pyarrow.compute as pc
+
+    from xlink_ray.stages.fs import fs_pair_features
+
+    def prep(t: pa.Table) -> pa.Table:
+        bal = pc.cast(pc.floor(pc.divide(t["c_acctbal"], 1000.0)), pa.int64())
+        last1 = pc.utf8_slice_codeunits(pc.utf8_reverse(t["c_name"]), 0, 1)
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_nationkey": t["c_nationkey"],
+                "c_name": t["c_name"],
+                "seg": t["c_mktsegment"],
+                "bal": bal,
+                "last1": last1,
+            }
+        )
+
+    import ray.data as _rd
+
+    cust = _rd.read_parquet(f"{sf_dir}/customer.parquet").map_batches(
+        prep, batch_format="pyarrow"
+    )
+
+    def label(group: pa.Table, ii, jj):
+        names = group["c_name"].to_numpy(zero_copy_only=False)
+        d = levenshtein_pairs(names[ii], names[jj], max_dist=1)
+        return (d <= 1).astype("int64")
+
+    return fs_pair_features(
+        cust,
+        key_cols="c_nationkey",
+        id_col="c_custkey",
+        field_cols=FS_FIELDS,
+        label=label,
+        label_cols=["c_name"],
+    )
+
+
+def customer_fs_weights(sf_dir: str) -> pa.Table:
+    """Learned Fellegi–Sunter m/u probabilities + log2 weights per field."""
+    from xlink_ray.stages.fs import fs_weights
+
+    return fs_weights(_customer_fs_features(sf_dir), FS_FIELDS)
+
+
+def customer_fs_scores(sf_dir: str) -> Dataset:
+    """Every blocked pair scored by the learned FS log-likelihood sum."""
+    from xlink_ray.stages.fs import fs_scored_pairs, fs_weights
+
+    feats = _customer_fs_features(sf_dir).materialize()  # two consumers
+    return fs_scored_pairs(feats, fs_weights(feats, FS_FIELDS))
