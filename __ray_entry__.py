@@ -137,6 +137,16 @@ def _q_er_attach(sf_dir: str):
     return er.customer_attach(sf_dir)
 
 
+def _q_er_golden(sf_dir: str):
+    """Survivorship (stages/survivor.py): every customer cluster merged
+    to one golden record — representative name from the min member id,
+    balance/segment from the max-balance member (ties → min id). Two
+    bounded hash-bucket shuffles, zero driver state."""
+    from xlink_ray.pipelines import er
+
+    return er.customer_golden(sf_dir)
+
+
 def _q_fs_weights(sf_dir: str):
     """Fellegi–Sunter m/u probabilities + log2 weights per agreement
     field (stages/fs.py), learned from labeled blocked customer pairs
@@ -2107,6 +2117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_attach": _q_er_attach,
         "fs_weights": _q_fs_weights,
         "fs_scores": _q_fs_scores,
+        "er_golden": _q_er_golden,
         "doc_mentions": _q_doc_mentions,
         "links": _q_links,
         "links_partitioned": _q_links_partitioned,
@@ -2912,6 +2923,27 @@ SELECT n.id AS id,
        coalesce(b.sim_bp, -1) AS sim_bp,
        CASE WHEN coalesce(b.sim_bp, -1) >= 9700 THEN 1 ELSE 0 END AS matched
 FROM newr n LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON n.id = b.nid""",
+        "er_golden": """
+WITH RECURSIVE e AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+sym AS (SELECT id_a AS u, id_b AS v FROM e UNION SELECT id_b, id_a FROM e),
+reach(u, v) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+lab AS (SELECT u AS id, CAST(min(v) AS BIGINT) AS cid FROM reach GROUP BY u),
+g AS (SELECT l.cid, c.c_custkey AS id, c.c_name, c.c_acctbal, c.c_mktsegment
+      FROM customer c JOIN lab l ON c.c_custkey = l.id),
+r1 AS (SELECT cid, c_name, row_number() OVER (PARTITION BY cid ORDER BY id) AS rn FROM g),
+r2 AS (SELECT cid, c_acctbal, c_mktsegment,
+       row_number() OVER (PARTITION BY cid ORDER BY c_acctbal DESC, id) AS rn FROM g),
+cnt AS (SELECT cid, count(*) AS n FROM g GROUP BY cid)
+SELECT cnt.cid AS cluster_id, cnt.n AS n_members, r1.c_name, r2.c_acctbal, r2.c_mktsegment
+FROM cnt JOIN r1 ON r1.cid = cnt.cid AND r1.rn = 1
+         JOIN r2 ON r2.cid = cnt.cid AND r2.rn = 1""",
         "fs_weights": """
 WITH c AS (SELECT c_custkey AS id, c_nationkey AS k, c_mktsegment AS seg,
   CAST(floor(c_acctbal/1000) AS BIGINT) AS bal, right(c_name,1) AS last1, c_name FROM customer),

@@ -219,3 +219,23 @@ def customer_fs_scores(sf_dir: str) -> Dataset:
 
     feats = _customer_fs_features(sf_dir).materialize()  # two consumers
     return fs_scored_pairs(feats, fs_weights(feats, FS_FIELDS))
+
+
+def customer_golden(sf_dir: str) -> Dataset:
+    """Golden records: each customer cluster collapsed to one canonical
+    row — name from the smallest member id, balance + segment from the
+    member with the largest account balance (ties → smallest id)."""
+    from xlink_ray.stages.survivor import golden_records
+
+    records = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_mktsegment"],
+    )
+    return golden_records(
+        customer_clusters(sf_dir),
+        records,
+        id_col="c_custkey",
+        carry_min_id=["c_name"],
+        argmax_col="c_acctbal",
+        carry_argmax=["c_mktsegment"],
+    )

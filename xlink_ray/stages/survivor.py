@@ -1,0 +1,146 @@
+"""Survivorship / golden-record merge: collapse each entity cluster to
+ONE canonical record by deterministic field-level rules — the standard
+final stage of a record-linkage pipeline (the reference stops at
+cluster labels; a crawl-scale consumer needs the merged entity table).
+
+Rules supported (all deterministic, all SQL-checkable):
+
+* ``carry_min_id`` fields are taken from the cluster member with the
+  smallest id (the cluster's stable representative);
+* ``argmax_col`` + ``carry_argmax`` fields are taken from the member
+  with the LARGEST ``argmax_col`` value (ties → smallest id) — e.g.
+  "longest text wins", "freshest crawl wins";
+* ``n_members`` counts the cluster.
+
+Shape: two bounded hash-bucket shuffles, zero driver state —
+(1) stamp each record row with its cluster id (reduce-side attach on
+``id % nbuckets``: member labels and record rows meet in the bucket,
+a searchsorted lookup stamps the label — never a broadcast of the
+label map), (2) bucket by ``cluster_id % nbuckets`` and reduce every
+cluster in the bucket with vectorized lexsort/unique passes (O(#Python
+calls) = nbuckets, not #clusters).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+__all__ = ["golden_records"]
+
+
+def golden_records(
+    members: Dataset,
+    records: Dataset,
+    id_col: str,
+    member_id_col: str = "member_id",
+    cluster_col: str = "cluster_id",
+    argmax_col: str | None = None,
+    carry_argmax: list[str] | None = None,
+    carry_min_id: list[str] | None = None,
+    nbuckets: int = 64,
+) -> Dataset:
+    """members (member_id, cluster_id) × records (id, attrs…) →
+    one row per cluster: (cluster_id, n_members, carry_min_id…,
+    [argmax_col, carry_argmax…])."""
+    carry_argmax = carry_argmax or []
+    carry_min_id = carry_min_id or []
+    attr_cols = sorted(set(carry_min_id + carry_argmax + ([argmax_col] if argmax_col else [])))
+
+    rec_schema = records.schema()
+    type_of = dict(zip(rec_schema.names, rec_schema.types))
+    types = {c: type_of[c] for c in attr_cols}
+
+    # ---- phase 1: stamp cluster ids onto record rows (one shuffle) ----
+    def member_rows(t: pa.Table) -> pa.Table:
+        cols = {
+            "id": t[member_id_col].cast(pa.int64()),
+            "cluster": t[cluster_col].cast(pa.int64()),
+            "tag": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+        }
+        for c in attr_cols:
+            cols[c] = pa.array([None] * t.num_rows, types[c])
+        return pa.table(cols)
+
+    def record_rows(t: pa.Table) -> pa.Table:
+        cols = {
+            "id": t[id_col].cast(pa.int64()),
+            "cluster": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+            "tag": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+        }
+        for c in attr_cols:
+            cols[c] = t[c].cast(types[c])
+        return pa.table(cols)
+
+    tagged = members.map_batches(member_rows, batch_format="pyarrow").union(
+        records.map_batches(record_rows, batch_format="pyarrow")
+    )
+
+    def add_pk(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        return t.append_column("pk", pa.array((ids % nbuckets).astype(np.int64)))
+
+    def stamp(bucket: pa.Table) -> pa.Table:
+        tag = bucket["tag"].to_numpy(zero_copy_only=False)
+        ids = bucket["id"].to_numpy(zero_copy_only=False)
+        m = tag == 0
+        m_ids, m_cl = ids[m], bucket["cluster"].to_numpy(zero_copy_only=False)[m]
+        order = np.argsort(m_ids)
+        m_ids, m_cl = m_ids[order], m_cl[order]
+        r = np.nonzero(tag == 1)[0]
+        if m_ids.size == 0:
+            r = r[:0]
+        else:
+            pos = np.searchsorted(m_ids, ids[r])
+            ok = (pos < len(m_ids)) & (m_ids[np.minimum(pos, len(m_ids) - 1)] == ids[r])
+            r = r[ok]
+        out = bucket.take(pa.array(r, pa.int64()))
+        stamped = (
+            m_cl[np.searchsorted(m_ids, ids[r])]
+            if m_ids.size
+            else np.array([], dtype=np.int64)
+        )
+        out = out.drop_columns(["cluster", "tag", "pk"])
+        return out.append_column("cluster", pa.array(stamped))
+
+    labeled = (
+        tagged.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(stamp, batch_format="pyarrow")
+    )
+
+    # ---- phase 2: per-cluster survivorship (one shuffle) ----
+    def add_ck(t: pa.Table) -> pa.Table:
+        cl = t["cluster"].to_numpy(zero_copy_only=False)
+        return t.append_column("ck", pa.array((cl % nbuckets).astype(np.int64)))
+
+    def survive(bucket: pa.Table) -> pa.Table:
+        cl = bucket["cluster"].to_numpy(zero_copy_only=False)
+        ids = bucket["id"].to_numpy(zero_copy_only=False)
+        cols: dict[str, pa.Array] = {}
+        # representative = min id per cluster
+        o_min = np.lexsort((ids, cl))
+        u, first = np.unique(cl[o_min], return_index=True)
+        rep_pos = o_min[first]
+        _, counts = np.unique(cl, return_counts=True)
+        cols["cluster_id"] = pa.array(u)
+        cols["n_members"] = pa.array(counts.astype(np.int64))
+        for c in carry_min_id:
+            cols[c] = bucket[c].take(pa.array(rep_pos, pa.int64()))
+        if argmax_col is not None:
+            v = bucket[argmax_col].to_numpy(zero_copy_only=False)
+            o_max = np.lexsort((ids, -v, cl))
+            _, f2 = np.unique(cl[o_max], return_index=True)
+            best_pos = o_max[f2]
+            cols[argmax_col] = bucket[argmax_col].take(pa.array(best_pos, pa.int64()))
+            for c in carry_argmax:
+                cols[c] = bucket[c].take(pa.array(best_pos, pa.int64()))
+        return pa.table(cols)
+
+    return (
+        labeled.map_batches(add_ck, batch_format="pyarrow")
+        .groupby("ck")
+        .map_groups(lambda b: survive(b.drop_columns(["ck"])), batch_format="pyarrow")
+    )
