@@ -147,6 +147,14 @@ def _q_er_golden(sf_dir: str):
     return er.customer_golden(sf_dir)
 
 
+def _q_er_cluster_metrics(sf_dir: str):
+    """Per-cluster review metrics (n_members, n_edges, density ppm) —
+    the over-merge QA surface; reduce-side stamps and bucket folds only."""
+    from xlink_ray.pipelines import er
+
+    return er.customer_cluster_metrics(sf_dir)
+
+
 def _q_fs_weights(sf_dir: str):
     """Fellegi–Sunter m/u probabilities + log2 weights per agreement
     field (stages/fs.py), learned from labeled blocked customer pairs
@@ -2118,6 +2126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fs_weights": _q_fs_weights,
         "fs_scores": _q_fs_scores,
         "er_golden": _q_er_golden,
+        "er_cluster_metrics": _q_er_cluster_metrics,
         "doc_mentions": _q_doc_mentions,
         "links": _q_links,
         "links_partitioned": _q_links_partitioned,
@@ -2923,6 +2932,25 @@ SELECT n.id AS id,
        coalesce(b.sim_bp, -1) AS sim_bp,
        CASE WHEN coalesce(b.sim_bp, -1) >= 9700 THEN 1 ELSE 0 END AS matched
 FROM newr n LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON n.id = b.nid""",
+        "er_cluster_metrics": """
+WITH RECURSIVE e AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+sym AS (SELECT id_a AS u, id_b AS v FROM e UNION SELECT id_b, id_a FROM e),
+reach(u, v) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+lab AS (SELECT u AS id, CAST(min(v) AS BIGINT) AS cid FROM reach GROUP BY u),
+mc AS (SELECT cid, count(*) AS n_members FROM lab GROUP BY cid),
+ec AS (SELECT l.cid, count(*) AS n_edges FROM e JOIN lab l ON e.id_a = l.id GROUP BY l.cid)
+SELECT mc.cid AS cluster_id, mc.n_members, coalesce(ec.n_edges, 0) AS n_edges,
+  CASE WHEN mc.n_members > 1
+       THEN (2 * coalesce(ec.n_edges, 0) * 1000000) // (mc.n_members * (mc.n_members - 1))
+       ELSE 0 END AS density_ppm
+FROM mc LEFT JOIN ec ON mc.cid = ec.cid""",
         "er_golden": """
 WITH RECURSIVE e AS (
   SELECT a.c_custkey AS id_a, b.c_custkey AS id_b

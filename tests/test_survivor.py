@@ -57,3 +57,16 @@ def test_golden_covers_every_member_once(ray_session):
     g = er.customer_golden(SF_SMALL).to_pandas()
     assert g["cluster_id"].is_unique
     assert int(g["n_members"].sum()) == 150  # every sf0.001 customer
+
+
+def test_cluster_metrics_consistency(ray_session):
+    from xlink_ray.pipelines import er
+
+    m = er.customer_cluster_metrics(SF_SMALL).to_pandas()
+    assert int(m["n_members"].sum()) == 150
+    # singleton clusters carry zero edges and zero density
+    singles = m[m.n_members == 1]
+    assert (singles["n_edges"] == 0).all() and (singles["density_ppm"] == 0).all()
+    # a 2-member cluster with its 1 edge is fully dense
+    two = m[(m.n_members == 2) & (m.n_edges == 1)]
+    assert (two["density_ppm"] == 1_000_000).all() and len(two) > 0

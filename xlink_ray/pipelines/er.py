@@ -239,3 +239,106 @@ def customer_golden(sf_dir: str) -> Dataset:
         argmax_col="c_acctbal",
         carry_argmax=["c_mktsegment"],
     )
+
+
+def customer_cluster_metrics(sf_dir: str) -> Dataset:
+    """ER-quality review metrics per cluster: member count, within-
+    cluster edge count, and graph density in ppm (2E·10⁶ / n(n-1),
+    integer-floored; 0 for singletons). Low-density big clusters are
+    the classic over-merge smell a reviewer sorts by."""
+    import numpy as np
+
+    from ray.data.aggregate import Count, Sum
+    from xlink_ray.stages.survivor import stamp_cluster
+
+    labels = customer_clusters(sf_dir)
+    edges = customer_pairs(sf_dir).select_columns(["id_a"])
+    # stamp each edge with its cluster via one endpoint (both endpoints
+    # share a component by construction)
+    edge_cl = stamp_cluster(
+        edges.map_batches(
+            lambda t: t.rename_columns(["eid"]), batch_format="pyarrow"
+        ),
+        labels,
+        id_col="eid",
+        carry_cols=[],
+        carry_types={},
+    )
+    e_counts = (
+        edge_cl.map_batches(
+            lambda t: pa.table(
+                {
+                    "cluster_id": t["cluster"],
+                    "e": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("cluster_id")
+        .aggregate(Sum("e", alias_name="n_edges"))
+    )
+    m_counts = labels.groupby("cluster_id").aggregate(
+        Count(alias_name="n_members")
+    )
+
+    # attach edge counts onto member counts: reduce-side again (edge
+    # count table keyed by cluster id; clusters without edges get 0)
+    def to_member_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "member_id": t["cluster_id"],
+                "cluster_id": t["cluster_id"],
+                "n_edges_m": t["n_edges"],
+            }
+        )
+
+    from xlink_ray.stages._bucket import bucket_shuffle
+
+    tagged = m_counts.map_batches(
+        lambda t: pa.table(
+            {
+                "cluster_id": t["cluster_id"].cast(pa.int64()),
+                "n_members": t["n_members"].cast(pa.int64()),
+                "n_edges": pa.array([-1] * t.num_rows, pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).union(
+        e_counts.map_batches(
+            lambda t: pa.table(
+                {
+                    "cluster_id": t["cluster_id"].cast(pa.int64()),
+                    "n_members": pa.array([-1] * t.num_rows, pa.int64()),
+                    "n_edges": t["n_edges"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def fold(bucket: pa.Table) -> pa.Table:
+        cid = bucket["cluster_id"].to_numpy(zero_copy_only=False)
+        nm = bucket["n_members"].to_numpy(zero_copy_only=False)
+        ne = bucket["n_edges"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(cid, return_inverse=True)
+        members = np.zeros(len(u), dtype=np.int64)
+        edges_ = np.zeros(len(u), dtype=np.int64)
+        np.maximum.at(members, inv, nm)
+        np.maximum.at(edges_, inv, ne)
+        edges_ = np.maximum(edges_, 0)
+        denom = members * (members - 1)
+        dens = np.where(denom > 0, (2 * edges_ * 1_000_000) // np.maximum(denom, 1), 0)
+        return pa.table(
+            {
+                "cluster_id": pa.array(u),
+                "n_members": pa.array(members),
+                "n_edges": pa.array(edges_),
+                "density_ppm": pa.array(dens.astype(np.int64)),
+            }
+        )
+
+    out = bucket_shuffle(tagged, "cluster_id", 64, fold)
+    return out.map_batches(
+        lambda t: t.drop_columns(["__b"]) if "__b" in t.column_names else t,
+        batch_format="pyarrow",
+    )

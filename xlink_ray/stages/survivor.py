@@ -28,40 +28,33 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
-__all__ = ["golden_records"]
+__all__ = ["golden_records", "stamp_cluster"]
 
 
-def golden_records(
-    members: Dataset,
+def stamp_cluster(
     records: Dataset,
+    members: Dataset,
     id_col: str,
+    carry_cols: list[str],
+    carry_types: dict,
     member_id_col: str = "member_id",
     cluster_col: str = "cluster_id",
-    argmax_col: str | None = None,
-    carry_argmax: list[str] | None = None,
-    carry_min_id: list[str] | None = None,
     nbuckets: int = 64,
 ) -> Dataset:
-    """members (member_id, cluster_id) × records (id, attrs…) →
-    one row per cluster: (cluster_id, n_members, carry_min_id…,
-    [argmax_col, carry_argmax…])."""
-    carry_argmax = carry_argmax or []
-    carry_min_id = carry_min_id or []
-    attr_cols = sorted(set(carry_min_id + carry_argmax + ([argmax_col] if argmax_col else [])))
+    """Reduce-side label attach: → (id, carry_cols…, cluster) for every
+    record row whose id appears in ``members``. ONE hash-bucket shuffle
+    on ``id % nbuckets``; labels meet their record rows in the bucket
+    and a searchsorted lookup stamps them — the label map is never
+    broadcast or collected."""
 
-    rec_schema = records.schema()
-    type_of = dict(zip(rec_schema.names, rec_schema.types))
-    types = {c: type_of[c] for c in attr_cols}
-
-    # ---- phase 1: stamp cluster ids onto record rows (one shuffle) ----
     def member_rows(t: pa.Table) -> pa.Table:
         cols = {
             "id": t[member_id_col].cast(pa.int64()),
             "cluster": t[cluster_col].cast(pa.int64()),
             "tag": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
         }
-        for c in attr_cols:
-            cols[c] = pa.array([None] * t.num_rows, types[c])
+        for c in carry_cols:
+            cols[c] = pa.array([None] * t.num_rows, carry_types[c])
         return pa.table(cols)
 
     def record_rows(t: pa.Table) -> pa.Table:
@@ -70,8 +63,8 @@ def golden_records(
             "cluster": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
             "tag": pa.array(np.ones(t.num_rows, dtype=np.int8)),
         }
-        for c in attr_cols:
-            cols[c] = t[c].cast(types[c])
+        for c in carry_cols:
+            cols[c] = t[c].cast(carry_types[c])
         return pa.table(cols)
 
     tagged = members.map_batches(member_rows, batch_format="pyarrow").union(
@@ -105,10 +98,45 @@ def golden_records(
         out = out.drop_columns(["cluster", "tag", "pk"])
         return out.append_column("cluster", pa.array(stamped))
 
-    labeled = (
+    return (
         tagged.map_batches(add_pk, batch_format="pyarrow")
         .groupby("pk")
         .map_groups(stamp, batch_format="pyarrow")
+    )
+
+
+def golden_records(
+    members: Dataset,
+    records: Dataset,
+    id_col: str,
+    member_id_col: str = "member_id",
+    cluster_col: str = "cluster_id",
+    argmax_col: str | None = None,
+    carry_argmax: list[str] | None = None,
+    carry_min_id: list[str] | None = None,
+    nbuckets: int = 64,
+) -> Dataset:
+    """members (member_id, cluster_id) × records (id, attrs…) →
+    one row per cluster: (cluster_id, n_members, carry_min_id…,
+    [argmax_col, carry_argmax…])."""
+    carry_argmax = carry_argmax or []
+    carry_min_id = carry_min_id or []
+    attr_cols = sorted(set(carry_min_id + carry_argmax + ([argmax_col] if argmax_col else [])))
+
+    rec_schema = records.schema()
+    type_of = dict(zip(rec_schema.names, rec_schema.types))
+    types = {c: type_of[c] for c in attr_cols}
+
+    # ---- phase 1: stamp cluster ids onto record rows (one shuffle) ----
+    labeled = stamp_cluster(
+        records,
+        members,
+        id_col=id_col,
+        carry_cols=attr_cols,
+        carry_types=types,
+        member_id_col=member_id_col,
+        cluster_col=cluster_col,
+        nbuckets=nbuckets,
     )
 
     # ---- phase 2: per-cluster survivorship (one shuffle) ----
