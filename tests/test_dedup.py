@@ -194,3 +194,18 @@ def test_embedding_dup_unsorted_ids(ray_session):
     )
     rows = embedding_dup_pairs(ds, th=0.95).take_all()
     assert [(r["id_a"], r["id_b"]) for r in rows] == [(3, 9)]
+
+
+def test_exact_dedup_survivors_matches_keepers(ray_session):
+    import ray.data as rd
+
+    from xlink_ray.stages.dedup import exact_dedup_keepers, exact_dedup_survivors
+
+    docs = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).materialize()
+    surv = exact_dedup_survivors(docs).to_pandas()
+    keep = exact_dedup_keepers(docs).to_pandas()
+    assert sorted(surv["doc_id"]) == sorted(keep["doc_id"])
+    # full rows ride along untouched
+    assert set(surv.columns) == {"doc_id", "text", "lang"}

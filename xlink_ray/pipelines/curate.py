@@ -2,16 +2,16 @@
 webtext run would actually execute, chaining five independently
 oracle-checked operators over ONE materialized read of the corpus:
 
-  exact dedup (hash groupby + keeper semi-JOIN)
+  exact dedup (one content-hash exchange, survivor rows kept in place)
     → language filter (heuristic lang-ID, worker-cached profiles)
     → quality filter (min token count, pure pyarrow.compute)
     → benchmark decontamination (fixed-size broadcast gram set)
     → deterministic hash sample
 
-Scale shape: ONE groupby (dedup), ONE hash-shuffle join (keeper ids —
-corpus-scale, so a broadcast semi-join is wrong at 100 TB), then three
-shuffle-free filter stages. The whole composition has a DuckDB oracle
-(query ``curated_corpus``).
+Scale shape: ONE content-hash exchange (dedup emits survivor rows in
+the bucket — no keeper-id set, no join), then three shuffle-free
+filter stages. The whole composition has a DuckDB oracle (query
+``curated_corpus``).
 """
 
 from __future__ import annotations
@@ -32,7 +32,6 @@ def curated_corpus(
     lang: str = "en",
     k: int = 8,
     n_bench: int = 32,
-    num_partitions: int | None = None,
 ) -> Dataset:
     """documents.parquet → curated (doc_id, lang, n_chars) rows."""
     from xlink_ray.stages.curation import (
@@ -40,37 +39,26 @@ def curated_corpus(
         contamination_counts,
         hash_sample,
     )
-    from xlink_ray.stages.dedup import exact_dedup_keepers
+    from xlink_ray.stages.dedup import exact_dedup_survivors
 
-    # materialized once: three consumers (fused benchmark top-k pass,
-    # dedup-keeper pass, survivor join) re-read object-store blocks
-    # instead of re-scanning the parquet; at scales past the object
-    # store's capacity Ray spills these blocks to disk rather than
-    # re-reading the source
+    # materialized once: two consumers (fused benchmark top-k pass and
+    # the dedup exchange) re-read object-store blocks instead of
+    # re-scanning the parquet; at scales past the object store's
+    # capacity Ray spills these blocks to disk rather than re-reading
     docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "n_chars"]
     ).materialize()
-    # static partition count (num_blocks needs materialization on a
-    # lazy read); 16 aggregators is the sweet spot measured for this
-    # host, and the join repartitions anyway
-    nparts = num_partitions or 16
 
     # benchmark grams from the FULL corpus (the benchmark is defined on
     # the raw input, not the deduped survivor set)
     bench_ref = benchmark_gram_ref(docs, k=k, n_bench=n_bench)
 
-    # 1. exact-dedup keepers: corpus-scale id set → hash-shuffle join,
-    # not a broadcast (Ray 2.49: repartition join inputs, materialize
-    # the small side first)
-    keepers = (
-        exact_dedup_keepers(docs)
-        .select_columns(["doc_id"])
-        .repartition(nparts)
-        .materialize()
-    )
-    survivors = docs.repartition(nparts).join(
-        keepers, join_type="inner", num_partitions=nparts, on=("doc_id",)
-    )
+    # 1. exact dedup, survivor rows emitted directly: ONE content-hash
+    # exchange (all rows of a hash meet in one bucket, min doc_id kept)
+    # — replaces the old keeper-ids + hash-shuffle-join plan, which
+    # cost two extra exchanges and Ray's join aggregator pool (~17 s of
+    # the 34 s sf0.1 bench time)
+    survivors = exact_dedup_survivors(docs)
 
     def filter_stage(t: pa.Table) -> pa.Table:
         # 2. language filter (worker-cached stopword profiles)

@@ -37,6 +37,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash_values",
+    "exact_dedup_survivors",
     "simhash_pairs",
     "jaccard_partner_counts",
     "embedding_dup_pairs",
@@ -206,6 +207,41 @@ def exact_dedup_keepers(ds: Dataset, text_col: str = "text", id_col: str = "doc_
         .groupby("h")
         .aggregate(Min(id_col, alias_name=id_col))
         .select_columns([id_col, "h"])
+    )
+
+
+def exact_dedup_survivors(
+    ds: Dataset, text_col: str = "text", id_col: str = "doc_id", nbuckets: int = 64
+) -> Dataset:
+    """Exact dedup that emits the SURVIVOR ROWS directly (all columns,
+    min ``id_col`` per identical ``text_col``): hash-route every row to
+    ``md5_low64(text) % nbuckets`` — ONE exchange, all rows of a hash in
+    one bucket — then a vectorized per-bucket min-id-per-md5. Replaces
+    the keeper-ids + hash-shuffle-join plan (2 extra exchanges and Ray's
+    join aggregator pool) when the full rows are what's wanted."""
+    from xlink_ray.functions.hashing import md5_low64
+
+    def route(t: pa.Table) -> pa.Table:
+        t = add_md5(t, text_col)
+        low = md5_low64(t[text_col].to_pylist())
+        return t.append_column(
+            "__b", pa.array((low % np.uint64(nbuckets)).astype(np.int64))
+        )
+
+    def per_bucket(bucket: pa.Table) -> pa.Table:
+        ids = bucket[id_col].to_numpy(zero_copy_only=False)
+        hs = bucket["h"].to_numpy(zero_copy_only=False)
+        _, inv = np.unique(hs, return_inverse=True)
+        order = np.lexsort((ids, inv))
+        first = order[np.flatnonzero(np.r_[True, inv[order][1:] != inv[order][:-1]])]
+        return bucket.take(pa.array(np.sort(first), pa.int64())).drop_columns(
+            ["h", "__b"]
+        )
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
 
 
