@@ -155,6 +155,14 @@ def _q_er_cluster_metrics(sf_dir: str):
     return er.customer_cluster_metrics(sf_dir)
 
 
+def _q_er_alignment(sf_dir: str):
+    """Cross-run cluster alignment (stages/align.py): each new cluster
+    mapped to the max-overlap old cluster; one stamp + one bucket fold."""
+    from xlink_ray.pipelines import er
+
+    return er.customer_cluster_alignment(sf_dir)
+
+
 def _q_fs_weights(sf_dir: str):
     """Fellegi–Sunter m/u probabilities + log2 weights per agreement
     field (stages/fs.py), learned from labeled blocked customer pairs
@@ -2127,6 +2135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fs_scores": _q_fs_scores,
         "er_golden": _q_er_golden,
         "er_cluster_metrics": _q_er_cluster_metrics,
+        "er_alignment": _q_er_alignment,
         "doc_mentions": _q_doc_mentions,
         "links": _q_links,
         "links_partitioned": _q_links_partitioned,
@@ -2932,6 +2941,27 @@ SELECT n.id AS id,
        coalesce(b.sim_bp, -1) AS sim_bp,
        CASE WHEN coalesce(b.sim_bp, -1) >= 9700 THEN 1 ELSE 0 END AS matched
 FROM newr n LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON n.id = b.nid""",
+        "er_alignment": """
+WITH RECURSIVE e AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+sym AS (SELECT id_a AS u, id_b AS v FROM e UNION SELECT id_b, id_a FROM e),
+reach(u, v) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+lab AS (SELECT u AS id, CAST(min(v) AS BIGINT) AS cid FROM reach GROUP BY u),
+old AS (SELECT c_custkey AS id, c_custkey // 10 AS ocid FROM customer),
+j AS (SELECT l.cid, o.ocid FROM lab l JOIN old o ON l.id = o.id),
+pc AS (SELECT cid, ocid, count(*) AS cnt FROM j GROUP BY cid, ocid),
+tot AS (SELECT cid, count(*) AS n FROM j GROUP BY cid),
+best AS (SELECT cid, ocid, cnt,
+         row_number() OVER (PARTITION BY cid ORDER BY cnt DESC, ocid) AS rn FROM pc)
+SELECT b.cid AS cluster_id, b.ocid AS old_cluster_id, b.cnt AS overlap,
+       t.n AS n_members, (b.cnt * 1000000) // t.n AS agreement_ppm
+FROM best b JOIN tot t ON b.cid = t.cid WHERE b.rn = 1""",
         "er_cluster_metrics": """
 WITH RECURSIVE e AS (
   SELECT a.c_custkey AS id_a, b.c_custkey AS id_b

@@ -342,3 +342,23 @@ def customer_cluster_metrics(sf_dir: str) -> Dataset:
         lambda t: t.drop_columns(["__b"]) if "__b" in t.column_names else t,
         batch_format="pyarrow",
     )
+
+
+def customer_cluster_alignment(sf_dir: str) -> Dataset:
+    """Stability check between ER runs: align today's customer clusters
+    (lev ≤ 1) to a prior labeling (cluster = c_custkey // 10) by max
+    member overlap (ties → smallest old id)."""
+    from xlink_ray.stages.align import cluster_alignment
+
+    old = _customers(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "member_id": t["c_custkey"].cast(pa.int64()),
+                "cluster_id": pa.compute.cast(
+                    pa.compute.divide(t["c_custkey"], 10), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return cluster_alignment(customer_clusters(sf_dir), old)
