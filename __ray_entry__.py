@@ -163,6 +163,15 @@ def _q_er_alignment(sf_dir: str):
     return er.customer_cluster_alignment(sf_dir)
 
 
+def _q_er_pairs_multiblock(sf_dir: str):
+    """Multi-scheme blocking (blocking.py:union_pair_sets): nation-key
+    pairs ∪ balance-band pairs, exact pair-distinct in one bucket
+    exchange — the recall lever for cross-block matches."""
+    from xlink_ray.pipelines import er
+
+    return er.customer_pairs_multiblock(sf_dir)
+
+
 def _q_fs_weights(sf_dir: str):
     """Fellegi–Sunter m/u probabilities + log2 weights per agreement
     field (stages/fs.py), learned from labeled blocked customer pairs
@@ -2136,6 +2145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_golden": _q_er_golden,
         "er_cluster_metrics": _q_er_cluster_metrics,
         "er_alignment": _q_er_alignment,
+        "er_pairs_multiblock": _q_er_pairs_multiblock,
         "doc_mentions": _q_doc_mentions,
         "links": _q_links,
         "links_partitioned": _q_links_partitioned,
@@ -2941,6 +2951,17 @@ SELECT n.id AS id,
        coalesce(b.sim_bp, -1) AS sim_bp,
        CASE WHEN coalesce(b.sim_bp, -1) >= 9700 THEN 1 ELSE 0 END AS matched
 FROM newr n LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON n.id = b.nid""",
+        "er_pairs_multiblock": """
+SELECT DISTINCT id_a, id_b FROM (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1
+  UNION ALL
+  SELECT a.c_custkey, b.c_custkey
+  FROM customer a JOIN customer b
+    ON floor(a.c_acctbal/100) = floor(b.c_acctbal/100) AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1)""",
         "er_alignment": """
 WITH RECURSIVE e AS (
   SELECT a.c_custkey AS id_a, b.c_custkey AS id_b

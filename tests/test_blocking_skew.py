@@ -96,3 +96,16 @@ def test_blocking_quality_counts(ray_session):
     assert out["co_blocked"] == 1       # only (1,2) share a block
     assert out["reduction_ppm"] == (15 - 6) * 1_000_000 // 15
     assert out["completeness_ppm"] == 1_000_000 // 3
+
+
+def test_union_pair_sets_distinct_superset(ray_session):
+    """Multi-scheme blocking: the union is distinct and a superset of
+    each input scheme's pairs."""
+    from xlink_ray.pipelines import er
+
+    m = er.customer_pairs_multiblock("/root/testdata/sf0.001").to_pandas()
+    p1 = er.customer_pairs("/root/testdata/sf0.001").to_pandas()
+    pairs_m = set(zip(m["id_a"], m["id_b"]))
+    pairs_1 = set(zip(p1["id_a"], p1["id_b"]))
+    assert len(pairs_m) == len(m)  # exact distinct
+    assert pairs_1 <= pairs_m      # superset of scheme 1

@@ -362,3 +362,44 @@ def customer_cluster_alignment(sf_dir: str) -> Dataset:
         batch_format="pyarrow",
     )
     return cluster_alignment(customer_clusters(sf_dir), old)
+
+
+def customer_pairs_multiblock(sf_dir: str, threshold: int = LEV_THRESHOLD) -> Dataset:
+    """Multi-scheme blocking: candidate pairs from TWO independent keys
+    — nation and account-balance band (floor/100) — unioned into one
+    exact-distinct set. The second key recovers name-similar pairs the
+    nation blocker misses (cross-nation twins); output is the candidate
+    set only (id_a, id_b)."""
+    import pyarrow.compute as pc
+
+    from xlink_ray.stages.blocking import union_pair_sets
+
+    p1 = customer_pairs(sf_dir, threshold).select_columns(["id_a", "id_b"])
+
+    cust2 = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal"],
+    ).map_batches(
+        lambda t: t.append_column(
+            "bal_band", pc.cast(pc.floor(pc.divide(t["c_acctbal"], 100.0)), pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+    p2 = block_score_pairs(
+        cust2,
+        key_cols="bal_band",
+        id_col="c_custkey",
+        attr_col="c_name",
+        scorer=lambda A, B: levenshtein_pairs(A, B, max_dist=threshold),
+        keep=lambda s: s <= threshold,
+        skew_cap=8192,
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "id_a": t["id_a"].cast(pa.int64()),
+                "id_b": t["id_b"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return union_pair_sets(p1, p2)

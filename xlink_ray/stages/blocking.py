@@ -34,7 +34,7 @@ import pyarrow.compute as pc
 
 from ray.data import Dataset
 
-__all__ = ["normalize_key", "block_score_pairs", "group_sizes", "salt_hot_keys", "blocking_quality"]
+__all__ = ["normalize_key", "block_score_pairs", "group_sizes", "salt_hot_keys", "blocking_quality", "union_pair_sets"]
 
 # pairs per scorer call: bounds every similarity kernel's DP buffers to
 # a few MB (cache-resident; a fresh worker's first-touch page-fault tax
@@ -398,3 +398,16 @@ def blocking_quality(
             }
         )
     )
+
+
+def union_pair_sets(*pair_sets: "Dataset") -> "Dataset":
+    """Multi-scheme blocking: union N candidate-pair sets (each from its
+    own blocking key) into one exact-distinct set — the standard recall
+    lever when a single key misses cross-block matches. One hash-bucket
+    exchange over the combined pairs; never a sort-based groupby."""
+    from xlink_ray.stages.dedup import _pair_distinct
+
+    ds = pair_sets[0].select_columns(["id_a", "id_b"])
+    for p in pair_sets[1:]:
+        ds = ds.union(p.select_columns(["id_a", "id_b"]))
+    return _pair_distinct(ds)
