@@ -89,3 +89,50 @@ def test_attach_salted_path_identical(ray_session):
     assert plain.equals(salted)
     # every new record accounted for exactly once
     assert plain["id"].is_unique and (plain["id"] % 4 == 0).all()
+
+
+def test_merge_best_equals_brute_force_hypothesis(ray_session):
+    """Property: folding scored pairs chunk-by-chunk through _merge_best
+    (any chunking) equals the global rule max sim_bp → min base id."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from xlink_ray.stages.attach import _merge_best
+
+    pair_st = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),     # new-row idx
+            st.integers(min_value=-1, max_value=50),   # sim_bp
+            st.integers(min_value=0, max_value=9),     # base id
+        ),
+        min_size=0,
+        max_size=40,
+    )
+
+    @settings(max_examples=80, deadline=None)
+    @given(pairs=pair_st, chunk=st.integers(min_value=1, max_value=7))
+    def check(pairs, chunk):
+        n_new = 5
+        best_sbp = np.full(n_new, -1, dtype=np.int64)
+        best_bid = np.full(n_new, np.iinfo(np.int64).max, dtype=np.int64)
+        best_cl = np.full(n_new, -1, dtype=np.int64)
+        for c0 in range(0, len(pairs), chunk):
+            ch = pairs[c0 : c0 + chunk]
+            nidx = np.array([p[0] for p in ch], dtype=np.int64)
+            sbp = np.array([p[1] for p in ch], dtype=np.int64)
+            bid = np.array([p[2] for p in ch], dtype=np.int64)
+            _merge_best(best_sbp, best_bid, best_cl, nidx, sbp, bid, bid * 10)
+        # brute force
+        for i in range(n_new):
+            cand = [(s, b) for (n, s, b) in pairs if n == i]
+            if not cand:
+                assert best_sbp[i] == -1
+                continue
+            want = max(cand, key=lambda t: (t[0], -t[1]))
+            assert (best_sbp[i], best_bid[i], best_cl[i]) == (
+                want[0],
+                want[1],
+                want[1] * 10,
+            )
+
+    check()
