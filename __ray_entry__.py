@@ -433,6 +433,27 @@ def _q_ann_ivf(sf_dir: str):
     return ivf_topk(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), queries, k=10)
 
 
+def _q_ann_pq(sf_dir: str):
+    """Product-quantization ANN (approximate — rows-only check): train
+    per-subspace codebooks on a deterministic sample, encode the corpus
+    to m_sub bytes/vector, score queries by ADC lookup-table sums over
+    the compressed codes only. The compression path for 10¹²-vector
+    indexes that cannot hold raw floats in cluster RAM."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from xlink_ray.stages.ann import pq_encode, pq_topk, pq_train
+
+    q = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = q.sort_by("vec_id").slice(0, 5)
+    queries = np.asarray(q["embedding"].to_pylist(), dtype=np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    cb = pq_train(ds, m_sub=32, n_codes=64)
+    return pq_topk(pq_encode(ds, cb), cb, queries, k=10)
+
+
 _URL_TLDS = ["com", "org", "net", "co.uk", "com.au"]
 _URL_BLOCKLIST = frozenset({"site0.com", "site3.co.uk"})
 
@@ -2225,6 +2246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expanded_anchors": _q_expanded_anchors,
         "title_entities": _q_title_entities,
         "ann_ivf": _q_ann_ivf,
+        "ann_pq": _q_ann_pq,
         "joint_norms": _q_joint_norms,
         "kmeans_sizes": _q_kmeans_sizes,
         "semantic_dedup": _q_semantic_dedup,

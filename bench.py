@@ -105,6 +105,8 @@ def _run_queries() -> dict[str, float]:
     timed("freq_m", lambda: dictbuild.freq_m(SF_DIR).count())
     timed("er_pairs", lambda: er.customer_pairs(SF_DIR).count())
     timed("er_clusters", lambda: er.customer_clusters(SF_DIR).count())
+    timed("er_attach", lambda: er.customer_attach(SF_DIR).count())
+    timed("er_golden", lambda: er.customer_golden(SF_DIR).count())
 
     from xlink_ray.pipelines.curate import curated_corpus
 

@@ -209,3 +209,26 @@ def test_exact_dedup_survivors_matches_keepers(ray_session):
     assert sorted(surv["doc_id"]) == sorted(keep["doc_id"])
     # full rows ride along untouched
     assert set(surv.columns) == {"doc_id", "text", "lang"}
+
+
+def test_pq_recall_and_code_shape(ray_session):
+    from xlink_ray.stages.ann import brute_topk, pq_encode, pq_topk, pq_train
+
+    rng = np.random.default_rng(5)
+    mat = rng.standard_normal((300, 16))
+    rows = [{"vec_id": i, "embedding": mat[i].tolist()} for i in range(300)]
+    ds = _docs_ds(rows)
+    queries = mat[:3]
+    cb = pq_train(ds, m_sub=8, n_codes=32, sample_rows=300)
+    assert cb.shape == (8, 32, 2)
+    codes = pq_encode(ds, cb).materialize()
+    first = codes.take(1)[0]
+    assert len(first["code"]) == 8  # 8 bytes per vector, not 16 floats
+    exact = brute_topk(ds, queries, k=5).to_pandas()
+    approx = pq_topk(codes, cb, queries, k=5).to_pandas()
+    recall = 0
+    for q in range(3):
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        recall += len(e & a) / 5
+    assert recall / 3 >= 0.5

@@ -19,7 +19,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-__all__ = ["brute_topk", "lsh_topk", "ivf_topk"]
+__all__ = ["brute_topk", "lsh_topk", "ivf_topk", "pq_train", "pq_encode", "pq_topk"]
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -265,6 +265,151 @@ def ivf_topk(
 
     partials = ds.map_batches(CellScore, batch_format="pyarrow", concurrency=pool_size())
     tbl = pa.concat_tables([pa.table(b) for b in partials.iter_batches(batch_format="pyarrow")])
+    import pandas as pd
+
+    df = tbl.to_pandas().drop_duplicates(["query_id", "vec_id"])
+    df = df.sort_values(["query_id", "cos", "vec_id"], ascending=[True, False, True])
+    df = df.groupby("query_id", sort=True).head(k).copy()
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(
+        df[["query_id", "rank", "vec_id"]].reset_index(drop=True), preserve_index=False
+    )
+
+
+def _pq_codebooks(sample: np.ndarray, m_sub: int, n_codes: int, iters: int = 8) -> np.ndarray:
+    """Deterministic per-subspace Lloyd codebooks over the normalized
+    sample: shape (m_sub, n_codes, dsub); init = evenly spaced sample
+    rows, empty codes keep their centroid (plain euclidean k-means —
+    ADC then approximates the inner product as a sum of per-subspace
+    partial dot products)."""
+    n, dim = sample.shape
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    dsub = dim // m_sub
+    out = np.empty((m_sub, n_codes, dsub), dtype=np.float64)
+    init_rows = np.linspace(0, n - 1, num=min(n_codes, n), dtype=np.int64)
+    for s in range(m_sub):
+        sub = sample[:, s * dsub : (s + 1) * dsub]
+        cents = sub[init_rows].copy()
+        for _ in range(iters):
+            d2 = (
+                (sub * sub).sum(axis=1)[:, None]
+                - 2.0 * (sub @ cents.T)
+                + (cents * cents).sum(axis=1)[None, :]
+            )
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cents)):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        out[s, : len(cents)] = cents
+        if len(cents) < n_codes:  # tiny sample: pad with the first centroid
+            out[s, len(cents) :] = cents[0]
+    return out
+
+
+def pq_train(
+    ds: Dataset,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    sample_rows: int = 2048,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train PQ codebooks on a deterministic sample (driver holds only
+    the m_sub × n_codes × dsub codebook — KBs, broadcast to encoders)."""
+    sample = ds.take(min(sample_rows, 100_000))
+    smat = _normalize(np.asarray([r[vec_col] for r in sample], dtype=np.float64))
+    return _pq_codebooks(smat, m_sub, n_codes)
+
+
+def pq_encode(
+    ds: Dataset,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Dataset:
+    """→ (id, code: fixed list<uint8> of m_sub) — the compressed index
+    (m_sub bytes per vector instead of dim floats; at 10¹² vectors the
+    difference between fitting in cluster RAM and not). Streaming
+    encode; the codebook rides in the task closure."""
+    m_sub, n_codes, dsub = codebooks.shape
+    cb_ref = ray.put(codebooks)
+
+    class Encode:
+        def __init__(self):
+            self.cb = ray.get(cb_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+            m = _normalize(vecs_to_numpy(batch[vec_col]))
+            codes = np.empty((len(ids), m_sub), dtype=np.uint8)
+            for s in range(m_sub):
+                sub = m[:, s * dsub : (s + 1) * dsub]
+                cents = self.cb[s]
+                d2 = -2.0 * (sub @ cents.T) + (cents * cents).sum(axis=1)[None, :]
+                codes[:, s] = np.argmin(d2, axis=1).astype(np.uint8)
+            return pa.table(
+                {
+                    id_col: pa.array(ids),
+                    "code": pa.FixedSizeListArray.from_arrays(
+                        pa.array(codes.ravel(), pa.uint8()), m_sub
+                    ),
+                }
+            )
+
+    return ds.map_batches(Encode, batch_format="pyarrow", concurrency=pool_size())
+
+
+def pq_topk(
+    codes: Dataset,
+    codebooks: np.ndarray,
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """ADC top-k over the COMPRESSED index: each query's per-subspace
+    lookup table (m_sub × n_codes inner products, computed once per
+    actor) scores a batch of codes with pure table lookups + a sum —
+    no original vectors touched. Per-batch per-query top-k truncation,
+    then the same tiny driver merge as brute_topk."""
+    m_sub, n_codes, dsub = codebooks.shape
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    # LUT[q, s, c] = <q_sub, codebook[s, c]>
+    lut = np.einsum(
+        "qsd,scd->qsc", qn.reshape(len(qn), m_sub, dsub), codebooks
+    )
+    state_ref = ray.put(lut)
+
+    class ADCScore:
+        def __init__(self):
+            self.lut = ray.get(state_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+            codes_np = vecs_to_numpy(batch["code"]).astype(np.int64)
+            nq = self.lut.shape[0]
+            sims = np.zeros((nq, len(ids)), dtype=np.float64)
+            for s in range(m_sub):
+                sims += self.lut[:, s, codes_np[:, s]]
+            kk = min(k, len(ids))
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            out_q = np.repeat(np.arange(nq, dtype=np.int64), kk)
+            out_id = ids[idx.ravel()]
+            out_s = np.take_along_axis(sims, idx, axis=1).ravel()
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q),
+                    "vec_id": pa.array(out_id),
+                    "cos": pa.array(out_s),
+                }
+            )
+
+    partials = codes.map_batches(
+        ADCScore, batch_format="pyarrow", concurrency=pool_size()
+    )
+    tbl = pa.concat_tables(
+        [pa.table(b) for b in partials.iter_batches(batch_format="pyarrow")]
+    )
     import pandas as pd
 
     df = tbl.to_pandas().drop_duplicates(["query_id", "vec_id"])
