@@ -155,6 +155,16 @@ def _q_er_cluster_metrics(sf_dir: str):
     return er.customer_cluster_metrics(sf_dir)
 
 
+def _q_flagship_attach(sf_dir: str):
+    """Incremental flagship crawl (rows-only — context-cosine edge
+    semantics, like flagship_clusters): dictionary + clusters reused
+    from the standing run, new pages stream through the same scan,
+    occurrences attach via the sorted-neighborhood context edge."""
+    from xlink_ray.pipelines import flagship
+
+    return flagship.attach_new_crawl(sf_dir)
+
+
 def _q_er_alignment(sf_dir: str):
     """Cross-run cluster alignment (stages/align.py): each new cluster
     mapped to the max-overlap old cluster; one stamp + one bucket fold."""
@@ -2167,6 +2177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_cluster_metrics": _q_er_cluster_metrics,
         "er_alignment": _q_er_alignment,
         "er_pairs_multiblock": _q_er_pairs_multiblock,
+        "flagship_attach": _q_flagship_attach,
         "doc_mentions": _q_doc_mentions,
         "links": _q_links,
         "links_partitioned": _q_links_partitioned,

@@ -55,7 +55,7 @@ from xlink_ray.stages.candidates import CandidateGenActor
 from xlink_ray.stages.clustering import connected_components
 from xlink_ray.state.broadcast import broadcast_table
 
-__all__ = ["links", "clusters", "EDGE_TH", "DOCS_PER_SALT"]
+__all__ = ["links", "clusters", "attach_new_crawl", "EDGE_TH", "DOCS_PER_SALT"]
 
 EDGE_TH = 0.0  # context-cosine threshold for sorted-neighborhood edges
 
@@ -655,6 +655,34 @@ def members_from_links(lkc: Dataset) -> Dataset:
     )
 
 
+def _adjacent_cos(ctx: np.ndarray) -> np.ndarray:
+    """Cosine of each adjacent context-vector pair (n-1 values)."""
+    a, b = ctx[:-1], ctx[1:]
+    num = np.einsum("ij,ij->i", a, b)
+    den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+    cos = np.zeros(len(ctx) - 1)
+    nz = den > 0
+    cos[nz] = num[nz] / den[nz]
+    return cos
+
+
+def _run_labels(member: np.ndarray, ctx: np.ndarray) -> np.ndarray:
+    """Run labels for rows ALREADY sorted in block order: break where
+    the adjacent context cosine fails EDGE_TH; cluster id = min member
+    string within the run (runs are contiguous ascending → groupby.min
+    + repeat, no transform)."""
+    import pandas as pd
+
+    n = len(member)
+    cos = _adjacent_cos(ctx)
+    brk = np.ones(n, dtype=np.int64)
+    brk[1:] = (cos < EDGE_TH).astype(np.int64)
+    run = np.cumsum(brk) - 1
+    run_min = pd.Series(member).groupby(run, sort=True).min().to_numpy()
+    counts = np.bincount(run, minlength=len(run_min))
+    return np.repeat(run_min, counts)
+
+
 class _BlockClusters:
     """Per-block transitive clustering fused into the block task.
 
@@ -702,23 +730,7 @@ class _BlockClusters:
                  "cluster_id": pa.array(member, pa.string())}
             )
         ctx = self.embedder(g["context"])
-        a, b = ctx[:-1], ctx[1:]
-        num = np.einsum("ij,ij->i", a, b)
-        den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
-        cos = np.zeros(n - 1)
-        nz = den > 0
-        cos[nz] = num[nz] / den[nz]
-        # run id per row: break where the adjacent edge fails
-        brk = np.ones(n, dtype=np.int64)
-        brk[1:] = (cos < EDGE_TH).astype(np.int64)
-        run = np.cumsum(brk) - 1
-        # cluster id = min member string within the run (runs are
-        # contiguous ascending → groupby.min + repeat, no transform)
-        import pandas as pd
-
-        run_min = pd.Series(member).groupby(run, sort=True).min().to_numpy()
-        counts = np.bincount(run, minlength=len(run_min))
-        labels = np.repeat(run_min, counts)
+        labels = _run_labels(member, ctx)
         return pa.table(
             {
                 "member_id": pa.array(member, pa.string()),
@@ -935,3 +947,170 @@ def clusters_checkpointed(
         ),
     )
     return out, cm
+
+
+class _AttachBlock:
+    """Per-(mention, entity) attach task for an incremental crawl:
+    recompute the BASE rows' run labels locally (identical math to
+    ``_BlockClusters``), then place each NEW occurrence at its sorted
+    position and test the context cosine against its adjacent base
+    neighbors — adopt the better neighbor's cluster when the edge
+    passes EDGE_TH (ties → the left/earlier neighbor, the
+    sorted-neighborhood convention), else the new rows of the block
+    cluster among THEMSELVES with the standard run rule (a brand-new
+    entity's occurrences still form clusters; they just can't merge
+    standing base clusters — the one semantic difference vs a full
+    re-cluster, inherent to attach)."""
+
+    def __init__(self, emb_ref: "ray.ObjectRef"):
+        self._inner = _BlockClusters(emb_ref)
+        self.embedder = self._inner.embedder
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        g = group.sort_by([("doc_id", "ascending"), ("offset", "ascending")])
+        side = g["side"].to_numpy(zero_copy_only=False)
+        member = pc.binary_join_element_wise(
+            pc.cast(g["doc_id"], pa.string()),
+            pc.cast(g["offset"], pa.string()),
+            "#",
+        ).to_numpy(zero_copy_only=False)
+        new_rows = np.nonzero(side == 1)[0]
+        empty = pa.table(
+            {
+                "member_id": pa.array([], pa.string()),
+                "cluster_id": pa.array([], pa.string()),
+                "matched": pa.array([], pa.int64()),
+                "cos_bp": pa.array([], pa.int64()),
+            }
+        )
+        if len(new_rows) == 0:
+            return empty
+        base_rows = np.nonzero(side == 0)[0]
+        ctx = self.embedder(g["context"])
+        if len(base_rows) == 0:
+            # new-only block: standard run clustering among the new rows
+            labels = (
+                _run_labels(member[new_rows], ctx[new_rows])
+                if len(new_rows) > 1
+                else member[new_rows]
+            )
+            return pa.table(
+                {
+                    "member_id": pa.array(member[new_rows], pa.string()),
+                    "cluster_id": pa.array(labels, pa.string()),
+                    "matched": pa.array(np.zeros(len(new_rows), np.int64)),
+                    "cos_bp": pa.array(np.full(len(new_rows), -1, np.int64)),
+                }
+            )
+        b_member, b_ctx = member[base_rows], ctx[base_rows]
+        b_labels = (
+            _run_labels(b_member, b_ctx) if len(base_rows) > 1 else b_member.copy()
+        )
+        # position of each new row among the base rows (rows are in
+        # global block order, so counting preceding base rows gives the
+        # insertion point directly — no key re-comparison needed)
+        ins = np.cumsum(side == 0)[new_rows]  # #base rows before each new row
+        n_ctx = ctx[new_rows]
+        nb = len(base_rows)
+
+        def cos_to(base_idx: np.ndarray, valid: np.ndarray) -> np.ndarray:
+            out = np.full(len(new_rows), -1.0)
+            if valid.any():
+                a = n_ctx[valid]
+                b = b_ctx[np.clip(base_idx[valid], 0, nb - 1)]
+                num = np.einsum("ij,ij->i", a, b)
+                den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+                c = np.zeros(len(a))
+                nz = den > 0
+                c[nz] = num[nz] / den[nz]
+                out[valid] = c
+            return out
+
+        cos_l = cos_to(ins - 1, ins - 1 >= 0)
+        cos_r = cos_to(ins, ins <= nb - 1)
+        take_left = cos_l >= cos_r  # tie → left/earlier neighbor
+        best_cos = np.where(take_left, cos_l, cos_r)
+        best_idx = np.where(take_left, np.clip(ins - 1, 0, nb - 1), np.clip(ins, 0, nb - 1))
+        matched = best_cos >= EDGE_TH
+        labels = np.where(matched, b_labels[best_idx], member[new_rows])
+        return pa.table(
+            {
+                "member_id": pa.array(member[new_rows], pa.string()),
+                "cluster_id": pa.array(labels.astype(object), pa.string()),
+                "matched": pa.array(matched.astype(np.int64)),
+                "cos_bp": pa.array(
+                    np.where(best_cos < 0, -1, np.floor(best_cos * 10000.0)).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+
+def attach_new_crawl(sf_dir: str, new_repeat: int = 2) -> Dataset:
+    """Incremental flagship run: the standing crawl is ``sf_dir``'s
+    pages (repeat=1); copies 1..new_repeat-1 of the deterministic synth
+    are the NEW crawl. The dictionary, link-prob tables and embeddings
+    are REUSED from the standing run (no rebuild); new pages stream
+    through the same candidate scan; each new occurrence attaches to a
+    standing cluster via the sorted-neighborhood context edge, or
+    founds/joins a new-rows-only cluster.
+
+    → (member_id, cluster_id, matched, cos_bp), one row per NEW
+    occurrence. One blocking groupby — the same exchange shape as the
+    standing pipeline's cluster stage.
+    """
+    from xlink_ray import synth
+    from xlink_ray.stages.candidates import CandidateGenActor
+    from xlink_ray.stages.extract import ExtractCorpusBatch
+
+    corpus, ma_ref, lp_ref, emb_ref = _prepare(sf_dir, 1)
+    n_base = corpus.count()
+
+    def links_of(c: Dataset) -> Dataset:
+        return c.map_batches(
+            CandidateGenActor,
+            fn_constructor_args=(ma_ref, lp_ref, emb_ref),
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=pool_size(),
+            num_cpus=1,
+        )
+
+    def only_new(t: pa.Table) -> pa.Table:
+        from xlink_ray.synth import doc_id_of_url
+
+        keep = pc.greater_equal(doc_id_of_url(t["doc_id"]), n_base)
+        return t.filter(keep)
+
+    new_corpus = (
+        synth.synth_pages(sf_dir, new_repeat, slim=True)
+        .map_batches(ExtractCorpusBatch(), batch_format="pyarrow", batch_size=None,
+                     num_cpus=heavy_cpus())
+        .map_batches(only_new, batch_format="pyarrow")
+    )
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "mention": t["mention"],
+                    "entity_id": t["entity_id"],
+                    "doc_id": t["doc_id"],
+                    "offset": t["offset"],
+                    "context": t["context"],
+                    "side": pa.array(np.full(t.num_rows, side, dtype=np.int8)),
+                }
+            )
+
+        return fn
+
+    tagged = links_of(corpus).map_batches(tag(0), batch_format="pyarrow").union(
+        links_of(new_corpus).map_batches(tag(1), batch_format="pyarrow")
+    )
+    return tagged.groupby(["mention", "entity_id"]).map_groups(
+        _AttachBlock,
+        fn_constructor_args=(broadcast_table(synth.synth_embeddings()),),
+        batch_format="pyarrow",
+        concurrency=pool_size(),
+    )
