@@ -165,6 +165,22 @@ def _q_flagship_attach(sf_dir: str):
     return flagship.attach_new_crawl(sf_dir)
 
 
+def _q_fs_review_queue(sf_dir: str):
+    """Fellegi–Sunter clerical-review band: pairs too strong to reject,
+    too weak to auto-link."""
+    from xlink_ray.pipelines import er
+
+    return er.customer_fs_review_queue(sf_dir)
+
+
+def _q_er_exemplars(sf_dir: str):
+    """Per-cluster exemplars: top-2 members by balance (stamp → grouped
+    top-k composition)."""
+    from xlink_ray.pipelines import er
+
+    return er.customer_cluster_exemplars(sf_dir)
+
+
 def _q_er_alignment(sf_dir: str):
     """Cross-run cluster alignment (stages/align.py): each new cluster
     mapped to the max-overlap old cluster; one stamp + one bucket fold."""
@@ -2178,6 +2194,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_alignment": _q_er_alignment,
         "er_pairs_multiblock": _q_er_pairs_multiblock,
         "flagship_attach": _q_flagship_attach,
+        "fs_review_queue": _q_fs_review_queue,
+        "er_exemplars": _q_er_exemplars,
         "doc_mentions": _q_doc_mentions,
         "links": _q_links,
         "links_partitioned": _q_links_partitioned,
@@ -2995,6 +3013,45 @@ SELECT DISTINCT id_a, id_b FROM (
   FROM customer a JOIN customer b
     ON floor(a.c_acctbal/100) = floor(b.c_acctbal/100) AND a.c_custkey < b.c_custkey
   WHERE levenshtein(a.c_name, b.c_name) <= 1)""",
+        "fs_review_queue": """
+WITH c AS (SELECT c_custkey AS id, c_nationkey AS k, c_mktsegment AS seg,
+  CAST(floor(c_acctbal/1000) AS BIGINT) AS bal, right(c_name,1) AS last1, c_name FROM customer),
+p AS (SELECT a.id AS ia, b.id AS ib,
+  CASE WHEN a.seg=b.seg THEN 1 ELSE 0 END AS a_seg,
+  CASE WHEN a.bal=b.bal THEN 1 ELSE 0 END AS a_bal,
+  CASE WHEN a.last1=b.last1 THEN 1 ELSE 0 END AS a_last1,
+  CASE WHEN levenshtein(a.c_name,b.c_name)<=1 THEN 1 ELSE 0 END AS lbl
+ FROM c a JOIN c b ON a.k=b.k AND a.id<b.id),
+s AS (SELECT sum(lbl) AS n1, sum(1-lbl) AS n0,
+  sum(a_seg*lbl) AS s1_seg, sum(a_seg*(1-lbl)) AS s0_seg,
+  sum(a_bal*lbl) AS s1_bal, sum(a_bal*(1-lbl)) AS s0_bal,
+  sum(a_last1*lbl) AS s1_last1, sum(a_last1*(1-lbl)) AS s0_last1 FROM p),
+sc AS (
+SELECT p.ia AS id_a, p.ib AS id_b, p.lbl AS label,
+ (CASE WHEN p.a_seg=1 THEN log2(((s.s1_seg+0.5)/(s.n1+1))/((s.s0_seg+0.5)/(s.n0+1)))
+       ELSE log2((1-(s.s1_seg+0.5)/(s.n1+1))/(1-(s.s0_seg+0.5)/(s.n0+1))) END)
+ + (CASE WHEN p.a_bal=1 THEN log2(((s.s1_bal+0.5)/(s.n1+1))/((s.s0_bal+0.5)/(s.n0+1)))
+       ELSE log2((1-(s.s1_bal+0.5)/(s.n1+1))/(1-(s.s0_bal+0.5)/(s.n0+1))) END)
+ + (CASE WHEN p.a_last1=1 THEN log2(((s.s1_last1+0.5)/(s.n1+1))/((s.s0_last1+0.5)/(s.n0+1)))
+       ELSE log2((1-(s.s1_last1+0.5)/(s.n1+1))/(1-(s.s0_last1+0.5)/(s.n0+1))) END) AS score
+FROM p CROSS JOIN s)
+SELECT * FROM sc WHERE score >= 0.0 AND score < 3.5""",
+        "er_exemplars": """
+WITH RECURSIVE e AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+sym AS (SELECT id_a AS u, id_b AS v FROM e UNION SELECT id_b, id_a FROM e),
+reach(u, v) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+lab AS (SELECT u AS id, CAST(min(v) AS BIGINT) AS cid FROM reach GROUP BY u),
+g AS (SELECT c.c_custkey, c.c_acctbal, l.cid AS cluster_id,
+      row_number() OVER (PARTITION BY l.cid ORDER BY c.c_acctbal DESC, c.c_custkey) AS rn
+      FROM customer c JOIN lab l ON c.c_custkey = l.id)
+SELECT c_custkey, c_acctbal, cluster_id FROM g WHERE rn <= 2""",
         "er_alignment": """
 WITH RECURSIVE e AS (
   SELECT a.c_custkey AS id_a, b.c_custkey AS id_b

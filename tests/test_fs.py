@@ -62,3 +62,27 @@ def test_fs_customer_scores_separate_labels(ray_session):
     assert s[s.label == 1]["score"].mean() > s[s.label == 0]["score"].mean()
     # pair universe == the nation-blocked grid (447 at sf0.001)
     assert len(s) == 447
+
+
+def test_review_queue_band(ray_session):
+    from xlink_ray.pipelines import er
+
+    q = er.customer_fs_review_queue(SF_SMALL).to_pandas()
+    assert len(q) > 0
+    assert ((q["score"] >= 0.0) & (q["score"] < 3.5)).all()
+
+
+def test_cluster_exemplars_topk(ray_session):
+    from xlink_ray.pipelines import er
+
+    x = er.customer_cluster_exemplars(SF_SMALL).to_pandas()
+    g = er.customer_golden(SF_SMALL).to_pandas()
+    sizes = x.groupby("cluster_id").size()
+    assert (sizes <= 2).all()
+    # exactly min(2, n_members) exemplars per cluster
+    want = g.set_index("cluster_id")["n_members"].clip(upper=2)
+    assert sizes.sort_index().equals(want.sort_index().astype(sizes.dtype))
+    # the exemplar max balance matches the golden record's survivor balance
+    top = x.sort_values(["cluster_id", "c_acctbal"], ascending=[True, False]).groupby("cluster_id").head(1)
+    merged = top.merge(g, on="cluster_id")
+    assert (merged["c_acctbal_x"] == merged["c_acctbal_y"]).all()

@@ -403,3 +403,51 @@ def customer_pairs_multiblock(sf_dir: str, threshold: int = LEV_THRESHOLD) -> Da
         batch_format="pyarrow",
     )
     return union_pair_sets(p1, p2)
+
+
+def customer_fs_review_queue(
+    sf_dir: str, lo: float = 0.0, hi: float = 3.5
+) -> Dataset:
+    """Clerical-review queue (Fellegi–Sunter's third band): pairs whose
+    learned LLR score falls in [lo, hi) — too strong to reject, too
+    weak to auto-link — the set a human (or a stronger model) reviews."""
+    import pyarrow.compute as pc
+
+    return customer_fs_scores(sf_dir).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater_equal(t["score"], lo), pc.less(t["score"], hi))
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def customer_cluster_exemplars(sf_dir: str, k: int = 2) -> Dataset:
+    """Per-cluster exemplar extraction: the k highest-balance members of
+    every customer cluster (ties → smallest id) — the rows a reviewer
+    or a downstream sampler actually looks at. Composition: reduce-side
+    cluster stamp → grouped top-k."""
+    from xlink_ray.stages.stats import group_topk
+    from xlink_ray.stages.survivor import stamp_cluster
+
+    records = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    )
+    labeled = stamp_cluster(
+        records,
+        customer_clusters(sf_dir),
+        id_col="c_custkey",
+        carry_cols=["c_acctbal"],
+        carry_types={"c_acctbal": pa.float64()},
+    )  # → (id, c_acctbal, cluster)
+    return group_topk(
+        labeled.map_batches(
+            lambda t: t.rename_columns(
+                [{"id": "c_custkey", "cluster": "cluster_id"}.get(c, c) for c in t.column_names]
+            ),
+            batch_format="pyarrow",
+        ),
+        group_col="cluster_id",
+        order_col="c_acctbal",
+        k=k,
+        tie_col="c_custkey",
+    )
