@@ -958,9 +958,18 @@ class _AttachBlock:
     passes EDGE_TH (ties → the left/earlier neighbor, the
     sorted-neighborhood convention), else the new rows of the block
     cluster among THEMSELVES with the standard run rule (a brand-new
-    entity's occurrences still form clusters; they just can't merge
-    standing base clusters — the one semantic difference vs a full
-    re-cluster, inherent to attach)."""
+    entity's occurrences still form clusters).
+
+    Semantic contract vs a FULL re-cluster of both crawls (inherent to
+    attach under sorted-neighborhood chain semantics; measured at
+    sf0.001: pairwise F1 0.65 between the two results):
+    * attach never MERGES two standing clusters (a bridging new row
+      adopts one side only);
+    * attach never SPLITS a standing cluster — a full re-cluster DOES
+      whenever an inserted row fails the edge to both neighbors,
+      breaking the chain between previously-adjacent members.
+    Standing cluster ids staying stable is exactly the property an
+    incremental deployment buys with attach."""
 
     def __init__(self, emb_ref: "ray.ObjectRef"):
         self._inner = _BlockClusters(emb_ref)
