@@ -165,6 +165,20 @@ def _q_flagship_attach(sf_dir: str):
     return flagship.attach_new_crawl(sf_dir)
 
 
+def _q_quantile_norm(sf_dir: str):
+    """Per-source quantile normalization of document lengths
+    (stats.py:quantile_normalize) — the cross-domain score-calibration
+    step; integer percent-rank ppm."""
+    import ray.data as rd
+
+    from xlink_ray.stages.stats import quantile_normalize
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    return quantile_normalize(docs, "source", "n_chars", "doc_id")
+
+
 def _q_fs_review_queue(sf_dir: str):
     """Fellegi–Sunter clerical-review band: pairs too strong to reject,
     too weak to auto-link."""
@@ -2196,6 +2210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_attach": _q_flagship_attach,
         "fs_review_queue": _q_fs_review_queue,
         "er_exemplars": _q_er_exemplars,
+        "quantile_norm": _q_quantile_norm,
         "doc_mentions": _q_doc_mentions,
         "links": _q_links,
         "links_partitioned": _q_links_partitioned,
@@ -3013,6 +3028,15 @@ SELECT DISTINCT id_a, id_b FROM (
   FROM customer a JOIN customer b
     ON floor(a.c_acctbal/100) = floor(b.c_acctbal/100) AND a.c_custkey < b.c_custkey
   WHERE levenshtein(a.c_name, b.c_name) <= 1)""",
+        "quantile_norm": """
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents)
+SELECT doc_id, source, n_chars,
+       CASE WHEN n > 1 THEN (rn - 1) * 1000000 // (n - 1) ELSE 0 END AS pct_ppm
+FROM r""",
         "fs_review_queue": """
 WITH c AS (SELECT c_custkey AS id, c_nationkey AS k, c_mktsegment AS seg,
   CAST(floor(c_acctbal/1000) AS BIGINT) AS bal, right(c_name,1) AS last1, c_name FROM customer),

@@ -234,3 +234,28 @@ def test_latest_per_key_min_variant(ray_session):
     out = lo.to_pandas().sort_values("k")
     # k=7 → min o=3 (id 1); k=8 → o tie, min id=2
     assert out["id"].tolist() == [1, 2]
+
+
+def test_quantile_normalize_rule(ray_session):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from xlink_ray.stages.stats import quantile_normalize
+
+    rows = [
+        {"id": 1, "g": "a", "v": 10},
+        {"id": 2, "g": "a", "v": 30},
+        {"id": 3, "g": "a", "v": 20},
+        {"id": 4, "g": "b", "v": 99},   # singleton -> 0
+        {"id": 5, "g": "c", "v": 7},    # tie broken by id
+        {"id": 6, "g": "c", "v": 7},
+    ]
+    out = (
+        quantile_normalize(rd.from_arrow(pa.Table.from_pylist(rows)), "g", "v", "id")
+        .to_pandas()
+        .set_index("id")["pct_ppm"]
+    )
+    assert out[1] == 0 and out[3] == 500000 and out[2] == 1000000
+    assert out[4] == 0
+    assert out[5] == 0 and out[6] == 1000000

@@ -23,7 +23,7 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
-__all__ = ["group_topk", "grouped_quantiles", "quantile_band_filter", "global_rank", "categorify", "latest_per_key", "json_field"]
+__all__ = ["group_topk", "grouped_quantiles", "quantile_band_filter", "global_rank", "categorify", "latest_per_key", "json_field", "quantile_normalize"]
 
 
 def _topk_batch(
@@ -399,3 +399,45 @@ def json_field(
         return t.append_column(out_col, pa.array(vals, dtype))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def quantile_normalize(
+    ds: "Dataset",
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> "Dataset":
+    """Per-group quantile (percent-rank) normalization, the calibration
+    step before cross-group filtering — e.g. webtext quality scores are
+    only comparable across domains after each domain's distribution is
+    mapped to [0, 1]. Integer-exact: pct_ppm = (rn-1)·10⁶ // (n-1) with
+    rn = row_number ordered by (value, id) inside the group (singleton
+    groups → 0), identical to the SQL window rule.
+
+    One ``groupby(group_col)`` exchange; ranks are one lexsort per
+    group task. A group is a domain — bounded in practice; for a
+    degenerate giant group use the value-range bucketed ``global_rank``
+    per group instead."""
+    import numpy as np
+    import pyarrow as pa
+
+    def per_group(g: pa.Table) -> pa.Table:
+        v = g[value_col].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        n = len(v)
+        order = np.lexsort((ids, v))
+        rn = np.empty(n, dtype=np.int64)
+        rn[order] = np.arange(n, dtype=np.int64)  # 0-based row_number-1
+        pct = rn * 1_000_000 // max(n - 1, 1) if n > 1 else np.zeros(n, dtype=np.int64)
+        return pa.table(
+            {
+                id_col: g[id_col],
+                group_col: g[group_col],
+                value_col: g[value_col],
+                "pct_ppm": pa.array(pct.astype(np.int64)),
+            }
+        )
+
+    return ds.select_columns([id_col, group_col, value_col]).groupby(
+        group_col
+    ).map_groups(per_group, batch_format="pyarrow")
