@@ -165,6 +165,39 @@ def _q_flagship_attach(sf_dir: str):
     return flagship.attach_new_crawl(sf_dir)
 
 
+def _q_html_extract_text(sf_dir: str):
+    """The input_hint contract end-to-end from the html BINARY column:
+    pages.html → html_to_text (vectorized tag strip + entity decode) →
+    markup extraction → per-doc plain text, byte-identical to
+    documents.text (the M1 invariant through the html path)."""
+    import pyarrow.compute as _pc
+
+    from xlink_ray import synth
+    from xlink_ray.stages.extract import ExtractCorpusBatch, html_to_text
+
+    pages = synth.synth_pages(sf_dir)  # full pages incl. html binary
+
+    def drop_text(t):
+        return t.drop_columns(["text"])  # force recovery from html
+
+    corpus = (
+        pages.map_batches(drop_text, batch_format="pyarrow")
+        .map_batches(html_to_text, batch_format="pyarrow")
+        .map_batches(ExtractCorpusBatch(), batch_format="pyarrow")
+    )
+
+    def fmt(t):
+        import pyarrow as _pa
+
+        from xlink_ray.synth import doc_id_of_url
+
+        return _pa.table(
+            {"doc_id": doc_id_of_url(t["doc_id"]), "text": t["text"]}
+        )
+
+    return corpus.map_batches(fmt, batch_format="pyarrow")
+
+
 def _q_quantile_norm(sf_dir: str):
     """Per-source quantile normalization of document lengths
     (stats.py:quantile_normalize) — the cross-domain score-calibration
@@ -2211,6 +2244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fs_review_queue": _q_fs_review_queue,
         "er_exemplars": _q_er_exemplars,
         "quantile_norm": _q_quantile_norm,
+        "html_extract_text": _q_html_extract_text,
         "doc_mentions": _q_doc_mentions,
         "links": _q_links,
         "links_partitioned": _q_links_partitioned,
@@ -3028,6 +3062,8 @@ SELECT DISTINCT id_a, id_b FROM (
   FROM customer a JOIN customer b
     ON floor(a.c_acctbal/100) = floor(b.c_acctbal/100) AND a.c_custkey < b.c_custkey
   WHERE levenshtein(a.c_name, b.c_name) <= 1)""",
+        "html_extract_text": """
+SELECT doc_id, text FROM documents""",
         "quantile_norm": """
 WITH r AS (
   SELECT doc_id, source, n_chars,

@@ -109,3 +109,31 @@ def test_mark_text_roundtrip():
     assert "[[ent_spark_alt|spark]]" in marked
     _, plain = extract_mentions_and_plain_text(marked)
     assert plain == text
+
+
+def test_html_to_text_kernels(ray_session):
+    import pyarrow as pa
+
+    from xlink_ray.stages.extract import html_to_text
+
+    batch = pa.table(
+        {
+            "url": pa.array(["u1", "u2", "u3"]),
+            "html": pa.array(
+                [
+                    b"<html><body>plain [[e1|m]] text</body></html>",
+                    b"<html><head><style>p{x}</style><script>if(a<b){}</script>"
+                    b"</head><body>A &amp; B &lt;tag&gt; &amp;lt;</body></html>",
+                    b"<p class='x'>nested <b>bold</b></p>",
+                ],
+                pa.binary(),
+            ),
+        }
+    )
+    out = html_to_text(batch)
+    assert out.column_names == ["url", "text"]
+    t = out["text"].to_pylist()
+    assert t[0] == "plain [[e1|m]] text"
+    # script/style gone, entities decoded, &amp;lt; -> literal '&lt;'
+    assert t[1] == "A & B <tag> &lt;"
+    assert t[2] == "nested bold"

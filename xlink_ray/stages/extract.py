@@ -32,6 +32,7 @@ __all__ = [
     "extract_mentions_and_plain_text",
     "ExtractCorpusBatch",
     "ExtractMentionsBatch",
+    "html_to_text",
 ]
 
 
@@ -135,3 +136,37 @@ class ExtractMentionsBatch:
                 "offset": pa.array(offsets, type=pa.int64()),
             }
         )
+
+
+def html_to_text(batch: pa.Table, html_col: str = "html", out: str = "text") -> pa.Table:
+    """pages (html: binary) → recovered page text (input_hint contract:
+    the crawl table's primary payload is the raw html bytes; `text` is
+    derived). Fully vectorized Arrow kernels — utf-8 cast, script/style
+    block removal, tag strip, standard entity decode — no per-row
+    Python. For the synthesized crawl (``<html><body>…</body></html>``
+    wrappers) the recovery is byte-identical to the marked text, which
+    the byte-identity oracle pins end-to-end through extraction.
+
+    Stateless; use as ``pages.map_batches(html_to_text)``. Columns other
+    than ``html_col`` pass through (minus any existing ``out`` column).
+    """
+    s = pc.cast(batch[html_col], pa.string())
+    # drop script/style blocks first (their content is not text)
+    s = pc.replace_substring_regex(s, r"(?s)<script[^>]*>.*?</script>", "")
+    s = pc.replace_substring_regex(s, r"(?s)<style[^>]*>.*?</style>", "")
+    # strip remaining tags
+    s = pc.replace_substring_regex(s, r"<[^>]*>", "")
+    # standard entity decode (amp LAST so &amp;lt; decodes to the
+    # literal '&lt;', matching html.unescape's non-recursive rule)
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ):
+        s = pc.replace_substring(s, ent, ch)
+    keep = [c for c in batch.column_names if c not in (html_col, out)]
+    tbl = batch.select(keep)
+    return tbl.append_column(out, s)
