@@ -198,6 +198,42 @@ def _q_html_extract_text(sf_dir: str):
     return corpus.map_batches(fmt, batch_format="pyarrow")
 
 
+def _q_crawl_freshness(sf_dir: str):
+    """warc_ts consumed end-to-end (input_hint contract): per crawl
+    source, page count + earliest/latest crawl timestamp as epoch
+    seconds. Per-batch partial aggregates → one tiny groupby."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from ray.data.aggregate import Max, Min, Sum
+    from xlink_ray import synth
+
+    pages = synth.synth_pages(sf_dir)
+
+    def partial(t: _pa.Table) -> _pa.Table:
+        src = _pc.replace_substring_regex(
+            t["url"], r"^https://crawl\.example\.org/([^/]+)/.*$", r"\1"
+        )
+        epoch = _pc.divide(_pc.cast(t["warc_ts"], _pa.int64()), 1_000_000)
+        g = (
+            _pa.table({"source": src, "ts": epoch})
+            .group_by("source")
+            .aggregate([("ts", "min"), ("ts", "max"), ("ts", "count")])
+        )
+        return g.rename_columns(["source", "mn", "mx", "n"])
+
+    out = (
+        pages.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n", alias_name="n_pages"),
+            Min("mn", alias_name="first_ts"),
+            Max("mx", alias_name="last_ts"),
+        )
+    )
+    return out
+
+
 def _q_quantile_norm(sf_dir: str):
     """Per-source quantile normalization of document lengths
     (stats.py:quantile_normalize) — the cross-domain score-calibration
@@ -2245,6 +2281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_exemplars": _q_er_exemplars,
         "quantile_norm": _q_quantile_norm,
         "html_extract_text": _q_html_extract_text,
+        "crawl_freshness": _q_crawl_freshness,
         "doc_mentions": _q_doc_mentions,
         "links": _q_links,
         "links_partitioned": _q_links_partitioned,
@@ -3064,6 +3101,11 @@ SELECT DISTINCT id_a, id_b FROM (
   WHERE levenshtein(a.c_name, b.c_name) <= 1)""",
         "html_extract_text": """
 SELECT doc_id, text FROM documents""",
+        "crawl_freshness": """
+SELECT source, count(*) AS n_pages,
+       min(doc_id) + 1704067200 AS first_ts,
+       max(doc_id) + 1704067200 AS last_ts
+FROM documents GROUP BY source""",
         "quantile_norm": """
 WITH r AS (
   SELECT doc_id, source, n_chars,
