@@ -178,3 +178,18 @@ def test_job_metrics_parquet(tmp_path, ray_session):
     assert len(rows) == 6
     assert ("__job__", "flagship_clusters", 42) in rows
     assert ("clusters", "computed", 42) in rows
+
+
+def test_attach_job_resumes(ray_session, tmp_path):
+    """--job attach: first run computes + writes 16 buckets; an
+    immediate rerun skips the pipeline entirely (manifest-complete)."""
+    from xlink_ray.job import main
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    m1 = main(["--job", "attach", "--sf-dir", "/root/testdata/sf0.001",
+               "--out", out, "--checkpoint-root", ck])
+    assert m1["stages_computed"] == ["attach"] and m1["out_buckets_written"] == 16
+    m2 = main(["--job", "attach", "--sf-dir", "/root/testdata/sf0.001",
+               "--out", out, "--checkpoint-root", ck])
+    assert m2["stages_computed"] == [] and m2["out_buckets_skipped"] == 16
+    assert m2["rows"] == m1["rows"] > 0

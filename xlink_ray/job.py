@@ -14,6 +14,11 @@ per-partition lineage manifest (see ``xlink_ray.state.checkpoint``),
 and a resubmission after a mid-run kill recomputes only incomplete
 stages, then skips the final write if the output manifest is complete.
 
+Two job modes: ``--job clusters`` (the standing-crawl flagship run)
+and ``--job attach`` (the recurring incremental-crawl job — reuse the
+standing dictionary/clusters, attach the new crawl's occurrences;
+``pipelines/flagship.attach_new_crawl``).
+
 This module owns a Ray session (it is a CLI entry point); the library
 package and ``__ray_entry__`` never call ``ray.init``.
 """
@@ -73,6 +78,12 @@ def main(argv: "list[str] | None" = None) -> dict:
                    help="clustering path (fused/block go through the flagship scan)")
     p.add_argument("--num-cpus", type=int, default=None,
                    help="only for local mode; a submitted job uses the cluster's size")
+    p.add_argument("--job", default="clusters", choices=["clusters", "attach"],
+                   help="clusters = standing-crawl flagship run; attach = "
+                        "incremental crawl (reuse the standing dictionary and "
+                        "clusters, attach copies 1..new-repeat-1 of the synth)")
+    p.add_argument("--new-repeat", type=int, default=2,
+                   help="attach mode: synth copies forming the new crawl")
     args = p.parse_args(argv)
 
     import ray
@@ -96,6 +107,8 @@ def main(argv: "list[str] | None" = None) -> dict:
     st = os.stat(f"{args.sf_dir}/documents.parquet")
     src_sig = (st.st_size, int(st.st_mtime_ns))  # input-content signal
     n_buckets = 16
+    if args.job == "attach":
+        return _attach_job(args, src_sig, n_buckets, t0)
     sink_fp = fingerprint("clusters-out", args.sf_dir, args.method, *src_sig)
 
     # fully-resumed rerun: the output manifest already covers every
@@ -173,6 +186,94 @@ def main(argv: "list[str] | None" = None) -> dict:
     metrics["metrics_path"] = _write_metrics(
         args.checkpoint_root,
         metrics,
+        cm.stage_metrics
+        + [{"stage": "out",
+            "action": "computed" if res["written"] else "skipped",
+            "rows": int(n), "wall_sec": 0.0}],
+    )
+    print(json.dumps(metrics))
+    return metrics
+
+
+def _attach_job(args, src_sig: tuple, n_buckets: int, t0: float) -> dict:
+    """Incremental-crawl job: reuse the standing dictionary/clusters,
+    stream the new crawl through the same scan, attach occurrences
+    (pipelines/flagship.attach_new_crawl), write bucket-partitioned
+    resumable parquet — the recurring job a deployment resubmits per
+    crawl drop."""
+    from xlink_ray.pipelines import flagship
+    from xlink_ray.state.checkpoint import (
+        CheckpointManager,
+        fingerprint,
+        partitioned_sink_complete,
+        write_partitioned_resumable,
+    )
+
+    sink_fp = fingerprint(
+        "attach-out", args.sf_dir, args.new_repeat, *src_sig
+    )
+    done = partitioned_sink_complete(args.out, sink_fp, list(range(n_buckets)))
+    if done is not None:
+        metrics = {
+            "job": "flagship_attach",
+            "sf_dir": args.sf_dir,
+            "method": f"attach@{args.new_repeat}",
+            "rows": int(sum(done["done"].values())),
+            "stages_skipped": ["attach", "out"],
+            "stages_computed": [],
+            "out_buckets_written": 0,
+            "out_buckets_skipped": n_buckets,
+            "wall_sec": round(time.time() - t0, 3),
+        }
+        metrics["metrics_path"] = _write_metrics(
+            args.checkpoint_root, metrics,
+            [{"stage": "out", "action": "skipped",
+              "rows": metrics["rows"], "wall_sec": 0.0}],
+        )
+        print(json.dumps(metrics))
+        return metrics
+
+    cm = CheckpointManager(args.checkpoint_root)
+    fp = fingerprint("attach-job", args.sf_dir, args.new_repeat, *src_sig)
+    out = cm.run_stage(
+        "attach",
+        fp,
+        lambda: flagship.attach_new_crawl(args.sf_dir, new_repeat=args.new_repeat),
+    )
+
+    def add_bucket(t):
+        import numpy as np
+        import pyarrow as pa
+
+        from xlink_ray.functions.hashing import md5_low64
+
+        h = md5_low64([str(x) for x in t["member_id"].to_pylist()])
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    res = write_partitioned_resumable(
+        out.map_batches(add_bucket, batch_format="pyarrow").materialize(),
+        args.out,
+        by="bucket",
+        fp=sink_fp,
+        values=list(range(n_buckets)),
+    )
+    m = cm.manifest("attach")
+    n = (m or {}).get("rows") or out.count()
+    metrics = {
+        "job": "flagship_attach",
+        "sf_dir": args.sf_dir,
+        "method": f"attach@{args.new_repeat}",
+        "rows": int(n),
+        "stages_skipped": cm.skipped,
+        "stages_computed": cm.computed,
+        "out_buckets_written": len(res["written"]),
+        "out_buckets_skipped": len(res["skipped"]),
+        "wall_sec": round(time.time() - t0, 3),
+    }
+    metrics["metrics_path"] = _write_metrics(
+        args.checkpoint_root, metrics,
         cm.stage_metrics
         + [{"stage": "out",
             "action": "computed" if res["written"] else "skipped",
