@@ -264,6 +264,14 @@ def _q_er_exemplars(sf_dir: str):
     return er.customer_cluster_exemplars(sf_dir)
 
 
+def _q_flagship_golden(sf_dir: str):
+    """Webtext golden records (rows-only — flagship semantics): each
+    flagship cluster → one canonical row via string-id survivorship."""
+    from xlink_ray.pipelines import flagship
+
+    return flagship.golden_clusters(sf_dir)
+
+
 def _q_er_alignment(sf_dir: str):
     """Cross-run cluster alignment (stages/align.py): each new cluster
     mapped to the max-overlap old cluster; one stamp + one bucket fold."""
@@ -2282,6 +2290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_norm": _q_quantile_norm,
         "html_extract_text": _q_html_extract_text,
         "crawl_freshness": _q_crawl_freshness,
+        "flagship_golden": _q_flagship_golden,
         "doc_mentions": _q_doc_mentions,
         "links": _q_links,
         "links_partitioned": _q_links_partitioned,

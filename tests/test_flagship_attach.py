@@ -30,3 +30,19 @@ def test_attach_new_crawl_contract(ray_session):
     a = out.sort_values("member_id").reset_index(drop=True)
     b = out2.sort_values("member_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_golden_clusters_consistency(ray_session):
+    from xlink_ray.pipelines import flagship
+
+    g = flagship.golden_clusters(SF_SMALL).to_pandas()
+    c = flagship.clusters(SF_SMALL).to_pandas()
+    # one golden row per cluster; membership totals match the labeling
+    assert g["cluster_id"].is_unique
+    assert set(g["cluster_id"]) == set(c["cluster_id"])
+    assert int(g["n_members"].sum()) == len(c)
+    # flagship rule: cluster_id IS the min member string of the cluster
+    min_member = c.groupby("cluster_id")["member_id"].min()
+    assert (min_member.index == min_member.values).all()
+    # every cluster id is a member of itself
+    assert g["cluster_id"].isin(set(c["member_id"])).all()

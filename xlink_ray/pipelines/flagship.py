@@ -55,7 +55,7 @@ from xlink_ray.stages.candidates import CandidateGenActor
 from xlink_ray.stages.clustering import connected_components
 from xlink_ray.state.broadcast import broadcast_table
 
-__all__ = ["links", "clusters", "attach_new_crawl", "EDGE_TH", "DOCS_PER_SALT"]
+__all__ = ["links", "clusters", "attach_new_crawl", "golden_clusters", "EDGE_TH", "DOCS_PER_SALT"]
 
 EDGE_TH = 0.0  # context-cosine threshold for sorted-neighborhood edges
 
@@ -1122,4 +1122,44 @@ def attach_new_crawl(sf_dir: str, new_repeat: int = 2) -> Dataset:
         fn_constructor_args=(broadcast_table(synth.synth_embeddings()),),
         batch_format="pyarrow",
         concurrency=pool_size(),
+    )
+
+
+def golden_clusters(sf_dir: str, repeat: int = 1) -> Dataset:
+    """Webtext golden records: each flagship cluster collapsed to one
+    canonical row — (cluster_id, n_members, mention, entity_id,
+    believe) with mention/entity from the min-member representative and
+    believe = the strongest member's disambiguation score. String-id
+    survivorship (stages/survivor.golden_records with pa.string() keys);
+    links are materialized ONCE and feed both the cluster labels and
+    the per-member record side."""
+    from xlink_ray.stages.survivor import golden_records
+
+    lkc = links(sf_dir, repeat=repeat).materialize()  # two consumers
+    members = clusters_from(lkc, method="block")
+
+    def member_records(t: pa.Table) -> pa.Table:
+        member = pc.binary_join_element_wise(
+            pc.cast(t["doc_id"], pa.string()),
+            pc.cast(t["offset"], pa.string()),
+            "#",
+        )
+        return pa.table(
+            {
+                "member": member,
+                "mention": t["mention"],
+                "entity_id": t["entity_id"],
+                "believe": t["believe"],
+            }
+        )
+
+    records = lkc.map_batches(member_records, batch_format="pyarrow")
+    return golden_records(
+        members,
+        records,
+        id_col="member",
+        carry_min_id=["mention", "entity_id"],
+        argmax_col="believe",
+        id_type=pa.string(),
+        cluster_type=pa.string(),
     )

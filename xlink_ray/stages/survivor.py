@@ -40,17 +40,32 @@ def stamp_cluster(
     member_id_col: str = "member_id",
     cluster_col: str = "cluster_id",
     nbuckets: int = 64,
+    id_type: "pa.DataType" = None,
+    cluster_type: "pa.DataType" = None,
 ) -> Dataset:
     """Reduce-side label attach: → (id, carry_cols…, cluster) for every
     record row whose id appears in ``members``. ONE hash-bucket shuffle
-    on ``id % nbuckets``; labels meet their record rows in the bucket
-    and a searchsorted lookup stamps them — the label map is never
-    broadcast or collected."""
+    on ``hash(id) % nbuckets``; labels meet their record rows in the
+    bucket and a searchsorted lookup stamps them — the label map is
+    never broadcast or collected.
+
+    ``id_type``/``cluster_type`` default to int64; pass ``pa.string()``
+    for string-keyed labelings (e.g. flagship ``url#offset`` members) —
+    string ids bucket by md5_low64 and stamp via object-array
+    searchsorted, same exchange shape."""
+    id_type = id_type or pa.int64()
+    cluster_type = cluster_type or pa.int64()
+    str_ids = pa.types.is_string(id_type)
+
+    def _no_cluster(n: int) -> pa.Array:
+        if pa.types.is_string(cluster_type):
+            return pa.array([""] * n, pa.string())
+        return pa.array(np.full(n, -1, dtype=np.int64))
 
     def member_rows(t: pa.Table) -> pa.Table:
         cols = {
-            "id": t[member_id_col].cast(pa.int64()),
-            "cluster": t[cluster_col].cast(pa.int64()),
+            "id": t[member_id_col].cast(id_type),
+            "cluster": t[cluster_col].cast(cluster_type),
             "tag": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
         }
         for c in carry_cols:
@@ -59,8 +74,8 @@ def stamp_cluster(
 
     def record_rows(t: pa.Table) -> pa.Table:
         cols = {
-            "id": t[id_col].cast(pa.int64()),
-            "cluster": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+            "id": t[id_col].cast(id_type),
+            "cluster": _no_cluster(t.num_rows),
             "tag": pa.array(np.ones(t.num_rows, dtype=np.int8)),
         }
         for c in carry_cols:
@@ -72,8 +87,15 @@ def stamp_cluster(
     )
 
     def add_pk(t: pa.Table) -> pa.Table:
-        ids = t["id"].to_numpy(zero_copy_only=False)
-        return t.append_column("pk", pa.array((ids % nbuckets).astype(np.int64)))
+        if str_ids:
+            from xlink_ray.functions.hashing import md5_low64
+
+            pk = md5_low64(t["id"].to_pylist()) % np.uint64(nbuckets)
+            pk = pk.astype(np.int64)
+        else:
+            ids = t["id"].to_numpy(zero_copy_only=False)
+            pk = (ids % nbuckets).astype(np.int64)
+        return t.append_column("pk", pa.array(pk))
 
     def stamp(bucket: pa.Table) -> pa.Table:
         tag = bucket["tag"].to_numpy(zero_copy_only=False)
@@ -91,12 +113,10 @@ def stamp_cluster(
             r = r[ok]
         out = bucket.take(pa.array(r, pa.int64()))
         stamped = (
-            m_cl[np.searchsorted(m_ids, ids[r])]
-            if m_ids.size
-            else np.array([], dtype=np.int64)
+            m_cl[np.searchsorted(m_ids, ids[r])] if m_ids.size else m_cl[:0]
         )
         out = out.drop_columns(["cluster", "tag", "pk"])
-        return out.append_column("cluster", pa.array(stamped))
+        return out.append_column("cluster", pa.array(stamped, cluster_type))
 
     return (
         tagged.map_batches(add_pk, batch_format="pyarrow")
@@ -115,10 +135,15 @@ def golden_records(
     carry_argmax: list[str] | None = None,
     carry_min_id: list[str] | None = None,
     nbuckets: int = 64,
+    id_type: "pa.DataType" = None,
+    cluster_type: "pa.DataType" = None,
 ) -> Dataset:
     """members (member_id, cluster_id) × records (id, attrs…) →
     one row per cluster: (cluster_id, n_members, carry_min_id…,
-    [argmax_col, carry_argmax…])."""
+    [argmax_col, carry_argmax…]). Pass ``id_type``/``cluster_type`` =
+    ``pa.string()`` for string-keyed labelings (see stamp_cluster)."""
+    id_type = id_type or pa.int64()
+    cluster_type = cluster_type or pa.int64()
     carry_argmax = carry_argmax or []
     carry_min_id = carry_min_id or []
     attr_cols = sorted(set(carry_min_id + carry_argmax + ([argmax_col] if argmax_col else [])))
@@ -137,12 +162,22 @@ def golden_records(
         member_id_col=member_id_col,
         cluster_col=cluster_col,
         nbuckets=nbuckets,
+        id_type=id_type,
+        cluster_type=cluster_type,
     )
 
     # ---- phase 2: per-cluster survivorship (one shuffle) ----
     def add_ck(t: pa.Table) -> pa.Table:
-        cl = t["cluster"].to_numpy(zero_copy_only=False)
-        return t.append_column("ck", pa.array((cl % nbuckets).astype(np.int64)))
+        if pa.types.is_string(cluster_type):
+            from xlink_ray.functions.hashing import md5_low64
+
+            ck = (md5_low64(t["cluster"].to_pylist()) % np.uint64(nbuckets)).astype(
+                np.int64
+            )
+        else:
+            cl = t["cluster"].to_numpy(zero_copy_only=False)
+            ck = (cl % nbuckets).astype(np.int64)
+        return t.append_column("ck", pa.array(ck))
 
     def survive(bucket: pa.Table) -> pa.Table:
         cl = bucket["cluster"].to_numpy(zero_copy_only=False)
@@ -153,7 +188,7 @@ def golden_records(
         u, first = np.unique(cl[o_min], return_index=True)
         rep_pos = o_min[first]
         _, counts = np.unique(cl, return_counts=True)
-        cols["cluster_id"] = pa.array(u)
+        cols["cluster_id"] = pa.array(u, cluster_type)
         cols["n_members"] = pa.array(counts.astype(np.int64))
         for c in carry_min_id:
             cols[c] = bucket[c].take(pa.array(rep_pos, pa.int64()))
