@@ -1068,6 +1068,18 @@ def attach_new_crawl(sf_dir: str, new_repeat: int = 2) -> Dataset:
     → (member_id, cluster_id, matched, cos_bp), one row per NEW
     occurrence. One blocking groupby — the same exchange shape as the
     standing pipeline's cluster stage.
+
+    Scale/partitioning assumptions (documented per the custom-operator
+    rule): the groupby key is (mention, entity) WITHOUT the doc-range
+    salt, because a new crawl's doc numbers all sort AFTER the standing
+    corpus — every new occurrence inserts at the END of the base rows,
+    so its only base neighbor is the block's LAST base member. A block
+    task therefore holds the standing block plus the new crawl's rows;
+    at true scale the base side reduces to O(1) per-block state (the
+    tail member, its context vector and its run label), which can be
+    precomputed per block and attached reduce-side, bounding the task
+    by the NEW crawl's block size only. The salted variant is not
+    needed precisely because of the append ordering.
     """
     from xlink_ray import synth
     from xlink_ray.stages.candidates import CandidateGenActor
