@@ -234,6 +234,25 @@ def _q_crawl_freshness(sf_dir: str):
     return out
 
 
+def _q_candidate_recall(sf_dir: str):
+    """Gold-candidate recall of the J2-pruned dictionary (the standard
+    EL dictionary-coverage metric): one metrics row."""
+    import ray.data as rd
+
+    from xlink_ray.pipelines import dictbuild
+    from xlink_ray.stages.evaluation import candidate_recall
+    from xlink_ray.stages.prob import filter_mention_anchors
+    from xlink_ray.stages import aggregates
+
+    ma = dictbuild.mention_anchors(sf_dir)
+    kept = filter_mention_anchors(
+        ma,
+        dictbuild.freq_m(sf_dir),
+        aggregates.self_links(dictbuild.mentions(sf_dir)),
+    ).select_columns(["mention", "entity_id"])
+    return rd.from_arrow(candidate_recall(dictbuild.mentions(sf_dir), kept))
+
+
 def _q_quantile_norm(sf_dir: str):
     """Per-source quantile normalization of document lengths
     (stats.py:quantile_normalize) — the cross-domain score-calibration
@@ -2291,6 +2310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_extract_text": _q_html_extract_text,
         "crawl_freshness": _q_crawl_freshness,
         "flagship_golden": _q_flagship_golden,
+        "candidate_recall": _q_candidate_recall,
         "doc_mentions": _q_doc_mentions,
         "links": _q_links,
         "links_partitioned": _q_links_partitioned,
@@ -3115,6 +3135,23 @@ SELECT source, count(*) AS n_pages,
        min(doc_id) + 1704067200 AS first_ts,
        max(doc_id) + 1704067200 AS last_ts
 FROM documents GROUP BY source""",
+        "candidate_recall": f"""{_occ_cte()},
+freq AS (
+  SELECT a.mention,
+         CAST(sum((length(d.text) - length(replace(d.text, a.mention, ''))) / length(a.mention)) AS BIGINT) AS freq
+  FROM documents d CROSS JOIN (SELECT DISTINCT mention FROM alias) a
+  GROUP BY a.mention),
+link_m AS (SELECT mention, CAST(sum(link_count) AS BIGINT) AS link_m FROM ma GROUP BY mention),
+kept AS (
+  SELECT l.mention FROM link_m l JOIN freq f ON l.mention = f.mention
+  WHERE length(l.mention) > 1 AND l.link_m >= 2 AND l.link_m * 10000 >= f.freq),
+g AS (SELECT mention, entity_id, cnt FROM occ WHERE cnt > 0)
+SELECT CAST(sum(g.cnt) AS BIGINT) AS n_gold,
+  CAST(sum(CASE WHEN k.mention IS NOT NULL THEN g.cnt ELSE 0 END) AS BIGINT) AS n_mention_kept,
+  CAST(sum(CASE WHEN k.mention IS NOT NULL THEN g.cnt ELSE 0 END) AS BIGINT) AS n_reachable,
+  CAST((sum(CASE WHEN k.mention IS NOT NULL THEN g.cnt ELSE 0 END) * 1000000)
+       // sum(g.cnt) AS BIGINT) AS recall_ppm
+FROM g LEFT JOIN kept k ON g.mention = k.mention""",
         "quantile_norm": """
 WITH r AS (
   SELECT doc_id, source, n_chars,

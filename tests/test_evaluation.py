@@ -81,3 +81,31 @@ def test_pr_threshold_sweep_hand_counts(ray_session):
     # th=35: pred {40} → tp=0 fp=1 fn=2
     assert out.loc[35, ["tp", "fp", "fn"]].tolist() == [0, 1, 2]
     assert out.loc[35, "prec_ppm"] == 0
+
+
+def test_candidate_recall_fixture(ray_session):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from xlink_ray.stages.evaluation import candidate_recall
+
+    gold = rd.from_arrow(
+        pa.Table.from_pylist(
+            [
+                {"mention": "Apple", "entity_id": "e1"},   # kept pair
+                {"mention": "apple", "entity_id": "e2"},   # mention kept, pair absent
+                {"mention": "pear", "entity_id": "e3"},    # mention pruned
+            ]
+        )
+    )
+    kept = rd.from_arrow(
+        pa.Table.from_pylist(
+            [{"mention": "apple", "entity_id": "e1"}]
+        )
+    )
+    out = candidate_recall(gold, kept).to_pylist()[0]
+    assert out["n_gold"] == 3
+    assert out["n_mention_kept"] == 2   # 'apple' (lowercased) kept twice
+    assert out["n_reachable"] == 1      # only (apple, e1)
+    assert out["recall_ppm"] == 1_000_000 // 3

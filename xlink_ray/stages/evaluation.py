@@ -19,7 +19,7 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Max, Sum
 
-__all__ = ["linking_eval", "pr_threshold_sweep"]
+__all__ = ["linking_eval", "pr_threshold_sweep", "candidate_recall"]
 
 
 def linking_eval(pred: Dataset, gold: Dataset) -> pa.Table:
@@ -177,5 +177,87 @@ def pr_threshold_sweep(
             "fn": pa.array(fn),
             "prec_ppm": pa.array(prec.astype(_np.int64)),
             "rec_ppm": pa.array(rec.astype(_np.int64)),
+        }
+    )
+
+
+def candidate_recall(gold: Dataset, kept_anchors: Dataset) -> pa.Table:
+    """Gold-candidate recall of the PRUNED dictionary (the standard EL
+    dictionary-coverage metric): what fraction of gold annotation
+    instances still has (a) its mention and (b) its (mention, entity)
+    pair in the dictionary after the J2 refine filter. Dictionary-sized
+    ``kept_anchors`` is broadcast once (repo policy for dictionary
+    state); the gold stream is reduced with per-batch partial sums —
+    ONE tiny aggregate leaves the cluster.
+
+    → one row: (n_gold, n_mention_kept, n_reachable, recall_ppm)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    kept = pa.concat_tables(
+        [pa.table(b) for b in kept_anchors.iter_batches(batch_format="pyarrow")]
+        or [pa.table({"mention": pa.array([], pa.string()),
+                      "entity_id": pa.array([], pa.string())})]
+    )
+    kept_ref = ray.put(
+        (
+            sorted(set(kept["mention"].to_pylist())),
+            sorted(
+                set(
+                    zip(
+                        kept["mention"].to_pylist(),
+                        kept["entity_id"].to_pylist(),
+                    )
+                )
+            ),
+        )
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        from xlink_ray.state.cached import cached_state
+
+        mset, pset = cached_state(
+            ("cand_recall", kept_ref.hex()),
+            lambda: tuple(map(set, ray.get(kept_ref))),
+        )
+        men = pc.utf8_lower(t["mention"]).to_pylist()
+        ents = t["entity_id"].to_pylist()
+        in_m = np.fromiter((m in mset for m in men), bool, len(men))
+        in_p = np.fromiter(
+            ((m, e) in pset for m, e in zip(men, ents)), bool, len(men)
+        )
+        return pa.table(
+            {
+                "k": pa.array([0]),
+                "n_gold": pa.array([len(men)], pa.int64()),
+                "n_mention_kept": pa.array([int(in_m.sum())], pa.int64()),
+                "n_reachable": pa.array([int((in_m & in_p).sum())], pa.int64()),
+            }
+        )
+
+    sums = (
+        gold.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(
+            Sum("n_gold", alias_name="n_gold"),
+            Sum("n_mention_kept", alias_name="n_mention_kept"),
+            Sum("n_reachable", alias_name="n_reachable"),
+        )
+        .to_pandas()
+    )
+    n_gold = int(sums["n_gold"][0]) if len(sums) else 0
+    n_mk = int(sums["n_mention_kept"][0]) if len(sums) else 0
+    n_r = int(sums["n_reachable"][0]) if len(sums) else 0
+    return pa.table(
+        {
+            "n_gold": pa.array([n_gold], pa.int64()),
+            "n_mention_kept": pa.array([n_mk], pa.int64()),
+            "n_reachable": pa.array([n_r], pa.int64()),
+            "recall_ppm": pa.array(
+                [n_r * 1_000_000 // max(n_gold, 1)], pa.int64()
+            ),
         }
     )

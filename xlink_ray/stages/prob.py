@@ -155,6 +155,11 @@ def filter_mention_anchors(
     link_tbl = link_m.to_pandas()
     freq_tbl = freq_m.to_pandas()
     self_tbl = self_links.to_pandas().rename(columns={"count": "self_m"})
+    if "mention" not in self_tbl.columns:  # empty self-link set loses its schema
+        import pandas as pd
+
+        self_tbl = pd.DataFrame({"mention": pd.Series(dtype=str),
+                                 "self_m": pd.Series(dtype="int64")})
 
     side = link_tbl.merge(freq_tbl, on="mention", how="inner").merge(
         self_tbl, on="mention", how="left"
