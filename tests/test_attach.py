@@ -91,6 +91,28 @@ def test_attach_salted_path_identical(ray_session):
     assert plain["id"].is_unique and (plain["id"] % 4 == 0).all()
 
 
+def test_attach_grid_salting_new_side_hot(ray_session):
+    """A block hot on the NEW side must also split (two-sided grid):
+    output equals the unsalted path, and with cap=4 a 12-new-row block
+    splits into Sn=3 new-side cells so no cell holds all new rows."""
+    base_rows = [
+        {"key": 0, "id": i, "cluster": 10 * i, "name": f"name{i}"} for i in range(3)
+    ]
+    new_rows = [
+        {"key": 0, "id": 100 + i, "name": f"name{i % 3}"} for i in range(12)
+    ]
+    base = rd.from_arrow(pa.Table.from_pylist(base_rows))
+    new = rd.from_arrow(pa.Table.from_pylist(new_rows))
+    plain = _attach(base, new)
+    salted = _attach(
+        rd.from_arrow(pa.Table.from_pylist(base_rows)),
+        rd.from_arrow(pa.Table.from_pylist(new_rows)),
+        skew_cap=4,
+    )
+    assert plain.equals(salted)
+    assert (salted["matched"] == 1).all()  # every new row found its base twin
+
+
 def test_merge_best_equals_brute_force_hypothesis(ray_session):
     """Property: folding scored pairs chunk-by-chunk through _merge_best
     (any chunking) equals the global rule max sim_bp → min base id."""

@@ -683,6 +683,27 @@ def _run_labels(member: np.ndarray, ctx: np.ndarray) -> np.ndarray:
     return np.repeat(run_min, counts)
 
 
+def _salted_run_labels(
+    member: np.ndarray, ctx: np.ndarray, salt: np.ndarray
+) -> np.ndarray:
+    """Run labels the STANDING clustering would assign: the standing
+    pipeline groups by (mention, entity, salt) and sorts WITHIN each
+    salt group, so the labels for one salt come from ``_run_labels``
+    over that salt's SUBSEQUENCE of the globally sorted block (urls
+    sort source-major, so rows of different salts interleave — an
+    adjacent-row salt break is NOT equivalent). Loops over the few
+    distinct salts present in the block."""
+    out = np.empty(len(member), dtype=object)
+    for s in np.unique(salt):
+        idx = np.nonzero(salt == s)[0]
+        out[idx] = (
+            _run_labels(member[idx], ctx[idx])
+            if len(idx) > 1
+            else member[idx].copy()
+        )
+    return out
+
+
 class _BlockClusters:
     """Per-block transitive clustering fused into the block task.
 
@@ -952,7 +973,11 @@ def clusters_checkpointed(
 class _AttachBlock:
     """Per-(mention, entity) attach task for an incremental crawl:
     recompute the BASE rows' run labels locally (identical math to
-    ``_BlockClusters``), then place each NEW occurrence at its sorted
+    ``_BlockClusters``, computed per-salt over each salt's subsequence
+    of the sorted block — see ``_salted_run_labels`` — so the
+    recomputed labels equal the standing (mention, entity, salt)
+    clustering's labels on multi-salt corpora), then place each NEW
+    occurrence at its sorted
     position and test the context cosine against its adjacent base
     neighbors — adopt the better neighbor's cluster when the edge
     passes EDGE_TH (ties → the left/earlier neighbor, the
@@ -976,6 +1001,8 @@ class _AttachBlock:
         self.embedder = self._inner.embedder
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        from xlink_ray.synth import doc_id_of_url
+
         g = group.sort_by([("doc_id", "ascending"), ("offset", "ascending")])
         side = g["side"].to_numpy(zero_copy_only=False)
         member = pc.binary_join_element_wise(
@@ -983,6 +1010,15 @@ class _AttachBlock:
             pc.cast(g["offset"], pa.string()),
             "#",
         ).to_numpy(zero_copy_only=False)
+        # standing clusters are computed per (mention, entity, SALT) —
+        # recomputed run labels must break at salt boundaries or a
+        # multi-salt base block merges runs the standing clustering
+        # keeps apart, and a matched new row adopts a label that is not
+        # its neighbor's standing cluster id.
+        salt = (
+            doc_id_of_url(g["doc_id"]).to_numpy(zero_copy_only=False)
+            // DOCS_PER_SALT
+        )
         new_rows = np.nonzero(side == 1)[0]
         empty = pa.table(
             {
@@ -997,11 +1033,10 @@ class _AttachBlock:
         base_rows = np.nonzero(side == 0)[0]
         ctx = self.embedder(g["context"])
         if len(base_rows) == 0:
-            # new-only block: standard run clustering among the new rows
-            labels = (
-                _run_labels(member[new_rows], ctx[new_rows])
-                if len(new_rows) > 1
-                else member[new_rows]
+            # new-only block: standard run clustering among the new
+            # rows, per-salt (matching the standing convention)
+            labels = _salted_run_labels(
+                member[new_rows], ctx[new_rows], salt[new_rows]
             )
             return pa.table(
                 {
@@ -1012,9 +1047,7 @@ class _AttachBlock:
                 }
             )
         b_member, b_ctx = member[base_rows], ctx[base_rows]
-        b_labels = (
-            _run_labels(b_member, b_ctx) if len(base_rows) > 1 else b_member.copy()
-        )
+        b_labels = _salted_run_labels(b_member, b_ctx, salt[base_rows])
         # position of each new row among the base rows (rows are in
         # global block order, so counting preceding base rows gives the
         # insertion point directly — no key re-comparison needed)
@@ -1056,10 +1089,10 @@ class _AttachBlock:
         )
 
 
-def attach_new_crawl(sf_dir: str, new_repeat: int = 2) -> Dataset:
+def attach_new_crawl(sf_dir: str, new_repeat: int = 2, base_repeat: int = 1) -> Dataset:
     """Incremental flagship run: the standing crawl is ``sf_dir``'s
-    pages (repeat=1); copies 1..new_repeat-1 of the deterministic synth
-    are the NEW crawl. The dictionary, link-prob tables and embeddings
+    pages (repeat=base_repeat); copies base_repeat..new_repeat-1 of the
+    deterministic synth are the NEW crawl. The dictionary, link-prob tables and embeddings
     are REUSED from the standing run (no rebuild); new pages stream
     through the same candidate scan; each new occurrence attaches to a
     standing cluster via the sorted-neighborhood context edge, or
@@ -1080,12 +1113,38 @@ def attach_new_crawl(sf_dir: str, new_repeat: int = 2) -> Dataset:
     precomputed per block and attached reduce-side, bounding the task
     by the NEW crawl's block size only. The salted variant is not
     needed precisely because of the append ordering.
+
+    Doc-id bound: in-block rows sort lexicographically on the url
+    string (same convention as the standing ``_BlockClusters``), and
+    synth urls zero-pad doc ids to 8 digits — so the append-ordering
+    argument above holds for doc_id < 1e8. Past that, sort blocks by
+    ``doc_id_of_url`` (numeric) in BOTH the standing and attach paths;
+    the code handles mid-insertion correctly either way, only the
+    O(1)-base-tail scale claim depends on the ordering.
     """
+    from xlink_ray import synth
+
+    tagged = _attach_tagged(sf_dir, new_repeat, base_repeat)
+    return tagged.groupby(["mention", "entity_id"]).map_groups(
+        _AttachBlock,
+        fn_constructor_args=(broadcast_table(synth.synth_embeddings()),),
+        batch_format="pyarrow",
+        concurrency=pool_size(),
+    )
+
+
+def _attach_tagged(
+    sf_dir: str, new_repeat: int = 2, base_repeat: int = 1
+) -> Dataset:
+    """The attach pipeline's pre-groupby input: standing-crawl links
+    tagged side=0 unioned with new-crawl links tagged side=1 (columns
+    mention, entity_id, doc_id, offset, context, side). Split out so
+    tests can drive a driver-side oracle over the same link set."""
     from xlink_ray import synth
     from xlink_ray.stages.candidates import CandidateGenActor
     from xlink_ray.stages.extract import ExtractCorpusBatch
 
-    corpus, ma_ref, lp_ref, emb_ref = _prepare(sf_dir, 1)
+    corpus, ma_ref, lp_ref, emb_ref = _prepare(sf_dir, base_repeat)
     n_base = corpus.count()
 
     def links_of(c: Dataset) -> Dataset:
@@ -1126,14 +1185,8 @@ def attach_new_crawl(sf_dir: str, new_repeat: int = 2) -> Dataset:
 
         return fn
 
-    tagged = links_of(corpus).map_batches(tag(0), batch_format="pyarrow").union(
+    return links_of(corpus).map_batches(tag(0), batch_format="pyarrow").union(
         links_of(new_corpus).map_batches(tag(1), batch_format="pyarrow")
-    )
-    return tagged.groupby(["mention", "entity_id"]).map_groups(
-        _AttachBlock,
-        fn_constructor_args=(broadcast_table(synth.synth_embeddings()),),
-        batch_format="pyarrow",
-        concurrency=pool_size(),
     )
 
 

@@ -18,13 +18,18 @@ Shape (all-Ray, no driver data):
    sim ≥ threshold → adopt the best base record's cluster, else the
    new record founds a singleton cluster (cluster_id = own id).
 
-Skew: when ``skew_cap`` is set, base-side block sizes are pre-counted
-(`group_sizes`); a hot block is split into S = ceil(n/cap) salts by
-stable hash of the base id, and each new row of that block is
-replicated into ALL S salt cells — every (new, base) pair appears in
-exactly one cell, every cell is bounded, and the final reduce restores
-the per-new argmax across cells. Only the hot-key list touches the
-driver.
+Skew: when ``skew_cap`` is set, BOTH sides' block sizes are
+pre-counted (`group_sizes`); a block hot on either side is split into
+an exact Sb×Sn bipartite grid (Sb = ceil(n_base/cap), Sn =
+ceil(n_new/cap)): a base row lands in cells (hash(id)%Sb, j) for all
+j < Sn, a new row in cells (i, hash(id)%Sn) for all i < Sb — every
+(new, base) pair meets in EXACTLY one cell, both sides of every cell
+are ≤ cap, and the final reduce restores the per-new argmax across
+cells. When only one side is hot the other grid dimension is 1, so
+the hot side is hashed into its own cells and only the cold side is
+replicated (replication factor = the OTHER side's salt count). Only
+the hot-key list touches the driver. Salt assignment is vectorized
+(one md5 batch + repeat/arange per batch, no per-row Python).
 
 Similarity is carried in integer basis points (floor(sim·10⁴)) so the
 threshold and the argmax tie-break are integer-stable and DuckDB-equal.
@@ -92,68 +97,75 @@ def attach_to_clusters(
     base = base.select_columns(key_cols + [id_col, cluster_col, attr_col])
     new = new.select_columns(key_cols + [id_col, attr_col])
 
-    # ---- optional base-side hot-block salting (exact) ----
-    nsalt_ref = None
+    # ---- optional two-sided hot-block grid salting (exact) ----
     if skew_cap is not None:
         import ray
 
-        from xlink_ray.functions.hashing import md5_low64
         from xlink_ray.stages.blocking import group_sizes
 
-        sizes = group_sizes(base, key_cols)
-        hot_tbl = pa.concat_tables(
-            [
+        def _composite(t: pa.Table) -> pa.Array:
+            parts = [pc.cast(t[k], pa.string()) for k in key_cols]
+            if len(parts) == 1:
+                return parts[0].combine_chunks() if isinstance(
+                    parts[0], pa.ChunkedArray
+                ) else parts[0]
+            return pc.binary_join_element_wise(*parts, "\x1f")
+
+        def _hot_of(side_ds: Dataset) -> dict:
+            sizes = group_sizes(side_ds, key_cols)
+            tbls = [
                 pa.table(b)
                 for b in sizes.map_batches(
                     lambda t: t.filter(pc.greater(t["n"], skew_cap)),
                     batch_format="pyarrow",
                 ).iter_batches(batch_format="pyarrow")
             ]
-            or [pa.table({k: pa.array([]) for k in key_cols + ["n"]})]
-        )
-        hot = {
-            tuple(str(hot_tbl[k][r].as_py()) for k in key_cols): int(
-                np.ceil(hot_tbl["n"][r].as_py() / skew_cap)
-            )
-            for r in range(hot_tbl.num_rows)
-        }
-        nsalt_ref = ray.put(hot)
+            if not tbls:
+                return {}
+            hot_tbl = pa.concat_tables(tbls)
+            keys = _composite(hot_tbl).to_pylist()
+            ns = hot_tbl["n"].to_pylist()
+            return {k: int(np.ceil(v / skew_cap)) for k, v in zip(keys, ns)}
 
-        def _salt_of(t: pa.Table, replicate: bool) -> pa.Table:
+        hot_ref = ray.put((_hot_of(base), _hot_of(new)))
+
+        def _grid_salt(t: pa.Table, side: int) -> pa.Table:
+            """side 0 = base (own salt from Sb grid dim, replicate
+            across the Sn dim); side 1 = new (symmetric). Vectorized:
+            one md5 batch, repeat/arange for the replication."""
+            import pandas as pd
+
+            from xlink_ray.functions.hashing import md5_low64
             from xlink_ray.state.cached import cached_state
 
-            hot_map = cached_state(
-                ("attach_hot", nsalt_ref.hex()), lambda: ray.get(nsalt_ref)
+            hot_b, hot_n = cached_state(
+                ("attach_hot", hot_ref.hex()), lambda: ray.get(hot_ref)
             )
             n = t.num_rows
-            if not hot_map or n == 0:
-                return t.append_column("salt", pa.array(np.zeros(n, dtype=np.int32)))
-            keys = [
-                tuple(str(v) for v in row)
-                for row in zip(*(t[k].to_pylist() for k in key_cols))
-            ]
-            ids = t[id_col].to_pylist()
-            idx: list[int] = []
-            salts: list[int] = []
-            for r in range(n):
-                S = hot_map.get(keys[r], 1)
-                if S <= 1:
-                    idx.append(r)
-                    salts.append(0)
-                elif replicate:  # new rows visit every salt cell
-                    for s in range(S):
-                        idx.append(r)
-                        salts.append(s)
-                else:  # base rows stay in their own cell
-                    idx.append(r)
-                    salts.append(int(md5_low64([str(ids[r])])[0] % np.uint64(S)))
+            z = pa.array(np.zeros(n, dtype=np.int32))
+            if (not hot_b and not hot_n) or n == 0:
+                return t.append_column("cell_a", z).append_column("cell_b", z)
+            ks = pd.Series(_composite(t).to_pylist())
+            Sb = ks.map(hot_b).fillna(1).to_numpy(np.int64)
+            Sn = ks.map(hot_n).fillna(1).to_numpy(np.int64)
+            own, other = (Sb, Sn) if side == 0 else (Sn, Sb)
+            h = md5_low64([str(x) for x in t[id_col].to_pylist()])
+            own_salt = (h % own.astype(np.uint64)).astype(np.int32)
+            idx = np.repeat(np.arange(n, dtype=np.int64), other)
+            total = int(other.sum())
+            starts = np.concatenate(([0], np.cumsum(other)[:-1]))
+            j = (np.arange(total) - np.repeat(starts, other)).astype(np.int32)
+            osr = np.repeat(own_salt, other)
+            cell_a, cell_b = (osr, j) if side == 0 else (j, osr)
             rep = t.take(pa.array(idx, pa.int64()))
-            return rep.append_column("salt", pa.array(salts, pa.int32()))
+            return rep.append_column("cell_a", pa.array(cell_a)).append_column(
+                "cell_b", pa.array(cell_b)
+            )
 
-        base = base.map_batches(lambda t: _salt_of(t, False), batch_format="pyarrow")
-        new = new.map_batches(lambda t: _salt_of(t, True), batch_format="pyarrow")
+        base = base.map_batches(lambda t: _grid_salt(t, 0), batch_format="pyarrow")
+        new = new.map_batches(lambda t: _grid_salt(t, 1), batch_format="pyarrow")
 
-    group_keys = key_cols + (["salt"] if skew_cap is not None else [])
+    group_keys = key_cols + (["cell_a", "cell_b"] if skew_cap is not None else [])
 
     def tag_base(t: pa.Table) -> pa.Table:
         t = t.append_column("side", pa.array(np.zeros(t.num_rows, dtype=np.int8)))

@@ -87,6 +87,12 @@ def stamp_cluster(
     )
 
     def add_pk(t: pa.Table) -> pa.Table:
+        if t["id"].null_count:
+            # a nullable int64 round-trips to numpy as float64 NaN, and
+            # NaN % nbuckets cast to int64 silently scatters rows into
+            # arbitrary buckets (missed stamps) — fail loudly instead,
+            # like _bucket.bucket_shuffle
+            raise ValueError("stamp_clusters: id column contains nulls")
         if str_ids:
             from xlink_ray.functions.hashing import md5_low64
 
@@ -168,6 +174,10 @@ def golden_records(
 
     # ---- phase 2: per-cluster survivorship (one shuffle) ----
     def add_ck(t: pa.Table) -> pa.Table:
+        if t["cluster"].null_count:
+            # see add_pk in stamp_cluster: NaN % nbuckets would
+            # silently split clusters across buckets
+            raise ValueError("golden_records: cluster column contains nulls")
         if pa.types.is_string(cluster_type):
             from xlink_ray.functions.hashing import md5_low64
 
