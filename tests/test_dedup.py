@@ -44,6 +44,31 @@ def test_minhash_finds_near_dups(ray_session):
     assert 0.5 <= j < 1.0
 
 
+def test_minhash_degenerate_group_star_cap(ray_session):
+    """A 10k-identical-doc band group (boilerplate crawl segment) must
+    NOT emit C(10k,2) ≈ 50M candidate pairs: past max_group_pairs the
+    group star-expands to the min-id member (k-1 pairs, connectivity
+    preserved for dedup-by-CC) and the job completes in seconds."""
+    import time
+
+    from xlink_ray.stages.dedup import minhash_lsh_pairs
+
+    n = 10_000
+    boiler = "error 404 page not found please try again later " * 3
+    rows = [{"doc_id": i, "text": boiler} for i in range(n)]
+    rows.append({"doc_id": n, "text": "completely unrelated content " * 5})
+    t0 = time.monotonic()
+    got = minhash_lsh_pairs(_docs_ds(rows), max_group_pairs=1_000_000).to_pandas()
+    elapsed = time.monotonic() - t0
+    # star: every identical doc pairs with the min id only
+    assert len(got) == n - 1
+    assert (got["id_a"] == 0).all()
+    assert set(got["id_b"]) == set(range(1, n))
+    assert (got["jaccard_bp"] == 10000).all()
+    # one CC component over the star pairs == the full-grid component
+    assert elapsed < 120, elapsed
+
+
 def test_simhash_near_dups(ray_session):
     """SimHash is order-insensitive over the token multiset: a permuted
     doc has hamming 0; an unrelated doc stays far outside the banding

@@ -335,6 +335,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 5,
     jaccard_th: float = 0.8,
+    max_group_pairs: int | None = 2_000_000,
 ) -> Dataset:
     """documents (doc_id, text) → verified near-dup pairs
     (id_a, id_b, jaccard, jaccard_bp).
@@ -348,6 +349,16 @@ def minhash_lsh_pairs(
     never reaches the driver). The threshold is applied as an integer
     cross-multiply (inter·den ≥ union·num), bit-identical to the
     DuckDB oracle.
+
+    Degenerate-group bound: a band group of k identical pages (crawl
+    boilerplate, k ~ 10⁶ empty/error pages) would emit C(k,2)
+    candidate pairs from ONE group. When a group's full grid exceeds
+    ``max_group_pairs`` it falls back to STAR expansion — every member
+    paired to the group's min id only (k-1 pairs, logged). Star pairs
+    keep the candidate graph's connectivity, so dedup-by-CC clusters
+    are unchanged; only the enumerated pair LIST shrinks, and only for
+    groups past the cap (the SQL oracle stays exact wherever the cap
+    never triggers). ``None`` disables the cap.
     """
     rows_per_band = num_perm // bands
     # th as an exact fraction for integer comparison (th given to 4 dp)
@@ -414,6 +425,7 @@ def minhash_lsh_pairs(
         starts = np.flatnonzero(np.r_[True, inv_s[1:] != inv_s[:-1]])
         ends = np.r_[starts[1:], len(inv_s)]
         out_a, out_b = [], []
+        starred = 0
         # loop only over band groups that actually collide (rare); the
         # pair grid inside each is vectorized
         for s, e in zip(starts, ends):
@@ -421,11 +433,29 @@ def minhash_lsh_pairs(
                 continue
             run = ids_s[s:e]
             run = run[np.r_[True, run[1:] != run[:-1]]]
-            if len(run) < 2:
+            k = len(run)
+            if k < 2:
                 continue
-            ii, jj = np.triu_indices(len(run), k=1)
+            if max_group_pairs is not None and k * (k - 1) // 2 > max_group_pairs:
+                # degenerate group: star expansion to the min-id member
+                # (run is ascending, so run[0] is the min) — k-1 pairs,
+                # connectivity-equivalent for dedup-by-CC
+                out_a.append(np.broadcast_to(run[:1], k - 1))
+                out_b.append(run[1:])
+                starred += 1
+                continue
+            ii, jj = np.triu_indices(k, k=1)
             out_a.append(run[ii])
             out_b.append(run[jj])
+        if starred:
+            import logging
+
+            logging.getLogger("xlink_ray.dedup").warning(
+                "minhash_lsh_pairs: %d band group(s) exceeded "
+                "max_group_pairs=%s; star-expanded to the min-id member",
+                starred,
+                max_group_pairs,
+            )
         if not out_a:
             return _pair_empty
         return pa.table(
