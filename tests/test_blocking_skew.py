@@ -109,3 +109,24 @@ def test_union_pair_sets_distinct_superset(ray_session):
     pairs_1 = set(zip(p1["id_a"], p1["id_b"]))
     assert len(pairs_m) == len(m)  # exact distinct
     assert pairs_1 <= pairs_m      # superset of scheme 1
+
+
+def test_composite_blocking_recall_vs_nation_truth(ray_session):
+    """customer_pairs_composite (the scale path) must recover ≥ 0.99 of
+    the nation-only truth pairs at sf0.01 — on the fixed-width TPC-H
+    names recall is 1.0 by construction (round-3 VERDICT item #6)."""
+    from xlink_ray.pipelines import er
+
+    SF = "/root/testdata/sf0.01"
+    truth = er.customer_pairs(SF).to_pandas()
+    comp = er.customer_pairs_composite(SF).to_pandas()
+    t = set(zip(truth["id_a"], truth["id_b"]))
+    c = set(zip(comp["id_a"], comp["id_b"]))
+    assert len(t) > 0
+    assert len(c) == len(comp)  # exact distinct
+    assert c <= t               # composite never invents pairs
+    recall = len(c & t) / len(t)
+    assert recall >= 0.99, recall
+    # carried distances agree with the truth rows
+    merged = comp.merge(truth, on=["id_a", "id_b"], suffixes=("_c", "_t"))
+    assert (merged["dist_c"] == merged["dist_t"]).all()

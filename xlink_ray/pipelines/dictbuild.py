@@ -33,8 +33,20 @@ __all__ = [
 ]
 
 
+_PAGES_CACHE: dict[str, Dataset] = {}
+
+
 def pages(sf_dir: str) -> Dataset:
-    return synth.synth_pages(sf_dir)
+    """Synthesized pages, materialized ONCE per driver session: every
+    dictbuild query re-reads these blocks from the object store
+    instead of re-running the synthesis UDF per query (the same
+    read-once pattern a real deployment gets from Parquet for free —
+    synthesis stands in for the crawl read; blocks spill if the store
+    fills)."""
+    ds = _PAGES_CACHE.get(sf_dir)
+    if ds is None:
+        ds = _PAGES_CACHE[sf_dir] = synth.synth_pages(sf_dir).materialize()
+    return ds
 
 
 def corpus(sf_dir: str) -> Dataset:

@@ -405,6 +405,87 @@ def customer_pairs_multiblock(sf_dir: str, threshold: int = LEV_THRESHOLD) -> Da
     return union_pair_sets(p1, p2)
 
 
+def customer_pairs_composite(sf_dir: str, threshold: int = LEV_THRESHOLD) -> Dataset:
+    """SCALE-PATH blocking for the customer linkage: composite keys
+    (nation, name-prefix) ∪ (nation, name-suffix) instead of nation
+    alone.
+
+    Why: nation-only blocking has 25 distinct keys, so kept-pair WORK
+    grows O(n²/25) even though skew salting bounds memory. The
+    composite split (name[:13] / name[13:]) shrinks blocks to
+    near-constant size. Recall vs the nation-only truth: a Levenshtein
+    ≤ 1 pair of equal-length names differs in exactly ONE position, so
+    the other segment matches and the pair survives in the other
+    scheme — recall 1.0 by construction on the fixed-width TPC-H names
+    (a test pins ≥ 0.99 on real data); unequal-length (indel) pairs
+    can shift the suffix and are the documented recall caveat.
+
+    Output: (id_a, id_b, dist), distinct, same schema as
+    ``customer_pairs``."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from xlink_ray.stages.dedup import _hash_bucketed
+
+    def scheme(prefix: bool) -> Dataset:
+        def add_key(t: pa.Table) -> pa.Table:
+            seg = (
+                pc.utf8_slice_codeunits(t["c_name"], 0, 13)
+                if prefix
+                else pc.utf8_slice_codeunits(t["c_name"], 13, 10_000)
+            )
+            return t.append_column(
+                "blk",
+                pc.binary_join_element_wise(
+                    pc.cast(t["c_nationkey"], pa.string()), seg, "\x1f"
+                ),
+            )
+
+        return block_score_pairs(
+            _customers(sf_dir).map_batches(add_key, batch_format="pyarrow"),
+            key_cols="blk",
+            id_col="c_custkey",
+            attr_col="c_name",
+            scorer=lambda A, B: levenshtein_pairs(A, B, max_dist=threshold),
+            keep=lambda s: s <= threshold,
+            skew_cap=8192,
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "id_a": t["id_a"].cast(pa.int64()),
+                    "id_b": t["id_b"].cast(pa.int64()),
+                    "dist": t["score"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    both = scheme(True).union(scheme(False))
+
+    def distinct_bucket(g: pa.Table) -> pa.Table:
+        a = g["id_a"].to_numpy(zero_copy_only=False)
+        b = g["id_b"].to_numpy(zero_copy_only=False)
+        d = g["dist"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, b, a))
+        a, b, d = a[order], b[order], d[order]
+        first = np.ones(len(a), dtype=bool)
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return pa.table(
+            {
+                "id_a": pa.array(a[first]),
+                "id_b": pa.array(b[first]),
+                "dist": pa.array(d[first]),
+            }
+        )
+
+    return _hash_bucketed(
+        both,
+        lambda t: t["id_a"].to_numpy(zero_copy_only=False) * np.int64(1000003)
+        + t["id_b"].to_numpy(zero_copy_only=False),
+        lambda g: distinct_bucket(g).select(["id_a", "id_b", "dist"]),
+    )
+
+
 def customer_fs_review_queue(
     sf_dir: str, lo: float = 0.0, hi: float = 3.5
 ) -> Dataset:

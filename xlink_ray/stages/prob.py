@@ -56,8 +56,8 @@ def build_prob_tables(mention_anchors: Dataset, freq_m: Dataset | None = None) -
     dictionary-sized aggregates) and broadcast back — no second shuffle
     of the fact table.
     """
-    link_m = grouped_sum(mention_anchors, ["mention"], "link_count", "link_m")
-    a_e = grouped_sum(mention_anchors, ["entity_id"], "link_count", "a_e")
+    link_m = grouped_sum(mention_anchors, ["mention"], "link_count", "link_m", small=True)
+    a_e = grouped_sum(mention_anchors, ["entity_id"], "link_count", "a_e", small=True)
 
     link_m_tbl = pa.concat_tables(
         [pa.table(b) for b in link_m.iter_batches(batch_format="pyarrow")]
@@ -142,6 +142,8 @@ def filter_mention_anchors(
     freq_m: Dataset,
     self_links: Dataset,
     threshold: float = 1e-4,
+    partitioned: bool | None = None,
+    nbuckets: int = 64,
 ) -> Dataset:
     """J2 multi-table predicate filter
     (reference extract_mention_anchors.py:161-183; th=1e-4 main.py:459).
@@ -150,11 +152,59 @@ def filter_mention_anchors(
     ``len(m) > 1 AND (link_m - self_m) >= 2 AND link_m / freq_m >= threshold``.
     Mentions absent from freq_m are dropped (reference
     ``update_mention_anchor_from_freq_m`` generate_prob_files.py:225-230).
+
+    Two execution paths, identical output (test-pinned):
+
+    * **broadcast** (default while the dictionary-sized side tables fit
+      under ``XLINK_DICT_MAX_MB``): collect the three mention-keyed
+      aggregates, merge on the driver, broadcast the kept-mention set.
+    * **partitioned** (``partitioned=True``, or automatic fallback when
+      the guard trips with ``partitioned=None``): the same hash-bucket
+      tagged-union join used across the repo — side rows and anchor
+      rows shuffle ONCE on md5(mention) % nbuckets; each bucket task
+      evaluates the predicate over its mention slice and filters its
+      anchors in-task. Nothing mention-vocabulary-sized ever reaches
+      the driver.
     """
-    link_m = grouped_sum(mention_anchors, ["mention"], "link_count", "link_m")
-    link_tbl = link_m.to_pandas()
-    freq_tbl = freq_m.to_pandas()
-    self_tbl = self_links.to_pandas().rename(columns={"count": "self_m"})
+    import os
+
+    link_m = grouped_sum(mention_anchors, ["mention"], "link_count", "link_m", small=True)
+
+    if partitioned is not True:
+        try:
+            return _filter_ma_broadcast(
+                mention_anchors, link_m, freq_m, self_links, threshold,
+                max_mb=float(os.environ.get("XLINK_DICT_MAX_MB", "8192")),
+            )
+        except MemoryError:
+            if partitioned is False:
+                raise
+    return _filter_ma_partitioned(
+        mention_anchors, link_m, freq_m, self_links, threshold, nbuckets
+    )
+
+
+def _filter_ma_broadcast(
+    mention_anchors: Dataset,
+    link_m: Dataset,
+    freq_m: Dataset,
+    self_links: Dataset,
+    threshold: float,
+    max_mb: float,
+) -> Dataset:
+    def _collect(ds: Dataset) -> "pa.Table":
+        tbls = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+        out = pa.concat_tables(tbls) if tbls else pa.table({})
+        if out.nbytes > max_mb * 1e6:
+            raise MemoryError(
+                f"J2 side table is {out.nbytes / 1e6:.0f} MB "
+                f"(> XLINK_DICT_MAX_MB={max_mb:.0f})"
+            )
+        return out
+
+    link_tbl = _collect(link_m).to_pandas()
+    freq_tbl = _collect(freq_m).to_pandas()
+    self_tbl = _collect(self_links).to_pandas().rename(columns={"count": "self_m"})
     if "mention" not in self_tbl.columns:  # empty self-link set loses its schema
         import pandas as pd
 
@@ -177,4 +227,149 @@ def filter_mention_anchors(
     return mention_anchors.map_batches(
         BroadcastSemi, fn_constructor_args=(keep_ref, "mention"),
         batch_format="pyarrow", concurrency=pool_size(),
+    )
+
+
+def _filter_ma_partitioned(
+    mention_anchors: Dataset,
+    link_m: Dataset,
+    freq_m: Dataset,
+    self_links: Dataset,
+    threshold: float,
+    nbuckets: int,
+) -> Dataset:
+    """Hash-bucket tagged-union evaluation of the J2 predicate: one
+    shuffle on md5(mention), predicate + anchor filter in-task."""
+    import numpy as np
+
+    from xlink_ray.functions.hashing import md5_low64
+
+    SRC_LINK, SRC_FREQ, SRC_SELF, SRC_ANCHOR = 0, 1, 2, 3
+
+    _tag_empty = pa.table(
+        {
+            "mention": pa.array([], pa.string()),
+            "src": pa.array([], pa.int8()),
+            "val": pa.array([], pa.int64()),
+            "entity_id": pa.array([], pa.string()),
+            "link_count": pa.array([], pa.int64()),
+        }
+    )
+
+    def _tag(src: int, val_col: str | None):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            if "mention" not in t.column_names:
+                if n:
+                    raise ValueError("tagged side lost its mention column")
+                return _tag_empty
+            mention = t["mention"]
+            val = (
+                pc.cast(t[val_col], pa.int64())
+                if val_col is not None
+                else pa.array(np.zeros(n, dtype=np.int64))
+            )
+            ent = (
+                t["entity_id"]
+                if src == SRC_ANCHOR
+                else pa.array([None] * n, pa.string())
+            )
+            cnt = (
+                pc.cast(t["link_count"], pa.int64())
+                if src == SRC_ANCHOR
+                else pa.array(np.zeros(n, dtype=np.int64))
+            )
+            return pa.table(
+                {
+                    "mention": mention,
+                    "src": pa.array(np.full(n, src, dtype=np.int8)),
+                    "val": val,
+                    "entity_id": ent,
+                    "link_count": cnt,
+                }
+            )
+
+        return fn
+
+    def _self_norm(t: pa.Table) -> pa.Table:
+        # empty self-link sets can lose their schema upstream
+        if "mention" not in t.column_names:
+            return pa.table(
+                {"mention": pa.array([], pa.string()),
+                 "count": pa.array([], pa.int64())}
+            )
+        return t
+
+    tagged = (
+        link_m.map_batches(_tag(SRC_LINK, "link_m"), batch_format="pyarrow")
+        .union(freq_m.map_batches(_tag(SRC_FREQ, "freq"), batch_format="pyarrow"))
+        .union(
+            self_links.map_batches(_self_norm, batch_format="pyarrow")
+            .map_batches(_tag(SRC_SELF, "count"), batch_format="pyarrow")
+        )
+        .union(
+            mention_anchors.map_batches(_tag(SRC_ANCHOR, None), batch_format="pyarrow")
+        )
+    )
+
+    def add_b(t: pa.Table) -> pa.Table:
+        b = (md5_low64(t["mention"].to_pylist()) % np.uint64(nbuckets)).astype(
+            np.int64
+        )
+        return t.append_column("__b", pa.array(b))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        is_anchor = src == SRC_ANCHOR
+        side = t.filter(pa.array(~is_anchor))
+        anchors = t.filter(pa.array(is_anchor))
+        s_src = side["src"].to_numpy(zero_copy_only=False)
+        s_val = side["val"].to_numpy(zero_copy_only=False)
+        s_m = side["mention"].to_numpy(zero_copy_only=False)
+        uniq, codes = (
+            np.unique(s_m, return_inverse=True)
+            if len(s_m)
+            else (np.array([], dtype=object), np.array([], dtype=np.int64))
+        )
+        U = len(uniq)
+        link = np.zeros(U, np.int64)
+        freq = np.zeros(U, np.int64)
+        selfm = np.zeros(U, np.int64)
+        got_link = np.zeros(U, bool)
+        got_freq = np.zeros(U, bool)
+        for s, (arr, got) in {
+            SRC_LINK: (link, got_link),
+            SRC_FREQ: (freq, got_freq),
+            SRC_SELF: (selfm, None),
+        }.items():
+            sel = s_src == s
+            arr[codes[sel]] = s_val[sel]
+            if got is not None:
+                got[codes[sel]] = True
+        mlen = pc.utf8_length(pa.array(uniq, pa.string())).to_numpy(
+            zero_copy_only=False
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = link / freq  # freq==0 → inf, matching the pandas path
+        keep_m = (
+            got_link
+            & got_freq
+            & (mlen > 1)
+            & ((link - selfm) >= 2)
+            & (ratio >= threshold)
+        )
+        kept = set(uniq[keep_m].tolist())
+        a_m = anchors["mention"].to_numpy(zero_copy_only=False)
+        mask = (
+            np.fromiter((m in kept for m in a_m), bool, count=len(a_m))
+            if len(a_m)
+            else np.zeros(0, bool)
+        )
+        out = anchors.filter(pa.array(mask))
+        return out.select(["mention", "entity_id", "link_count"])
+
+    return (
+        tagged.map_batches(add_b, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )

@@ -142,39 +142,70 @@ def tumbling_window_agg(events: Dataset, unit: str = "hour") -> Dataset:
     return out.map_batches(fmt, batch_format="pyarrow")
 
 
-def sessionize(events: Dataset, gap_minutes: int = 30) -> Dataset:
+def sessionize(events: Dataset, gap_minutes: int = 30, nbuckets: int = 64) -> Dataset:
     """Gap-based sessions per user: a new session starts when the gap
     since the previous event exceeds ``gap_minutes``.
 
     Output: (user_id, session_id, session_start, n_events, total_value)
     with session_id = running break count within the user (1-based),
     ordering by (ts, event_id) for deterministic ties.
-    """
-    gap = np.timedelta64(gap_minutes * 60, "s")
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        ts = g["ts"].to_numpy()
-        brk = np.ones(len(g), dtype=np.int64)
-        if len(g) > 1:
-            brk[1:] = (ts[1:] - ts[:-1]) > gap
-        sid = np.cumsum(brk)
-        g = g.assign(session_id=sid)
-        out = (
-            g.groupby("session_id", sort=True)
-            .agg(
-                user_id=("user_id", "first"),
-                session_start=("ts", "min"),
-                n_events=("event_id", "size"),
-                total_value=("value", "sum"),
-            )
-            .reset_index()
+    Scale shape (the ordered.py run-kernel pattern): ONE hash exchange
+    of users into ~``nbuckets`` buckets — NOT one task per user — then
+    an in-task lexsort of each bucket and pure-numpy run kernels:
+    session breaks from one vectorized neighbor compare, per-session
+    aggregates from ``reduceat`` at the break positions. No per-user
+    Python calls anywhere."""
+    gap_us = np.int64(gap_minutes) * 60 * 1_000_000
+
+    from xlink_ray.stages._bucket import bucket_shuffle
+
+    def kernel(t: pa.Table) -> pa.Table:
+        users = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        ts_us = (
+            ts.astype("datetime64[us]").astype(np.int64)
+            if ts.dtype.kind == "M"
+            else ts.astype(np.int64)
         )
-        v = out["total_value"].to_numpy() * 10000.0
-        out["total_value"] = np.trunc(v + np.copysign(0.5, v)).astype("int64")
-        out["n_events"] = out["n_events"].astype("int64")
-        return out[["user_id", "session_id", "session_start", "n_events", "total_value"]]
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((ids, ts_us, users))
+        users, ts_us, v = users[order], ts_us[order], v[order]
+        n = len(users)
+        brk = np.ones(n, dtype=bool)
+        if n > 1:
+            brk[1:] = (users[1:] != users[:-1]) | (
+                ts_us[1:] - ts_us[:-1] > gap_us
+            )
+        cs = np.cumsum(brk.astype(np.int64))
+        # session_id = breaks since the user's first row (1-based):
+        # cs - cs[user_start] + 1, with user_start broadcast per row
+        idx = np.arange(n, dtype=np.int64)
+        new_user = np.ones(n, dtype=bool)
+        if n > 1:
+            new_user[1:] = users[1:] != users[:-1]
+        ustart = np.maximum.accumulate(np.where(new_user, idx, 0))
+        sid = cs - cs[ustart] + 1
+        s_starts = np.flatnonzero(brk)
+        counts = np.diff(np.r_[s_starts, n]).astype(np.int64)
+        total = np.add.reduceat(v, s_starts) if n else np.zeros(0)
+        scaled = total * 10000.0
+        total_i = np.trunc(scaled + np.copysign(0.5, scaled)).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(users[s_starts], pa.int64()),
+                "session_id": pa.array(sid[s_starts], pa.int64()),
+                # sorted by ts within the session → first row is the min
+                "session_start": t["ts"].take(pa.array(order[s_starts], pa.int64())),
+                "n_events": pa.array(counts),
+                "total_value": pa.array(total_i),
+            }
+        )
 
-    return events.select_columns(["user_id", "ts", "event_id", "value"]).groupby(
-        "user_id"
-    ).map_groups(per_user, batch_format="pandas")
+    return bucket_shuffle(
+        events.select_columns(["user_id", "ts", "event_id", "value"]),
+        "user_id",
+        nbuckets,
+        kernel,
+    )
