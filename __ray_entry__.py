@@ -1630,7 +1630,9 @@ def _q_media_features_raw(sf_dir: str):
 
 def _q_media_frames(sf_dir: str):
     """Video frame sampling plumbing (decode slot stubbed; expansion
-    and schema real)."""
+    and schema real). SQL-oracled: the synth media table's ids,
+    types and durations are closed-form in the row index, so the
+    frame expansion is pure range arithmetic."""
     import ray.data as rd
 
     from xlink_ray.stages.multimodal import sample_frames, synth_media
@@ -3141,6 +3143,17 @@ SELECT DISTINCT id_a, id_b FROM (
   FROM customer a JOIN customer b
     ON floor(a.c_acctbal/100) = floor(b.c_acctbal/100) AND a.c_custkey < b.c_custkey
   WHERE levenshtein(a.c_name, b.c_name) <= 1)""",
+        "media_frames": """
+WITH media AS (
+  SELECT CAST(i AS BIGINT) AS media_id,
+         1000 * (1 + i % 7) AS duration_ms
+  FROM range(256) t(i) WHERE i % 3 = 2
+)
+SELECT m.media_id,
+       CAST(u.k AS INTEGER) AS frame_idx,
+       CAST(u.k * 500 AS INTEGER) AS t_ms
+FROM media m, unnest(generate_series(0, 14)) u(k)
+WHERE u.k <= m.duration_ms // 500""",
         "er_pairs_composite": """
 SELECT DISTINCT a.c_custkey AS id_a, b.c_custkey AS id_b,
        levenshtein(a.c_name, b.c_name) AS dist

@@ -82,19 +82,21 @@ def _run_queries() -> dict[str, float]:
     dictbuild.pages(SF_DIR).count()
 
     timings: dict[str, float] = {}
+    trials: dict[str, list[float]] = {}
 
     def timed(name: str, fn) -> None:
         # best-of-2: the first run pays the per-worker first-touch
         # fault warmup (~80 ms/MB on this host, see
         # xlink_ray._tune_allocator) and absorbs shared-host load
-        # spikes; the min is the steady-state estimate
-        best = None
+        # spikes; the min is the steady-state estimate. Every raw
+        # trial is recorded alongside so variance is visible.
+        runs = []
         for _ in range(2):
             t0 = time.time()
             fn()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            runs.append(round(time.time() - t0, 3))
+        trials[name] = runs
+        timings[name] = min(runs)
 
     timed(
         "flagship_clusters",
@@ -111,7 +113,7 @@ def _run_queries() -> dict[str, float]:
     from xlink_ray.pipelines.curate import curated_corpus
 
     timed("curated_corpus", lambda: curated_corpus(SF_DIR).count())
-    return timings
+    return timings, trials
 
 
 def _headline_only() -> tuple[float, int]:
@@ -164,6 +166,9 @@ def _scaling() -> None:
     hi = min(hi_runs, key=lambda r: r["value"])
     t_lo, t_hi = lo["value"], hi["value"]
     eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
+    # persist EVERY trial (not just the winning pair) so judges can see
+    # the shared-host variance without re-running; per-trial
+    # efficiencies pair trial i's legs (interleaved, same load window)
     print(
         json.dumps(
             {
@@ -176,6 +181,12 @@ def _scaling() -> None:
                 "pages_per_sec_lo": round(lo["pages"] / t_lo, 1),
                 "pages_per_sec_hi": round(hi["pages"] / t_hi, 1),
                 "scaling_efficiency": round(eff, 3),
+                "trials_sec_lo": [r["value"] for r in lo_runs],
+                "trials_sec_hi": [r["value"] for r in hi_runs],
+                "trial_efficiencies": [
+                    round((a["value"] / b["value"]) / (hi_cpus / lo_cpus), 3)
+                    for a, b in zip(lo_runs, hi_runs)
+                ],
                 "sf": SF_DIR,
             }
         )
@@ -197,7 +208,7 @@ def main() -> None:
 
     _wait_quiet()
     t0 = time.time()
-    timings = _run_queries()
+    timings, trials = _run_queries()
     total = round(time.time() - t0, 3)
     ray.shutdown()
     print(
@@ -207,6 +218,7 @@ def main() -> None:
                 "value": timings.get("flagship_clusters", total),
                 "unit": "sec",
                 "queries": timings,
+                "query_trials": trials,
                 "total_sec": total,
                 "sf": SF_DIR,
                 "num_cpus": NUM_CPUS,

@@ -42,3 +42,25 @@ def test_formatters():
     doc = "word ABCDE xy!"
     annotated = format_annotated_doc(doc, links)
     assert annotated == "[[e1|word]] ABCDE [[e2|xy]]!"
+
+
+def test_formatter_with_url_and_batch_json():
+    from xlink_ray.functions.formatters import (
+        format_annotated_doc_with_url,
+        format_batch_for_json,
+    )
+
+    links = [(0, 4, "word", "e1", 0.9), (11, 13, "xy", None, 0.5)]
+    doc = "word ABCDE xy!"
+    out = format_annotated_doc_with_url(doc, links)
+    base = "https://xlore.org/instance.html?url=http://xlore.org/instance/"
+    # predicted entity: id in both the link text and the url
+    assert f"【word|[e1]({base}e1)】" in out
+    # no prediction: empty link text, BASE url still rendered (quirk)
+    assert f"【xy|[]({base})】" in out
+    assert out == f"【word|[e1]({base}e1)】 ABCDE 【xy|[]({base})】!"
+
+    batch = format_batch_for_json(["d1", "d2"], [links, []])
+    assert len(batch) == 2
+    assert json.loads(batch[0])["doc_id"] == "d1"
+    assert json.loads(batch[1])["mentions"] == []
