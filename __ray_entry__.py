@@ -566,8 +566,9 @@ def _q_aida_eval(sf_dir: str):
 
 
 def _q_ann_ivf(sf_dir: str):
-    """IVF inverted-file ANN (approximate — rows-only check; the exact
-    counterpart ann_topk is the SQL-checked baseline)."""
+    """IVF inverted-file ANN. SQL-oracled: the quantized spherical
+    codebook (ann._qround/_nq) lets the unrolled DuckDB replica
+    (_ivf_sql) walk identical cell assignments and ranks."""
     import numpy as np
     import pyarrow.parquet as pq
 
@@ -582,11 +583,14 @@ def _q_ann_ivf(sf_dir: str):
 
 
 def _q_ann_pq(sf_dir: str):
-    """Product-quantization ANN (approximate — rows-only check): train
-    per-subspace codebooks on a deterministic sample, encode the corpus
-    to m_sub bytes/vector, score queries by ADC lookup-table sums over
-    the compressed codes only. The compression path for 10¹²-vector
-    indexes that cannot hold raw floats in cluster RAM."""
+    """Product-quantization ANN: train per-subspace codebooks on a
+    deterministic sample, encode the corpus to m_sub bytes/vector,
+    score queries by ADC lookup-table sums over the compressed codes
+    only. The compression path for 10¹²-vector indexes that cannot
+    hold raw floats in cluster RAM. SQL-oracled: quantized codebook
+    updates (ann._qround) + quantized normalize (ann._nq) let the
+    unrolled DuckDB replica (_pq_sql) walk identical codebooks, code
+    assignments and ADC ranks."""
     import numpy as np
     import pyarrow.parquet as pq
 
@@ -1265,6 +1269,229 @@ def _kmeans_cte(k: int = 10, iters: int = 4, quant: int = 6) -> str:
   FROM base b)"""
     )
     return "WITH " + ",\n".join(parts)
+
+
+def _ivf_sql(
+    n_cells: int = 16, nprobe: int = 4, iters: int = 8, k: int = 10, nq: int = 5
+) -> str:
+    """DuckDB replica of stages/ann.ivf_topk: 9-decimal quantized
+    normalize (the same floor(x·1e9 + 0.5)/1e9 formula as ann._nq),
+    linspace init rows, unrolled spherical-k-means iterations with
+    6-decimal quantized centroid updates (ann._qround), per-query
+    nprobe cells, and exact rank within the probed cells. Long-form
+    (vec_id, dim, x) relational layout — no list kernels needed."""
+    parts = [
+        """ev AS (
+  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INTEGER) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings)""",
+        "nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nn FROM ev GROUP BY vec_id)",
+        """nv AS (
+  SELECT e.vec_id, e.dim,
+         floor(e.x / (CASE WHEN n.nn = 0 THEN 1 ELSE n.nn END) * 1e9 + 0.5) / 1e9 AS x
+  FROM ev e JOIN nrm n USING (vec_id))""",
+        "cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings)",
+        f"""init AS (
+  SELECT CAST(i.i AS BIGINT) AS cell,
+         CASE WHEN i.i = {n_cells - 1} THEN CAST((SELECT n FROM cnt) - 1 AS BIGINT)
+              ELSE CAST(floor(i.i * (((SELECT n FROM cnt) - 1) / {n_cells - 1}.0)) AS BIGINT)
+         END AS vid
+  FROM range({n_cells}) i(i))""",
+        "c0 AS (SELECT init.cell, nv.dim, nv.x FROM init JOIN nv ON nv.vec_id = init.vid)",
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(
+            f"""s{t} AS (
+  SELECT v.vec_id, c.cell, sum(v.x * c.x) AS sim
+  FROM nv v JOIN c{p} c USING (dim) GROUP BY v.vec_id, c.cell)"""
+        )
+        parts.append(
+            f"""a{t} AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+    FROM s{t}) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""u{t} AS (
+  SELECT a.cell, v.dim, sum(v.x) AS vx
+  FROM a{t} a JOIN nv v USING (vec_id) GROUP BY a.cell, v.dim)"""
+        )
+        parts.append(
+            f"un{t} AS (SELECT cell, sqrt(sum(vx*vx)) AS nn FROM u{t} GROUP BY cell)"
+        )
+        parts.append(
+            f"""c{t} AS (
+  SELECT c.cell, c.dim,
+         CASE WHEN un.nn IS NULL OR un.nn <= 0 THEN c.x
+              ELSE floor(u.vx / un.nn * 1e6 + 0.5) / 1e6 END AS x
+  FROM c{p} c
+  LEFT JOIN u{t} u ON u.cell = c.cell AND u.dim = c.dim
+  LEFT JOIN un{t} un ON un.cell = c.cell)"""
+        )
+    parts.append(f"qn AS (SELECT vec_id AS qid, dim, x FROM nv WHERE vec_id < {nq})")
+    parts.append(
+        f"""qs AS (
+  SELECT q.qid, c.cell, sum(q.x * c.x) AS sim
+  FROM qn q JOIN c{iters} c USING (dim) GROUP BY q.qid, c.cell)"""
+    )
+    parts.append(
+        f"""probes AS (
+  SELECT qid, cell FROM (
+    SELECT qid, cell,
+           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cell) AS rn
+    FROM qs) WHERE rn <= {nprobe})"""
+    )
+    parts.append(
+        f"""sf AS (
+  SELECT v.vec_id, c.cell, sum(v.x * c.x) AS sim
+  FROM nv v JOIN c{iters} c USING (dim) GROUP BY v.vec_id, c.cell)"""
+    )
+    parts.append(
+        """af AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+    FROM sf) WHERE rn = 1)"""
+    )
+    parts.append(
+        """scored AS (
+  SELECT p.qid, a.vec_id, sum(q.x * v.x) AS cos
+  FROM probes p
+  JOIN af a ON a.cell = p.cell
+  JOIN nv v ON v.vec_id = a.vec_id
+  JOIN qn q ON q.qid = p.qid AND q.dim = v.dim
+  GROUP BY p.qid, a.vec_id)"""
+    )
+    # every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and the
+    # iteration chain (c8 -> c7 -> ... -> c0 -> nv -> ev) would expand
+    # exponentially (it exhausts file handles re-scanning the parquet)
+    return (
+        "WITH "
+        + ",\n".join(p.replace(" AS (", " AS MATERIALIZED (", 1) for p in parts)
+        + f"""
+SELECT qid AS query_id, CAST(rn AS BIGINT) AS rank, vec_id
+FROM (SELECT qid, vec_id,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+      FROM scored)
+WHERE rn <= {k}"""
+    )
+
+
+def _pq_sql(
+    m_sub: int = 32, n_codes: int = 64, iters: int = 8, k: int = 10, nq: int = 5,
+    dim: int = 64,
+) -> str:
+    """DuckDB replica of stages/ann.pq_train + pq_encode + pq_topk:
+    9-decimal quantized normalize, per-subspace euclidean Lloyd with
+    6-decimal quantized means (ann._qround), assignment argmin with
+    lowest-code ties, ADC score = sum of per-subspace inner products
+    against the assigned code. Long-form (vec, sub, d2i, x) layout;
+    all CTEs MATERIALIZED (plain CTEs inline exponentially through the
+    iteration chain)."""
+    dsub = dim // m_sub
+    parts = [
+        """ev AS (
+  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INTEGER) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings)""",
+        "nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nn FROM ev GROUP BY vec_id)",
+        """nv AS (
+  SELECT e.vec_id, e.dim,
+         floor(e.x / (CASE WHEN n.nn = 0 THEN 1 ELSE n.nn END) * 1e9 + 0.5) / 1e9 AS x
+  FROM ev e JOIN nrm n USING (vec_id))""",
+        f"""sv AS (
+  SELECT vec_id, CAST((dim - 1) // {dsub} AS INTEGER) AS sub,
+         CAST((dim - 1) % {dsub} AS INTEGER) AS d2i, x
+  FROM nv)""",
+        "vv AS (SELECT vec_id, sub, sum(x*x) AS v2 FROM sv GROUP BY vec_id, sub)",
+        "cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings)",
+        f"""init AS (
+  SELECT CAST(i.i AS BIGINT) AS code,
+         CASE WHEN i.i = {n_codes - 1} THEN CAST((SELECT n FROM cnt) - 1 AS BIGINT)
+              ELSE CAST(floor(i.i * (((SELECT n FROM cnt) - 1) / {n_codes - 1}.0)) AS BIGINT)
+         END AS vid
+  FROM range({n_codes}) i(i))""",
+        "cb0 AS (SELECT init.code, s.sub, s.d2i, s.x FROM init JOIN sv s ON s.vec_id = init.vid)",
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(
+            f"cc{p} AS (SELECT sub, code, sum(x*x) AS c2 FROM cb{p} GROUP BY sub, code)"
+        )
+        parts.append(
+            f"""dt{t} AS (
+  SELECT s.vec_id, s.sub, c.code, sum(s.x * c.x) AS dot
+  FROM sv s JOIN cb{p} c USING (sub, d2i) GROUP BY s.vec_id, s.sub, c.code)"""
+        )
+        parts.append(
+            f"""a{t} AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT d.vec_id, d.sub, d.code,
+           row_number() OVER (PARTITION BY d.vec_id, d.sub
+                              ORDER BY v.v2 - 2*d.dot + c.c2 ASC, d.code ASC) AS rn
+    FROM dt{t} d
+    JOIN vv v ON v.vec_id = d.vec_id AND v.sub = d.sub
+    JOIN cc{p} c ON c.sub = d.sub AND c.code = d.code)
+  WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""u{t} AS (
+  SELECT a.code, a.sub, s.d2i, avg(s.x) AS m
+  FROM a{t} a JOIN sv s ON s.vec_id = a.vec_id AND s.sub = a.sub
+  GROUP BY a.code, a.sub, s.d2i)"""
+        )
+        parts.append(
+            f"""cb{t} AS (
+  SELECT c.code, c.sub, c.d2i,
+         CASE WHEN u.m IS NULL THEN c.x
+              ELSE floor(u.m * 1e6 + 0.5) / 1e6 END AS x
+  FROM cb{p} c
+  LEFT JOIN u{t} u ON u.code = c.code AND u.sub = c.sub AND u.d2i = c.d2i)"""
+        )
+    # encode the corpus under the final codebooks (argmin of -2·dot + c2)
+    parts.append(
+        f"ccf AS (SELECT sub, code, sum(x*x) AS c2 FROM cb{iters} GROUP BY sub, code)"
+    )
+    parts.append(
+        f"""dtf AS (
+  SELECT s.vec_id, s.sub, c.code, sum(s.x * c.x) AS dot
+  FROM sv s JOIN cb{iters} c USING (sub, d2i) GROUP BY s.vec_id, s.sub, c.code)"""
+    )
+    parts.append(
+        """af AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT d.vec_id, d.sub, d.code,
+           row_number() OVER (PARTITION BY d.vec_id, d.sub
+                              ORDER BY -2*d.dot + c.c2 ASC, d.code ASC) AS rn
+    FROM dtf d JOIN ccf c ON c.sub = d.sub AND c.code = d.code)
+  WHERE rn = 1)"""
+    )
+    parts.append(
+        f"""qsv AS (
+  SELECT vec_id AS qid, CAST((dim - 1) // {dsub} AS INTEGER) AS sub,
+         CAST((dim - 1) % {dsub} AS INTEGER) AS d2i, x
+  FROM nv WHERE vec_id < {nq})"""
+    )
+    parts.append(
+        f"""scored AS (
+  SELECT q.qid, a.vec_id, sum(q.x * c.x) AS cos
+  FROM af a
+  JOIN cb{iters} c ON c.sub = a.sub AND c.code = a.code
+  JOIN qsv q ON q.sub = c.sub AND q.d2i = c.d2i
+  GROUP BY q.qid, a.vec_id)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(p.replace(" AS (", " AS MATERIALIZED (", 1) for p in parts)
+        + f"""
+SELECT qid AS query_id, CAST(rn AS BIGINT) AS rank, vec_id
+FROM (SELECT qid, vec_id,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+      FROM scored)
+WHERE rn <= {k}"""
+    )
 
 
 def _q_minhash_pairs(sf_dir: str):
@@ -2530,6 +2757,8 @@ LEFT JOIN (SELECT u, count(*) AS cnt FROM pr GROUP BY u) c ON d.doc_id = c.u""",
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35""",
+        "ann_ivf": _ivf_sql(),
+        "ann_pq": _pq_sql(),
         "ann_topk": """
 WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE vec_id < 5),

@@ -28,6 +28,21 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n[:, None]
 
 
+def _qround(m: np.ndarray, decimals: int) -> np.ndarray:
+    """Half-up rounding via floor(x·10^d + 0.5)/10^d — the SAME formula
+    a DuckDB replica can evaluate bit-identically (np.round is
+    half-even; DuckDB round() is half-away — this sidesteps both)."""
+    s = 10.0 ** decimals
+    return np.floor(m * s + 0.5) / s
+
+
+def _nq(m: np.ndarray) -> np.ndarray:
+    """Quantized normalize (9 decimals) used on the IVF path: absorbs
+    the last-ulp summation-order differences between numpy and the SQL
+    oracle so both engines walk identical cell assignments."""
+    return _qround(_normalize(m), 9)
+
+
 def brute_topk(
     ds: Dataset,
     queries: np.ndarray,
@@ -172,7 +187,10 @@ def lsh_topk(
 def _kmeans_codebook(sample: np.ndarray, n_cells: int, iters: int = 8) -> np.ndarray:
     """Deterministic Lloyd iterations on the (normalized) sample:
     init = evenly spaced sample rows; empty cells keep their centroid.
-    Spherical k-means (cosine) — centroids re-normalized each step."""
+    Spherical k-means (cosine) — centroids re-normalized each step and
+    QUANTIZED to 6 decimals (``_qround``) so the DuckDB oracle's
+    unrolled replica walks the identical centroid sequence (same
+    pattern as stages/kmeans.py's ``quant``)."""
     n = len(sample)
     init_rows = np.linspace(0, n - 1, num=min(n_cells, n), dtype=np.int64)
     cents = sample[init_rows].copy()
@@ -185,7 +203,7 @@ def _kmeans_codebook(sample: np.ndarray, n_cells: int, iters: int = 8) -> np.nda
                 v = members.sum(axis=0)
                 nv = np.linalg.norm(v)
                 if nv > 0:
-                    cents[c] = v / nv
+                    cents[c] = _qround(v / nv, 6)
     return cents
 
 
@@ -206,11 +224,15 @@ def ivf_topk(
     ``map_batches``; each query probes its ``nprobe`` nearest cells and
     scores only rows assigned there (one matmul per cell per batch,
     per-batch per-query top-k truncation before the tiny driver
-    merge). Same output shape as brute_topk."""
-    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    merge). Same output shape as brute_topk.
+
+    All vectors go through the QUANTIZED normalize ``_nq`` and the
+    codebook through ``_qround`` — deterministic enough for the DuckDB
+    oracle (ann_ivf) to replicate cell assignments and ranks exactly."""
+    qn = _nq(np.asarray(queries, dtype=np.float64))
 
     sample = ds.take(min(sample_rows, 100_000))
-    smat = _normalize(
+    smat = _nq(
         np.asarray([r[vec_col] for r in sample], dtype=np.float64)
     )
     cents = _kmeans_codebook(smat, n_cells)
@@ -228,7 +250,7 @@ def ivf_topk(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-            m = _normalize(vecs_to_numpy(batch[vec_col]))
+            m = _nq(vecs_to_numpy(batch[vec_col]))
             assign = np.argmax(m @ self.cents.T, axis=1)
             uniq_c, inv = np.unique(assign, return_inverse=True)
             qs, vids, sims_out = [], [], []
@@ -301,7 +323,9 @@ def _pq_codebooks(sample: np.ndarray, m_sub: int, n_codes: int, iters: int = 8) 
             for c in range(len(cents)):
                 members = sub[assign == c]
                 if len(members):
-                    cents[c] = members.mean(axis=0)
+                    # quantized update (see _qround) so the DuckDB
+                    # oracle's replica walks the same codebooks
+                    cents[c] = _qround(members.mean(axis=0), 6)
         out[s, : len(cents)] = cents
         if len(cents) < n_codes:  # tiny sample: pad with the first centroid
             out[s, len(cents) :] = cents[0]
@@ -318,7 +342,7 @@ def pq_train(
     """Train PQ codebooks on a deterministic sample (driver holds only
     the m_sub × n_codes × dsub codebook — KBs, broadcast to encoders)."""
     sample = ds.take(min(sample_rows, 100_000))
-    smat = _normalize(np.asarray([r[vec_col] for r in sample], dtype=np.float64))
+    smat = _nq(np.asarray([r[vec_col] for r in sample], dtype=np.float64))
     return _pq_codebooks(smat, m_sub, n_codes)
 
 
@@ -341,7 +365,7 @@ def pq_encode(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-            m = _normalize(vecs_to_numpy(batch[vec_col]))
+            m = _nq(vecs_to_numpy(batch[vec_col]))
             codes = np.empty((len(ids), m_sub), dtype=np.uint8)
             for s in range(m_sub):
                 sub = m[:, s * dsub : (s + 1) * dsub]
@@ -373,7 +397,7 @@ def pq_topk(
     no original vectors touched. Per-batch per-query top-k truncation,
     then the same tiny driver merge as brute_topk."""
     m_sub, n_codes, dsub = codebooks.shape
-    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    qn = _nq(np.asarray(queries, dtype=np.float64))
     # LUT[q, s, c] = <q_sub, codebook[s, c]>
     lut = np.einsum(
         "qsd,scd->qsc", qn.reshape(len(qn), m_sub, dsub), codebooks
