@@ -284,11 +284,22 @@ def _q_er_exemplars(sf_dir: str):
 
 
 def _q_flagship_golden(sf_dir: str):
-    """Webtext golden records (rows-only — flagship semantics): each
-    flagship cluster → one canonical row via string-id survivorship."""
+    """Webtext golden records: each flagship cluster → one canonical
+    row via string-id survivorship. SQL-oracled (_golden_sql) with
+    believe quantized to 1e-6 half-up on both sides."""
+    import numpy as np
+    import pyarrow as pa
+
     from xlink_ray.pipelines import flagship
 
-    return flagship.golden_clusters(sf_dir)
+    def quant(t: pa.Table) -> pa.Table:
+        b = t["believe"].to_numpy(zero_copy_only=False)
+        return t.drop_columns(["believe"]).append_column(
+            "believe_q",
+            pa.array(np.floor(b * 1e6 + 0.5).astype(np.int64), pa.int64()),
+        )
+
+    return flagship.golden_clusters(sf_dir).map_batches(quant, batch_format="pyarrow")
 
 
 def _q_er_alignment(sf_dir: str):
@@ -373,19 +384,38 @@ def _q_doc_mentions(sf_dir: str):
 
 
 def _q_links(sf_dir: str):
-    """Resolved occurrence links (disambiguation output; embedding
-    scoring not SQL-expressible → rows-only check)."""
+    """Resolved occurrence links (disambiguation output). SQL-oracled:
+    the fixture embedding table rides the oracle as DOUBLE literals and
+    believe is quantized to 1e-6 half-up on BOTH sides (_links_sql);
+    selection (argmax, thresholds, edge signs) stays on the raw floats
+    in both engines."""
+    import numpy as np
+    import pyarrow as pa
+
     from xlink_ray.pipelines import flagship
 
-    return flagship.links(sf_dir).select_columns(
-        ["doc_id", "offset", "mention", "entity_id", "believe"]
-    )
+    def quant(t: pa.Table) -> pa.Table:
+        b = t["believe"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "offset": t["offset"],
+                "mention": t["mention"],
+                "entity_id": t["entity_id"],
+                "believe_q": pa.array(
+                    np.floor(b * 1e6 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return flagship.links(sf_dir).map_batches(quant, batch_format="pyarrow")
 
 
 def _q_links_partitioned(sf_dir: str):
     """The no-dictionary-broadcast linking path: per-entity state
     attaches via hash-shuffle Dataset.joins (equality with the
-    broadcast path is test-pinned in tests/test_flagship.py)."""
+    broadcast path is test-pinned in tests/test_flagship.py).
+    SQL-oracled via the same replica as links."""
     from xlink_ray.pipelines import flagship
 
     return flagship.links_partitioned(sf_dir).select_columns(
@@ -394,8 +424,10 @@ def _q_links_partitioned(sf_dir: str):
 
 
 def _q_flagship_clusters(sf_dir: str):
-    """Full ER pipeline → clusters (rows-only; fidelity is gated by the
-    transcription-oracle pairwise-F1 test in tests/test_flagship.py)."""
+    """Full ER pipeline → clusters. SQL-oracled (_clusters_sql): the
+    sorted-neighborhood run labelling is a window cumsum over the
+    adjacent-context cosine in DuckDB; fidelity additionally gated by
+    the transcription-oracle pairwise-F1 test in tests/test_flagship.py."""
     from xlink_ray.pipelines import flagship
 
     return flagship.clusters(sf_dir)
@@ -1491,6 +1523,224 @@ FROM (SELECT qid, vec_id,
              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
       FROM scored)
 WHERE rn <= {k}"""
+    )
+
+
+def _vec_values_sql() -> "tuple[str, str]":
+    """(wvec, evec) VALUES literal bodies from the deterministic synth
+    embedding fixture (xlink_ray/synth.py token_vector: crc32-seeded
+    RNG — not SQL-expressible, but its float32 values are exact DOUBLE
+    literals, so the fixture table is pinned into the oracle). dim is
+    1-based to line up with generate_subscripts."""
+    from xlink_ray.synth import synth_embeddings
+
+    t = synth_embeddings()
+    wrows, erows = [], []
+    for item, kind, vec in zip(
+        t["item"].to_pylist(), t["kind"].to_pylist(), t["vec"].to_pylist()
+    ):
+        tgt = wrows if kind == "word" else erows
+        for d, x in enumerate(vec, start=1):
+            tgt.append(f"('{item}', {d}, {float(x)!r})")
+    return ", ".join(wrows), ", ".join(erows)
+
+
+def _flagship_parts() -> list[str]:
+    """CTE chain replicating pipelines/flagship.links in DuckDB, ending
+    at ``kept`` (doc_id, docnum, offset, mention, entity_id, believe)
+    plus the reusable context-vector tables ``cv``/``cn``.
+
+    Mirrors, stage by stage: synth.mark_text slot assignment (alias
+    join on docnum % n_slots), extraction byte-identity (corpus text ==
+    documents.text), the dictionary scan (mentions are whole
+    space-separated tokens for this vocabulary, so token positions ==
+    scanner matches), mention-anchor e_given_m and link_prob, the
+    ±50-char context window with single-space joiner
+    (candidates._context_strings), vocab-filtered mean-pool context
+    embedding (functions/context.ContextEmbedder), context×entity
+    cosine with den<=0 → 0, believe = e_given_m^0.02 · cos
+    (candidates.resolve_batch), per-occurrence argmax with
+    smallest-entity ties, and the P8 keep thresholds."""
+    from xlink_ray.stages.candidates import (
+        BELIEVE_TH,
+        LINK_PROB_TH,
+        POWER,
+        WINDOW,
+    )
+
+    wvec, evec = _vec_values_sql()
+    return [
+        f"wvec(item, dim, x) AS (VALUES {wvec})",
+        f"evec(entity_id, dim, x) AS (VALUES {evec})",
+        """corpus AS (
+  SELECT 'https://crawl.example.org/' || source || '/' || printf('%08d', doc_id) AS did,
+         CAST(doc_id AS BIGINT) AS docnum, text
+  FROM documents)""",
+        """tpos AS (
+  SELECT did, docnum, text, tok, i,
+         CAST(coalesce(sum(length(tok) + 1) OVER (
+              PARTITION BY did ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM (SELECT did, docnum, text,
+               unnest(string_split(text, ' ')) AS tok,
+               CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS i
+        FROM corpus))""",
+        """occ_cnt AS (
+  SELECT did, docnum, tok AS mention, count(*) AS cnt
+  FROM tpos WHERE tok IN (SELECT mention FROM alias)
+  GROUP BY did, docnum, tok)""",
+        """ma2 AS (
+  SELECT o.mention, a.entity_id, CAST(sum(o.cnt) AS BIGINT) AS link_count
+  FROM occ_cnt o JOIN alias a
+    ON o.mention = a.mention AND (o.docnum % a.n_slots) = a.slot
+  GROUP BY o.mention, a.entity_id)""",
+        "lm AS (SELECT mention, sum(link_count) AS link_m FROM ma2 GROUP BY mention)",
+        """lprob AS (
+  SELECT l.mention, CAST(l.link_m AS DOUBLE) / CAST(f.freq AS DOUBLE) AS link_prob
+  FROM lm l JOIN (SELECT mention, sum(cnt) AS freq FROM occ_cnt GROUP BY mention) f
+    USING (mention))""",
+        """occ AS (
+  SELECT did, docnum, off, tok AS mention, length(tok) AS mlen, text
+  FROM tpos WHERE tok IN (SELECT mention FROM alias))""",
+        f"""ctok AS (
+  SELECT did, off, unnest(string_split(lower(
+           substr(text, CAST(greatest(off - {WINDOW}, 0) AS INT) + 1,
+                  CAST(off - greatest(off - {WINDOW}, 0) AS INT))
+           || ' ' ||
+           substr(text, CAST(off + mlen + 1 AS INT), {WINDOW})), ' ')) AS t
+  FROM occ)""",
+        """cv AS (
+  SELECT c.did, c.off, w.dim, avg(w.x) AS x
+  FROM ctok c JOIN wvec w ON w.item = c.t
+  GROUP BY c.did, c.off, w.dim)""",
+        "cn AS (SELECT did, off, sqrt(sum(x*x)) AS nn FROM cv GROUP BY did, off)",
+        "en AS (SELECT entity_id, sqrt(sum(x*x)) AS nn FROM evec GROUP BY entity_id)",
+        """cand AS (
+  SELECT o.did, o.docnum, o.off, o.mention, m.entity_id,
+         CAST(m.link_count AS DOUBLE) / CAST(l.link_m AS DOUBLE) AS e_given_m
+  FROM occ o JOIN ma2 m USING (mention) JOIN lm l ON l.mention = o.mention)""",
+        """dots AS (
+  SELECT cd.did, cd.off, cd.entity_id, sum(c.x * e.x) AS num
+  FROM cand cd
+  JOIN cv c ON c.did = cd.did AND c.off = cd.off
+  JOIN evec e ON e.entity_id = cd.entity_id AND e.dim = c.dim
+  GROUP BY cd.did, cd.off, cd.entity_id)""",
+        f"""scored AS (
+  SELECT cd.did, cd.docnum, cd.off, cd.mention, cd.entity_id,
+         pow(cd.e_given_m, {POWER}) *
+         (CASE WHEN d.num IS NOT NULL AND coalesce(cn.nn, 0) * en.nn > 0
+               THEN d.num / (cn.nn * en.nn) ELSE 0 END) AS believe
+  FROM cand cd
+  LEFT JOIN dots d ON d.did = cd.did AND d.off = cd.off AND d.entity_id = cd.entity_id
+  LEFT JOIN cn ON cn.did = cd.did AND cn.off = cd.off
+  JOIN en ON en.entity_id = cd.entity_id)""",
+        f"""kept AS (
+  SELECT s.did AS doc_id, s.docnum, s.off AS off, s.mention, s.entity_id, s.believe
+  FROM (SELECT *, row_number() OVER (PARTITION BY did, off
+                                     ORDER BY believe DESC, entity_id ASC) AS rn
+        FROM scored) s
+  JOIN lprob lp ON lp.mention = s.mention
+  WHERE s.rn = 1 AND lp.link_prob > {LINK_PROB_TH}
+    AND (s.believe + lp.link_prob) / 2.0 > {BELIEVE_TH})""",
+    ]
+
+
+def _mat(parts: list[str]) -> str:
+    """Join CTE parts, materializing each (plain CTEs re-inline per
+    reference — the context/candidate tables are consumed repeatedly)."""
+    return ",\n".join(p.replace(" AS (", " AS MATERIALIZED (", 1) for p in parts)
+
+
+def _links_sql() -> str:
+    """DuckDB replica of flagship.links (believe quantized to 1e-6 on
+    both sides — floor(x·1e6+0.5), the same half-up rule as ann)."""
+    return (
+        f"WITH {_alias_values_sql()},\n{_mat(_flagship_parts())}\n"
+        'SELECT doc_id, off AS "offset", mention, entity_id,\n'
+        "       CAST(floor(believe * 1e6 + 0.5) AS BIGINT) AS believe_q\nFROM kept"
+    )
+
+
+def _links_partitioned_sql() -> str:
+    return (
+        f"WITH {_alias_values_sql()},\n{_mat(_flagship_parts())}\n"
+        'SELECT doc_id, off AS "offset", mention, entity_id FROM kept'
+    )
+
+
+def _clusters_parts() -> list[str]:
+    """kept → per-(mention, entity, salt) sorted-neighborhood runs:
+    break where adjacent context cosine < EDGE_TH (flagship._run_labels;
+    den <= 0 → cos 0 → edge kept at EDGE_TH=0), cluster = min member
+    string within the run."""
+    from xlink_ray.pipelines.flagship import DOCS_PER_SALT, EDGE_TH
+
+    return _flagship_parts() + [
+        f"""ordered AS (
+  SELECT k.doc_id, k.off, k.mention, k.entity_id,
+         CAST(k.docnum // {DOCS_PER_SALT} AS BIGINT) AS salt,
+         row_number() OVER (
+           PARTITION BY k.mention, k.entity_id, k.docnum // {DOCS_PER_SALT}
+           ORDER BY k.doc_id, k.off) AS rn
+  FROM kept k)""",
+        """pairdot AS (
+  SELECT cur.mention, cur.entity_id, cur.salt, cur.rn, sum(a.x * b.x) AS num
+  FROM ordered cur
+  JOIN ordered prv ON prv.mention = cur.mention AND prv.entity_id = cur.entity_id
+                  AND prv.salt = cur.salt AND prv.rn = cur.rn - 1
+  JOIN cv a ON a.did = prv.doc_id AND a.off = prv.off
+  JOIN cv b ON b.did = cur.doc_id AND b.off = cur.off AND b.dim = a.dim
+  GROUP BY cur.mention, cur.entity_id, cur.salt, cur.rn)""",
+        f"""runs AS (
+  SELECT cur.*,
+         sum(CASE WHEN cur.rn = 1 THEN 1
+                  WHEN (CASE WHEN pd.num IS NOT NULL
+                              AND coalesce(pn.nn, 0) * coalesce(qn.nn, 0) > 0
+                             THEN pd.num / (pn.nn * qn.nn) ELSE 0 END) < {EDGE_TH}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY cur.mention, cur.entity_id, cur.salt
+                 ORDER BY cur.rn) AS run
+  FROM ordered cur
+  LEFT JOIN ordered prv ON prv.mention = cur.mention AND prv.entity_id = cur.entity_id
+                       AND prv.salt = cur.salt AND prv.rn = cur.rn - 1
+  LEFT JOIN pairdot pd ON pd.mention = cur.mention AND pd.entity_id = cur.entity_id
+                      AND pd.salt = cur.salt AND pd.rn = cur.rn
+  LEFT JOIN cn pn ON pn.did = prv.doc_id AND pn.off = prv.off
+  LEFT JOIN cn qn ON qn.did = cur.doc_id AND qn.off = cur.off)""",
+        """mem AS (
+  SELECT doc_id || '#' || CAST(off AS VARCHAR) AS member_id,
+         mention, entity_id, salt, run, doc_id, off
+  FROM runs)""",
+    ]
+
+
+def _clusters_sql() -> str:
+    """DuckDB replica of flagship.clusters (fused path)."""
+    return (
+        f"WITH {_alias_values_sql()},\n{_mat(_clusters_parts())}\n"
+        "SELECT member_id,\n"
+        "       min(member_id) OVER (PARTITION BY mention, entity_id, salt, run) AS cluster_id\n"
+        "FROM mem"
+    )
+
+
+def _golden_sql() -> str:
+    """DuckDB replica of flagship.golden_clusters: cluster_id = min
+    member (the run label itself), representative mention/entity are
+    the run's partition keys (constant within a run), believe = the
+    strongest member's score (max), quantized to 1e-6 half-up."""
+    return (
+        f"WITH {_alias_values_sql()},\n{_mat(_clusters_parts())},\n"
+        """lab AS MATERIALIZED (
+  SELECT m.member_id, m.mention, m.entity_id, m.doc_id, m.off,
+         min(m.member_id) OVER (PARTITION BY m.mention, m.entity_id, m.salt, m.run)
+           AS cluster_id
+  FROM mem m)
+SELECT l.cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       l.mention, l.entity_id,
+       CAST(floor(max(k.believe) * 1e6 + 0.5) AS BIGINT) AS believe_q
+FROM lab l JOIN kept k ON k.doc_id = l.doc_id AND k.off = l.off
+GROUP BY l.cluster_id, l.mention, l.entity_id"""
     )
 
 
@@ -2721,6 +2971,10 @@ reach(u, v) AS (
   SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
 SELECT u AS member_id, CAST(min(v) AS BIGINT) AS cluster_id
 FROM reach GROUP BY u""",
+        "links": _links_sql(),
+        "flagship_golden": _golden_sql(),
+        "links_partitioned": _links_partitioned_sql(),
+        "flagship_clusters": _clusters_sql(),
         "doc_mentions": f"""WITH {_alias_values_sql()}
 SELECT d.doc_id, a.mention,
        CAST((length(d.text) - length(replace(d.text, a.mention, ''))) / length(a.mention) AS BIGINT) AS n
