@@ -156,10 +156,11 @@ def _q_er_cluster_metrics(sf_dir: str):
 
 
 def _q_flagship_attach(sf_dir: str):
-    """Incremental flagship crawl (rows-only — context-cosine edge
-    semantics, like flagship_clusters): dictionary + clusters reused
-    from the standing run, new pages stream through the same scan,
-    occurrences attach via the sorted-neighborhood context edge."""
+    """Incremental flagship crawl: dictionary + clusters reused from
+    the standing run, new pages stream through the same scan,
+    occurrences attach via the sorted-neighborhood context edge.
+    SQL-oracled (_attach_sql; cos_bp is already integer-quantized in
+    the product output)."""
     from xlink_ray.pipelines import flagship
 
     return flagship.attach_new_crawl(sf_dir)
@@ -1602,17 +1603,30 @@ def _flagship_parts() -> list[str]:
         """occ AS (
   SELECT did, docnum, off, tok AS mention, length(tok) AS mlen, text
   FROM tpos WHERE tok IN (SELECT mention FROM alias))""",
-        f"""ctok AS (
-  SELECT did, off, unnest(string_split(lower(
-           substr(text, CAST(greatest(off - {WINDOW}, 0) AS INT) + 1,
-                  CAST(off - greatest(off - {WINDOW}, 0) AS INT))
-           || ' ' ||
-           substr(text, CAST(off + mlen + 1 AS INT), {WINDOW})), ' ')) AS t
+        f"""cmap AS (
+  SELECT did, off,
+         lower(substr(text, CAST(greatest(off - {WINDOW}, 0) AS INT) + 1,
+                      CAST(off - greatest(off - {WINDOW}, 0) AS INT))
+               || ' ' ||
+               substr(text, CAST(off + mlen + 1 AS INT), {WINDOW})) AS cstr
   FROM occ)""",
+        # one vector per DISTINCT context string (mirrors the
+        # embedder's per-distinct-string memo: identical strings get
+        # the bitwise-identical vector, so cosine TIES between repeated
+        # boilerplate contexts resolve identically in both engines);
+        # joined back through an integer context id
+        """dct AS (
+  SELECT cstr, row_number() OVER (ORDER BY cstr) AS cid
+  FROM (SELECT DISTINCT cstr FROM cmap))""",
+        """cmap2 AS (
+  SELECT m.did, m.off, d.cid FROM cmap m JOIN dct d USING (cstr))""",
+        """cvd AS (
+  SELECT c.cid, w.dim, avg(w.x) AS x
+  FROM (SELECT cid, unnest(string_split(cstr, ' ')) AS t FROM dct) c
+  JOIN wvec w ON w.item = c.t
+  GROUP BY c.cid, w.dim)""",
         """cv AS (
-  SELECT c.did, c.off, w.dim, avg(w.x) AS x
-  FROM ctok c JOIN wvec w ON w.item = c.t
-  GROUP BY c.did, c.off, w.dim)""",
+  SELECT m.did, m.off, v.dim, v.x FROM cmap2 m JOIN cvd v USING (cid))""",
         "cn AS (SELECT did, off, sqrt(sum(x*x)) AS nn FROM cv GROUP BY did, off)",
         "en AS (SELECT entity_id, sqrt(sum(x*x)) AS nn FROM evec GROUP BY entity_id)",
         """cand AS (
@@ -1741,6 +1755,169 @@ SELECT l.cluster_id, CAST(count(*) AS BIGINT) AS n_members,
        CAST(floor(max(k.believe) * 1e6 + 0.5) AS BIGINT) AS believe_q
 FROM lab l JOIN kept k ON k.doc_id = l.doc_id AND k.off = l.off
 GROUP BY l.cluster_id, l.mention, l.entity_id"""
+    )
+
+
+def _attach_sql() -> str:
+    """DuckDB replica of flagship.attach_new_crawl(new_repeat=2): the
+    new crawl is synth copy 1 (docnum + N, same text → contexts reuse
+    the base doc's vectors), scanned with the BASE dictionary — so the
+    new kept links equal the base kept links doc-shifted. Base run
+    labels are recomputed per (mention, entity, salt); each new row
+    tests the context cosine against its left/right base neighbor in
+    global block order (tie → left), adopts the winner's label when
+    cos >= EDGE_TH, else founds its own cluster; blocks with no base
+    rows run-cluster among themselves per salt (flagship._AttachBlock)."""
+    from xlink_ray.pipelines.flagship import DOCS_PER_SALT, EDGE_TH
+
+    parts = _flagship_parts() + [
+        "ncnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)",
+        f"""allk AS (
+  SELECT mention, entity_id, doc_id, docnum, off, 0 AS side, doc_id AS cdid
+  FROM kept
+  UNION ALL
+  SELECT mention, entity_id,
+         substr(doc_id, 1, length(doc_id) - 8)
+           || printf('%08d', docnum + (SELECT n FROM ncnt)) AS doc_id,
+         docnum + (SELECT n FROM ncnt) AS docnum, off, 1 AS side, doc_id AS cdid
+  FROM kept)""",
+        f"""srt AS (
+  SELECT a.*, CAST(a.docnum // {DOCS_PER_SALT} AS BIGINT) AS salt,
+         a.doc_id || '#' || CAST(a.off AS VARCHAR) AS member_id,
+         sum(CASE WHEN a.side = 0 THEN 1 ELSE 0 END) OVER (
+           PARTITION BY a.mention, a.entity_id ORDER BY a.doc_id, a.off
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ins
+  FROM allk a)""",
+        """bsrt AS (
+  SELECT s.*,
+         row_number() OVER (PARTITION BY mention, entity_id
+                            ORDER BY doc_id, off) AS brn,
+         row_number() OVER (PARTITION BY mention, entity_id, salt
+                            ORDER BY doc_id, off) AS srn
+  FROM srt s WHERE s.side = 0)""",
+        """bdot AS (
+  SELECT cur.mention, cur.entity_id, cur.salt, cur.srn, sum(a.x * b.x) AS num
+  FROM bsrt cur
+  JOIN bsrt prv ON prv.mention = cur.mention AND prv.entity_id = cur.entity_id
+               AND prv.salt = cur.salt AND prv.srn = cur.srn - 1
+  JOIN cv a ON a.did = prv.cdid AND a.off = prv.off
+  JOIN cv b ON b.did = cur.cdid AND b.off = cur.off AND b.dim = a.dim
+  GROUP BY cur.mention, cur.entity_id, cur.salt, cur.srn)""",
+        f"""bruns AS (
+  SELECT cur.*,
+         sum(CASE WHEN cur.srn = 1 THEN 1
+                  WHEN (CASE WHEN bd.num IS NOT NULL
+                              AND coalesce(pn.nn, 0) * coalesce(qn.nn, 0) > 0
+                             THEN bd.num / (pn.nn * qn.nn) ELSE 0 END) < {EDGE_TH}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY cur.mention, cur.entity_id, cur.salt
+                 ORDER BY cur.srn) AS run
+  FROM bsrt cur
+  LEFT JOIN bsrt prv ON prv.mention = cur.mention AND prv.entity_id = cur.entity_id
+                    AND prv.salt = cur.salt AND prv.srn = cur.srn - 1
+  LEFT JOIN bdot bd ON bd.mention = cur.mention AND bd.entity_id = cur.entity_id
+                   AND bd.salt = cur.salt AND bd.srn = cur.srn
+  LEFT JOIN cn pn ON pn.did = prv.cdid AND pn.off = prv.off
+  LEFT JOIN cn qn ON qn.did = cur.cdid AND qn.off = cur.off)""",
+        """blab AS (
+  SELECT b.*, min(b.member_id) OVER (
+    PARTITION BY b.mention, b.entity_id, b.salt, b.run) AS blabel
+  FROM bruns b)""",
+        """nw AS (
+  SELECT s.* FROM srt s
+  WHERE s.side = 1
+    AND EXISTS (SELECT 1 FROM bsrt b
+                WHERE b.mention = s.mention AND b.entity_id = s.entity_id))""",
+        """ldot AS (
+  SELECT n.doc_id, n.off, sum(a.x * b.x) AS num
+  FROM nw n
+  JOIN blab l ON l.mention = n.mention AND l.entity_id = n.entity_id
+             AND l.brn = n.ins
+  JOIN cv a ON a.did = n.cdid AND a.off = n.off
+  JOIN cv b ON b.did = l.cdid AND b.off = l.off AND b.dim = a.dim
+  GROUP BY n.doc_id, n.off)""",
+        """rdot AS (
+  SELECT n.doc_id, n.off, sum(a.x * b.x) AS num
+  FROM nw n
+  JOIN blab r ON r.mention = n.mention AND r.entity_id = n.entity_id
+             AND r.brn = n.ins + 1
+  JOIN cv a ON a.did = n.cdid AND a.off = n.off
+  JOIN cv b ON b.did = r.cdid AND b.off = r.off AND b.dim = a.dim
+  GROUP BY n.doc_id, n.off)""",
+        """npick AS (
+  SELECT n.member_id,
+         CASE WHEN l.brn IS NULL THEN -1.0
+              WHEN ld.num IS NOT NULL AND coalesce(ncn.nn, 0) * coalesce(lcn.nn, 0) > 0
+              THEN ld.num / (ncn.nn * lcn.nn) ELSE 0.0 END AS cos_l,
+         CASE WHEN r.brn IS NULL THEN -1.0
+              WHEN rd.num IS NOT NULL AND coalesce(ncn.nn, 0) * coalesce(rcn.nn, 0) > 0
+              THEN rd.num / (ncn.nn * rcn.nn) ELSE 0.0 END AS cos_r,
+         l.blabel AS llab, r.blabel AS rlab
+  FROM nw n
+  LEFT JOIN blab l ON l.mention = n.mention AND l.entity_id = n.entity_id
+                  AND l.brn = n.ins
+  LEFT JOIN blab r ON r.mention = n.mention AND r.entity_id = n.entity_id
+                  AND r.brn = n.ins + 1
+  LEFT JOIN ldot ld ON ld.doc_id = n.doc_id AND ld.off = n.off
+  LEFT JOIN rdot rd ON rd.doc_id = n.doc_id AND rd.off = n.off
+  LEFT JOIN cn ncn ON ncn.did = n.cdid AND ncn.off = n.off
+  LEFT JOIN cn lcn ON lcn.did = l.cdid AND lcn.off = l.off
+  LEFT JOIN cn rcn ON rcn.did = r.cdid AND rcn.off = r.off)""",
+        f"""attach_out AS (
+  SELECT member_id,
+         CASE WHEN (CASE WHEN cos_l >= cos_r THEN cos_l ELSE cos_r END) >= {EDGE_TH}
+              THEN (CASE WHEN cos_l >= cos_r THEN llab ELSE rlab END)
+              ELSE member_id END AS cluster_id,
+         CAST(CASE WHEN (CASE WHEN cos_l >= cos_r THEN cos_l ELSE cos_r END) >= {EDGE_TH}
+                   THEN 1 ELSE 0 END AS BIGINT) AS matched,
+         CAST(CASE WHEN (CASE WHEN cos_l >= cos_r THEN cos_l ELSE cos_r END) < 0
+                   THEN -1
+                   ELSE floor((CASE WHEN cos_l >= cos_r THEN cos_l ELSE cos_r END)
+                              * 10000.0 + 0.5) END AS BIGINT) AS cos_bp
+  FROM npick)""",
+        # blocks with no base rows: standard per-salt run clustering
+        # among the new rows themselves
+        """nonly AS (
+  SELECT s.*,
+         row_number() OVER (PARTITION BY mention, entity_id, salt
+                            ORDER BY doc_id, off) AS srn
+  FROM srt s
+  WHERE s.side = 1
+    AND NOT EXISTS (SELECT 1 FROM bsrt b
+                    WHERE b.mention = s.mention AND b.entity_id = s.entity_id))""",
+        """odot AS (
+  SELECT cur.mention, cur.entity_id, cur.salt, cur.srn, sum(a.x * b.x) AS num
+  FROM nonly cur
+  JOIN nonly prv ON prv.mention = cur.mention AND prv.entity_id = cur.entity_id
+                AND prv.salt = cur.salt AND prv.srn = cur.srn - 1
+  JOIN cv a ON a.did = prv.cdid AND a.off = prv.off
+  JOIN cv b ON b.did = cur.cdid AND b.off = cur.off AND b.dim = a.dim
+  GROUP BY cur.mention, cur.entity_id, cur.salt, cur.srn)""",
+        f"""oruns AS (
+  SELECT cur.*,
+         sum(CASE WHEN cur.srn = 1 THEN 1
+                  WHEN (CASE WHEN od.num IS NOT NULL
+                              AND coalesce(pn.nn, 0) * coalesce(qn.nn, 0) > 0
+                             THEN od.num / (pn.nn * qn.nn) ELSE 0 END) < {EDGE_TH}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY cur.mention, cur.entity_id, cur.salt
+                 ORDER BY cur.srn) AS run
+  FROM nonly cur
+  LEFT JOIN nonly prv ON prv.mention = cur.mention AND prv.entity_id = cur.entity_id
+                     AND prv.salt = cur.salt AND prv.srn = cur.srn - 1
+  LEFT JOIN odot od ON od.mention = cur.mention AND od.entity_id = cur.entity_id
+                   AND od.salt = cur.salt AND od.srn = cur.srn
+  LEFT JOIN cn pn ON pn.did = prv.cdid AND pn.off = prv.off
+  LEFT JOIN cn qn ON qn.did = cur.cdid AND qn.off = cur.off)""",
+    ]
+    return (
+        f"WITH {_alias_values_sql()},\n{_mat(parts)}\n"
+        """SELECT member_id, cluster_id, matched, cos_bp FROM attach_out
+UNION ALL
+SELECT member_id,
+       min(member_id) OVER (PARTITION BY mention, entity_id, salt, run) AS cluster_id,
+       CAST(0 AS BIGINT) AS matched, CAST(-1 AS BIGINT) AS cos_bp
+FROM oruns"""
     )
 
 
@@ -2973,6 +3150,7 @@ SELECT u AS member_id, CAST(min(v) AS BIGINT) AS cluster_id
 FROM reach GROUP BY u""",
         "links": _links_sql(),
         "flagship_golden": _golden_sql(),
+        "flagship_attach": _attach_sql(),
         "links_partitioned": _links_partitioned_sql(),
         "flagship_clusters": _clusters_sql(),
         "doc_mentions": f"""WITH {_alias_values_sql()}

@@ -1081,9 +1081,14 @@ class _AttachBlock:
                 "cluster_id": pa.array(labels.astype(object), pa.string()),
                 "matched": pa.array(matched.astype(np.int64)),
                 "cos_bp": pa.array(
-                    np.where(best_cos < 0, -1, np.floor(best_cos * 10000.0)).astype(
-                        np.int64
-                    )
+                    # half-up rounding (floor(x·1e4 + 0.5)): identical
+                    # contexts give cos = 1 ± ulp depending on the
+                    # engine's summation order — a plain floor would
+                    # flip 10000/9999 across engines, half-up is stable
+                    # there (and at every non-boundary value)
+                    np.where(
+                        best_cos < 0, -1, np.floor(best_cos * 10000.0 + 0.5)
+                    ).astype(np.int64)
                 ),
             }
         )
