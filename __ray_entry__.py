@@ -1921,6 +1921,180 @@ FROM oruns"""
     )
 
 
+def _ivfpq_sql(
+    n_cells: int = 16, nprobe: int = 4, m_sub: int = 8, n_codes: int = 16,
+    iters: int = 8, k: int = 10, nq: int = 5, dim: int = 64,
+) -> str:
+    """DuckDB replica of stages/ann.ivfpq_train + ivfpq_index +
+    ivfpq_topk: the _ivf_sql coarse-cell training (prefixed iv_*) and
+    the _pq_sql per-subspace codebooks (prefixed pq_*) composed —
+    queries probe nprobe coarse cells and ADC-score only the PQ codes
+    assigned there. Every CTE MATERIALIZED (the two unrolled Lloyd
+    chains inline exponentially as plain CTEs)."""
+    dsub = dim // m_sub
+    parts = [
+        """ev AS (
+  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INTEGER) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings)""",
+        "nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nn FROM ev GROUP BY vec_id)",
+        """nv AS (
+  SELECT e.vec_id, e.dim,
+         floor(e.x / (CASE WHEN n.nn = 0 THEN 1 ELSE n.nn END) * 1e9 + 0.5) / 1e9 AS x
+  FROM ev e JOIN nrm n USING (vec_id))""",
+        "cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings)",
+        # ---- coarse spherical k-means (iv_*) ----
+        f"""iv_init AS (
+  SELECT CAST(i.i AS BIGINT) AS cell,
+         CASE WHEN i.i = {n_cells - 1} THEN CAST((SELECT n FROM cnt) - 1 AS BIGINT)
+              ELSE CAST(floor(i.i * (((SELECT n FROM cnt) - 1) / {n_cells - 1}.0)) AS BIGINT)
+         END AS vid
+  FROM range({n_cells}) i(i))""",
+        "iv_c0 AS (SELECT iv_init.cell, nv.dim, nv.x FROM iv_init JOIN nv ON nv.vec_id = iv_init.vid)",
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts += [
+            f"""iv_s{t} AS (
+  SELECT v.vec_id, c.cell, sum(v.x * c.x) AS sim
+  FROM nv v JOIN iv_c{p} c USING (dim) GROUP BY v.vec_id, c.cell)""",
+            f"""iv_a{t} AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+    FROM iv_s{t}) WHERE rn = 1)""",
+            f"""iv_u{t} AS (
+  SELECT a.cell, v.dim, sum(v.x) AS vx
+  FROM iv_a{t} a JOIN nv v USING (vec_id) GROUP BY a.cell, v.dim)""",
+            f"iv_un{t} AS (SELECT cell, sqrt(sum(vx*vx)) AS nn FROM iv_u{t} GROUP BY cell)",
+            f"""iv_c{t} AS (
+  SELECT c.cell, c.dim,
+         CASE WHEN un.nn IS NULL OR un.nn <= 0 THEN c.x
+              ELSE floor(u.vx / un.nn * 1e6 + 0.5) / 1e6 END AS x
+  FROM iv_c{p} c
+  LEFT JOIN iv_u{t} u ON u.cell = c.cell AND u.dim = c.dim
+  LEFT JOIN iv_un{t} un ON un.cell = c.cell)""",
+        ]
+    parts += [
+        # final corpus cell assignment
+        f"""iv_sf AS (
+  SELECT v.vec_id, c.cell, sum(v.x * c.x) AS sim
+  FROM nv v JOIN iv_c{iters} c USING (dim) GROUP BY v.vec_id, c.cell)""",
+        """iv_af AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+    FROM iv_sf) WHERE rn = 1)""",
+        # ---- PQ codebooks (pq_*) ----
+        f"""sv AS (
+  SELECT vec_id, CAST((dim - 1) // {dsub} AS INTEGER) AS sub,
+         CAST((dim - 1) % {dsub} AS INTEGER) AS d2i, x
+  FROM nv)""",
+        "vv AS (SELECT vec_id, sub, sum(x*x) AS v2 FROM sv GROUP BY vec_id, sub)",
+        f"""pq_init AS (
+  SELECT CAST(i.i AS BIGINT) AS code,
+         CASE WHEN i.i = {n_codes - 1} THEN CAST((SELECT n FROM cnt) - 1 AS BIGINT)
+              ELSE CAST(floor(i.i * (((SELECT n FROM cnt) - 1) / {n_codes - 1}.0)) AS BIGINT)
+         END AS vid
+  FROM range({n_codes}) i(i))""",
+        "pq_cb0 AS (SELECT pq_init.code, s.sub, s.d2i, s.x FROM pq_init JOIN sv s ON s.vec_id = pq_init.vid)",
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts += [
+            f"pq_cc{p} AS (SELECT sub, code, sum(x*x) AS c2 FROM pq_cb{p} GROUP BY sub, code)",
+            f"""pq_dt{t} AS (
+  SELECT s.vec_id, s.sub, c.code, sum(s.x * c.x) AS dot
+  FROM sv s JOIN pq_cb{p} c USING (sub, d2i) GROUP BY s.vec_id, s.sub, c.code)""",
+            f"""pq_a{t} AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT d.vec_id, d.sub, d.code,
+           row_number() OVER (PARTITION BY d.vec_id, d.sub
+                              ORDER BY v.v2 - 2*d.dot + c.c2 ASC, d.code ASC) AS rn
+    FROM pq_dt{t} d
+    JOIN vv v ON v.vec_id = d.vec_id AND v.sub = d.sub
+    JOIN pq_cc{p} c ON c.sub = d.sub AND c.code = d.code)
+  WHERE rn = 1)""",
+            f"""pq_u{t} AS (
+  SELECT a.code, a.sub, s.d2i, avg(s.x) AS m
+  FROM pq_a{t} a JOIN sv s ON s.vec_id = a.vec_id AND s.sub = a.sub
+  GROUP BY a.code, a.sub, s.d2i)""",
+            f"""pq_cb{t} AS (
+  SELECT c.code, c.sub, c.d2i,
+         CASE WHEN u.m IS NULL THEN c.x
+              ELSE floor(u.m * 1e6 + 0.5) / 1e6 END AS x
+  FROM pq_cb{p} c
+  LEFT JOIN pq_u{t} u ON u.code = c.code AND u.sub = c.sub AND u.d2i = c.d2i)""",
+        ]
+    parts += [
+        # final PQ encode
+        f"pq_ccf AS (SELECT sub, code, sum(x*x) AS c2 FROM pq_cb{iters} GROUP BY sub, code)",
+        f"""pq_dtf AS (
+  SELECT s.vec_id, s.sub, c.code, sum(s.x * c.x) AS dot
+  FROM sv s JOIN pq_cb{iters} c USING (sub, d2i) GROUP BY s.vec_id, s.sub, c.code)""",
+        """pq_af AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT d.vec_id, d.sub, d.code,
+           row_number() OVER (PARTITION BY d.vec_id, d.sub
+                              ORDER BY -2*d.dot + c.c2 ASC, d.code ASC) AS rn
+    FROM pq_dtf d JOIN pq_ccf c ON c.sub = d.sub AND c.code = d.code)
+  WHERE rn = 1)""",
+        # ---- query probes + ADC over probed cells ----
+        f"qn AS (SELECT vec_id AS qid, dim, x FROM nv WHERE vec_id < {nq})",
+        f"""qs AS (
+  SELECT q.qid, c.cell, sum(q.x * c.x) AS sim
+  FROM qn q JOIN iv_c{iters} c USING (dim) GROUP BY q.qid, c.cell)""",
+        f"""probes AS (
+  SELECT qid, cell FROM (
+    SELECT qid, cell,
+           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cell) AS rn
+    FROM qs) WHERE rn <= {nprobe})""",
+        f"""qsv AS (
+  SELECT vec_id AS qid, CAST((dim - 1) // {dsub} AS INTEGER) AS sub,
+         CAST((dim - 1) % {dsub} AS INTEGER) AS d2i, x
+  FROM nv WHERE vec_id < {nq})""",
+        f"""scored AS (
+  SELECT p.qid, a.vec_id, sum(q.x * c.x) AS cos
+  FROM probes p
+  JOIN iv_af ca ON ca.cell = p.cell
+  JOIN pq_af a ON a.vec_id = ca.vec_id
+  JOIN pq_cb{iters} c ON c.sub = a.sub AND c.code = a.code
+  JOIN qsv q ON q.qid = p.qid AND q.sub = c.sub AND q.d2i = c.d2i
+  GROUP BY p.qid, a.vec_id)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(p.replace(" AS (", " AS MATERIALIZED (", 1) for p in parts)
+        + f"""
+SELECT qid AS query_id, CAST(rn AS BIGINT) AS rank, vec_id
+FROM (SELECT qid, vec_id,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+      FROM scored)
+WHERE rn <= {k}"""
+    )
+
+
+def _q_ann_ivfpq(sf_dir: str):
+    """IVF-PQ ANN — the 10¹²-vector configuration: coarse inverted
+    file bounds the scan (nprobe cells), PQ codes bound memory
+    (m_sub bytes/vector), queries ADC-score compressed codes only.
+    SQL-oracled (_ivfpq_sql) via the same quantized trainings as
+    ann_ivf/ann_pq."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from xlink_ray.stages.ann import ivfpq_index, ivfpq_topk, ivfpq_train
+
+    q = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = q.sort_by("vec_id").slice(0, 5)
+    queries = np.asarray(q["embedding"].to_pylist(), dtype=np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    cents, cb = ivfpq_train(ds, n_cells=16, m_sub=8, n_codes=16)
+    return ivfpq_topk(ivfpq_index(ds, cents, cb), cents, cb, queries, k=10, nprobe=4)
+
+
 def _q_minhash_pairs(sf_dir: str):
     from xlink_ray.stages.dedup import minhash_lsh_pairs
 
@@ -2260,6 +2434,9 @@ def _q_curated_corpus(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
+    """Multimodal feature plumbing over binary media columns
+    (rows-only: the decode/feature kernels — resize, FFT — are not
+    SQL-expressible; schema/batch plumbing is what this checks)."""
     import ray.data as rd
 
     from xlink_ray.stages.multimodal import media_features, synth_media
@@ -3060,6 +3237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "title_entities": _q_title_entities,
         "ann_ivf": _q_ann_ivf,
         "ann_pq": _q_ann_pq,
+        "ann_ivfpq": _q_ann_ivfpq,
         "joint_norms": _q_joint_norms,
         "kmeans_sizes": _q_kmeans_sizes,
         "semantic_dedup": _q_semantic_dedup,
@@ -3191,6 +3369,7 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35""",
         "ann_ivf": _ivf_sql(),
         "ann_pq": _pq_sql(),
+        "ann_ivfpq": _ivfpq_sql(),
         "ann_topk": """
 WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE vec_id < 5),

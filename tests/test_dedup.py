@@ -148,6 +148,32 @@ def test_ivf_recall(ray_session):
     assert list(r1["vec_id"]) == [0, 1, 2]
 
 
+def test_ivfpq_recall(ray_session):
+    """IVF-PQ (coarse cells + ADC over compressed codes) vs brute:
+    recall@5 over random vectors, self-match at rank 1 (the query's
+    own code is exact enough at m_sub=8/16-dim to win its cell)."""
+    from xlink_ray.stages.ann import brute_topk, ivfpq_index, ivfpq_topk, ivfpq_train
+
+    rng = np.random.default_rng(9)
+    mat = rng.standard_normal((300, 16))
+    rows = [{"vec_id": i, "embedding": mat[i].tolist()} for i in range(300)]
+    ds = _docs_ds(rows)
+    queries = mat[:3]
+    exact = brute_topk(ds, queries, k=5).to_pandas()
+    cents, cb = ivfpq_train(ds, n_cells=8, m_sub=8, n_codes=16)
+    idx = ivfpq_index(ds, cents, cb)
+    approx = ivfpq_topk(idx, cents, cb, queries, k=5, nprobe=3).to_pandas()
+    recall = 0
+    for q in range(3):
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        recall += len(e & a) / 5
+    assert recall / 3 >= 0.4
+    # index really is compressed: m_sub uint8 codes + a cell id
+    sch = idx.schema()
+    assert set(sch.names) == {"vec_id", "cell", "code"}
+
+
 def test_neardup_clusters_vs_allpairs_oracle(ray_session):
     """neardup_clusters (banded pairs + distributed CC) vs an
     independent oracle: all-pairs hamming over simhash_values + serial

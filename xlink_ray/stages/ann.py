@@ -443,3 +443,153 @@ def pq_topk(
     return pa.Table.from_pandas(
         df[["query_id", "rank", "vec_id"]].reset_index(drop=True), preserve_index=False
     )
+
+
+def ivfpq_train(
+    ds: Dataset,
+    n_cells: int = 16,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    sample_rows: int = 2048,
+    vec_col: str = "embedding",
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Train the IVF-PQ index state — (coarse_centroids, pq_codebooks)
+    — on one deterministic sample. The FAISS-style configuration for
+    10¹²-vector corpora: a coarse inverted file bounds the scan to
+    nprobe cells, PQ codes bound memory to m_sub bytes/vector. Both
+    trainings use the quantized updates (``_qround``/``_nq``) so the
+    DuckDB oracle can replay them."""
+    sample = ds.take(min(sample_rows, 100_000))
+    smat = _nq(np.asarray([r[vec_col] for r in sample], dtype=np.float64))
+    return _kmeans_codebook(smat, n_cells), _pq_codebooks(smat, m_sub, n_codes)
+
+
+def ivfpq_index(
+    ds: Dataset,
+    cents: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Dataset:
+    """→ (id, cell, code): the compressed inverted index, built in ONE
+    streaming pass (cell assignment + PQ encode share the normalized
+    batch). At scale this is the only pass that touches raw vectors;
+    it would be written as cell-partitioned Parquet and queried many
+    times."""
+    m_sub, n_codes, dsub = codebooks.shape
+    state_ref = ray.put((cents, codebooks))
+
+    class Encode:
+        def __init__(self):
+            self.cents, self.cb = ray.get(state_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+            m = _nq(vecs_to_numpy(batch[vec_col]))
+            cell = np.argmax(m @ self.cents.T, axis=1).astype(np.int64)
+            codes = np.empty((len(ids), m_sub), dtype=np.uint8)
+            for s in range(m_sub):
+                sub = m[:, s * dsub : (s + 1) * dsub]
+                cb = self.cb[s]
+                d2 = -2.0 * (sub @ cb.T) + (cb * cb).sum(axis=1)[None, :]
+                codes[:, s] = np.argmin(d2, axis=1).astype(np.uint8)
+            return pa.table(
+                {
+                    id_col: pa.array(ids),
+                    "cell": pa.array(cell),
+                    "code": pa.FixedSizeListArray.from_arrays(
+                        pa.array(codes.ravel(), pa.uint8()), m_sub
+                    ),
+                }
+            )
+
+    return ds.map_batches(Encode, batch_format="pyarrow", concurrency=pool_size())
+
+
+def ivfpq_topk(
+    index: Dataset,
+    cents: np.ndarray,
+    codebooks: np.ndarray,
+    queries: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """IVF-PQ query over the COMPRESSED index: each query probes its
+    nprobe nearest coarse cells and ADC-scores only the codes assigned
+    there (lookup-table sums — no raw vectors). This is the
+    brute→LSH→IVF→PQ family's end state: scan bounded by the inverted
+    file AND memory bounded by the code bytes. Per-batch per-query
+    top-k truncation, then the tiny nq×k driver merge."""
+    m_sub, n_codes, dsub = codebooks.shape
+    qn = _nq(np.asarray(queries, dtype=np.float64))
+    q_cells = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]
+    probe: dict[int, list[int]] = {}
+    for qi in range(len(qn)):
+        for c in q_cells[qi]:
+            probe.setdefault(int(c), []).append(qi)
+    lut = np.einsum("qsd,scd->qsc", qn.reshape(len(qn), m_sub, dsub), codebooks)
+    state_ref = ray.put((lut, probe))
+
+    class ProbeADC:
+        def __init__(self):
+            self.lut, self.probe = ray.get(state_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+            cell = batch["cell"].to_numpy(zero_copy_only=False)
+            codes_np = vecs_to_numpy(batch["code"]).astype(np.int64)
+            uniq_c, inv = np.unique(cell, return_inverse=True)
+            qs, vids, sims_out = [], [], []
+            for uc_idx, uc in enumerate(uniq_c):
+                qis = self.probe.get(int(uc))
+                if not qis:
+                    continue
+                rows = np.nonzero(inv == uc_idx)[0]
+                sims = np.zeros((len(qis), len(rows)), dtype=np.float64)
+                sub_lut = self.lut[qis]  # (nq_probe, m_sub, n_codes)
+                for s in range(m_sub):
+                    sims += sub_lut[:, s, codes_np[rows, s]]
+                qs.append(np.repeat(np.asarray(qis, dtype=np.int64), len(rows)))
+                vids.append(np.tile(ids[rows], len(qis)))
+                sims_out.append(sims.ravel())
+            if not qs:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "cos": pa.array([], pa.float64()),
+                    }
+                )
+            q_arr = np.concatenate(qs)
+            v_arr = np.concatenate(vids)
+            s_arr = np.concatenate(sims_out)
+            order = np.lexsort((v_arr, -s_arr, q_arr))
+            q_s = q_arr[order]
+            new_grp = np.r_[True, q_s[1:] != q_s[:-1]]
+            grp_start = np.maximum.accumulate(np.where(new_grp, np.arange(len(q_s)), 0))
+            keep = (np.arange(len(q_s)) - grp_start) < k
+            sel = order[keep]
+            return pa.table(
+                {
+                    "query_id": pa.array(q_arr[sel], pa.int64()),
+                    "vec_id": pa.array(v_arr[sel], pa.int64()),
+                    "cos": pa.array(s_arr[sel], pa.float64()),
+                }
+            )
+
+    partials = index.map_batches(
+        ProbeADC, batch_format="pyarrow", concurrency=pool_size()
+    )
+    tbl = pa.concat_tables(
+        [pa.table(b) for b in partials.iter_batches(batch_format="pyarrow")]
+    )
+    import pandas as pd
+
+    df = tbl.to_pandas().drop_duplicates(["query_id", "vec_id"])
+    df = df.sort_values(["query_id", "cos", "vec_id"], ascending=[True, False, True])
+    df = df.groupby("query_id", sort=True).head(k).copy()
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(
+        df[["query_id", "rank", "vec_id"]].reset_index(drop=True), preserve_index=False
+    )
