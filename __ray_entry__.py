@@ -2095,6 +2095,115 @@ def _q_ann_ivfpq(sf_dir: str):
     return ivfpq_topk(ivfpq_index(ds, cents, cb), cents, cb, queries, k=10, nprobe=4)
 
 
+def _perturbed_recrawl(sf_dir: str):
+    """Deterministic 'recrawl' of documents (same rule as corpus_diff:
+    every 97th doc changed with a ' v2' suffix, every 101st dropped,
+    every 103rd cloned under id+1e6 with fresh text)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def perturb(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        keep = ids % 101 != 0
+        out_ids = list(ids[keep])
+        out_txt = [
+            txt + " v2" if i % 97 == 0 else txt
+            for i, txt in zip(
+                ids[keep].tolist(), [texts[j] for j in np.flatnonzero(keep)]
+            )
+        ]
+        for i, txt in zip(ids.tolist(), texts):
+            if i % 103 == 0:
+                out_ids.append(i + 1_000_000)
+                out_txt.append("new doc " + str(i))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "text": pa.array(out_txt, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        perturb, batch_format="pyarrow"
+    )
+
+
+_RECRAWL_SQL = """nw AS (
+  SELECT doc_id, text || CASE WHEN doc_id % 97 = 0 THEN ' v2' ELSE '' END AS text
+  FROM documents WHERE doc_id % 101 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'new doc ' || doc_id AS text
+  FROM documents WHERE doc_id % 103 = 0)"""
+
+
+def _q_minhash_attach(sf_dir: str):
+    """Incremental near-dup attach: new-crawl docs vs the standing
+    corpus (cross-side MinHash bands + exact shingle-Jaccard verify).
+    SQL-oracled (_minhash_attach_sql)."""
+    from xlink_ray.stages.dedup import minhash_attach
+
+    return minhash_attach(
+        _perturbed_recrawl(sf_dir),
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        jaccard_th=0.5,
+    ).select_columns(["new_id", "base_id", "jaccard_bp"])
+
+
+def _minhash_attach_sql(
+    num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
+    th_num: int = 5000, th_den: int = 10000,
+) -> str:
+    """DuckDB replica of stages/dedup.minhash_attach over the
+    deterministic recrawl: both corpora through the same md5/M61
+    shingle + affine-permutation minhash, band-list equality across
+    sides, exact shingle-Jaccard with the integer cross-multiply."""
+    from xlink_ray.stages.dedup import minhash_perm_params
+
+    M = (1 << 61) - 1
+    a, b = minhash_perm_params(num_perm)
+    rows_per_band = num_perm // bands
+    perm_rows = ",\n    ".join(
+        f"({i}, {int(a[i])}::UBIGINT, {int(b[i])}::UBIGINT)" for i in range(num_perm)
+    )
+    shingle = (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(length(text) - {shingle_k - 1}, 1)), "
+        f"i -> ('0x' || substr(md5(substr(text, i, {shingle_k})), 1, 16))::UBIGINT % {M}))"
+    )
+    mh = f"""
+  SELECT s.doc_id, p.i,
+         min(CAST((CAST(p.a AS UHUGEINT) * CAST(u.h AS UHUGEINT)
+                   + CAST(p.b AS UHUGEINT)) % {M} AS UBIGINT)) AS v
+  FROM {{src}} s, unnest(s.hs) AS u(h), perm p
+  GROUP BY s.doc_id, p.i"""
+    return f"""WITH {_RECRAWL_SQL},
+perm(i, a, b) AS (SELECT * FROM (VALUES
+    {perm_rows})),
+shb AS (SELECT doc_id, {shingle} AS hs FROM documents),
+shn AS (SELECT doc_id, {shingle} AS hs FROM nw),
+mhb AS ({mh.format(src='shb')}),
+mhn AS ({mh.format(src='shn')}),
+bb AS (
+  SELECT doc_id, i // {rows_per_band} AS band, list(v ORDER BY i) AS vals
+  FROM mhb GROUP BY doc_id, i // {rows_per_band}),
+bn AS (
+  SELECT doc_id, i // {rows_per_band} AS band, list(v ORDER BY i) AS vals
+  FROM mhn GROUP BY doc_id, i // {rows_per_band}),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, b.doc_id AS base_id
+  FROM bn n JOIN bb b ON n.band = b.band AND n.vals = b.vals),
+v AS (
+  SELECT c.new_id, c.base_id,
+         len(list_intersect(a.hs, b.hs)) AS inter,
+         len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)) AS un
+  FROM cand c
+  JOIN shn a ON c.new_id = a.doc_id
+  JOIN shb b ON c.base_id = b.doc_id)
+SELECT new_id, base_id, CAST((10000 * inter) // un AS BIGINT) AS jaccard_bp
+FROM v WHERE inter * {th_den} >= un * {th_num}"""
+
+
 def _q_minhash_pairs(sf_dir: str):
     from xlink_ray.stages.dedup import minhash_lsh_pairs
 
@@ -2248,6 +2357,20 @@ def _q_doc_sample(sf_dir: str):
     from xlink_ray.stages.curation import hash_sample
 
     return hash_sample(_docs(sf_dir), pct=10, mod=100)
+
+
+def _q_weighted_sample(sf_dir: str):
+    """Deterministic weight-proportional sample without replacement
+    (Efraimidis–Spirakis A-ES keys from md5-uniform ids, weight =
+    n_chars): k-bounded per-batch partials, driver merges ≤ k·nblocks
+    rows. Same rerun/partitioning stability as hash_sample, with
+    weights."""
+    from xlink_ray.stages.curation import weighted_sample
+
+    return weighted_sample(
+        _docs(sf_dir).select_columns(["doc_id", "n_chars"]), k=50,
+        weight_col="n_chars",
+    )
 
 
 def _q_decontamination(sf_dir: str):
@@ -3168,10 +3291,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup": _q_embedding_dup,
         "ann_topk": _q_ann_topk,
         "minhash_pairs": _q_minhash_pairs,
+        "minhash_attach": _q_minhash_attach,
         "simhash_pairs": _q_simhash_pairs,
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
         "doc_sample": _q_doc_sample,
+        "weighted_sample": _q_weighted_sample,
         "doc_sample_stratified": _q_doc_sample_stratified,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "length_quantiles": _q_length_quantiles,
@@ -3449,6 +3574,13 @@ FROM scores""",
         "doc_sample": """
 SELECT * FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 100 < 10""",
+        "weighted_sample": """
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         exp(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                      AS DOUBLE) + 1) / 18446744073709551616.0) / n_chars) AS skey
+  FROM documents WHERE n_chars > 0
+  ORDER BY skey DESC, doc_id LIMIT 50)""",
         "doc_sample_stratified": """
 SELECT * FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 100 <
@@ -4205,6 +4337,7 @@ SELECT DISTINCT 'https://crawl.example.org/' || source || '/' || lpad(CAST(doc_i
        entity_id AS dst
 FROM occ WHERE cnt > 0""",
         "minhash_pairs": _minhash_sql(),
+        "minhash_attach": _minhash_attach_sql(),
         "simhash_pairs": _simhash_sql(),
         "neardup_clusters": _neardup_sql(),
         "pii_scrub": _pii_sql(),

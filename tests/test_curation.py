@@ -320,3 +320,33 @@ def test_mixture_sample_drops_untargeted_strata(ray_session):
         rd.from_arrow(t), {"a": 100}, strat_col="lang", weight_col="n_chars"
     ).to_pandas()
     assert set(kept["lang"]) == {"a"} and len(kept) == 50
+
+
+def test_weighted_sample_aes_reference_and_stability(ray_session):
+    """weighted_sample == the serial A-ES reference (same md5 keys),
+    identical under repartitioning, and weight-proportional: heavy rows
+    appear far more often than light ones in the sample."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from xlink_ray.functions.hashing import md5_low64
+    from xlink_ray.stages.curation import weighted_sample
+
+    n = 400
+    w = np.where(np.arange(n) % 10 == 0, 1000, 1).astype(np.int64)  # 40 heavy rows
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()), "n_chars": pa.array(w)})
+    got = weighted_sample(rd.from_arrow(t), k=50, weight_col="n_chars")
+    ids = sorted(got["doc_id"].to_pylist())
+    # serial reference
+    u = (md5_low64([str(i) for i in range(n)]).astype(np.float64) + 1.0) / 2.0**64
+    key = np.exp(np.log(u) / w)
+    order = np.lexsort((np.arange(n), -key))[:50]
+    assert ids == sorted(order.tolist())
+    # partitioning invariance
+    got2 = weighted_sample(rd.from_arrow(t).repartition(7), k=50, weight_col="n_chars")
+    assert sorted(got2["doc_id"].to_pylist()) == ids
+    # weight-proportionality: heavy rows dominate the sample
+    heavy = sum(1 for i in ids if i % 10 == 0)
+    assert heavy >= 35, heavy

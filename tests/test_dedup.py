@@ -148,6 +148,30 @@ def test_ivf_recall(ray_session):
     assert list(r1["vec_id"]) == [0, 1, 2]
 
 
+def test_minhash_attach_cross_side_only(ray_session):
+    """minhash_attach finds (new, base) near-dups ONLY across sides —
+    ids may collide between corpora (a recrawl keeps ids); a recrawled
+    doc pairs with its own previous version, within-side dups are not
+    enumerated, and unrelated new docs attach to nothing."""
+    from xlink_ray.stages.dedup import minhash_attach
+
+    base_texts = {
+        0: "the quick brown fox jumps over the lazy dog again and again",
+        1: "the quick brown fox jumps over the lazy dog again and again",  # in-base dup: must NOT pair
+        2: "completely different standing document about ray data pipelines",
+    }
+    new_texts = {
+        0: "the quick brown fox jumps over the lazy dog again and again v2",  # recrawl of 0 (and near 1)
+        7: "an entirely new page with fresh unrelated content altogether",
+    }
+    base = _docs_ds([{"doc_id": i, "text": t} for i, t in base_texts.items()])
+    new = _docs_ds([{"doc_id": i, "text": t} for i, t in new_texts.items()])
+    got = minhash_attach(new, base, jaccard_th=0.5).to_pandas()
+    pairs = set(zip(got["new_id"], got["base_id"]))
+    assert pairs == {(0, 0), (0, 1)}, pairs
+    assert (got["jaccard_bp"] >= 5000).all()
+
+
 def test_ivfpq_recall(ray_session):
     """IVF-PQ (coarse cells + ADC over compressed codes) vs brute:
     recall@5 over random vectors, self-match at rank 1 (the query's

@@ -73,6 +73,56 @@ def hash_sample(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def weighted_sample(
+    ds: Dataset,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> "pa.Table":
+    """Deterministic weight-proportional sample WITHOUT replacement
+    (Efraimidis–Spirakis A-ES): key_i = u_i^(1/w_i) with
+    u_i = (md5_low64(id)+1)/2^64 ∈ (0,1]; the k largest keys win —
+    each row's inclusion probability is proportional to its weight,
+    and the 'randomness' is a pure function of the id, so the sample
+    is identical across reruns, partitionings and cluster sizes (the
+    resumability property hash_sample has, extended to weights).
+
+    Scale shape: each batch emits only its local top-k (k-bounded
+    partials), the driver merges ≤ k·nblocks candidate rows — the
+    corpus itself never leaves the workers. Rows with weight <= 0 are
+    never sampled. Returns (id, weight) as a driver-side table
+    (k-bounded by construction)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        u = (_id_hashes(t[id_col]).astype(np.float64) + 1.0) / 2.0**64
+        with np.errstate(divide="ignore"):
+            key = np.where(w > 0, np.exp(np.log(u) / np.where(w > 0, w, 1.0)), -1.0)
+        order = np.lexsort((ids, -key))[: min(k, len(ids))]
+        order = order[key[order] >= 0]
+        idx = pa.array(order, pa.int64())
+        return pa.table(
+            {
+                id_col: t[id_col].take(idx),
+                weight_col: t[weight_col].take(idx),
+                "skey": pa.array(key[order], pa.float64()),
+            }
+        )
+
+    cand = pa.concat_tables(
+        pa.table(b)
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    ids = cand[id_col].to_numpy(zero_copy_only=False)
+    key = cand["skey"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -key))[: min(k, len(ids))]
+    idx = pa.array(np.sort(order), pa.int64())
+    return cand.select([id_col, weight_col]).take(idx)
+
+
 def stratified_hash_sample(
     ds: Dataset,
     rates: "dict[str, int]",

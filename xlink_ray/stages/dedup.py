@@ -36,6 +36,7 @@ __all__ = [
     "exact_dedup_keepers",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "minhash_attach",
     "simhash_values",
     "exact_dedup_survivors",
     "simhash_pairs",
@@ -329,6 +330,142 @@ def _shingle_sets(ds: Dataset, shingle_k: int, id_col: str = "doc_id") -> Datase
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _band_rows_fn(num_perm: int, bands: int, key_col: str = "doc_id"):
+    """Batch fn: signatures → one row per (doc, band) with the exact
+    string band key ``bk`` (collision-free, equal to the SQL oracle's
+    list-equality join) and an int64 routing hash ``bh`` of the same
+    values (collisions only co-locate two band groups in one bucket,
+    never merge them)."""
+    rows_per_band = num_perm // bands
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        ids = t[key_col].to_numpy(zero_copy_only=False)
+        sig = (
+            np.stack(t["sig"].to_numpy(zero_copy_only=False))
+            if t.num_rows
+            else np.zeros((0, num_perm), dtype=np.uint64)
+        )
+        out = []
+        for bi in range(bands):
+            chunk = sig[:, bi * rows_per_band : (bi + 1) * rows_per_band]
+            keys = [f"{bi}:" + "-".join(str(v) for v in row) for row in chunk]
+            bh = np.full(len(ids), np.uint64(bi + 1))
+            for c in range(chunk.shape[1]):
+                bh = bh * np.uint64(1099511628211) + chunk[:, c]
+            out.append(
+                pa.table(
+                    {
+                        key_col: pa.array(ids),
+                        "bk": pa.array(keys, pa.string()),
+                        "bh": pa.array(
+                            (bh & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+                        ),
+                    }
+                )
+            )
+        return (
+            pa.concat_tables(out)
+            if out
+            else pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    "bk": pa.array([], pa.string()),
+                    "bh": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    return band_rows
+
+
+_VERIFIED_EMPTY = pa.table(
+    {
+        "id_a": pa.array([], pa.int64()),
+        "id_b": pa.array([], pa.int64()),
+        "jaccard": pa.array([], pa.float64()),
+        "jaccard_bp": pa.array([], pa.int64()),
+    }
+)
+
+
+def _gather_slices(off: np.ndarray, ln: np.ndarray) -> np.ndarray:
+    """Indices of the concatenated variable slices flat[off[i]:off[i]+ln[i]]."""
+    total = int(ln.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    ends_cum = np.cumsum(ln)
+    return (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(ends_cum - ln, ln)
+        + np.repeat(off, ln)
+    )
+
+
+def _verify_jaccard_pairs(
+    cand: Dataset, sets: Dataset, th_num: int, th_den: int
+) -> Dataset:
+    """Exact shingle-Jaccard verification of candidate pairs: both
+    shingle sets attached reduce-side (_attach_sides), all
+    intersections in a bucket counted by one lexsort — no per-pair
+    Python call, the corpus never reaches the driver. Threshold is an
+    integer cross-multiply (inter·den ≥ union·num)."""
+    attached = _attach_sides(cand, sets, "doc_id", "hs", pa.list_(pa.uint64()))
+
+    def verify_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return _VERIFIED_EMPTY
+        a = g["id_a"].to_numpy(zero_copy_only=False)
+        b = g["id_b"].to_numpy(zero_copy_only=False)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        attr = g["attr"].combine_chunks()
+        offsets = np.asarray(attr.offsets, dtype=np.int64)
+        flat = np.asarray(attr.values, dtype=np.uint64)
+        lengths = offsets[1:] - offsets[:-1]
+        order = np.lexsort((side, b, a))
+        a_s, b_s = a[order], b[order]
+        same = (a_s[1:] == a_s[:-1]) & (b_s[1:] == b_s[:-1])
+        first = np.flatnonzero(same)
+        if len(first) == 0:
+            return _VERIFIED_EMPTY
+        r0 = order[first]
+        r1 = order[first + 1]
+        la, lb = lengths[r0], lengths[r1]
+        npairs = len(first)
+        vals = np.concatenate(
+            [flat[_gather_slices(offsets[r0], la)], flat[_gather_slices(offsets[r1], lb)]]
+        )
+        pidx = np.concatenate(
+            [
+                np.repeat(np.arange(npairs, dtype=np.int64), la),
+                np.repeat(np.arange(npairs, dtype=np.int64), lb),
+            ]
+        )
+        o2 = np.lexsort((vals, pidx))
+        vs, ps = vals[o2], pidx[o2]
+        dup = (ps[1:] == ps[:-1]) & (vs[1:] == vs[:-1])
+        inter = np.bincount(ps[1:][dup], minlength=npairs)
+        union = la + lb - inter
+        keep = (union > 0) & (inter * th_den >= union * th_num)
+        if not keep.any():
+            return _VERIFIED_EMPTY
+        inter_k, union_k = inter[keep], union[keep]
+        return pa.table(
+            {
+                "id_a": pa.array(a_s[first][keep], pa.int64()),
+                "id_b": pa.array(b_s[first][keep], pa.int64()),
+                "jaccard": pa.array(inter_k / union_k, pa.float64()),
+                "jaccard_bp": pa.array((10000 * inter_k) // union_k, pa.int64()),
+            }
+        )
+
+    return _hash_bucketed(
+        attached,
+        lambda t: t["id_a"].to_numpy(zero_copy_only=False) * np.int64(1000003)
+        + t["id_b"].to_numpy(zero_copy_only=False),
+        lambda g: verify_bucket(g).select(["id_a", "id_b", "jaccard", "jaccard_bp"]),
+    )
+
+
 def minhash_lsh_pairs(
     ds: Dataset,
     num_perm: int = 64,
@@ -360,55 +497,10 @@ def minhash_lsh_pairs(
     groups past the cap (the SQL oracle stays exact wherever the cap
     never triggers). ``None`` disables the cap.
     """
-    rows_per_band = num_perm // bands
     # th as an exact fraction for integer comparison (th given to 4 dp)
     th_num, th_den = int(round(jaccard_th * 10000)), 10000
     sigs = minhash_signatures(ds, num_perm, shingle_k)
-
-    def band_rows(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        sig = (
-            np.stack(t["sig"].to_numpy(zero_copy_only=False))
-            if t.num_rows
-            else np.zeros((0, num_perm), dtype=np.uint64)
-        )
-        out = []
-        for bi in range(bands):
-            chunk = sig[:, bi * rows_per_band : (bi + 1) * rows_per_band]
-            # exact band key: the band values themselves (collision-free,
-            # equal to the SQL oracle's list-equality join)
-            keys = [
-                f"{bi}:" + "-".join(str(v) for v in row) for row in chunk
-            ]
-            # routing hash of the same values: collisions only co-locate
-            # two band groups in one bucket, never merge them
-            bh = np.full(len(ids), np.uint64(bi + 1))
-            for c in range(chunk.shape[1]):
-                bh = bh * np.uint64(1099511628211) + chunk[:, c]
-            out.append(
-                pa.table(
-                    {
-                        "doc_id": pa.array(ids),
-                        "bk": pa.array(keys, pa.string()),
-                        "bh": pa.array(
-                            (bh & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
-                        ),
-                    }
-                )
-            )
-        return (
-            pa.concat_tables(out)
-            if out
-            else pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "bk": pa.array([], pa.string()),
-                    "bh": pa.array([], pa.int64()),
-                }
-            )
-        )
-
-    banded = sigs.map_batches(band_rows, batch_format="pyarrow")
+    banded = sigs.map_batches(_band_rows_fn(num_perm, bands), batch_format="pyarrow")
 
     _pair_empty = pa.table(
         {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
@@ -474,82 +566,140 @@ def minhash_lsh_pairs(
     )
 
     sets = _shingle_sets(ds, shingle_k)
-    attached = _attach_sides(cand, sets, "doc_id", "hs", pa.list_(pa.uint64()))
+    return _verify_jaccard_pairs(cand, sets, th_num, th_den)
 
-    verified_empty = pa.table(
-        {
-            "id_a": pa.array([], pa.int64()),
-            "id_b": pa.array([], pa.int64()),
-            "jaccard": pa.array([], pa.float64()),
-            "jaccard_bp": pa.array([], pa.int64()),
-        }
+
+def minhash_attach(
+    new_ds: Dataset,
+    base_ds: Dataset,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    jaccard_th: float = 0.8,
+    max_group_pairs: int | None = 2_000_000,
+) -> Dataset:
+    """Incremental near-dup attach: which NEW-crawl docs are near-dups
+    of the STANDING corpus → (new_id, base_id, jaccard, jaccard_bp).
+
+    The incremental counterpart of ``minhash_lsh_pairs`` (the recrawl /
+    continuous-ingest shape): only cross-side (new × base) candidates
+    are enumerated — within-side dups are the standing run's job — so a
+    recrawled page pairs with its own previous version even when ids
+    repeat across crawls (ids are bit-packed with a side bit
+    internally; they may overlap between the two corpora). At 100-TB
+    scale the standing side's signatures are computed once and reused
+    per delta; both sides stream through the SAME one-bucket-shuffle
+    band exchange and the reduce-side exact-Jaccard verify as the batch
+    op. Degenerate band groups cap at ``max_group_pairs`` and fall back
+    to pairing every new member with the min-id base member (logged) —
+    sufficient for is-dup-of-standing decisions."""
+    th_num, th_den = int(round(jaccard_th * 10000)), 10000
+
+    def pack(side_bit: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.set_column(
+                t.schema.get_field_index("doc_id"),
+                "doc_id",
+                pa.array(ids * 2 + side_bit, pa.int64()),
+            )
+
+        return fn
+
+    band_fn = _band_rows_fn(num_perm, bands)
+    banded = (
+        minhash_signatures(base_ds.map_batches(pack(0), batch_format="pyarrow"),
+                           num_perm, shingle_k)
+        .map_batches(band_fn, batch_format="pyarrow")
+        .union(
+            minhash_signatures(new_ds.map_batches(pack(1), batch_format="pyarrow"),
+                               num_perm, shingle_k)
+            .map_batches(band_fn, batch_format="pyarrow")
+        )
     )
 
-    def _gather_idx(off: np.ndarray, ln: np.ndarray) -> np.ndarray:
-        """Indices of the concatenated variable slices flat[off[i]:off[i]+ln[i]]."""
-        total = int(ln.sum())
-        if total == 0:
-            return np.zeros(0, dtype=np.int64)
-        ends_cum = np.cumsum(ln)
-        return np.arange(total, dtype=np.int64) - np.repeat(ends_cum - ln, ln) + np.repeat(off, ln)
+    _pair_empty = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+    )
 
-    def verify_bucket(g: pa.Table) -> pa.Table:
+    def bucket_cross_pairs(g: pa.Table) -> pa.Table:
         if g.num_rows < 2:
-            return verified_empty
-        a = g["id_a"].to_numpy(zero_copy_only=False)
-        b = g["id_b"].to_numpy(zero_copy_only=False)
-        side = g["side"].to_numpy(zero_copy_only=False)
-        attr = g["attr"].combine_chunks()
-        offsets = np.asarray(attr.offsets, dtype=np.int64)
-        flat = np.asarray(attr.values, dtype=np.uint64)
-        lengths = offsets[1:] - offsets[:-1]
-        # a pair is complete iff its side-0 and side-1 rows are adjacent
-        # after sorting by (id_a, id_b, side); a side that missed the
-        # attribute table leaves a lone row — dropped (inner-join
-        # semantics)
-        order = np.lexsort((side, b, a))
-        a_s, b_s = a[order], b[order]
-        same = (a_s[1:] == a_s[:-1]) & (b_s[1:] == b_s[:-1])
-        first = np.flatnonzero(same)
-        if len(first) == 0:
-            return verified_empty
-        r0 = order[first]
-        r1 = order[first + 1]
-        la, lb = lengths[r0], lengths[r1]
-        npairs = len(first)
-        vals = np.concatenate(
-            [flat[_gather_idx(offsets[r0], la)], flat[_gather_idx(offsets[r1], lb)]]
-        )
-        pidx = np.concatenate(
-            [
-                np.repeat(np.arange(npairs, dtype=np.int64), la),
-                np.repeat(np.arange(npairs, dtype=np.int64), lb),
-            ]
-        )
-        o2 = np.lexsort((vals, pidx))
-        vs, ps = vals[o2], pidx[o2]
-        dup = (ps[1:] == ps[:-1]) & (vs[1:] == vs[:-1])
-        inter = np.bincount(ps[1:][dup], minlength=npairs)
-        union = la + lb - inter
-        keep = (union > 0) & (inter * th_den >= union * th_num)
-        if not keep.any():
-            return verified_empty
-        inter_k, union_k = inter[keep], union[keep]
+            return _pair_empty
+        bk = g["bk"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        _, inv = np.unique(bk, return_inverse=True)
+        order = np.lexsort((ids, inv))
+        inv_s, ids_s = inv[order], ids[order]
+        starts = np.flatnonzero(np.r_[True, inv_s[1:] != inv_s[:-1]])
+        ends = np.r_[starts[1:], len(inv_s)]
+        out_a, out_b = [], []
+        starred = 0
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            run = ids_s[s:e]
+            run = run[np.r_[True, run[1:] != run[:-1]]]
+            new_ids = run[run % 2 == 1]
+            base_ids = run[run % 2 == 0]
+            kn, kb = len(new_ids), len(base_ids)
+            if kn == 0 or kb == 0:
+                continue
+            if max_group_pairs is not None and kn * kb > max_group_pairs:
+                # degenerate group: every new member meets only the
+                # min-id base member (kn pairs, logged)
+                out_a.append(new_ids)
+                out_b.append(np.broadcast_to(base_ids[:1], kn))
+                starred += 1
+                continue
+            out_a.append(np.repeat(new_ids, kb))
+            out_b.append(np.tile(base_ids, kn))
+        if starred:
+            import logging
+
+            logging.getLogger("xlink_ray.dedup").warning(
+                "minhash_attach: %d band group(s) exceeded "
+                "max_group_pairs=%s; new members paired to the min-id "
+                "base member only",
+                starred,
+                max_group_pairs,
+            )
+        if not out_a:
+            return _pair_empty
         return pa.table(
             {
-                "id_a": pa.array(a_s[first][keep], pa.int64()),
-                "id_b": pa.array(b_s[first][keep], pa.int64()),
-                "jaccard": pa.array(inter_k / union_k, pa.float64()),
-                "jaccard_bp": pa.array((10000 * inter_k) // union_k, pa.int64()),
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
             }
         )
 
-    return _hash_bucketed(
-        attached,
-        lambda t: t["id_a"].to_numpy(zero_copy_only=False) * np.int64(1000003)
-        + t["id_b"].to_numpy(zero_copy_only=False),
-        lambda g: verify_bucket(g).select(["id_a", "id_b", "jaccard", "jaccard_bp"]),
+    cand = _pair_distinct(
+        _hash_bucketed(
+            banded,
+            lambda t: t["bh"].to_numpy(zero_copy_only=False),
+            bucket_cross_pairs,
+        )
     )
+
+    sets = _shingle_sets(
+        base_ds.map_batches(pack(0), batch_format="pyarrow"), shingle_k
+    ).union(
+        _shingle_sets(new_ds.map_batches(pack(1), batch_format="pyarrow"), shingle_k)
+    )
+    verified = _verify_jaccard_pairs(cand, sets, th_num, th_den)
+
+    def unpack(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False) >> 1
+        b = t["id_b"].to_numpy(zero_copy_only=False) >> 1
+        return pa.table(
+            {
+                "new_id": pa.array(a, pa.int64()),
+                "base_id": pa.array(b, pa.int64()),
+                "jaccard": t["jaccard"],
+                "jaccard_bp": t["jaccard_bp"],
+            }
+        )
+
+    return verified.map_batches(unpack, batch_format="pyarrow")
 
 
 # ----------------------------------------------------------- simhash
