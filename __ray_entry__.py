@@ -2204,6 +2204,46 @@ SELECT new_id, base_id, CAST((10000 * inter) // un AS BIGINT) AS jaccard_bp
 FROM v WHERE inter * {th_den} >= un * {th_num}"""
 
 
+def _q_ppjoin_pairs(sf_dir: str):
+    """Token-level set-similarity self-join (PPJoin/AllPairs prefix
+    filter under the (df ASC, token ASC) total order): doc pairs with
+    distinct-token-set Jaccard ≥ 0.95. SQL-oracled (integer-exact
+    prefix length and threshold cross-multiply)."""
+    from xlink_ray.stages.dedup import ppjoin_pairs
+
+    return ppjoin_pairs(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), th=0.95
+    ).select_columns(["id_a", "id_b", "jaccard_bp"])
+
+
+_PPJOIN_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+  FROM documents),
+tok2 AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+df AS (SELECT t, count(*) AS df FROM tok2 GROUP BY t),
+ord AS (
+  SELECT k.doc_id, k.t,
+         row_number() OVER (PARTITION BY k.doc_id ORDER BY d.df, k.t) AS rn,
+         count(*) OVER (PARTITION BY k.doc_id) AS n
+  FROM tok2 k JOIN df d USING (t)),
+pre AS (
+  SELECT doc_id, t FROM ord
+  WHERE rn <= greatest(n - (9500 * n + 9999) // 10000 + 1, 1)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pre a JOIN pre b ON a.t = b.t AND a.doc_id < b.doc_id),
+s AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM documents),
+v AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(a.ts, b.ts)) AS inter,
+         len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS un
+  FROM cand c JOIN s a ON c.id_a = a.doc_id JOIN s b ON c.id_b = b.doc_id)
+SELECT id_a, id_b, CAST((10000 * inter) // un AS BIGINT) AS jaccard_bp
+FROM v WHERE inter * 10000 >= un * 9500"""
+
+
 def _q_minhash_pairs(sf_dir: str):
     from xlink_ray.stages.dedup import minhash_lsh_pairs
 
@@ -3292,6 +3332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "minhash_pairs": _q_minhash_pairs,
         "minhash_attach": _q_minhash_attach,
+        "ppjoin_pairs": _q_ppjoin_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
@@ -4338,6 +4379,7 @@ SELECT DISTINCT 'https://crawl.example.org/' || source || '/' || lpad(CAST(doc_i
 FROM occ WHERE cnt > 0""",
         "minhash_pairs": _minhash_sql(),
         "minhash_attach": _minhash_attach_sql(),
+        "ppjoin_pairs": _PPJOIN_SQL,
         "simhash_pairs": _simhash_sql(),
         "neardup_clusters": _neardup_sql(),
         "pii_scrub": _pii_sql(),

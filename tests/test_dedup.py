@@ -148,6 +148,45 @@ def test_ivf_recall(ray_session):
     assert list(r1["vec_id"]) == [0, 1, 2]
 
 
+def test_ppjoin_vs_brute_force(ray_session):
+    """ppjoin_pairs == the brute-force all-pairs token-Jaccard join
+    (prefix filtering under the (df, token) order is lossless)."""
+    import itertools
+
+    from xlink_ray.stages.dedup import ppjoin_pairs
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    d = 0
+    for _ in range(40):
+        k = int(rng.integers(8, 20))
+        base = list(dict.fromkeys(rng.choice(vocab, size=k)))
+        rows.append({"doc_id": d, "text": " ".join(base)})
+        d += 1
+        if d % 3 == 1:  # a near-dup variant: one extra token
+            extra = [w for w in vocab if w not in base][:1]
+            rows.append({"doc_id": d, "text": " ".join(base + extra)})
+            d += 1
+    th = 0.7
+    got = ppjoin_pairs(_docs_ds(rows), th=th).to_pandas()
+    sets_ = {r["doc_id"]: set(r["text"].split()) for r in rows}
+    exp = set()
+    for a, b in itertools.combinations(sorted(sets_), 2):
+        inter = len(sets_[a] & sets_[b])
+        un = len(sets_[a] | sets_[b])
+        if un and inter * 10000 >= un * int(th * 10000):
+            exp.add((a, b))
+    assert exp, "fixture must contain near-dup pairs"
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    assert pairs == exp, (len(pairs), len(exp))
+    # jaccard_bp matches the exact integer rule
+    for _, r in got.iterrows():
+        inter = len(sets_[r.id_a] & sets_[r.id_b])
+        un = len(sets_[r.id_a] | sets_[r.id_b])
+        assert r.jaccard_bp == (10000 * inter) // un
+
+
 def test_minhash_attach_cross_side_only(ray_session):
     """minhash_attach finds (new, base) near-dups ONLY across sides —
     ids may collide between corpora (a recrawl keeps ids); a recrawled

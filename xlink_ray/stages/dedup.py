@@ -26,6 +26,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 from ray.data import Dataset
 from ray.data.aggregate import Count, Min
 
@@ -37,6 +38,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "minhash_attach",
+    "ppjoin_pairs",
     "simhash_values",
     "exact_dedup_survivors",
     "simhash_pairs",
@@ -566,6 +568,161 @@ def minhash_lsh_pairs(
     )
 
     sets = _shingle_sets(ds, shingle_k)
+    return _verify_jaccard_pairs(cand, sets, th_num, th_den)
+
+
+def ppjoin_pairs(
+    ds: Dataset,
+    th: float = 0.95,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_group_pairs: int | None = 2_000_000,
+) -> Dataset:
+    """Token-level set-similarity self-join (PPJoin/AllPairs): pairs of
+    docs whose DISTINCT-token sets have Jaccard ≥ th →
+    (id_a, id_b, jaccard, jaccard_bp).
+
+    Canonical prefix filtering under the (df ASC, token ASC) global
+    total order: a pair with J ≥ th must share a token inside BOTH
+    prefixes (prefix length = n - ceil(th·n) + 1, integer-exact as
+    n - (th_num·n + th_den-1)//th_den + 1), and prefix tokens are by
+    construction the RAREST tokens — so candidate groups stay small on
+    Zipf vocabularies. One df shuffle (token-universe-sized, counted
+    in-bucket), the df order broadcast (vocabulary-sized dictionary
+    state — same class as the linker's broadcasts), one prefix-token
+    exchange for candidates, then the shared reduce-side exact-Jaccard
+    verify over md5-hashed token sets. Degenerate prefix groups past
+    ``max_group_pairs`` star-expand to the min-id member (logged) —
+    connectivity-preserving, the enumerated pair list is then a
+    documented subset for those groups only."""
+    th_num, th_den = int(round(th * 10000)), 10000
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        ids, toks = [], []
+        for did, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            for w in set(text.split()):
+                ids.append(did)
+                toks.append(w)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "t": pa.array(toks, pa.string())}
+        )
+
+    toks = ds.map_batches(tok_rows, batch_format="pyarrow")
+
+    def df_bucket(g: pa.Table) -> pa.Table:
+        u, c = np.unique(g["t"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"t": pa.array(u, pa.string()), "df": pa.array(c, pa.int64())})
+
+    df_tbl = pa.concat_tables(
+        pa.table(b)
+        for b in _hash_bucketed(
+            toks,
+            lambda t: md5_low64(t["t"].to_pylist()).astype(np.int64)
+            & np.int64(0x7FFFFFFFFFFFFFFF),
+            lambda g: df_bucket(g).select(["t", "df"]),
+        ).iter_batches(batch_format="pyarrow")
+    )
+    order = np.lexsort(
+        (
+            np.asarray(df_tbl["t"].to_pylist()),
+            df_tbl["df"].to_numpy(zero_copy_only=False),
+        )
+    )
+    rank_of = {
+        df_tbl["t"][int(i)].as_py(): r for r, i in enumerate(order)
+    }
+    rank_ref = ray.put(rank_of)
+
+    def prefix_rows(t: pa.Table) -> pa.Table:
+        ranks = ray.get(rank_ref)
+        out_t, out_id = [], []
+        for did, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            ws = sorted(set(text.split()), key=lambda w: ranks[w])
+            n = len(ws)
+            if n == 0:
+                continue
+            p = n - (th_num * n + th_den - 1) // th_den + 1
+            for w in ws[: max(p, 1)]:
+                out_t.append(w)
+                out_id.append(did)
+        return pa.table(
+            {"t": pa.array(out_t, pa.string()), "doc_id": pa.array(out_id, pa.int64())}
+        )
+
+    prefixed = ds.map_batches(prefix_rows, batch_format="pyarrow")
+
+    _pair_empty = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+    )
+
+    def group_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return _pair_empty
+        tkey = g["t"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        _, inv = np.unique(tkey, return_inverse=True)
+        order = np.lexsort((ids, inv))
+        inv_s, ids_s = inv[order], ids[order]
+        starts = np.flatnonzero(np.r_[True, inv_s[1:] != inv_s[:-1]])
+        ends = np.r_[starts[1:], len(inv_s)]
+        out_a, out_b = [], []
+        starred = 0
+        for s, e in zip(starts, ends):
+            run = ids_s[s:e]
+            run = run[np.r_[True, run[1:] != run[:-1]]]
+            k = len(run)
+            if k < 2:
+                continue
+            if max_group_pairs is not None and k * (k - 1) // 2 > max_group_pairs:
+                out_a.append(np.broadcast_to(run[:1], k - 1))
+                out_b.append(run[1:])
+                starred += 1
+                continue
+            ii, jj = np.triu_indices(k, k=1)
+            out_a.append(run[ii])
+            out_b.append(run[jj])
+        if starred:
+            import logging
+
+            logging.getLogger("xlink_ray.dedup").warning(
+                "ppjoin_pairs: %d prefix group(s) exceeded max_group_pairs=%s; "
+                "star-expanded to the min-id member",
+                starred,
+                max_group_pairs,
+            )
+        if not out_a:
+            return _pair_empty
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+            }
+        )
+
+    cand = _pair_distinct(
+        _hash_bucketed(
+            prefixed,
+            lambda t: md5_low64(t["t"].to_pylist()).astype(np.int64)
+            & np.int64(0x7FFFFFFFFFFFFFFF),
+            group_pairs,
+        )
+    )
+
+    def tok_sets(t: pa.Table) -> pa.Table:
+        hs = [
+            np.unique(md5_low64(list(set(text.split())))).tolist()
+            if text.split()
+            else []
+            for text in t[text_col].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": t[id_col],
+                "hs": pa.array(hs, pa.list_(pa.uint64())),
+            }
+        )
+
+    sets = ds.map_batches(tok_sets, batch_format="pyarrow")
     return _verify_jaccard_pairs(cand, sets, th_num, th_den)
 
 
