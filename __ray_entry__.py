@@ -303,6 +303,17 @@ def _q_flagship_golden(sf_dir: str):
     return flagship.golden_clusters(sf_dir).map_batches(quant, batch_format="pyarrow")
 
 
+def _q_er_clusters_constrained(sf_dir: str):
+    """Cannot-link constrained clustering (rows-only: the repair is the
+    literature's order-dependent sequential constrained union-find —
+    not SQL-expressible; pinned against the sequential reference in
+    tests/test_clustering.py). Constraint work scales with violations:
+    only offending components re-resolve."""
+    from xlink_ray.pipelines import er
+
+    return er.customer_clusters_constrained(sf_dir)
+
+
 def _q_er_alignment(sf_dir: str):
     """Cross-run cluster alignment (stages/align.py): each new cluster
     mapped to the max-overlap old cluster; one stamp + one bucket fold."""
@@ -3304,6 +3315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_clusters": _q_er_clusters,
         "er_clusters_dist": _q_er_clusters_dist,
         "er_clusters_bucket": _q_er_clusters_bucket,
+        "er_clusters_constrained": _q_er_clusters_constrained,
         "er_attach": _q_er_attach,
         "fs_weights": _q_fs_weights,
         "fs_scores": _q_fs_scores,

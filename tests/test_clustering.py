@@ -140,3 +140,60 @@ def test_pairwise_cluster_f1_string_ids(ray_session):
     r = pairwise_cluster_f1(pred, truth).take_all()[0]
     assert (r["pairs_pred"], r["pairs_true"], r["tp"]) == (1, 1, 0)
     assert r["f1_ppm"] == 0
+
+
+def test_constrained_components(ray_session):
+    """constrained_components: cannot-link pairs split components per
+    the deterministic sequential-UF reference; empty constraints ==
+    plain CC; no output cluster contains a cannot pair."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from xlink_ray.stages.clustering import (
+        _constrained_uf,
+        connected_components,
+        constrained_components,
+    )
+
+    # chain 1-2-3-4-5 plus clique 10-11-12, singleton 99
+    e = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12)]
+    edges = rd.from_arrow(
+        pa.table({"id_a": pa.array([a for a, _ in e], pa.int64()),
+                  "id_b": pa.array([b for _, b in e], pa.int64())})
+    )
+    nodes = rd.from_arrow(pa.table({"id": pa.array([1, 2, 3, 4, 5, 10, 11, 12, 99], pa.int64())}))
+    cannot = rd.from_arrow(
+        pa.table({"id_a": pa.array([1, 10], pa.int64()),
+                  "id_b": pa.array([4, 12], pa.int64())})
+    )
+    got = constrained_components(
+        edges, cannot, nodes=nodes, node_col="id"
+    ).to_pandas().set_index("member_id")["cluster_id"].to_dict()
+    # sequential reference over each offending component
+    ref_chain = _constrained_uf(
+        np.array([(1, 2), (2, 3), (3, 4), (4, 5)]), np.array([(1, 4)])
+    )
+    ref_clique = _constrained_uf(
+        np.array([(10, 11), (10, 12), (11, 12)]), np.array([(10, 12)])
+    )
+    exp = {**ref_chain, **ref_clique, 99: 99}
+    assert got == exp, (got, exp)
+    # constraints honored
+    assert got[1] != got[4] and got[10] != got[12]
+    # empty constraints == plain CC
+    empty = rd.from_arrow(pa.table({"id_a": pa.array([], pa.int64()),
+                                    "id_b": pa.array([], pa.int64())}))
+    got2 = constrained_components(edges, empty, nodes=nodes, node_col="id").to_pandas()
+    base = connected_components(edges, nodes=nodes, node_col="id").to_pandas()
+    assert got2.sort_values("member_id").reset_index(drop=True).equals(
+        base.sort_values("member_id").reset_index(drop=True)
+    )
+    # unviolated cannot pair (different components already) is a no-op
+    cross = rd.from_arrow(pa.table({"id_a": pa.array([1], pa.int64()),
+                                    "id_b": pa.array([10], pa.int64())}))
+    got3 = constrained_components(edges, cross, nodes=nodes, node_col="id").to_pandas()
+    assert got3.sort_values("member_id").reset_index(drop=True).equals(
+        base.sort_values("member_id").reset_index(drop=True)
+    )

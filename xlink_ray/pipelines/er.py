@@ -532,3 +532,27 @@ def customer_cluster_exemplars(sf_dir: str, k: int = 2) -> Dataset:
         k=k,
         tie_col="c_custkey",
     )
+
+
+def customer_clusters_constrained(sf_dir: str) -> Dataset:
+    """customer_clusters under CANNOT-LINK constraints: the clerical
+    fixture rejects every candidate edge whose smaller key is divisible
+    by 7 (a deterministic stand-in for human review verdicts — real
+    deployments feed reviewed pairs here). Those records must not share
+    a cluster even transitively; only components containing a violated
+    pair are re-resolved (stages/clustering.constrained_components)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from xlink_ray.stages.clustering import constrained_components
+
+    pairs = customer_pairs(sf_dir).materialize()  # two consumers
+
+    def rejected(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(a % 7 == 0)).select(["id_a", "id_b"])
+
+    cannot = pairs.map_batches(rejected, batch_format="pyarrow")
+    return constrained_components(
+        pairs, cannot, nodes=_customers(sf_dir), node_col="c_custkey"
+    )

@@ -38,6 +38,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 from ray.data import Dataset
 from ray.data.aggregate import Min
@@ -516,3 +517,203 @@ def pairwise_cluster_f1(
             }
         )
     )
+
+
+def _constrained_uf(
+    edges_ab: "np.ndarray", cannot_ab: "np.ndarray"
+) -> "dict[int, int]":
+    """Sequential constrained union-find over ONE component's edges in
+    ascending (id_a, id_b) order (the deterministic literature rule:
+    earlier/stronger links win): a union is SKIPPED when it would put
+    any cannot-link pair into one component. Returns node → root-min
+    label for every node appearing in ``edges_ab``."""
+    parent: dict[int, int] = {}
+    members: dict[int, set] = {}
+    cannot: dict[int, set] = {}  # root → node ids its members cannot join
+
+    cmap: dict[int, set] = {}
+    for x, y in cannot_ab:
+        cmap.setdefault(int(x), set()).add(int(y))
+        cmap.setdefault(int(y), set()).add(int(x))
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    def add(x: int) -> None:
+        if x not in parent:
+            parent[x] = x
+            members[x] = {x}
+            cannot[x] = set(cmap.get(x, ()))
+
+    order = np.lexsort((edges_ab[:, 1], edges_ab[:, 0]))
+    for i in order:
+        a, b = int(edges_ab[i, 0]), int(edges_ab[i, 1])
+        add(a)
+        add(b)
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if members[ra] & cannot[rb] or members[rb] & cannot[ra]:
+            continue  # would violate a cannot-link — skip this edge
+        if len(members[ra]) < len(members[rb]):
+            ra, rb = rb, ra
+        parent[rb] = ra
+        members[ra] |= members[rb]
+        cannot[ra] |= cannot[rb]
+        del members[rb], cannot[rb]
+
+    out: dict[int, int] = {}
+    root_min: dict[int, int] = {}
+    for x in parent:
+        r = find(x)
+        if r not in root_min or x < root_min[r]:
+            root_min[r] = x
+    for x in parent:
+        out[x] = root_min[find(x)]
+    return out
+
+
+def constrained_components(
+    edges: Dataset,
+    cannot: Dataset,
+    a: str = "id_a",
+    b: str = "id_b",
+    nodes: Dataset | None = None,
+    node_col: str | None = None,
+    method: str = "auto",
+) -> Dataset:
+    """Connected components under CANNOT-LINK constraints (the standard
+    ER clerical rule: two records asserted distinct must never share a
+    cluster, even transitively) → (member_id, cluster_id).
+
+    Two phases, so constraint work scales with the VIOLATIONS, not the
+    graph: (1) the ordinary distributed ``connected_components``;
+    (2) cannot pairs are stamped with their endpoints' component labels
+    (one reduce-side exchange each way — never collected) and only
+    components that actually CONTAIN a violated pair are re-resolved,
+    each in one ``map_groups`` task running the deterministic
+    sequential constrained union-find (``_constrained_uf``, ascending
+    edge order). Everyone else's labels pass through unchanged.
+
+    Partitioning assumption (documented per the custom-operator rule):
+    a component must fit one task — true by construction for
+    blocking-based ER, where components never span blocks. Semantics
+    are order-dependent (as in the literature); the oracle is the
+    sequential reference, pinned in tests/test_clustering.py."""
+    from xlink_ray.stages.survivor import stamp_cluster
+
+    base = connected_components(
+        edges, a=a, b=b, nodes=nodes, node_col=node_col, method=method
+    ).materialize()
+
+    edges = _edges_table(edges, a, b).materialize()
+
+    # stamp each cannot pair with both endpoints' labels; keep violated.
+    # pid is CONTENT-derived (md5 of the pair) so the two stamp passes
+    # agree across any batching of the cannot set
+    def pair_rows(t: pa.Table, col: str) -> pa.Table:
+        from xlink_ray.functions.hashing import md5_low64
+
+        pid = md5_low64(
+            [
+                f"{x}|{y}"
+                for x, y in zip(t[a].to_pylist(), t[b].to_pylist())
+            ]
+        ).astype(np.int64) & np.int64(0x7FFFFFFFFFFFFFFF)
+        return pa.table({"pid": pa.array(pid, pa.int64()), "node": t[col]})
+
+    cn = cannot.materialize()
+    ca = stamp_cluster(
+        cn.map_batches(lambda t: pair_rows(t, a), batch_format="pyarrow"),
+        base, id_col="node", carry_cols=["pid"], carry_types={"pid": pa.int64()},
+    )
+    cb = stamp_cluster(
+        cn.map_batches(lambda t: pair_rows(t, b), batch_format="pyarrow"),
+        base, id_col="node", carry_cols=["pid"], carry_types={"pid": pa.int64()},
+    )
+    _stamp_empty = pa.table(
+        {
+            "id": pa.array([], pa.int64()),
+            "cluster": pa.array([], pa.int64()),
+            "pid": pa.array([], pa.int64()),
+        }
+    )
+    ta = pa.concat_tables(
+        [_stamp_empty]
+        + [pa.table(x).select(["id", "cluster", "pid"])
+           for x in ca.iter_batches(batch_format="pyarrow")]
+    )
+    tb = pa.concat_tables(
+        [_stamp_empty]
+        + [pa.table(x).select(["id", "cluster", "pid"])
+           for x in cb.iter_batches(batch_format="pyarrow")]
+    )
+    # cannot-pair count is clerical-review-sized (human-asserted), so a
+    # driver-side join of the two stamp outputs is bounded state
+    da = dict(zip(ta["pid"].to_pylist(), zip(ta["id"].to_pylist(), ta["cluster"].to_pylist())))
+    offending: set = set()
+    cpairs: dict[int, list] = {}
+    for pid, nid, cl in zip(tb["pid"].to_pylist(), tb["id"].to_pylist(), tb["cluster"].to_pylist()):
+        if pid in da and da[pid][1] == cl:
+            offending.add(cl)
+            cpairs.setdefault(cl, []).append((da[pid][0], nid))
+    if not offending:
+        return base
+
+    off_ref = ray.put((offending, cpairs))
+
+    # edges of offending components, grouped by component label
+    stamped = stamp_cluster(
+        edges.map_batches(
+            lambda t: pa.table({"eid": t["u"], "mate": t["v"]}),
+            batch_format="pyarrow",
+        ),
+        base, id_col="eid", carry_cols=["mate"], carry_types={"mate": pa.int64()},
+    )
+
+    def keep_offending(t: pa.Table) -> pa.Table:
+        off, _ = ray.get(off_ref)
+        cl = t["cluster"].to_numpy(zero_copy_only=False)
+        keep = np.isin(cl, np.fromiter(off, dtype=np.int64))
+        return t.filter(pa.array(keep))
+
+    def resolve_group(g: pa.Table) -> pa.Table:
+        _, cp = ray.get(off_ref)
+        cl = int(g["cluster"][0].as_py())
+        e = np.stack(
+            [
+                g["id"].to_numpy(zero_copy_only=False),
+                g["mate"].to_numpy(zero_copy_only=False),
+            ],
+            axis=1,
+        )
+        lo = np.minimum(e[:, 0], e[:, 1])
+        hi = np.maximum(e[:, 0], e[:, 1])
+        e = np.unique(np.stack([lo, hi], axis=1), axis=0)
+        labels = _constrained_uf(e, np.asarray(cp[cl], dtype=np.int64))
+        ids = sorted(labels)
+        return pa.table(
+            {
+                "member_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array([labels[i] for i in ids], pa.int64()),
+            }
+        )
+
+    repaired = (
+        stamped.map_batches(keep_offending, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(resolve_group, batch_format="pyarrow")
+    )
+
+    def keep_ok(t: pa.Table) -> pa.Table:
+        off, _ = ray.get(off_ref)
+        cl = t["cluster_id"].to_numpy(zero_copy_only=False)
+        keep = ~np.isin(cl, np.fromiter(off, dtype=np.int64))
+        return t.filter(pa.array(keep))
+
+    return base.map_batches(keep_ok, batch_format="pyarrow").union(repaired)
