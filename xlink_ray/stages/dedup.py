@@ -622,6 +622,19 @@ def ppjoin_pairs(
             lambda g: df_bucket(g).select(["t", "df"]),
         ).iter_batches(batch_format="pyarrow")
     )
+    # the df order is vocabulary-sized dictionary state, broadcast like
+    # the linker's tables — guard it explicitly (the no-broadcast scale
+    # path is a df-rank reduce-side attach: join tokens to the df table
+    # in a hash exchange, then regroup per doc — two more shuffles)
+    import os
+
+    max_mb = int(os.environ.get("XLINK_DICT_MAX_MB", "2048"))
+    if df_tbl.nbytes > max_mb * (1 << 20):
+        raise MemoryError(
+            f"ppjoin_pairs: token-df order table is {df_tbl.nbytes >> 20} MB "
+            f"(> XLINK_DICT_MAX_MB={max_mb}); use the reduce-side df-rank "
+            "attach for vocabularies past broadcast size"
+        )
     order = np.lexsort(
         (
             np.asarray(df_tbl["t"].to_pylist()),
