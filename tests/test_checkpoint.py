@@ -193,3 +193,29 @@ def test_attach_job_resumes(ray_session, tmp_path):
                "--out", out, "--checkpoint-root", ck])
     assert m2["stages_computed"] == [] and m2["out_buckets_skipped"] == 16
     assert m2["rows"] == m1["rows"] > 0
+
+
+def test_curate_job_resumes(ray_session, tmp_path):
+    """--job curate: first run computes + writes 16 buckets; an
+    immediate rerun skips the pipeline entirely (manifest-complete);
+    the partitioned output matches the library pipeline's rows."""
+    import duckdb
+
+    from xlink_ray.job import main
+    from xlink_ray.pipelines.curate import curated_corpus
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    m1 = main(["--job", "curate", "--sf-dir", "/root/testdata/sf0.001",
+               "--out", out, "--checkpoint-root", ck])
+    assert m1["stages_computed"] == ["curate"] and m1["out_buckets_written"] == 16
+    m2 = main(["--job", "curate", "--sf-dir", "/root/testdata/sf0.001",
+               "--out", out, "--checkpoint-root", ck])
+    assert m2["stages_computed"] == [] and m2["out_buckets_skipped"] == 16
+    assert m2["rows"] == m1["rows"] > 0
+    ids = set(
+        r[0] for r in duckdb.sql(
+            f"SELECT doc_id FROM '{out}/*/*.parquet'"
+        ).fetchall()
+    )
+    exp = set(curated_corpus("/root/testdata/sf0.001").to_pandas()["doc_id"])
+    assert ids == exp

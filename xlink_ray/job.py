@@ -78,10 +78,13 @@ def main(argv: "list[str] | None" = None) -> dict:
                    help="clustering path (fused/block go through the flagship scan)")
     p.add_argument("--num-cpus", type=int, default=None,
                    help="only for local mode; a submitted job uses the cluster's size")
-    p.add_argument("--job", default="clusters", choices=["clusters", "attach"],
+    p.add_argument("--job", default="clusters",
+                   choices=["clusters", "attach", "curate"],
                    help="clusters = standing-crawl flagship run; attach = "
                         "incremental crawl (reuse the standing dictionary and "
-                        "clusters, attach copies 1..new-repeat-1 of the synth)")
+                        "clusters, attach copies 1..new-repeat-1 of the synth); "
+                        "curate = LLM training-data curation (dedup + quality "
+                        "+ decontamination + sampling over documents)")
     p.add_argument("--new-repeat", type=int, default=2,
                    help="attach mode: synth copies forming the new crawl")
     args = p.parse_args(argv)
@@ -109,6 +112,8 @@ def main(argv: "list[str] | None" = None) -> dict:
     n_buckets = 16
     if args.job == "attach":
         return _attach_job(args, src_sig, n_buckets, t0)
+    if args.job == "curate":
+        return _curate_job(args, src_sig, n_buckets, t0)
     sink_fp = fingerprint("clusters-out", args.sf_dir, args.method, *src_sig)
 
     # fully-resumed rerun: the output manifest already covers every
@@ -186,6 +191,88 @@ def main(argv: "list[str] | None" = None) -> dict:
     metrics["metrics_path"] = _write_metrics(
         args.checkpoint_root,
         metrics,
+        cm.stage_metrics
+        + [{"stage": "out",
+            "action": "computed" if res["written"] else "skipped",
+            "rows": int(n), "wall_sec": 0.0}],
+    )
+    print(json.dumps(metrics))
+    return metrics
+
+
+def _curate_job(args, src_sig: tuple, n_buckets: int, t0: float) -> dict:
+    """LLM training-data curation job: documents → exact dedup →
+    language/quality floor → benchmark decontamination → deterministic
+    hash sample (pipelines/curate.curated_corpus), written as
+    bucket-partitioned resumable parquet — the recurring corpus-refresh
+    job a training-data deployment resubmits per crawl snapshot."""
+    from xlink_ray.pipelines.curate import curated_corpus
+    from xlink_ray.state.checkpoint import (
+        CheckpointManager,
+        fingerprint,
+        partitioned_sink_complete,
+        write_partitioned_resumable,
+    )
+
+    sink_fp = fingerprint("curate-out", args.sf_dir, *src_sig)
+    done = partitioned_sink_complete(args.out, sink_fp, list(range(n_buckets)))
+    if done is not None:
+        metrics = {
+            "job": "curate",
+            "sf_dir": args.sf_dir,
+            "method": "curate",
+            "rows": int(sum(done["done"].values())),
+            "stages_skipped": ["curate", "out"],
+            "stages_computed": [],
+            "out_buckets_written": 0,
+            "out_buckets_skipped": n_buckets,
+            "wall_sec": round(time.time() - t0, 3),
+        }
+        metrics["metrics_path"] = _write_metrics(
+            args.checkpoint_root, metrics,
+            [{"stage": "out", "action": "skipped",
+              "rows": metrics["rows"], "wall_sec": 0.0}],
+        )
+        print(json.dumps(metrics))
+        return metrics
+
+    cm = CheckpointManager(args.checkpoint_root)
+    fp = fingerprint("curate-job", args.sf_dir, *src_sig)
+    out = cm.run_stage("curate", fp, lambda: curated_corpus(args.sf_dir))
+
+    def add_bucket(t):
+        import numpy as np
+        import pyarrow as pa
+
+        from xlink_ray.functions.hashing import md5_low64
+
+        h = md5_low64([str(x) for x in t["doc_id"].to_pylist()])
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    res = write_partitioned_resumable(
+        out.map_batches(add_bucket, batch_format="pyarrow").materialize(),
+        args.out,
+        by="bucket",
+        fp=sink_fp,
+        values=list(range(n_buckets)),
+    )
+    m = cm.manifest("curate")
+    n = (m or {}).get("rows") or out.count()
+    metrics = {
+        "job": "curate",
+        "sf_dir": args.sf_dir,
+        "method": "curate",
+        "rows": int(n),
+        "stages_skipped": cm.skipped,
+        "stages_computed": cm.computed,
+        "out_buckets_written": len(res["written"]),
+        "out_buckets_skipped": len(res["skipped"]),
+        "wall_sec": round(time.time() - t0, 3),
+    }
+    metrics["metrics_path"] = _write_metrics(
+        args.checkpoint_root, metrics,
         cm.stage_metrics
         + [{"stage": "out",
             "action": "computed" if res["written"] else "skipped",
