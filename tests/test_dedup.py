@@ -187,6 +187,24 @@ def test_ppjoin_vs_brute_force(ray_session):
         assert r.jaccard_bp == (10000 * inter) // un
 
 
+def test_ppjoin_and_attach_empty_inputs(ray_session):
+    """Empty corpora flow through without schema loss or concat errors."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from xlink_ray.stages.dedup import minhash_attach, ppjoin_pairs
+
+    empty = rd.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()),
+                  "text": pa.array([], pa.string())})
+    )
+    docs = _docs_ds([{"doc_id": 1, "text": "a b c"}, {"doc_id": 2, "text": "a b c"}])
+    assert ppjoin_pairs(empty).count() == 0
+    assert minhash_attach(empty, docs).count() == 0
+    assert minhash_attach(docs, empty).count() == 0
+
+
 def test_minhash_attach_cross_side_only(ray_session):
     """minhash_attach finds (new, base) near-dups ONLY across sides —
     ids may collide between corpora (a recrawl keeps ids); a recrawled

@@ -613,14 +613,20 @@ def ppjoin_pairs(
         u, c = np.unique(g["t"].to_numpy(zero_copy_only=False), return_counts=True)
         return pa.table({"t": pa.array(u, pa.string()), "df": pa.array(c, pa.int64())})
 
+    _df_empty = pa.table(
+        {"t": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+    )
     df_tbl = pa.concat_tables(
-        pa.table(b)
-        for b in _hash_bucketed(
-            toks,
-            lambda t: md5_low64(t["t"].to_pylist()).astype(np.int64)
-            & np.int64(0x7FFFFFFFFFFFFFFF),
-            lambda g: df_bucket(g).select(["t", "df"]),
-        ).iter_batches(batch_format="pyarrow")
+        [_df_empty]
+        + [
+            pa.table(b).select(["t", "df"])
+            for b in _hash_bucketed(
+                toks,
+                lambda t: md5_low64(t["t"].to_pylist()).astype(np.int64)
+                & np.int64(0x7FFFFFFFFFFFFFFF),
+                lambda g: df_bucket(g).select(["t", "df"]),
+            ).iter_batches(batch_format="pyarrow")
+        ]
     )
     # the df order is vocabulary-sized dictionary state, broadcast like
     # the linker's tables — guard it explicitly (the no-broadcast scale
