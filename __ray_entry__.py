@@ -2424,6 +2424,17 @@ def _q_weighted_sample(sf_dir: str):
     )
 
 
+def _q_weighted_sample_by_lang(sf_dir: str):
+    """Per-stratum A-ES weighted sampling (the mixture-building shape:
+    a weight-proportional, rerun-stable top-k per language)."""
+    from xlink_ray.stages.curation import grouped_weighted_sample
+
+    return grouped_weighted_sample(
+        _docs(sf_dir).select_columns(["doc_id", "lang", "n_chars"]),
+        k=10, weight_col="n_chars", strat_col="lang",
+    )
+
+
 def _q_decontamination(sf_dir: str):
     """Benchmark decontamination: flag docs sharing any word-8-gram
     with the 32-doc benchmark set (smallest id hashes); benchmark grams
@@ -3350,6 +3361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": _q_fingerprints,
         "doc_sample": _q_doc_sample,
         "weighted_sample": _q_weighted_sample,
+        "weighted_sample_by_lang": _q_weighted_sample_by_lang,
         "doc_sample_stratified": _q_doc_sample_stratified,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "length_quantiles": _q_length_quantiles,
@@ -3634,6 +3646,15 @@ SELECT doc_id, n_chars FROM (
                       AS DOUBLE) + 1) / 18446744073709551616.0) / n_chars) AS skey
   FROM documents WHERE n_chars > 0
   ORDER BY skey DESC, doc_id LIMIT 50)""",
+        "weighted_sample_by_lang": """
+SELECT lang, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY
+           exp(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                        AS DOUBLE) + 1) / 18446744073709551616.0) / n_chars) DESC,
+           doc_id) AS rn
+  FROM documents WHERE n_chars > 0)
+WHERE rn <= 10""",
         "doc_sample_stratified": """
 SELECT * FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 100 <

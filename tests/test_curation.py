@@ -350,3 +350,45 @@ def test_weighted_sample_aes_reference_and_stability(ray_session):
     # weight-proportionality: heavy rows dominate the sample
     heavy = sum(1 for i in ids if i % 10 == 0)
     assert heavy >= 35, heavy
+
+
+def test_grouped_weighted_sample_reference_and_invariance(ray_session):
+    """grouped_weighted_sample == the per-stratum serial A-ES
+    reference; identical under repartitioning; empty input yields an
+    empty typed table."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from xlink_ray.functions.hashing import md5_low64
+    from xlink_ray.stages.curation import grouped_weighted_sample
+
+    n = 300
+    langs = np.array(["en", "de", "fr"])[np.arange(n) % 3]
+    w = (np.arange(n) % 17 + 1).astype(np.int64)
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "lang": pa.array(langs),
+            "n_chars": pa.array(w),
+        }
+    )
+    got = grouped_weighted_sample(
+        rd.from_arrow(t), k=7, weight_col="n_chars", strat_col="lang"
+    )
+    got_set = set(zip(got["lang"].to_pylist(), got["doc_id"].to_pylist()))
+    u = (md5_low64([str(i) for i in range(n)]).astype(np.float64) + 1.0) / 2.0**64
+    key = np.exp(np.log(u) / w)
+    exp = set()
+    for lg in ("en", "de", "fr"):
+        idx = np.flatnonzero(langs == lg)
+        order = idx[np.lexsort((idx, -key[idx]))][:7]
+        exp |= {(lg, int(i)) for i in order}
+    assert got_set == exp
+    got2 = grouped_weighted_sample(
+        rd.from_arrow(t).repartition(9), k=7, weight_col="n_chars", strat_col="lang"
+    )
+    assert set(zip(got2["lang"].to_pylist(), got2["doc_id"].to_pylist())) == exp
+    empty = rd.from_arrow(t.slice(0, 0))
+    assert grouped_weighted_sample(empty, k=7, weight_col="n_chars").num_rows == 0

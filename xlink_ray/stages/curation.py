@@ -123,6 +123,74 @@ def weighted_sample(
     return cand.select([id_col, weight_col]).take(idx)
 
 
+def grouped_weighted_sample(
+    ds: Dataset,
+    k: int,
+    weight_col: str,
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+) -> "pa.Table":
+    """Per-stratum :func:`weighted_sample` — the k heaviest-weighted
+    A-ES keys WITHIN each stratum (e.g. a weight-proportional,
+    rerun-stable sample per language for mixture building). Per-batch
+    per-stratum top-k partials; the driver merges ≤ k·strata·nblocks
+    candidate rows. Returns (stratum, id, weight)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        strat = np.asarray(t[strat_col].to_pylist())
+        u = (_id_hashes(t[id_col]).astype(np.float64) + 1.0) / 2.0**64
+        with np.errstate(divide="ignore"):
+            key = np.where(w > 0, np.exp(np.log(u) / np.where(w > 0, w, 1.0)), -1.0)
+        order = np.lexsort((ids, -key, strat))
+        s_s = strat[order]
+        grp_start = np.maximum.accumulate(
+            np.where(np.r_[True, s_s[1:] != s_s[:-1]], np.arange(len(s_s)), 0)
+        ) if len(s_s) else np.zeros(0, dtype=np.int64)
+        keep = (np.arange(len(s_s)) - grp_start) < k
+        sel = order[keep]
+        sel = sel[key[sel] >= 0]
+        idx = pa.array(sel, pa.int64())
+        return pa.table(
+            {
+                strat_col: t[strat_col].take(idx),
+                id_col: t[id_col].take(idx),
+                weight_col: t[weight_col].take(idx),
+                "skey": pa.array(key[sel], pa.float64()),
+            }
+        )
+
+    batches = [
+        pa.table(b).select([strat_col, id_col, weight_col, "skey"])
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    if not batches:
+        return pa.table(
+            {
+                strat_col: pa.array([], pa.string()),
+                id_col: pa.array([], pa.int64()),
+                weight_col: pa.array([], pa.float64()),
+            }
+        )
+    cand = pa.concat_tables(batches)
+    ids = cand[id_col].to_numpy(zero_copy_only=False)
+    key = cand["skey"].to_numpy(zero_copy_only=False)
+    strat = np.asarray(cand[strat_col].to_pylist())
+    order = np.lexsort((ids, -key, strat))
+    s_s = strat[order]
+    grp_start = np.maximum.accumulate(
+        np.where(np.r_[True, s_s[1:] != s_s[:-1]], np.arange(len(s_s)), 0)
+    ) if len(s_s) else np.zeros(0, dtype=np.int64)
+    keep = (np.arange(len(s_s)) - grp_start) < k
+    sel = order[keep]
+    return cand.select([strat_col, id_col, weight_col]).take(
+        pa.array(np.sort(sel), pa.int64())
+    )
+
+
 def stratified_hash_sample(
     ds: Dataset,
     rates: "dict[str, int]",
