@@ -2255,6 +2255,80 @@ SELECT id_a, id_b, CAST((10000 * inter) // un AS BIGINT) AS jaccard_bp
 FROM v WHERE inter * 10000 >= un * 9500"""
 
 
+def _q_doc_semantic_topk(sf_dir: str):
+    """Text → embedding → search, end to end: mean word-vector doc
+    embeddings (stages/projection.doc_embeddings, fixture vocabulary)
+    feed the exact cosine ANN — semantic top-k over the corpus with no
+    model-produced embedding column. SQL-oracled (_doc_semantic_sql)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from xlink_ray.stages.ann import brute_topk
+    from xlink_ray.stages.projection import doc_embeddings
+    from xlink_ray.synth import synth_embeddings
+
+    emb = synth_embeddings()
+    items = emb["item"].to_pylist()
+    kinds = emb["kind"].to_pylist()
+    vecs = np.asarray(emb["vec"].to_pylist(), dtype=np.float32)
+    words = [it for it, k in zip(items, kinds) if k == "word"]
+    wmat = vecs[[i for i, k in enumerate(kinds) if k == "word"]]
+
+    dv = doc_embeddings(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), words, wmat
+    ).materialize()  # two consumers: the query rows and the corpus scan
+
+    def first5(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids < 5))
+
+    qt = pa.concat_tables(
+        pa.table(b)
+        for b in dv.map_batches(first5, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ).sort_by("doc_id")
+    queries = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+    out = brute_topk(dv, queries, k=10, id_col="doc_id")
+    return out.rename_columns(["query_id", "rank", "doc_id"])
+
+
+def _doc_semantic_sql(k: int = 10, nq: int = 5) -> str:
+    """DuckDB replica of _q_doc_semantic_topk: per-doc mean word vector
+    over the fixture vocabulary (avg over token OCCURRENCES — the
+    ContextEmbedder rule), cosine num/(|q|·|d|) with zero-norm → 0,
+    rank by (cos DESC, doc_id)."""
+    wvec, _ = _vec_values_sql()
+    return f"""WITH wvec(item, dim, x) AS (VALUES {wvec}),
+dtok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
+dv AS MATERIALIZED (
+  SELECT d.doc_id, w.dim, avg(w.x) AS x
+  FROM dtok d JOIN wvec w ON w.item = d.t
+  GROUP BY d.doc_id, w.dim),
+dn AS MATERIALIZED (SELECT doc_id, sqrt(sum(x*x)) AS nn FROM dv GROUP BY doc_id),
+nm AS MATERIALIZED (
+  SELECT a.doc_id AS qid, b.doc_id AS did, sum(a.x * b.x) AS num
+  FROM dv a JOIN dv b USING (dim)
+  WHERE a.doc_id < {nq}
+  GROUP BY a.doc_id, b.doc_id),
+scored AS (
+  SELECT q.doc_id AS qid, c.doc_id AS did,
+         CASE WHEN n.num IS NOT NULL
+               AND coalesce(qn.nn, 0) * coalesce(cn.nn, 0) > 0
+              THEN n.num / (qn.nn * cn.nn) ELSE 0 END AS cos
+  FROM (SELECT doc_id FROM documents WHERE doc_id < {nq}) q
+  CROSS JOIN documents c
+  LEFT JOIN nm n ON n.qid = q.doc_id AND n.did = c.doc_id
+  LEFT JOIN dn qn ON qn.doc_id = q.doc_id
+  LEFT JOIN dn cn ON cn.doc_id = c.doc_id)
+SELECT qid AS query_id, CAST(rn AS BIGINT) AS rank, did AS doc_id
+FROM (SELECT qid, did,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, did) AS rn
+      FROM scored)
+WHERE rn <= {k}"""
+
+
 def _q_minhash_pairs(sf_dir: str):
     from xlink_ray.stages.dedup import minhash_lsh_pairs
 
@@ -3428,6 +3502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": _q_ann_ivf,
         "ann_pq": _q_ann_pq,
         "ann_ivfpq": _q_ann_ivfpq,
+        "doc_semantic_topk": _q_doc_semantic_topk,
         "joint_norms": _q_joint_norms,
         "kmeans_sizes": _q_kmeans_sizes,
         "semantic_dedup": _q_semantic_dedup,
@@ -3560,6 +3635,7 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS 
         "ann_ivf": _ivf_sql(),
         "ann_pq": _pq_sql(),
         "ann_ivfpq": _ivfpq_sql(),
+        "doc_semantic_topk": _doc_semantic_sql(),
         "ann_topk": """
 WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE vec_id < 5),

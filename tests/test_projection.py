@@ -76,3 +76,30 @@ def test_pca_partition_invariant(ray_session):
     np.testing.assert_allclose(e1, e2, rtol=1e-12)
     np.testing.assert_allclose(np.abs(c1), np.abs(c2), atol=1e-12)
     np.testing.assert_allclose(m1, m2, rtol=1e-12)
+
+
+def test_doc_embeddings_mean_pool(ray_session):
+    """doc_embeddings == per-doc mean of in-vocab token vectors
+    (occurrence-weighted, out-of-vocab skipped, empty → zeros)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from xlink_ray.stages.projection import doc_embeddings
+
+    words = ["a", "b", "c"]
+    vecs = np.array([[1, 0], [0, 1], [2, 2]], dtype=np.float32)
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(["a a b", "zz c", "zz qq"], pa.string()),
+            }
+        )
+    )
+    out = doc_embeddings(docs, words, vecs).to_pandas().set_index("doc_id")
+    got = {i: np.asarray(v) for i, v in out["embedding"].items()}
+    assert np.allclose(got[0], [2 / 3, 1 / 3])
+    assert np.allclose(got[1], [2, 2])
+    assert np.allclose(got[2], [0, 0])

@@ -166,3 +166,44 @@ def pca_transform(
             )
 
     return ds.map_batches(P, batch_format="pyarrow", concurrency=pool_size())
+
+
+def doc_embeddings(
+    docs: Dataset,
+    words: "list[str]",
+    vecs: "np.ndarray",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """documents → (id, embedding): mean word-vector of each doc's text
+    under a broadcast (word → vector) table — the text→embedding bridge
+    that feeds the ANN/semantic-dedup family when no model-produced
+    embedding column exists. Same per-batch vectorized mean-pool kernel
+    as the linker's context embedding (functions/context.ContextEmbedder
+    — tokens outside the vocabulary are skipped, docs with no vocab
+    token get the zero vector); the vocabulary rides one ``ray.put``."""
+    import ray as _ray
+
+    state_ref = _ray.put((list(words), np.ascontiguousarray(vecs, dtype=np.float32)))
+
+    class Embed:
+        def __init__(self):
+            from xlink_ray.functions.context import ContextEmbedder
+
+            w, v = _ray.get(state_ref)
+            self.embedder = ContextEmbedder(w, v)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = self.embedder(t[text_col])
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    "embedding": pa.FixedSizeListArray.from_arrays(
+                        pa.array(m.ravel(), pa.float64()), m.shape[1]
+                    ),
+                }
+            )
+
+    from xlink_ray.util import pool_size
+
+    return docs.map_batches(Embed, batch_format="pyarrow", concurrency=pool_size())
