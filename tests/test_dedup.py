@@ -187,6 +187,45 @@ def test_ppjoin_vs_brute_force(ray_session):
         assert r.jaccard_bp == (10000 * inter) // un
 
 
+def test_ppjoin_partitioned_path_matches_broadcast(ray_session):
+    """The no-broadcast df-rank attach (partitioned=True, the
+    past-XLINK_DICT_MAX_MB scale path) emits the IDENTICAL verified
+    pair set as the default broadcast-rank path — and the automatic
+    fallback engages when the guard trips."""
+    import os
+
+    from xlink_ray.stages.dedup import ppjoin_pairs
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    d = 0
+    for _ in range(25):
+        k = int(rng.integers(6, 16))
+        base = list(dict.fromkeys(rng.choice(vocab, size=k)))
+        rows.append({"doc_id": d, "text": " ".join(base)})
+        d += 1
+        if d % 2 == 1:
+            rows.append({"doc_id": d, "text": " ".join(base)})
+            d += 1
+
+    def key(df):
+        return sorted(zip(df["id_a"], df["id_b"], df["jaccard_bp"]))
+
+    bc = ppjoin_pairs(_docs_ds(rows), th=0.8, partitioned=False).to_pandas()
+    pt = ppjoin_pairs(_docs_ds(rows), th=0.8, partitioned=True).to_pandas()
+    assert key(bc) == key(pt)
+    assert len(bc) > 0
+    # automatic fallback: a 0-MB guard trips the broadcast collect and
+    # routes to the partitioned path transparently
+    os.environ["XLINK_DICT_MAX_MB"] = "0"
+    try:
+        auto = ppjoin_pairs(_docs_ds(rows), th=0.8).to_pandas()
+    finally:
+        del os.environ["XLINK_DICT_MAX_MB"]
+    assert key(auto) == key(bc)
+
+
 def test_ppjoin_and_attach_empty_inputs(ray_session):
     """Empty corpora flow through without schema loss or concat errors."""
     import pyarrow as pa

@@ -90,18 +90,16 @@ def _add_salt(t: pa.Table) -> pa.Table:
 # ``Dataset.join`` on mention/entity_id instead of broadcast lookups;
 # the scan keeps only the vocab automaton per worker. Equality with
 # this broadcast path is test-pinned.
-_DICT_MAX_MB = float(__import__("os").environ.get("XLINK_DICT_MAX_MB", "8192"))
-
-
 def _collect(ds: Dataset) -> pa.Table:
+    from xlink_ray.util import guard_dict_bytes
+
     tbls = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
     out = pa.concat_tables(tbls) if tbls else pa.table({})
-    if out.nbytes > _DICT_MAX_MB * 1e6:
-        raise MemoryError(
-            f"dictionary-side collect is {out.nbytes / 1e6:.0f} MB "
-            f"(> XLINK_DICT_MAX_MB={_DICT_MAX_MB:.0f}); switch to the "
-            "partitioned-join path documented above _collect()"
-        )
+    guard_dict_bytes(
+        out.nbytes,
+        "dictionary-side collect (switch to the partitioned-join path "
+        "documented above _collect())",
+    )
     return out
 
 

@@ -24,7 +24,9 @@ an exact Sb×Sn bipartite grid (Sb = ceil(n_base/cap), Sn =
 ceil(n_new/cap)): a base row lands in cells (hash(id)%Sb, j) for all
 j < Sn, a new row in cells (i, hash(id)%Sn) for all i < Sb — every
 (new, base) pair meets in EXACTLY one cell, both sides of every cell
-are ≤ cap, and the final reduce restores the per-new argmax across
+are ≤ cap in EXPECTATION (cell membership is hash(id) % S, so hash
+variance makes the bound soft, not exact), and the final reduce
+restores the per-new argmax across
 cells. When only one side is hot the other grid dimension is 1, so
 the hot side is hashed into its own cells and only the cold side is
 replicated (replication factor = the OTHER side's salt count). Only

@@ -493,11 +493,14 @@ def minhash_lsh_pairs(
     boilerplate, k ~ 10⁶ empty/error pages) would emit C(k,2)
     candidate pairs from ONE group. When a group's full grid exceeds
     ``max_group_pairs`` it falls back to STAR expansion — every member
-    paired to the group's min id only (k-1 pairs, logged). Star pairs
-    keep the candidate graph's connectivity, so dedup-by-CC clusters
-    are unchanged; only the enumerated pair LIST shrinks, and only for
-    groups past the cap (the SQL oracle stays exact wherever the cap
-    never triggers). ``None`` disables the cap.
+    paired to the group's min id only (k-1 pairs, logged). The capped
+    path is APPROXIMATE: star pairs still pass exact-Jaccard
+    verification, and band collision does not guarantee the min-id hub
+    clears ``jaccard_th`` against every member — if the hub fails the
+    threshold against members that ARE mutual near-dups, those
+    verified edges are missed and dedup-by-CC clusters can split
+    (recall loss limited to groups past the cap; the SQL oracle stays
+    exact wherever the cap never triggers). ``None`` disables the cap.
     """
     # th as an exact fraction for integer comparison (th given to 4 dp)
     th_num, th_den = int(round(jaccard_th * 10000)), 10000
@@ -532,8 +535,8 @@ def minhash_lsh_pairs(
                 continue
             if max_group_pairs is not None and k * (k - 1) // 2 > max_group_pairs:
                 # degenerate group: star expansion to the min-id member
-                # (run is ascending, so run[0] is the min) — k-1 pairs,
-                # connectivity-equivalent for dedup-by-CC
+                # (run is ascending, so run[0] is the min) — k-1 pairs;
+                # APPROXIMATE past the cap (see docstring)
                 out_a.append(np.broadcast_to(run[:1], k - 1))
                 out_b.append(run[1:])
                 starred += 1
@@ -546,7 +549,9 @@ def minhash_lsh_pairs(
 
             logging.getLogger("xlink_ray.dedup").warning(
                 "minhash_lsh_pairs: %d band group(s) exceeded "
-                "max_group_pairs=%s; star-expanded to the min-id member",
+                "max_group_pairs=%s; star-expanded to the min-id member "
+                "— APPROXIMATE for those groups (possible recall loss "
+                "if the hub fails verification)",
                 starred,
                 max_group_pairs,
             )
@@ -571,12 +576,286 @@ def minhash_lsh_pairs(
     return _verify_jaccard_pairs(cand, sets, th_num, th_den)
 
 
+def _distinct_token_rows(id_col: str, text_col: str):
+    """Vectorized distinct-(doc, token) exploder shared by the ppjoin
+    stages: split on ``' '`` (exactly the SQL oracle's
+    ``string_split(text, ' ')``), drop empties, Arrow hash-distinct —
+    no per-row Python loop."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t[text_col], " ")
+        flat = pc.list_flatten(toks)
+        counts = pc.list_value_length(toks).fill_null(0).to_numpy(
+            zero_copy_only=False
+        )
+        ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False), counts)
+        tt = pa.table({"doc_id": pa.array(ids, pa.int64()), "t": flat})
+        tt = tt.filter(pc.not_equal(tt["t"], ""))
+        return tt.group_by(["doc_id", "t"]).aggregate([]).select(["doc_id", "t"])
+
+    return fn
+
+
+def _token_set_rows(id_col: str, text_col: str):
+    """Vectorized (doc_id, hs: list<uint64>) distinct-token-hash sets:
+    one split_pattern + flat md5 over per-batch DISTINCT tokens (Zipf
+    dedupe before hashing), lexsort-dedup per row, ListArray from
+    offsets — the only Python-level work is hashlib over the batch's
+    unique tokens."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t[text_col], " ")
+        flat = pc.list_flatten(toks)
+        counts = pc.list_value_length(toks).fill_null(0).to_numpy(
+            zero_copy_only=False
+        )
+        row = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)
+        mask = pc.not_equal(flat, "")
+        flat = flat.filter(mask)
+        row = row[mask.to_numpy(zero_copy_only=False)]
+        if len(row):
+            uniq, inv = np.unique(
+                np.asarray(flat.to_pylist(), dtype=object), return_inverse=True
+            )
+            hashes = md5_low64(list(uniq))[inv]
+            order = np.lexsort((hashes, row))
+            r_s, h_s = row[order], hashes[order]
+            keep = np.r_[True, (r_s[1:] != r_s[:-1]) | (h_s[1:] != h_s[:-1])]
+            r_k, h_k = r_s[keep], h_s[keep]
+        else:
+            r_k = np.zeros(0, np.int64)
+            h_k = np.zeros(0, np.uint64)
+        cnt = np.bincount(r_k, minlength=t.num_rows)
+        offsets = np.zeros(t.num_rows + 1, dtype=np.int64)
+        np.cumsum(cnt, out=offsets[1:])
+        hs = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(h_k, pa.uint64())
+        )
+        return pa.table({"doc_id": pc.cast(t[id_col], pa.int64()), "hs": hs})
+
+    return fn
+
+
+_PPJOIN_PREFIX_EMPTY = pa.table(
+    {"t": pa.array([], pa.string()), "doc_id": pa.array([], pa.int64())}
+)
+
+
+def _ppjoin_prefix_select(
+    row: np.ndarray, rank: np.ndarray, th_num: int, th_den: int
+) -> np.ndarray:
+    """Indices (into the input arrays) of each row's prefix under the
+    global rank order: dedupe (row, rank), sort rows into rank-ordered
+    runs, keep position < p where p = n - ceil(th·n) + 1 (min 1).
+    Fully vectorized; input rows need not be sorted."""
+    oi = np.arange(len(row), dtype=np.int64)
+    order = np.lexsort((rank, row))
+    r_s, k_s, oi_s = row[order], rank[order], oi[order]
+    keep = np.r_[True, (r_s[1:] != r_s[:-1]) | (k_s[1:] != k_s[:-1])]
+    r_k, oi_k = r_s[keep], oi_s[keep]
+    if not len(r_k):
+        return np.zeros(0, np.int64)
+    starts = np.flatnonzero(np.r_[True, r_k[1:] != r_k[:-1]])
+    n = np.diff(np.r_[starts, len(r_k)])
+    p = np.maximum(n - (th_num * n + th_den - 1) // th_den + 1, 1)
+    pos = np.arange(len(r_k), dtype=np.int64) - np.repeat(starts, n)
+    sel = pos < np.repeat(p, n)
+    return oi_k[sel]
+
+
+def _ppjoin_df(toks: Dataset) -> Dataset:
+    """(t, df) document frequencies — ONE token-hash exchange, counted
+    in-bucket over the distinct (doc, token) rows."""
+    _df_empty = pa.table(
+        {"t": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+    )
+
+    def df_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _df_empty
+        u, c = np.unique(g["t"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table(
+            {"t": pa.array(u, pa.string()), "df": pa.array(c, pa.int64())}
+        )
+
+    return _hash_bucketed(
+        toks,
+        lambda t: md5_low64(t["t"].to_pylist()).astype(np.int64)
+        & np.int64(0x7FFFFFFFFFFFFFFF),
+        lambda g: df_bucket(g).select(["t", "df"]),
+    )
+
+
+def _ppjoin_prefix_broadcast(
+    ds: Dataset,
+    df_ds: Dataset,
+    id_col: str,
+    text_col: str,
+    th_num: int,
+    th_den: int,
+) -> Dataset:
+    """Default prefix enumeration: collect the (df ASC, token ASC)
+    order to the driver (guarded by the shared ``XLINK_DICT_MAX_MB``),
+    broadcast token→rank once, rank-lookup per batch (one dict hit per
+    token OCCURRENCE via np.fromiter — no per-doc Python sort), then
+    the shared vectorized prefix selection."""
+    from xlink_ray.state.cached import cached_state
+    from xlink_ray.util import guard_dict_bytes
+
+    tbls, nbytes = [], 0
+    for b in df_ds.iter_batches(batch_format="pyarrow"):
+        tb = pa.table(b).select(["t", "df"])
+        nbytes += tb.nbytes
+        guard_dict_bytes(nbytes, "ppjoin_pairs: token-df order table")
+        tbls.append(tb)
+    df_tbl = pa.concat_tables(
+        [pa.table({"t": pa.array([], pa.string()), "df": pa.array([], pa.int64())})]
+        + tbls
+    )
+    order = np.lexsort(
+        (
+            np.asarray(df_tbl["t"].to_pylist(), dtype=object),
+            df_tbl["df"].to_numpy(zero_copy_only=False),
+        )
+    )
+    toks_np = np.asarray(df_tbl["t"].to_pylist(), dtype=object)[order]
+    rank_of = {w: r for r, w in enumerate(toks_np)}
+    rank_ref = ray.put(rank_of)
+
+    def prefix_rows(t: pa.Table) -> pa.Table:
+        ranks = cached_state(("ppjoin_rank", rank_ref.hex()), lambda: ray.get(rank_ref))
+        toks = pc.split_pattern(t[text_col], " ")
+        flat = pc.list_flatten(toks)
+        counts = pc.list_value_length(toks).fill_null(0).to_numpy(
+            zero_copy_only=False
+        )
+        row = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)
+        mask = pc.not_equal(flat, "")
+        flat = flat.filter(mask).combine_chunks()
+        row = row[mask.to_numpy(zero_copy_only=False)]
+        if not len(row):
+            return _PPJOIN_PREFIX_EMPTY
+        tok_list = flat.to_pylist()
+        rk = np.fromiter(
+            (ranks[w] for w in tok_list), dtype=np.int64, count=len(tok_list)
+        )
+        sel = _ppjoin_prefix_select(row, rk, th_num, th_den)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "t": pc.take(flat, pa.array(sel)),
+                "doc_id": pa.array(ids[row[sel]], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(prefix_rows, batch_format="pyarrow")
+
+
+def _ppjoin_prefix_partitioned(
+    toks: Dataset, df_ds: Dataset, th_num: int, th_den: int
+) -> Dataset:
+    """No-broadcast prefix enumeration for vocabularies past the
+    ``XLINK_DICT_MAX_MB`` guard (the reduce-side df-rank attach the
+    broadcast path documents): tagged-union the distinct (doc, token)
+    rows with the (t, df) table, ONE token-hash exchange stamps df onto
+    every token row in-bucket (sorted searchsorted, no dict), then ONE
+    doc-hash exchange computes each doc's (df ASC, token ASC) prefix
+    with the shared vectorized selection. Nothing vocabulary-sized ever
+    reaches the driver; mirrors filter_mention_anchors' dual-path
+    structure (prob.py)."""
+
+    def tag_tok(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "t": t["t"],
+                "df": pa.array(np.full(t.num_rows, -1, np.int64)),
+            }
+        )
+
+    def tag_df(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array(np.full(t.num_rows, -1, np.int64)),
+                "t": t["t"],
+                "df": pc.cast(t["df"], pa.int64()),
+            }
+        )
+
+    tagged = toks.map_batches(tag_tok, batch_format="pyarrow").union(
+        df_ds.map_batches(tag_df, batch_format="pyarrow")
+    )
+
+    _stamped_empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "t": pa.array([], pa.string()),
+            "df": pa.array([], pa.int64()),
+        }
+    )
+
+    def stamp_df(g: pa.Table) -> pa.Table:
+        docs = g["doc_id"].to_numpy(zero_copy_only=False)
+        dfs = g["df"].to_numpy(zero_copy_only=False)
+        t_np = np.asarray(g["t"].to_pylist(), dtype=object)
+        dmask = docs == -1
+        if not dmask.any() or dmask.all():
+            return _stamped_empty
+        dt, dv = t_np[dmask], dfs[dmask]
+        dorder = np.argsort(dt)
+        dt_s, dv_s = dt[dorder], dv[dorder]
+        km = ~dmask
+        pos = np.searchsorted(dt_s, t_np[km])
+        return pa.table(
+            {
+                "doc_id": pa.array(docs[km], pa.int64()),
+                "t": pa.array(t_np[km], pa.string()),
+                "df": pa.array(dv_s[pos], pa.int64()),
+            }
+        )
+
+    stamped = _hash_bucketed(
+        tagged,
+        lambda t: md5_low64(t["t"].to_pylist()).astype(np.int64)
+        & np.int64(0x7FFFFFFFFFFFFFFF),
+        lambda g: stamp_df(g).select(["doc_id", "t", "df"]),
+    )
+
+    def per_doc_prefix(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _PPJOIN_PREFIX_EMPTY
+        docs = g["doc_id"].to_numpy(zero_copy_only=False)
+        dfs = g["df"].to_numpy(zero_copy_only=False)
+        t_np = np.asarray(g["t"].to_pylist(), dtype=object)
+        # rank within the bucket = (df, token) lexicographic; rows are
+        # already distinct per (doc, token) so a dense global rank is
+        # unnecessary — the per-doc ORDER is all the prefix rule needs
+        gorder = np.lexsort((t_np, dfs))
+        rank = np.empty(len(gorder), dtype=np.int64)
+        rank[gorder] = np.arange(len(gorder), dtype=np.int64)
+        sel = _ppjoin_prefix_select(docs, rank, th_num, th_den)
+        return pa.table(
+            {
+                "t": pa.array(t_np[sel], pa.string()),
+                "doc_id": pa.array(docs[sel], pa.int64()),
+            }
+        )
+
+    return _hash_bucketed(
+        stamped,
+        lambda t: t["doc_id"].to_numpy(zero_copy_only=False)
+        & np.int64(0x7FFFFFFFFFFFFFFF),
+        lambda g: per_doc_prefix(g).select(["t", "doc_id"]),
+    )
+
+
 def ppjoin_pairs(
     ds: Dataset,
     th: float = 0.95,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_group_pairs: int | None = 2_000_000,
+    partitioned: bool | None = None,
 ) -> Dataset:
     """Token-level set-similarity self-join (PPJoin/AllPairs): pairs of
     docs whose DISTINCT-token sets have Jaccard ≥ th →
@@ -587,88 +866,50 @@ def ppjoin_pairs(
     prefixes (prefix length = n - ceil(th·n) + 1, integer-exact as
     n - (th_num·n + th_den-1)//th_den + 1), and prefix tokens are by
     construction the RAREST tokens — so candidate groups stay small on
-    Zipf vocabularies. One df shuffle (token-universe-sized, counted
-    in-bucket), the df order broadcast (vocabulary-sized dictionary
-    state — same class as the linker's broadcasts), one prefix-token
-    exchange for candidates, then the shared reduce-side exact-Jaccard
-    verify over md5-hashed token sets. Degenerate prefix groups past
-    ``max_group_pairs`` star-expand to the min-id member (logged) —
-    connectivity-preserving, the enumerated pair list is then a
-    documented subset for those groups only."""
+    Zipf vocabularies.
+
+    Two prefix-enumeration paths, identical verified output
+    (test-pinned):
+
+    * **broadcast** (default while the (token, df) order fits under the
+      shared ``XLINK_DICT_MAX_MB`` guard): one df shuffle, the rank
+      dict broadcast once and cached per worker, vectorized per-batch
+      prefix selection.
+    * **partitioned** (``partitioned=True``, or automatic fallback when
+      the guard trips): reduce-side df-rank attach — one token-hash
+      exchange stamps df in-bucket, one doc-hash exchange computes each
+      doc's prefix. Nothing vocabulary-sized reaches the driver; this
+      is the 100-TB web-crawl-vocabulary path.
+
+    Both feed the same prefix-token candidate exchange and the shared
+    reduce-side exact-Jaccard verify over md5-hashed token sets, so the
+    prefix filter only affects work, never the verified answer.
+    Degenerate prefix groups past ``max_group_pairs`` star-expand to
+    the min-id member (logged) — the capped path is APPROXIMATE: the
+    enumerated pair list is a subset for those groups, and because star
+    pairs still pass exact verification, a hub that fails the threshold
+    against members that are mutual near-dups can split verified-CC
+    clusters (recall loss limited to the capped groups)."""
     th_num, th_den = int(round(th * 10000)), 10000
 
-    def tok_rows(t: pa.Table) -> pa.Table:
-        ids, toks = [], []
-        for did, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
-            for w in set(text.split()):
-                ids.append(did)
-                toks.append(w)
-        return pa.table(
-            {"doc_id": pa.array(ids, pa.int64()), "t": pa.array(toks, pa.string())}
-        )
-
-    toks = ds.map_batches(tok_rows, batch_format="pyarrow")
-
-    def df_bucket(g: pa.Table) -> pa.Table:
-        u, c = np.unique(g["t"].to_numpy(zero_copy_only=False), return_counts=True)
-        return pa.table({"t": pa.array(u, pa.string()), "df": pa.array(c, pa.int64())})
-
-    _df_empty = pa.table(
-        {"t": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+    toks = ds.map_batches(
+        _distinct_token_rows(id_col, text_col), batch_format="pyarrow"
     )
-    df_tbl = pa.concat_tables(
-        [_df_empty]
-        + [
-            pa.table(b).select(["t", "df"])
-            for b in _hash_bucketed(
-                toks,
-                lambda t: md5_low64(t["t"].to_pylist()).astype(np.int64)
-                & np.int64(0x7FFFFFFFFFFFFFFF),
-                lambda g: df_bucket(g).select(["t", "df"]),
-            ).iter_batches(batch_format="pyarrow")
-        ]
-    )
-    # the df order is vocabulary-sized dictionary state, broadcast like
-    # the linker's tables — guard it explicitly (the no-broadcast scale
-    # path is a df-rank reduce-side attach: join tokens to the df table
-    # in a hash exchange, then regroup per doc — two more shuffles)
-    import os
 
-    max_mb = int(os.environ.get("XLINK_DICT_MAX_MB", "2048"))
-    if df_tbl.nbytes > max_mb * (1 << 20):
-        raise MemoryError(
-            f"ppjoin_pairs: token-df order table is {df_tbl.nbytes >> 20} MB "
-            f"(> XLINK_DICT_MAX_MB={max_mb}); use the reduce-side df-rank "
-            "attach for vocabularies past broadcast size"
+    prefixed = None
+    if partitioned is not True:
+        try:
+            prefixed = _ppjoin_prefix_broadcast(
+                ds, _ppjoin_df(toks), id_col, text_col, th_num, th_den
+            )
+        except MemoryError:
+            if partitioned is False:
+                raise
+    if prefixed is None:
+        toks = toks.materialize()  # feeds both the df count and the stamp
+        prefixed = _ppjoin_prefix_partitioned(
+            toks, _ppjoin_df(toks), th_num, th_den
         )
-    order = np.lexsort(
-        (
-            np.asarray(df_tbl["t"].to_pylist()),
-            df_tbl["df"].to_numpy(zero_copy_only=False),
-        )
-    )
-    rank_of = {
-        df_tbl["t"][int(i)].as_py(): r for r, i in enumerate(order)
-    }
-    rank_ref = ray.put(rank_of)
-
-    def prefix_rows(t: pa.Table) -> pa.Table:
-        ranks = ray.get(rank_ref)
-        out_t, out_id = [], []
-        for did, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
-            ws = sorted(set(text.split()), key=lambda w: ranks[w])
-            n = len(ws)
-            if n == 0:
-                continue
-            p = n - (th_num * n + th_den - 1) // th_den + 1
-            for w in ws[: max(p, 1)]:
-                out_t.append(w)
-                out_id.append(did)
-        return pa.table(
-            {"t": pa.array(out_t, pa.string()), "doc_id": pa.array(out_id, pa.int64())}
-        )
-
-    prefixed = ds.map_batches(prefix_rows, batch_format="pyarrow")
 
     _pair_empty = pa.table(
         {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
@@ -705,7 +946,8 @@ def ppjoin_pairs(
 
             logging.getLogger("xlink_ray.dedup").warning(
                 "ppjoin_pairs: %d prefix group(s) exceeded max_group_pairs=%s; "
-                "star-expanded to the min-id member",
+                "star-expanded to the min-id member — APPROXIMATE for those "
+                "groups (possible recall loss if the hub fails verification)",
                 starred,
                 max_group_pairs,
             )
@@ -727,21 +969,7 @@ def ppjoin_pairs(
         )
     )
 
-    def tok_sets(t: pa.Table) -> pa.Table:
-        hs = [
-            np.unique(md5_low64(list(set(text.split())))).tolist()
-            if text.split()
-            else []
-            for text in t[text_col].to_pylist()
-        ]
-        return pa.table(
-            {
-                "doc_id": t[id_col],
-                "hs": pa.array(hs, pa.list_(pa.uint64())),
-            }
-        )
-
-    sets = ds.map_batches(tok_sets, batch_format="pyarrow")
+    sets = ds.map_batches(_token_set_rows(id_col, text_col), batch_format="pyarrow")
     return _verify_jaccard_pairs(cand, sets, th_num, th_den)
 
 
@@ -768,7 +996,11 @@ def minhash_attach(
     band exchange and the reduce-side exact-Jaccard verify as the batch
     op. Degenerate band groups cap at ``max_group_pairs`` and fall back
     to pairing every new member with the min-id base member (logged) —
-    sufficient for is-dup-of-standing decisions."""
+    APPROXIMATE for those groups: the min-id base member must itself
+    clear ``jaccard_th`` against the new doc for the pair to survive
+    verification, so a new doc that duplicates only a NON-hub base
+    member can be missed (false-negative is-dup decisions limited to
+    capped groups)."""
     th_num, th_den = int(round(jaccard_th * 10000)), 10000
 
     def pack(side_bit: int):

@@ -265,7 +265,9 @@ def semantic_dedup(
     pair meets in exactly one grid cell, the grid-cell task emits
     per-row KILL verdicts, and a final id-keyed reduce ORs the
     verdicts.  Identical output to the single-task path (test-pinned);
-    both sides of every task ≤ cell_cap.  ``None`` disables splitting."""
+    chunk membership is hash(id) % S, so task sizes are ≤ cell_cap in
+    EXPECTATION only (hash variance can push a chunk somewhat past the
+    cap — the OOM bound is soft).  ``None`` disables splitting."""
     assigned = kmeans_assign(ds, cents, id_col=id_col, vec_col=vec_col)
 
     def _kill_mask(ids: np.ndarray, m: np.ndarray) -> np.ndarray:

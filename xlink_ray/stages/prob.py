@@ -174,7 +174,6 @@ def filter_mention_anchors(
         try:
             return _filter_ma_broadcast(
                 mention_anchors, link_m, freq_m, self_links, threshold,
-                max_mb=float(os.environ.get("XLINK_DICT_MAX_MB", "8192")),
             )
         except MemoryError:
             if partitioned is False:
@@ -190,16 +189,13 @@ def _filter_ma_broadcast(
     freq_m: Dataset,
     self_links: Dataset,
     threshold: float,
-    max_mb: float,
 ) -> Dataset:
+    from xlink_ray.util import guard_dict_bytes
+
     def _collect(ds: Dataset) -> "pa.Table":
         tbls = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
         out = pa.concat_tables(tbls) if tbls else pa.table({})
-        if out.nbytes > max_mb * 1e6:
-            raise MemoryError(
-                f"J2 side table is {out.nbytes / 1e6:.0f} MB "
-                f"(> XLINK_DICT_MAX_MB={max_mb:.0f})"
-            )
+        guard_dict_bytes(out.nbytes, "J2 side table")
         return out
 
     link_tbl = _collect(link_m).to_pandas()

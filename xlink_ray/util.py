@@ -2,7 +2,33 @@
 
 from __future__ import annotations
 
-__all__ = ["pool_size", "ensure_fsspec_http_stub"]
+__all__ = ["pool_size", "ensure_fsspec_http_stub", "dict_guard_max_bytes",
+           "guard_dict_bytes"]
+
+
+def dict_guard_max_bytes() -> float:
+    """The ONE broadcast-size knob: ``XLINK_DICT_MAX_MB`` in MB
+    (1 MB = 1e6 bytes), default 8192. Every stage that collects a
+    dictionary-sized side table to the driver for broadcast guards it
+    against this limit (flagship dictionary phase, the J2 filter's
+    broadcast path, ppjoin's df-rank order) — one unit, one default,
+    so a user-set value means the same byte count everywhere."""
+    import os
+
+    return float(os.environ.get("XLINK_DICT_MAX_MB", "8192")) * 1e6
+
+
+def guard_dict_bytes(nbytes: int, what: str) -> None:
+    """Raise MemoryError when a would-be broadcast table exceeds the
+    shared ``XLINK_DICT_MAX_MB`` guard. Callers with a partitioned
+    no-broadcast path catch this and fall back; callers without one
+    surface the documented migration path in ``what``."""
+    max_bytes = dict_guard_max_bytes()
+    if nbytes > max_bytes:
+        raise MemoryError(
+            f"{what} is {nbytes / 1e6:.0f} MB "
+            f"(> XLINK_DICT_MAX_MB={max_bytes / 1e6:.0f} MB)"
+        )
 
 
 def ensure_fsspec_http_stub() -> None:
