@@ -350,6 +350,13 @@ def test_weighted_sample_aes_reference_and_stability(ray_session):
     # weight-proportionality: heavy rows dominate the sample
     heavy = sum(1 for i in ids if i % 10 == 0)
     assert heavy >= 35, heavy
+    # many-blocks invariance: the tree-reduce level (driver merge is
+    # ≤ k·nbuckets, not ≤ k·nblocks) must not change the sample even
+    # when blocks vastly outnumber the bucket count
+    got3 = weighted_sample(
+        rd.from_arrow(t).repartition(200), k=50, weight_col="n_chars"
+    )
+    assert sorted(got3["doc_id"].to_pylist()) == ids
 
 
 def test_grouped_weighted_sample_reference_and_invariance(ray_session):
@@ -390,5 +397,10 @@ def test_grouped_weighted_sample_reference_and_invariance(ray_session):
         rd.from_arrow(t).repartition(9), k=7, weight_col="n_chars", strat_col="lang"
     )
     assert set(zip(got2["lang"].to_pylist(), got2["doc_id"].to_pylist())) == exp
+    got3 = grouped_weighted_sample(
+        rd.from_arrow(t).repartition(150), k=7, weight_col="n_chars",
+        strat_col="lang",
+    )
+    assert set(zip(got3["lang"].to_pylist(), got3["doc_id"].to_pylist())) == exp
     empty = rd.from_arrow(t.slice(0, 0))
     assert grouped_weighted_sample(empty, k=7, weight_col="n_chars").num_rows == 0

@@ -52,6 +52,12 @@ __all__ = [
 _GRAM_BASE = np.uint64(1000003)
 
 
+# tree-reduce fan-in for the A-ES samplers: per-block top-k partials
+# hash-bucket into this many groups before the driver merge, so driver
+# state is ≤ k·buckets (not ≤ k·blocks — 10⁶ blocks at 100 TB)
+_SAMPLE_TREE_BUCKETS = 64
+
+
 def _id_hashes(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """md5-low64 of the decimal string of each id (matches DuckDB
     ``md5(CAST(id AS VARCHAR))``)."""
@@ -88,10 +94,13 @@ def weighted_sample(
     resumability property hash_sample has, extended to weights).
 
     Scale shape: each batch emits only its local top-k (k-bounded
-    partials), the driver merges ≤ k·nblocks candidate rows — the
-    corpus itself never leaves the workers. Rows with weight <= 0 are
-    never sampled. Returns (id, weight) as a driver-side table
-    (k-bounded by construction)."""
+    partials), ONE hash-bucket tree level reduces those to ≤ k per
+    bucket (same (key DESC, id ASC) tie order, so every global winner
+    survives its bucket), and the driver merges ≤ k·nbuckets candidate
+    rows — bounded regardless of block count (10⁶ blocks at 100 TB no
+    longer means 10⁶·k driver rows). The corpus itself never leaves
+    the workers. Rows with weight <= 0 are never sampled. Returns
+    (id, weight) as a driver-side table (k-bounded by construction)."""
 
     def partial(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
@@ -110,12 +119,41 @@ def weighted_sample(
             }
         )
 
-    cand = pa.concat_tables(
-        pa.table(b)
-        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def add_pk(t: pa.Table) -> pa.Table:
+        pk = (_id_hashes(t[id_col]) % np.uint64(_SAMPLE_TREE_BUCKETS)).astype(
+            np.int64
+        )
+        return t.append_column("pk", pa.array(pk))
+
+    def bucket_topk(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        key = g["skey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -key))[: min(k, len(ids))]
+        idx = pa.array(np.sort(order), pa.int64())
+        return g.select([id_col, weight_col, "skey"]).take(idx)
+
+    reduced = (
+        partials.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(
+            lambda g: bucket_topk(g).select([id_col, weight_col, "skey"]),
+            batch_format="pyarrow",
         )
     )
+    batches = [
+        pa.table(b).select([id_col, weight_col, "skey"])
+        for b in reduced.iter_batches(batch_format="pyarrow")
+    ]
+    if not batches:
+        return pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                weight_col: pa.array([], pa.float64()),
+            }
+        )
+    cand = pa.concat_tables(batches)
     ids = cand[id_col].to_numpy(zero_copy_only=False)
     key = cand["skey"].to_numpy(zero_copy_only=False)
     order = np.lexsort((ids, -key))[: min(k, len(ids))]
@@ -133,8 +171,10 @@ def grouped_weighted_sample(
     """Per-stratum :func:`weighted_sample` — the k heaviest-weighted
     A-ES keys WITHIN each stratum (e.g. a weight-proportional,
     rerun-stable sample per language for mixture building). Per-batch
-    per-stratum top-k partials; the driver merges ≤ k·strata·nblocks
-    candidate rows. Returns (stratum, id, weight)."""
+    per-stratum top-k partials, ONE hash-bucket tree level reducing to
+    ≤ k·strata per bucket; the driver merges ≤ k·strata·nbuckets
+    candidate rows — bounded regardless of block count. Returns
+    (stratum, id, weight)."""
 
     def partial(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
@@ -161,11 +201,39 @@ def grouped_weighted_sample(
             }
         )
 
+    def strat_topk(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        key = g["skey"].to_numpy(zero_copy_only=False)
+        strat = np.asarray(g[strat_col].to_pylist())
+        order = np.lexsort((ids, -key, strat))
+        s_s = strat[order]
+        grp_start = np.maximum.accumulate(
+            np.where(np.r_[True, s_s[1:] != s_s[:-1]], np.arange(len(s_s)), 0)
+        ) if len(s_s) else np.zeros(0, dtype=np.int64)
+        keep = (np.arange(len(s_s)) - grp_start) < k
+        sel = order[keep]
+        return g.select([strat_col, id_col, weight_col, "skey"]).take(
+            pa.array(np.sort(sel), pa.int64())
+        )
+
+    def add_pk(t: pa.Table) -> pa.Table:
+        pk = (_id_hashes(t[id_col]) % np.uint64(_SAMPLE_TREE_BUCKETS)).astype(
+            np.int64
+        )
+        return t.append_column("pk", pa.array(pk))
+
+    reduced = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(
+            lambda g: strat_topk(g).select([strat_col, id_col, weight_col, "skey"]),
+            batch_format="pyarrow",
+        )
+    )
     batches = [
         pa.table(b).select([strat_col, id_col, weight_col, "skey"])
-        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"
-        )
+        for b in reduced.iter_batches(batch_format="pyarrow")
     ]
     if not batches:
         return pa.table(
