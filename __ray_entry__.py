@@ -18,6 +18,8 @@ recomputes the same quantities straight from ``documents``.
 
 from __future__ import annotations
 
+from xlink_ray.util import read_pq
+
 from collections.abc import Callable
 from typing import Any
 
@@ -262,7 +264,7 @@ def _q_quantile_norm(sf_dir: str):
 
     from xlink_ray.stages.stats import quantile_normalize
 
-    docs = rd.read_parquet(
+    docs = read_pq(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
     )
     return quantile_normalize(docs, "source", "n_chars", "doc_id")
@@ -312,6 +314,17 @@ def _q_er_clusters_constrained(sf_dir: str):
     from xlink_ray.pipelines import er
 
     return er.customer_clusters_constrained(sf_dir)
+
+
+def _q_er_constrained_invariants(sf_dir: str):
+    """SQL-checkable projections of the (order-dependent, rows-only)
+    constrained clustering: member count, offending-component member
+    count, pass-through-preserved count, post-repair violation count
+    (er.customer_constrained_invariants; oracle replicates via the
+    recursive unconstrained closure + the cannot list)."""
+    from xlink_ray.pipelines import er
+
+    return er.customer_constrained_invariants(sf_dir)
 
 
 def _q_er_alignment(sf_dir: str):
@@ -448,7 +461,7 @@ def _q_flagship_clusters(sf_dir: str):
 def _docs(sf_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+    return read_pq(f"{sf_dir}/documents.parquet")
 
 
 def _q_exact_dedup(sf_dir: str):
@@ -481,7 +494,7 @@ def _q_embedding_dup(sf_dir: str):
     from xlink_ray.stages.dedup import embedding_dup_pairs
 
     return embedding_dup_pairs(
-        rd.read_parquet(f"{sf_dir}/embeddings.parquet"), th=0.35
+        read_pq(f"{sf_dir}/embeddings.parquet"), th=0.35
     )
 
 
@@ -496,7 +509,7 @@ def _q_ann_topk(sf_dir: str):
     q = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     q = q.sort_by("vec_id").slice(0, 5)
     queries = np.asarray(q["embedding"].to_pylist(), dtype=np.float64)
-    return brute_topk(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), queries, k=10)
+    return brute_topk(read_pq(f"{sf_dir}/embeddings.parquet"), queries, k=10)
 
 
 _EXPAND_DICT_ROWS = [
@@ -623,7 +636,7 @@ def _q_ann_ivf(sf_dir: str):
     q = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     q = q.sort_by("vec_id").slice(0, 5)
     queries = np.asarray(q["embedding"].to_pylist(), dtype=np.float64)
-    return ivf_topk(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), queries, k=10)
+    return ivf_topk(read_pq(f"{sf_dir}/embeddings.parquet"), queries, k=10)
 
 
 def _q_ann_pq(sf_dir: str):
@@ -645,7 +658,7 @@ def _q_ann_pq(sf_dir: str):
     q = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     q = q.sort_by("vec_id").slice(0, 5)
     queries = np.asarray(q["embedding"].to_pylist(), dtype=np.float64)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = read_pq(f"{sf_dir}/embeddings.parquet")
     cb = pq_train(ds, m_sub=32, n_codes=64)
     return pq_topk(pq_encode(ds, cb), cb, queries, k=10)
 
@@ -895,7 +908,7 @@ def _q_latest_events(sf_dir: str):
 
     from xlink_ray.stages.stats import latest_per_key
 
-    ev = rd.read_parquet(
+    ev = read_pq(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
     return latest_per_key(
@@ -912,7 +925,7 @@ def _q_event_props(sf_dir: str):
 
     from xlink_ray.stages.stats import json_field
 
-    ev = rd.read_parquet(
+    ev = read_pq(
         f"{sf_dir}/events.parquet", columns=["event_type", "props"]
     )
     withk = json_field(ev, "props", "k", dtype=pa.int64())
@@ -984,7 +997,7 @@ def _q_embedding_znorm(sf_dir: str):
 
     from xlink_ray.stages.projection import dim_moments, standardize
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet").materialize()
+    ds = read_pq(f"{sf_dir}/embeddings.parquet").materialize()
     mean, std, _ = dim_moments(ds)
     z = standardize(ds, mean, std)
 
@@ -1012,7 +1025,7 @@ def _q_pca_variance(sf_dir: str):
     from xlink_ray.stages.projection import pca_fit
 
     _, evar, _ = pca_fit(
-        rd.read_parquet(f"{sf_dir}/embeddings.parquet"), n_components=8
+        read_pq(f"{sf_dir}/embeddings.parquet"), n_components=8
     )
     total = evar.sum()
     return pa.table(
@@ -1033,7 +1046,7 @@ def _q_part_soundex(sf_dir: str):
 
     from xlink_ray.functions.text import soundex_keys
 
-    parts = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+    parts = read_pq(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
 
     def fn(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -1073,7 +1086,7 @@ def _q_part_codes(sf_dir: str):
 
     from xlink_ray.stages.stats import categorify
 
-    parts = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+    parts = read_pq(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
     return categorify(parts, "p_name").select_columns(["p_partkey", "p_name_code"])
 
 
@@ -1090,7 +1103,7 @@ def _q_part_fuzzy_pairs(sf_dir: str):
     from xlink_ray.functions.similarity import levenshtein_pairs
     from xlink_ray.stages.blocking import block_score_pairs
 
-    parts = rd.read_parquet(
+    parts = read_pq(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_brand"]
     )
 
@@ -1214,7 +1227,7 @@ def _q_user_running_stats(sf_dir: str):
     from xlink_ray.stages.ordered import keyed_window_stats
 
     return keyed_window_stats(
-        rd.read_parquet(f"{sf_dir}/events.parquet"), window=3
+        read_pq(f"{sf_dir}/events.parquet"), window=3
     )
 
 
@@ -1226,9 +1239,9 @@ def _kmeans_queries(sf_dir: str):
 
     from xlink_ray.stages.kmeans import kmeans_assign, kmeans_fit
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = read_pq(f"{sf_dir}/embeddings.parquet")
     cents = kmeans_fit(ds, k=10, iters=4)
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet"), cents
+    return read_pq(f"{sf_dir}/embeddings.parquet"), cents
 
 
 def _q_kmeans_sizes(sf_dir: str):
@@ -2101,7 +2114,7 @@ def _q_ann_ivfpq(sf_dir: str):
     q = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     q = q.sort_by("vec_id").slice(0, 5)
     queries = np.asarray(q["embedding"].to_pylist(), dtype=np.float64)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = read_pq(f"{sf_dir}/embeddings.parquet")
     cents, cb = ivfpq_train(ds, n_cells=16, m_sub=8, n_codes=16)
     return ivfpq_topk(ivfpq_index(ds, cents, cb), cents, cb, queries, k=10, nprobe=4)
 
@@ -2563,7 +2576,7 @@ def _q_table_profile(sf_dir: str):
 
     from xlink_ray.stages.validate import profile_columns
 
-    orders = rd.read_parquet(
+    orders = read_pq(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderstatus"]
     )
     return profile_columns(orders, int_cols=["o_orderkey", "o_custkey"], str_cols=["o_orderstatus"])
@@ -2577,7 +2590,7 @@ def _q_constraint_violations(sf_dir: str):
 
     from xlink_ray.stages.validate import check_constraints
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    docs = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
     return check_constraints(
         docs, not_null=["text", "lang"], unique=["doc_id"], max_len={"text": 2000}
     )
@@ -2791,7 +2804,7 @@ def _q_window_agg(sf_dir: str):
 
     from xlink_ray.stages.windows import tumbling_window_agg
 
-    return tumbling_window_agg(rd.read_parquet(f"{sf_dir}/events.parquet"))
+    return tumbling_window_agg(read_pq(f"{sf_dir}/events.parquet"))
 
 
 def _q_sessions(sf_dir: str):
@@ -2799,7 +2812,7 @@ def _q_sessions(sf_dir: str):
 
     from xlink_ray.stages.windows import sessionize
 
-    return sessionize(rd.read_parquet(f"{sf_dir}/events.parquet"))
+    return sessionize(read_pq(f"{sf_dir}/events.parquet"))
 
 
 def _q_hopping_agg(sf_dir: str):
@@ -2808,7 +2821,7 @@ def _q_hopping_agg(sf_dir: str):
     from xlink_ray.stages.windows import hopping_window_agg
 
     return hopping_window_agg(
-        rd.read_parquet(f"{sf_dir}/events.parquet"), size_minutes=60, hop_minutes=15
+        read_pq(f"{sf_dir}/events.parquet"), size_minutes=60, hop_minutes=15
     )
 
 
@@ -2823,7 +2836,7 @@ def _q_heavy_hitters(sf_dir: str):
     from xlink_ray.stages.sketch import frequent_tokens
 
     return frequent_tokens(
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"]), k=512
+        read_pq(f"{sf_dir}/documents.parquet", columns=["text"]), k=512
     )
 
 
@@ -2843,7 +2856,7 @@ def _q_lm_scores(sf_dir: str):
     from xlink_ray.stages.textstats import unigram_lm_scores
 
     return unigram_lm_scores(
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     )
 
 
@@ -2855,7 +2868,7 @@ def _q_shared_ngrams(sf_dir: str):
     from xlink_ray.stages.dedup import shared_ngram_pairs
 
     return shared_ngram_pairs(
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
         k=5,
     )
 
@@ -2868,7 +2881,7 @@ def _q_pmi_bigrams(sf_dir: str):
     from xlink_ray.stages.collocations import pmi_bigrams
 
     return pmi_bigrams(
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     )
 
 
@@ -2880,7 +2893,7 @@ def _q_bm25_scores(sf_dir: str):
     from xlink_ray.stages.bm25 import bm25_scores
 
     return bm25_scores(
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
         BM25_QUERIES,
     )
 
@@ -2894,7 +2907,7 @@ def _q_signup_conversion(sf_dir: str):
 
     from xlink_ray.stages.interval import interval_count_join
 
-    ev = rd.read_parquet(
+    ev = read_pq(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "ts", "event_type"],
     )
@@ -2937,7 +2950,7 @@ def _q_repetition_stats(sf_dir: str):
     from xlink_ray.stages.textstats import repetition_stats
 
     return repetition_stats(
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     )
 
 
@@ -2950,7 +2963,7 @@ def _q_purchase_attribution(sf_dir: str):
 
     from xlink_ray.stages.asof import asof_join
 
-    ev = rd.read_parquet(
+    ev = read_pq(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "ts", "event_type", "value"],
     )
@@ -3027,7 +3040,7 @@ def _q_embedding_neardup(sf_dir: str):
     from xlink_ray.stages.dedup import embedding_neardup_clusters
 
     return embedding_neardup_clusters(
-        rd.read_parquet(f"{sf_dir}/embeddings.parquet"), th=0.35
+        read_pq(f"{sf_dir}/embeddings.parquet"), th=0.35
     )
 
 
@@ -3126,7 +3139,7 @@ def _q_stripped_corpus(sf_dir: str):
 
     from xlink_ray.stages.substring import strip_dup_spans
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return strip_dup_spans(docs, k=5)
 
 
@@ -3149,7 +3162,7 @@ def _q_hll_tokens(sf_dir: str):
 
     from xlink_ray.stages.sketch import hll_registers
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    docs = read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
     return hll_registers(docs, p=6)
 
 
@@ -3161,7 +3174,7 @@ def _q_hll_by_lang(sf_dir: str):
 
     from xlink_ray.stages.sketch import hll_registers_by
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    docs = read_pq(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
     return hll_registers_by(docs, "lang", p=6)
 
 
@@ -3184,7 +3197,7 @@ def _q_dup_ngrams(sf_dir: str):
 
     from xlink_ray.stages.substring import dup_ngram_coverage
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return dup_ngram_coverage(docs, k=5)
 
 
@@ -3401,6 +3414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_clusters_dist": _q_er_clusters_dist,
         "er_clusters_bucket": _q_er_clusters_bucket,
         "er_clusters_constrained": _q_er_clusters_constrained,
+        "er_constrained_invariants": _q_er_constrained_invariants,
         "er_attach": _q_er_attach,
         "fs_weights": _q_fs_weights,
         "fs_scores": _q_fs_scores,
@@ -3578,6 +3592,33 @@ SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
 FROM customer a JOIN customer b
   ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
 WHERE jaro_winkler_similarity(a.c_name, b.c_name) >= 0.94""",
+        "er_constrained_invariants": """
+WITH RECURSIVE e AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+cannot AS (SELECT id_a, id_b FROM e WHERE id_a % 7 = 0),
+sym AS (SELECT id_a AS u, id_b AS v FROM e UNION SELECT id_b, id_a FROM e),
+reach(u, v) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+base AS (SELECT u AS member_id, min(v) AS cluster_id FROM reach GROUP BY u),
+viol AS (
+  SELECT ba.cluster_id AS cl
+  FROM cannot c JOIN base ba ON c.id_a = ba.member_id
+                 JOIN base bb ON c.id_b = bb.member_id
+  WHERE ba.cluster_id = bb.cluster_id),
+off AS (SELECT DISTINCT cl FROM viol)
+SELECT CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_members,
+       CAST((SELECT count(*) FROM base
+             WHERE cluster_id IN (SELECT cl FROM off)) AS BIGINT)
+         AS n_offending_members,
+       CAST((SELECT count(*) FROM base
+             WHERE cluster_id NOT IN (SELECT cl FROM off)) AS BIGINT)
+         AS n_preserved,
+       CAST(0 AS BIGINT) AS n_violations""",
         "er_clusters": """
 WITH RECURSIVE e AS (
   SELECT a.c_custkey AS id_a, b.c_custkey AS id_b

@@ -116,6 +116,11 @@ def _run_queries() -> dict[str, float]:
     return timings, trials
 
 
+def _loadavg() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
 def _headline_only() -> tuple[float, int]:
     """Headline pipeline once; returns (seconds, pages)."""
     import ray
@@ -160,7 +165,14 @@ def _scaling() -> None:
     lo_cpus, hi_cpus = SCALE_LO, SCALE_HI
     lo_runs, hi_runs = [], []
     for _ in range(SCALING_TRIALS):
+        # quiet-host guard BETWEEN legs (not just once before the
+        # suite): a load episode landing mid-suite otherwise depresses
+        # whichever leg it hits, and each leg's JSON records the
+        # loadavg it actually saw so a load-depressed trial is
+        # machine-identifiable afterwards
+        _wait_quiet()
         lo_runs.append(run_once(lo_cpus))
+        _wait_quiet()
         hi_runs.append(run_once(hi_cpus))
     lo = min(lo_runs, key=lambda r: r["value"])
     hi = min(hi_runs, key=lambda r: r["value"])
@@ -187,6 +199,12 @@ def _scaling() -> None:
                     round((a["value"] / b["value"]) / (hi_cpus / lo_cpus), 3)
                     for a, b in zip(lo_runs, hi_runs)
                 ],
+                "trial_loads_lo": [
+                    [r.get("load_before"), r.get("load_after")] for r in lo_runs
+                ],
+                "trial_loads_hi": [
+                    [r.get("load_before"), r.get("load_after")] for r in hi_runs
+                ],
                 "sf": SF_DIR,
             }
         )
@@ -199,9 +217,12 @@ def main() -> None:
         return
     if "--headline" in sys.argv:
         _wait_quiet()
+        load_before = _loadavg()
         dt, pages = _headline_only()
         print(json.dumps({"metric": "flagship_e2e", "value": round(dt, 3),
-                          "unit": "sec", "pages": pages, "num_cpus": NUM_CPUS}))
+                          "unit": "sec", "pages": pages, "num_cpus": NUM_CPUS,
+                          "load_before": load_before,
+                          "load_after": _loadavg()}))
         return
 
     import ray

@@ -52,3 +52,34 @@ def _tune_allocator() -> None:
 
 
 _tune_allocator()
+
+
+def _filter_empty_schema_warnings() -> None:
+    """Drop Ray's per-bundle "Operator produced a RefBundle with a
+    different schema … new schema: ." warnings — and ONLY those.
+
+    Ray 2.49's sort-based shuffle (``groupby().map_groups`` = sort +
+    map) pads partitions that received no groups with zero-column
+    empty blocks, and every such block makes the streaming executor
+    log a schema-mismatch warning at the next operator boundary
+    (streaming_executor_state.py:793). The bundles are empty, the
+    output is unaffected, and the flood buries real warnings in bench
+    logs. Schema mismatches with a NON-empty new schema still pass
+    through this filter untouched.
+    """
+    import logging
+
+    class _EmptyNewSchemaFilter(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:  # noqa: A003
+            msg = record.getMessage()
+            return not (
+                "different schema than the previous one" in msg
+                and "new schema: ." in msg
+            )
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_EmptyNewSchemaFilter())
+
+
+_filter_empty_schema_warnings()

@@ -20,6 +20,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
+
+from xlink_ray.util import read_pq
 from ray.data import Dataset
 
 __all__ = ["curated_corpus", "curated_corpus_v2"]
@@ -45,7 +47,7 @@ def curated_corpus(
     # the dedup exchange) re-read object-store blocks instead of
     # re-scanning the parquet; at scales past the object store's
     # capacity Ray spills these blocks to disk rather than re-reading
-    docs = rd.read_parquet(
+    docs = read_pq(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "n_chars"]
     ).materialize()
 
@@ -119,7 +121,7 @@ def curated_corpus_v2(
         unigram_vocab,
     )
 
-    docs = rd.read_parquet(
+    docs = read_pq(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).materialize()
 

@@ -16,6 +16,8 @@ from __future__ import annotations
 import pyarrow as pa
 
 import ray.data as rd
+
+from xlink_ray.util import read_pq
 from ray.data import Dataset
 
 from xlink_ray.functions.similarity import levenshtein_pairs
@@ -28,7 +30,7 @@ LEV_THRESHOLD = 1
 
 
 def _customers(sf_dir: str) -> Dataset:
-    return rd.read_parquet(
+    return read_pq(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_name", "c_nationkey"],
     )
@@ -187,7 +189,7 @@ def _customer_fs_features(sf_dir: str) -> Dataset:
 
     import ray.data as _rd
 
-    cust = _rd.read_parquet(f"{sf_dir}/customer.parquet").map_batches(
+    cust = read_pq(f"{sf_dir}/customer.parquet").map_batches(
         prep, batch_format="pyarrow"
     )
 
@@ -227,7 +229,7 @@ def customer_golden(sf_dir: str) -> Dataset:
     member with the largest account balance (ties → smallest id)."""
     from xlink_ray.stages.survivor import golden_records
 
-    records = rd.read_parquet(
+    records = read_pq(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_name", "c_acctbal", "c_mktsegment"],
     )
@@ -376,7 +378,7 @@ def customer_pairs_multiblock(sf_dir: str, threshold: int = LEV_THRESHOLD) -> Da
 
     p1 = customer_pairs(sf_dir, threshold).select_columns(["id_a", "id_b"])
 
-    cust2 = rd.read_parquet(
+    cust2 = read_pq(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_name", "c_acctbal"],
     ).map_batches(
@@ -510,7 +512,7 @@ def customer_cluster_exemplars(sf_dir: str, k: int = 2) -> Dataset:
     from xlink_ray.stages.stats import group_topk
     from xlink_ray.stages.survivor import stamp_cluster
 
-    records = rd.read_parquet(
+    records = read_pq(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
     )
     labeled = stamp_cluster(
@@ -555,4 +557,151 @@ def customer_clusters_constrained(sf_dir: str) -> Dataset:
     cannot = pairs.map_batches(rejected, batch_format="pyarrow")
     return constrained_components(
         pairs, cannot, nodes=_customers(sf_dir), node_col="c_custkey"
+    )
+
+
+def customer_constrained_invariants(sf_dir: str) -> "pa.Table":
+    """SQL-checkable invariants of :func:`customer_clusters_constrained`
+    (the clustering itself is order-dependent sequential constrained
+    union-find, not SQL-expressible — these projections ARE):
+
+    one row (n_members, n_offending_members, n_preserved, n_violations):
+
+    * ``n_members`` — constrained output size (= customer count).
+    * ``n_offending_members`` — members of UNCONSTRAINED components
+      containing ≥1 violated cannot pair (validates the violation
+      detection phase; DuckDB replicates via the recursive closure +
+      the cannot list).
+    * ``n_preserved`` — members OUTSIDE offending components whose
+      constrained label equals their unconstrained label (validates
+      pass-through; the oracle expects ALL of them).
+    * ``n_violations`` — cannot pairs sharing a constrained cluster
+      (computed from the ACTUAL output; the repair contract is 0).
+
+    Scale shape: labels are stamped onto cannot pairs reduce-side
+    (stamp_cluster); only the violated-pair/offending-label sets touch
+    the driver (bounded by the human-asserted cannot count, the same
+    documented bound constrained_components itself relies on); the
+    preserved count is one member-keyed bucket exchange."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+
+    from xlink_ray.functions.hashing import md5_low64
+    from xlink_ray.stages._bucket import bucket_shuffle
+    from xlink_ray.stages.clustering import (
+        connected_components,
+        constrained_components,
+    )
+    from xlink_ray.stages.survivor import stamp_cluster
+
+    pairs = customer_pairs(sf_dir).materialize()
+
+    def rejected(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(a % 7 == 0)).select(["id_a", "id_b"])
+
+    cannot = pairs.map_batches(rejected, batch_format="pyarrow").materialize()
+    nodes = _customers(sf_dir)
+    base = connected_components(
+        pairs, nodes=nodes, node_col="c_custkey"
+    ).materialize()
+    cons = constrained_components(
+        pairs, cannot, nodes=nodes, node_col="c_custkey"
+    ).materialize()
+
+    def pair_rows(t: pa.Table, col: str) -> pa.Table:
+        pid = md5_low64(
+            [f"{x}|{y}" for x, y in zip(t["id_a"].to_pylist(), t["id_b"].to_pylist())]
+        ).astype(np.int64) & np.int64(0x7FFFFFFFFFFFFFFF)
+        return pa.table({"pid": pa.array(pid, pa.int64()), "node": t[col]})
+
+    def stamped_pairs(labels: "Dataset") -> dict:
+        """pid → (cluster_a, cluster_b) via two reduce-side stamps;
+        driver state bounded by the cannot count."""
+        out: dict = {}
+        for col, slot in (("id_a", 0), ("id_b", 1)):
+            st = stamp_cluster(
+                cannot.map_batches(
+                    lambda t, c=col: pair_rows(t, c), batch_format="pyarrow"
+                ),
+                labels, id_col="node",
+                carry_cols=["pid"], carry_types={"pid": pa.int64()},
+            )
+            for b in st.iter_batches(batch_format="pyarrow"):
+                tb = pa.table(b)
+                for pid, cl in zip(tb["pid"].to_pylist(), tb["cluster"].to_pylist()):
+                    out.setdefault(pid, [None, None])[slot] = cl
+        return out
+
+    base_st = stamped_pairs(base)
+    cons_st = stamped_pairs(cons)
+    n_violations = sum(
+        1 for ca, cb in cons_st.values() if ca is not None and ca == cb
+    )
+    offending = sorted(
+        {ca for ca, cb in base_st.values() if ca is not None and ca == cb}
+    )
+    off_arr = np.asarray(offending, dtype=np.int64)
+    off_ref = ray.put(off_arr)
+
+    def count_members(labels: "Dataset", only_offending: bool) -> int:
+        def part(t: pa.Table) -> pa.Table:
+            cl = t["cluster_id"].to_numpy(zero_copy_only=False)
+            off = ray.get(off_ref)
+            hit = np.isin(cl, off)
+            n = int(hit.sum()) if only_offending else int(t.num_rows)
+            return pa.table({"n": pa.array([n], pa.int64())})
+
+        return int(labels.map_batches(part, batch_format="pyarrow").sum("n") or 0)
+
+    n_members = count_members(cons, only_offending=False)
+    n_offending = count_members(base, only_offending=True)
+
+    # preserved = non-offending members with identical base/cons labels:
+    # one member-keyed bucket exchange over the tagged label union
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "member_id": t["member_id"],
+                    "cluster_id": t["cluster_id"],
+                    "side": pa.array(np.full(t.num_rows, side, np.int8)),
+                }
+            )
+
+        return fn
+
+    tagged = base.map_batches(tag(0), batch_format="pyarrow").union(
+        cons.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        m = g["member_id"].to_numpy(zero_copy_only=False)
+        cl = g["cluster_id"].to_numpy(zero_copy_only=False)
+        sd = g["side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sd, m))
+        m_s, cl_s, sd_s = m[order], cl[order], sd[order]
+        same = (
+            (m_s[1:] == m_s[:-1]) & (sd_s[:-1] == 0) & (sd_s[1:] == 1)
+            if len(m_s) > 1
+            else np.zeros(0, bool)
+        )
+        i = np.flatnonzero(same)
+        off = ray.get(off_ref)
+        ok = (cl_s[i] == cl_s[i + 1]) & ~np.isin(cl_s[i], off)
+        return pa.table({"n": pa.array([int(ok.sum())], pa.int64())})
+
+    n_preserved = int(
+        bucket_shuffle(tagged, "member_id", 64, per_bucket).sum("n") or 0
+    )
+
+    return pa.table(
+        {
+            "n_members": pa.array([n_members], pa.int64()),
+            "n_offending_members": pa.array([n_offending], pa.int64()),
+            "n_preserved": pa.array([n_preserved], pa.int64()),
+            "n_violations": pa.array([n_violations], pa.int64()),
+        }
     )

@@ -14,7 +14,7 @@ SQL-checkable and demonstrates one physical pattern:
 
 from __future__ import annotations
 
-from xlink_ray.util import pool_size
+from xlink_ray.util import read_pq, pool_size
 
 import numpy as np
 import pyarrow as pa
@@ -53,7 +53,7 @@ def pricing_summary(sf_dir: str) -> Dataset:
     """TPC-H-q1-shaped: per (returnflag, linestatus): sum qty, gross and
     discounted revenue, row count. Revenue computed vectorized per
     batch; aggregates rounded to 4 decimals on both sides."""
-    li = rd.read_parquet(
+    li = read_pq(
         f"{sf_dir}/lineitem.parquet",
         columns=[
             "l_returnflag", "l_linestatus", "l_quantity",
@@ -102,13 +102,13 @@ def pricing_summary(sf_dir: str) -> Dataset:
 def nation_revenue(sf_dir: str) -> Dataset:
     """Revenue per nation name: orders ⋈ customer ⋈ nation with both
     dimension sides broadcast (no shuffle join)."""
-    orders = rd.read_parquet(
+    orders = read_pq(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
     cust = pa.concat_tables(
         [
             pa.table(b)
-            for b in rd.read_parquet(
+            for b in read_pq(
                 f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
             ).iter_batches(batch_format="pyarrow")
         ]
@@ -116,7 +116,7 @@ def nation_revenue(sf_dir: str) -> Dataset:
     nation = pa.concat_tables(
         [
             pa.table(b)
-            for b in rd.read_parquet(
+            for b in read_pq(
                 f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
             ).iter_batches(batch_format="pyarrow")
         ]
@@ -151,7 +151,7 @@ class _JoinOnCust:
 
 def top_parts(sf_dir: str, k: int = 10) -> Dataset:
     """Global top-k by retail price (desc), partkey asc tiebreak."""
-    parts = rd.read_parquet(
+    parts = read_pq(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_retailprice"]
     )
     # two-key sort: descending price, ascending key
@@ -162,20 +162,20 @@ def mktsegments(sf_dir: str) -> Dataset:
     """Distinct market segments (set op / unique)."""
     from xlink_ray.stages.aggregates import distinct
 
-    c = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_mktsegment"])
+    c = read_pq(f"{sf_dir}/customer.parquet", columns=["c_mktsegment"])
     return distinct(c, ["c_mktsegment"])
 
 
 def customers_without_orders(sf_dir: str, status: str = "F") -> Dataset:
     """Broadcast anti join: customers with no order in ``status``
     (row-filter pushed into the parquet read)."""
-    cust = rd.read_parquet(
+    cust = read_pq(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
     )
     orders_keys = pa.concat_tables(
         [
             pa.table(b)
-            for b in rd.read_parquet(
+            for b in read_pq(
                 f"{sf_dir}/orders.parquet",
                 columns=["o_custkey"],
                 filter=(pc.field("o_orderstatus") == status),
@@ -194,7 +194,7 @@ def customers_without_orders(sf_dir: str, status: str = "F") -> Dataset:
 def vocab_counts(sf_dir: str, min_count: int = 5) -> Dataset:
     """Word2vec vocab-learn (E1): token → corpus count, min-count
     filtered. Tokens = single-space split of documents.text."""
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    docs = read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def explode(t: pa.Table) -> pa.Table:
         toks = pc.list_flatten(pc.split_pattern(t["text"], " "))
@@ -248,7 +248,7 @@ def revenue_rollup(sf_dir: str) -> Dataset:
     dimension-bounded (≤ regions × nations rows) and therefore safe to
     assemble driver-side at any corpus scale.  Revenue in integer 1e-4
     units (money4) at every level."""
-    orders = rd.read_parquet(
+    orders = read_pq(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 
@@ -256,7 +256,7 @@ def revenue_rollup(sf_dir: str) -> Dataset:
         return pa.concat_tables(
             [
                 pa.table(b)
-                for b in rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=cols)
+                for b in read_pq(f"{sf_dir}/{table}.parquet", columns=cols)
                 .iter_batches(batch_format="pyarrow")
             ]
         )
@@ -343,13 +343,13 @@ def pivot_counts(
 
 def segment_pivot(sf_dir: str) -> Dataset:
     """Customers per (nation, mktsegment), segments pivoted to columns."""
-    cust = rd.read_parquet(
+    cust = read_pq(
         f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_mktsegment"]
     )
     nation = pa.concat_tables(
         [
             pa.table(b)
-            for b in rd.read_parquet(
+            for b in read_pq(
                 f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
             ).iter_batches(batch_format="pyarrow")
         ]

@@ -77,6 +77,8 @@ import pyarrow as pa
 
 import ray
 import ray.data as rd
+
+from xlink_ray.util import read_pq
 from ray.data import Dataset
 
 from xlink_ray.stages._bucket import bucket_shuffle
@@ -658,7 +660,7 @@ def bfs_distances(
 def purchase_distances(sf_dir: str) -> Dataset:
     """BFS hops over the purchase graph from the smallest customer node."""
     seed = 2 * int(
-        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"]).min("o_custkey")
+        read_pq(f"{sf_dir}/orders.parquet", columns=["o_custkey"]).min("o_custkey")
     )
     return bfs_distances(purchase_graph_edges(sf_dir), seeds=[seed])
 
@@ -1419,7 +1421,7 @@ def bipartite_project(
 def cosupply_edges(sf_dir: str, nbuckets: int = 32) -> Dataset:
     """Weighted supplier co-occurrence edges: (src, dst, w = number of
     orders both suppliers appear in)."""
-    items = rd.read_parquet(
+    items = read_pq(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
     )
     return bipartite_project(items, "l_orderkey", "l_suppkey", nbuckets=nbuckets)
@@ -1440,10 +1442,10 @@ def purchase_graph_edges(sf_dir: str, nbuckets: int = 32) -> Dataset:
     o_orderkey (one shuffle); symmetrization doubles rows in-map.
     Pair dedupe is left to pagerank_fixed's degree pass.
     """
-    orders = rd.read_parquet(
+    orders = read_pq(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     )
-    items = rd.read_parquet(
+    items = read_pq(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
     )
 

@@ -35,6 +35,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 import ray.data as rd
+
+from xlink_ray.util import read_pq
 from ray.data import Dataset
 
 __all__ = [
@@ -210,7 +212,7 @@ class CheckpointManager:
                 {"stage": stage, "action": "skipped",
                  "rows": int(m.get("rows", 0)), "wall_sec": 0.0}
             )
-            return rd.read_parquet(d, file_extensions=["parquet"])
+            return read_pq(d, file_extensions=["parquet"])
         t_start = time.time()
 
         tmp = d + f".tmp-{os.getpid()}"
@@ -259,4 +261,4 @@ class CheckpointManager:
             {"stage": stage, "action": "computed", "rows": int(total_rows),
              "wall_sec": round(time.time() - t_start, 3)}
         )
-        return rd.read_parquet(d, file_extensions=["parquet"])
+        return read_pq(d, file_extensions=["parquet"])

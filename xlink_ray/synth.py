@@ -156,7 +156,7 @@ def synth_pages(
     """
     import pyarrow.parquet as _pq
 
-    from xlink_ray.util import heavy_cpus, pool_size
+    from xlink_ray.util import read_pq, heavy_cpus, pool_size
 
     n_total = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     hcpu = heavy_cpus()
@@ -165,7 +165,7 @@ def synth_pages(
         assert n_total % DOCS_PER_SALT == 0, (n_total, DOCS_PER_SALT)
         ranges_per_copy = n_total // DOCS_PER_SALT
         total_ranges = ranges_per_copy * max(repeat, 1)
-        docs = ray.data.read_parquet(
+        docs = read_pq(
             f"{sf_dir}/documents.parquet",
             columns=["doc_id", "text", "lang", "source"],
             override_num_blocks=ranges_per_copy,
@@ -207,7 +207,7 @@ def synth_pages(
         # cap every downstream stage's parallelism; split the read to
         # ~4 blocks per CPU (a real deployment reads thousands of files)
         nblocks = 4 * pool_size()[1]
-    docs = ray.data.read_parquet(
+    docs = read_pq(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang", "source"],
         override_num_blocks=nblocks,

@@ -3,7 +3,36 @@
 from __future__ import annotations
 
 __all__ = ["pool_size", "ensure_fsspec_http_stub", "dict_guard_max_bytes",
-           "guard_dict_bytes"]
+           "guard_dict_bytes", "read_pq"]
+
+
+def _strip_schema_meta(t):
+    return t.replace_schema_metadata(None)
+
+
+def read_pq(path, *, columns=None, **kw):
+    """``ray.data.read_parquet`` minus the parquet ``pandas`` schema
+    metadata. pyarrow schemas WITH metadata are UNHASHABLE, so every
+    block concat downstream of a plain read of pandas-written parquet
+    logs Ray's "Failed to hash the schemas (for deduplication)"
+    warning (transform_pyarrow.py:181) and defeats its schema-dedup
+    fast path. Passing an explicit metadata-free schema keeps every
+    block metadata-free at zero per-row cost; directory reads (no
+    single footer to inspect) fall back to a fused metadata-strip
+    map."""
+    import ray.data as rd
+
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sch = pq.read_schema(path).remove_metadata()
+        if columns is not None:
+            sch = pa.schema([sch.field(c) for c in columns])
+        return rd.read_parquet(path, columns=columns, schema=sch, **kw)
+    except Exception:  # noqa: BLE001 — directory / multi-file inputs
+        ds = rd.read_parquet(path, columns=columns, **kw)
+        return ds.map_batches(_strip_schema_meta, batch_format="pyarrow")
 
 
 def dict_guard_max_bytes() -> float:
