@@ -254,106 +254,17 @@ def _argmax_first(doc, off, ent, believe) -> np.ndarray:
     return order[first]
 
 
-def _join_score_partial(batch: pa.Table) -> pa.Table:
-    """Score + LOCAL argmax per (doc, offset) for one batch of the
-    mention-join output (doc_id, offset, mention, context, ctxbin,
-    entity_id, e_given_m, link_prob, evec).
-
-    Same math as stages/candidates.resolve_batch: believe =
-    e_given_m^POWER · cos(ctx, evec) (missing entity vec → 0). A local
-    winner is a valid reduction for the global (believe desc, entity
-    asc) argmax, so only ONE slim row per occurrence-fragment — no
-    vector payloads, no keep decision yet — survives to the doc-salt
-    shuffle."""
-    from xlink_ray.stages.candidates import POWER
-
-    n = batch.num_rows
-    if n == 0:
-        return _LINKS_EMPTY.append_column("lp", pa.array([], pa.float64()))
-
-    # vectors travel through the hash joins as binary blobs (Acero
-    # rejects list-typed non-key columns in joins); decode here
-    ctx = np.frombuffer(
-        b"".join(batch["ctxbin"].to_pylist()), dtype=np.float64
-    ).reshape(n, -1)
-    dim = ctx.shape[1]
-    evec_list = batch["evec"].to_pylist()
-    ev = np.zeros((n, dim), dtype=np.float64)
-    for i, v in enumerate(evec_list):  # candidate rows with a vec only
-        if v is not None:
-            ev[i] = np.frombuffer(v, dtype=np.float64)
-    num = np.einsum("ij,ij->i", ctx, ev)
-    den = np.linalg.norm(ctx, axis=1) * np.linalg.norm(ev, axis=1)
-    cos = np.zeros(n, dtype=np.float64)
-    nz = den > 0
-    cos[nz] = num[nz] / den[nz]
-
-    egm = batch["e_given_m"].to_numpy(zero_copy_only=False).astype(np.float64)
-    believe = (egm**POWER) * cos
-    lp = pc.coalesce(batch["link_prob"], pa.scalar(0.0, pa.float64())).to_numpy(
-        zero_copy_only=False
-    )
-
-    doc = np.asarray(batch["doc_id"].to_pylist())
-    off = batch["offset"].to_numpy(zero_copy_only=False)
-    ent = np.asarray(batch["entity_id"].to_pylist())
-    sel = _argmax_first(doc, off, ent, believe)
-    idx = pa.array(sel)
-    return pa.table(
-        {
-            "doc_id": pa.array(doc[sel], pa.string()),
-            "offset": pa.array(off[sel]),
-            "mention": batch["mention"].take(idx),
-            "entity_id": pa.array(ent[sel], pa.string()),
-            "believe": pa.array(believe[sel]),
-            "context": batch["context"].take(idx),
-            "lp": pa.array(lp[sel]),
-        }
-    )
-
-
-def _join_score_final(group: pa.Table) -> pa.Table:
-    """Global argmax over the fragment winners of one COMPLETE doc-salt
-    group (groupby guarantees no (doc, offset) straddles calls), then
-    the P8 keep thresholds."""
-    from xlink_ray.stages.candidates import BELIEVE_TH, LINK_PROB_TH
-
-    n = group.num_rows
-    if n == 0:
-        return _LINKS_EMPTY
-    doc = np.asarray(group["doc_id"].to_pylist())
-    off = group["offset"].to_numpy(zero_copy_only=False)
-    ent = np.asarray(group["entity_id"].to_pylist())
-    believe = group["believe"].to_numpy(zero_copy_only=False)
-    lp = group["lp"].to_numpy(zero_copy_only=False)
-    sel = _argmax_first(doc, off, ent, believe)
-    keep = (lp[sel] > LINK_PROB_TH) & ((believe[sel] + lp[sel]) / 2.0 > BELIEVE_TH)
-    sel = sel[keep]
-    if len(sel) == 0:
-        return _LINKS_EMPTY
-    idx = pa.array(sel)
-    return pa.table(
-        {
-            "doc_id": pa.array(doc[sel], pa.string()),
-            "offset": pa.array(off[sel]),
-            "mention": group["mention"].take(idx),
-            "entity_id": pa.array(ent[sel], pa.string()),
-            "believe": pa.array(believe[sel]),
-            "context": group["context"].take(idx),
-        }
-    )
-
-
 def links_partitioned(
     sf_dir: str, repeat: int = 1, num_partitions: int | None = None
 ) -> Dataset:
-    """The linking path with NO dictionary broadcast: every per-ENTITY
-    table (mention_anchors / e_given_m, link_prob, entity vectors)
-    stays a Dataset and attaches to the scan output via hash-shuffle
-    ``Dataset.join`` on ``mention`` / ``entity_id`` — the migration
-    path documented at ``_collect()`` for dictionaries past
-    ``XLINK_DICT_MAX_MB`` (reference production scale: ~5.13 M
-    entities, align.c:986, where broadcast state reaches multi-GB).
+    """The linking path with NO dictionary broadcast: per-mention and
+    per-entity state attaches to the scan output through tagged-union
+    HASH-BUCKET exchanges (the repo's `_bucket` pattern: union both
+    sides with a side tag, ONE groupby shuffle on the key hash, a
+    vectorized in-bucket join task) — the migration path documented at
+    ``_collect()`` for dictionaries past ``XLINK_DICT_MAX_MB``
+    (reference production scale: ~5.13 M entities, align.c:986, where
+    broadcast state reaches multi-GB).
 
     What still broadcasts (and must, matching the reference's
     per-process state): the distinct mention VOCABULARY (the scan
@@ -361,15 +272,27 @@ def links_partitioned(
     word-vector model for context embedding. Equality with ``links()``
     is test-pinned (same rows; believe equal to float tolerance).
 
-    Cost shape: +3 hash-shuffle joins and one argmax-local scoring
-    pass instead of dictionary-sized driver collects — the trade the
-    100-TB regime wants. The argmax needs no extra shuffle because all
-    candidates of an occurrence share its mention (see _join_score_partial/_join_score_final).
+    Cost shape — exactly THREE exchanges and TWO materializations
+    (down from five sequential Dataset-join barriers; sort-based
+    groupby shuffles need no join-aggregator actor pools, so the whole
+    chain is one streaming DAG):
+
+    1. mention exchange: mention_anchor rows + freq rows meet per
+       mention; link_m / e_given_m / link_prob all computed in-bucket
+       (one task sees every row of a mention).
+    2. entity exchange: candidate rows + entity vectors meet per
+       entity_id.
+    3. occurrence exchange (the corpus-sized one): scan occurrences +
+       finished candidate rows meet per mention; the in-bucket task
+       joins, scores (same believe math as ``links()``), and — because
+       every candidate of an occurrence shares its mention and
+       therefore its bucket — takes the COMPLETE per-(doc, offset)
+       argmax and keep thresholds right there. No doc-salt re-shuffle.
     """
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
     from xlink_ray import synth
+    from xlink_ray.functions.hashing import md5_low64
     from xlink_ray.stages import aggregates
     from xlink_ray.stages.candidates import occurrence_scan_fn
     from xlink_ray.stages.extract import ExtractCorpusBatch, ExtractMentionsBatch
@@ -393,6 +316,7 @@ def links_partitioned(
         )
     ).materialize()
     nparts = num_partitions or max(2, min(32, corpus.num_blocks()))
+    nbuckets = max(8, 4 * nparts)
 
     # the scanner alphabet: distinct mention strings (the one
     # dictionary-shaped worker state this path keeps — same per-process
@@ -407,101 +331,188 @@ def links_partitioned(
         }
     )
     vocab_ref = ray.put(vocab)
+    freq_ds = freq_m_stage(corpus, vocab_ref)
 
-    # per-mention stats as DATASETS (repartition consolidates the
-    # zero-column empty blocks sort-based groupby emits — same Ray 2.49
-    # join workaround as clustering._star_phase_join)
-    link_m_ds = (
-        ma_ds.groupby("mention")
-        .aggregate(Sum("link_count", alias_name="link_m"))
-        .repartition(nparts)
-        .materialize()  # consumed by two joins
-    )
-    freq_ds = freq_m_stage(corpus, vocab_ref).repartition(nparts)
+    def add_bk(col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            h = md5_low64([str(x) for x in t[col].to_pylist()]) % np.uint64(nbuckets)
+            return t.append_column("bk", pa.array(h.astype(np.int64)))
 
-    def lp_fn(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "mention": t["mention"],
-                "link_prob": pc.divide(
-                    pc.cast(t["link_m"], pa.float64()), pc.cast(t["freq"], pa.float64())
-                ),
-            }
-        )
+        return fn
 
-    # each dictionary-sided join is materialized before the next one
-    # launches: N concurrent hash-joins in one streaming DAG would
-    # instantiate N aggregator pools at once and deadlock small
-    # sessions (the big occurrence join below then runs alone)
-    lp_ds = (
-        link_m_ds.join(
-            freq_ds, join_type="inner", num_partitions=nparts, on=("mention",)
-        )
-        .map_batches(lp_fn, batch_format="pyarrow")
-        .materialize()
-    )
-
-    def egm_fn(t: pa.Table) -> pa.Table:
+    # ---- exchange 1: per-mention stats (link_m, e_given_m, link_prob)
+    def tag_ma(t: pa.Table) -> pa.Table:
+        n = t.num_rows
         return pa.table(
             {
                 "mention": t["mention"],
                 "entity_id": t["entity_id"],
-                "e_given_m": pc.divide(
-                    pc.cast(t["link_count"], pa.float64()),
-                    pc.cast(t["link_m"], pa.float64()),
-                ),
+                "link_count": pc.cast(t["link_count"], pa.int64()),
+                "freq": pa.array(np.zeros(n, np.int64)),
+                "side": pa.array(np.zeros(n, np.int8)),
+            }
+        )
+
+    def tag_freq(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "mention": t["mention"],
+                "entity_id": pa.array([""] * n, pa.string()),
+                "link_count": pa.array(np.zeros(n, np.int64)),
+                "freq": pc.cast(t["freq"], pa.int64()),
+                "side": pa.array(np.ones(n, np.int8)),
+            }
+        )
+
+    tagged1 = (
+        ma_ds.map_batches(tag_ma, batch_format="pyarrow")
+        .union(freq_ds.map_batches(tag_freq, batch_format="pyarrow"))
+        .map_batches(add_bk("mention"), batch_format="pyarrow")
+    )
+
+    _cand_empty = pa.table(
+        {
+            "mention": pa.array([], pa.string()),
+            "entity_id": pa.array([], pa.string()),
+            "e_given_m": pa.array([], pa.float64()),
+            "link_prob": pa.array([], pa.float64()),
+        }
+    )
+
+    def mention_stats(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        gma = g.filter(pa.array(side == 0))
+        if gma.num_rows == 0:
+            return _cand_empty
+        gfr = g.filter(pa.array(side == 1))
+        ma_m = np.asarray(gma["mention"].to_pylist(), dtype=object)
+        lc = gma["link_count"].to_numpy(zero_copy_only=False)
+        uniq_m, inv = np.unique(ma_m, return_inverse=True)
+        # float64 sums are exact for int counts (< 2^53) — same values
+        # the old Sum("link_count") aggregate produced before its cast
+        link_m_u = np.bincount(inv, weights=lc.astype(np.float64))
+        fm = np.asarray(gfr["mention"].to_pylist(), dtype=object)
+        fv = gfr["freq"].to_numpy(zero_copy_only=False).astype(np.float64)
+        forder = np.argsort(fm, kind="stable")
+        fm_s, fv_s = fm[forder], fv[forder]
+        lp_u = np.zeros(len(uniq_m), dtype=np.float64)
+        if len(fm_s):
+            pos = np.searchsorted(fm_s, uniq_m)
+            posc = np.minimum(pos, len(fm_s) - 1)
+            has = (pos < len(fm_s)) & (fm_s[posc] == uniq_m)
+            # mentions absent from freq keep lp=0 — the old path's
+            # left-outer join + coalesce(link_prob, 0) semantics
+            lp_u[has] = link_m_u[has] / fv_s[posc[has]]
+        return pa.table(
+            {
+                "mention": gma["mention"],
+                "entity_id": gma["entity_id"],
+                "e_given_m": pa.array(lc.astype(np.float64) / link_m_u[inv]),
+                "link_prob": pa.array(lp_u[inv]),
             }
         )
 
     cand = (
-        ma_ds.repartition(nparts)
-        .join(link_m_ds, join_type="inner", num_partitions=nparts, on=("mention",))
-        .map_batches(egm_fn, batch_format="pyarrow")
-        .repartition(nparts)  # consolidate empty blocks before joining
-        .materialize()
-        .join(
-            lp_ds.repartition(nparts),
-            join_type="left_outer",
-            num_partitions=nparts,
-            on=("mention",),
+        tagged1.groupby("bk")
+        .map_groups(
+            lambda g: mention_stats(g).select(
+                ["mention", "entity_id", "e_given_m", "link_prob"]
+            ),
+            batch_format="pyarrow",
         )
-        .materialize()
     )
 
+    # ---- exchange 2: entity vectors onto candidate rows
     emb_tbl = synth.synth_embeddings()
     ent_rows = emb_tbl.filter(pc.equal(emb_tbl["kind"], "entity"))
     ent_vecs = np.asarray(ent_rows["vec"].to_pylist(), dtype=np.float64)
     ent_ids = ent_rows["item"].to_pylist()
     # last-wins per entity_id — a duplicate id would otherwise fan out
-    # the join (two believe rows per candidate) while the broadcast
-    # path's dict keeps only the last vector; pin the same rule here
+    # the bucket join (two believe rows per candidate) while the
+    # broadcast path's dict keeps only the last vector; same rule here
     last = {e: i for i, e in enumerate(ent_ids)}
     sel = sorted(last.values())
     ent_tbl = pa.table(
         {
             "entity_id": pa.array([ent_ids[i] for i in sel], pa.string()),
-            # binary payload: Acero joins reject list-typed non-key cols
             "evec": pa.array([ent_vecs[i].tobytes() for i in sel], pa.binary()),
         }
     )
-    cand = (
-        cand.repartition(nparts)
-        .join(
-            rd.from_arrow(ent_tbl).repartition(nparts),
-            join_type="left_outer",
-            num_partitions=nparts,
-            on=("entity_id",),
+
+    def tag_cand(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "mention": t["mention"],
+                "entity_id": t["entity_id"],
+                "e_given_m": t["e_given_m"],
+                "link_prob": t["link_prob"],
+                "evec": pa.array([None] * t.num_rows, pa.binary()),
+                "side": pa.array(np.zeros(t.num_rows, np.int8)),
+            }
         )
-        .materialize()
+
+    def tag_ent(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "mention": pa.array([""] * n, pa.string()),
+                "entity_id": t["entity_id"],
+                "e_given_m": pa.array(np.zeros(n, np.float64)),
+                "link_prob": pa.array(np.zeros(n, np.float64)),
+                "evec": t["evec"],
+                "side": pa.array(np.ones(n, np.int8)),
+            }
+        )
+
+    tagged2 = (
+        cand.map_batches(tag_cand, batch_format="pyarrow")
+        .union(rd.from_arrow(ent_tbl).map_batches(tag_ent, batch_format="pyarrow"))
+        .map_batches(add_bk("entity_id"), batch_format="pyarrow")
     )
 
+    _cand2_empty = _cand_empty.append_column("evec", pa.array([], pa.binary()))
+
+    def attach_vec(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        gc = g.filter(pa.array(side == 0))
+        if gc.num_rows == 0:
+            return _cand2_empty
+        ge = g.filter(pa.array(side == 1))
+        eids = np.asarray(gc["entity_id"].to_pylist(), dtype=object)
+        out = np.full(len(eids), None, dtype=object)
+        if ge.num_rows:
+            beids = np.asarray(ge["entity_id"].to_pylist(), dtype=object)
+            border = np.argsort(beids, kind="stable")
+            b_s = beids[border]
+            ev_obj = np.asarray(ge["evec"].to_pylist(), dtype=object)[border]
+            pos = np.searchsorted(b_s, eids)
+            posc = np.minimum(pos, len(b_s) - 1)
+            has = (pos < len(b_s)) & (b_s[posc] == eids)
+            out[has] = ev_obj[posc[has]]
+        return pa.table(
+            {
+                "mention": gc["mention"],
+                "entity_id": gc["entity_id"],
+                "e_given_m": gc["e_given_m"],
+                "link_prob": gc["link_prob"],
+                "evec": pa.array(out.tolist(), pa.binary()),
+            }
+        )
+
+    cand2 = tagged2.groupby("bk").map_groups(
+        lambda g: attach_vec(g).select(
+            ["mention", "entity_id", "e_given_m", "link_prob", "evec"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    # ---- exchange 3: occurrences × candidates, score + argmax in-bucket
     emb_ref = broadcast_table(emb_tbl)
 
     def ctxvec_fn(t: pa.Table) -> pa.Table:
-        # task form with worker-cached embedder: an actor pool here
-        # would pin CPU slots the join's aggregator actors also need
-        # (deadlock on small sessions; wasted slots on big ones).
-        # Emits the context vector as a binary blob (see _join_score_partial).
+        # task form with worker-cached embedder (see _AddContextVec);
+        # emits the context vector as a binary blob
         from xlink_ray.state.cached import cached_state
 
         vec = cached_state(
@@ -515,37 +526,120 @@ def links_partitioned(
     occ = corpus.map_batches(
         occurrence_scan_fn, fn_args=(vocab_ref,), batch_format="pyarrow", num_cpus=hcpu
     ).map_batches(ctxvec_fn, batch_format="pyarrow")
-    joined = occ.repartition(nparts).join(
-        cand.repartition(nparts),
-        join_type="inner",
-        num_partitions=nparts,
-        on=("mention",),
+
+    def tag_occ(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "offset": pc.cast(t["offset"], pa.int64()),
+                "mention": t["mention"],
+                "context": t["context"],
+                "ctxbin": t["ctxbin"],
+                "entity_id": pa.array([""] * n, pa.string()),
+                "e_given_m": pa.array(np.zeros(n, np.float64)),
+                "link_prob": pa.array(np.zeros(n, np.float64)),
+                "evec": pa.array([None] * n, pa.binary()),
+                "side": pa.array(np.zeros(n, np.int8)),
+            }
+        )
+
+    def tag_cand2(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "doc_id": pa.array([""] * n, pa.string()),
+                "offset": pa.array(np.full(n, -1, np.int64)),
+                "mention": t["mention"],
+                "context": pa.array([""] * n, pa.string()),
+                "ctxbin": pa.array([None] * n, pa.binary()),
+                "entity_id": t["entity_id"],
+                "e_given_m": t["e_given_m"],
+                "link_prob": t["link_prob"],
+                "evec": t["evec"],
+                "side": pa.array(np.ones(n, np.int8)),
+            }
+        )
+
+    tagged3 = (
+        occ.map_batches(tag_occ, batch_format="pyarrow")
+        .union(cand2.map_batches(tag_cand2, batch_format="pyarrow"))
+        .map_batches(add_bk("mention"), batch_format="pyarrow")
     )
 
-    # two-level argmax. The (doc, offset) winner must come from ONE
-    # kernel call over all its candidates; a per-block map would rely
-    # on one-block-per-hash-partition, which Ray Data breaks whenever a
-    # partition exceeds the target block size. So: (1) a per-batch
-    # LOCAL argmax reduces each fragment to slim winner rows (dropping
-    # the vector payloads before any further exchange — max is a valid
-    # two-level reduction under the (believe desc, entity asc) total
-    # order), then (2) a doc-salt groupby, whose group completeness is
-    # a structural guarantee, picks the global winner and applies the
-    # keep thresholds. Groups stay bounded: every row of a doc shares
-    # its salt.
-    n_salts = 4 * nparts
+    def score_bucket(g: pa.Table) -> pa.Table:
+        from xlink_ray.stages.candidates import BELIEVE_TH, LINK_PROB_TH, POWER
 
-    def add_doc_salt(t: pa.Table) -> pa.Table:
-        from xlink_ray.functions.hashing import md5_low64
+        side = g["side"].to_numpy(zero_copy_only=False)
+        go = g.filter(pa.array(side == 0))
+        gc = g.filter(pa.array(side == 1))
+        if go.num_rows == 0 or gc.num_rows == 0:
+            return _LINKS_EMPTY
+        om = np.asarray(go["mention"].to_pylist(), dtype=object)
+        cm = np.asarray(gc["mention"].to_pylist(), dtype=object)
+        corder = np.argsort(cm, kind="stable")
+        cm_s = cm[corder]
+        lo = np.searchsorted(cm_s, om, side="left")
+        hi = np.searchsorted(cm_s, om, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return _LINKS_EMPTY
+        # expanded (occurrence, candidate) index pairs — the same rows
+        # the old hash join emitted, built by offset arithmetic
+        ends = np.cumsum(cnt)
+        flatpos = np.arange(total, dtype=np.int64) - np.repeat(ends - cnt, cnt) + np.repeat(lo, cnt)
+        oidx = np.repeat(np.arange(len(om), dtype=np.int64), cnt)
+        cidx = corder[flatpos]
 
-        h = md5_low64([str(x) for x in t["doc_id"].to_pylist()]) % np.uint64(n_salts)
-        return t.append_column("doc_salt", pa.array(h.astype(np.int64)))
+        n_occ = go.num_rows
+        ctx = np.frombuffer(
+            b"".join(go["ctxbin"].to_pylist()), dtype=np.float64
+        ).reshape(n_occ, -1)
+        dim = ctx.shape[1]
+        ev = np.zeros((gc.num_rows, dim), dtype=np.float64)
+        for i, v in enumerate(gc["evec"].to_pylist()):
+            if v is not None:
+                ev[i] = np.frombuffer(v, dtype=np.float64)
 
-    return (
-        joined.map_batches(_join_score_partial, batch_format="pyarrow")
-        .map_batches(add_doc_salt, batch_format="pyarrow")
-        .groupby("doc_salt")
-        .map_groups(_join_score_final, batch_format="pyarrow")
+        a = ctx[oidx]
+        b = ev[cidx]
+        num = np.einsum("ij,ij->i", a, b)
+        den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+        cos = np.zeros(total, dtype=np.float64)
+        nz = den > 0
+        cos[nz] = num[nz] / den[nz]
+        egm = gc["e_given_m"].to_numpy(zero_copy_only=False)[cidx]
+        believe = (egm**POWER) * cos
+        lp = gc["link_prob"].to_numpy(zero_copy_only=False)[cidx]
+
+        doc = np.asarray(go["doc_id"].to_pylist())[oidx]
+        off = go["offset"].to_numpy(zero_copy_only=False)[oidx]
+        ent = np.asarray(gc["entity_id"].to_pylist())[cidx]
+        # complete per-(doc, offset) argmax: every candidate of an
+        # occurrence shares its mention, hence this bucket
+        win = _argmax_first(doc, off, ent, believe)
+        keep = (lp[win] > LINK_PROB_TH) & ((believe[win] + lp[win]) / 2.0 > BELIEVE_TH)
+        win = win[keep]
+        if len(win) == 0:
+            return _LINKS_EMPTY
+        occpick = pa.array(oidx[win])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[win], pa.string()),
+                "offset": pa.array(off[win]),
+                "mention": go["mention"].take(occpick),
+                "entity_id": pa.array(ent[win], pa.string()),
+                "believe": pa.array(believe[win]),
+                "context": go["context"].take(occpick),
+            }
+        )
+
+    return tagged3.groupby("bk").map_groups(
+        lambda g: score_bucket(g).select(
+            ["doc_id", "offset", "mention", "entity_id", "believe", "context"]
+        ),
+        batch_format="pyarrow",
     )
 
 
