@@ -105,38 +105,64 @@ def train_joint(
         n_shards=n_shards,
     )
 
+    # phase-tagged corpus union, built ONCE: per iteration a single
+    # Dataset execution (MultiFusedSGNS routes rows by phase) replaces
+    # the 3-4 per-phase launches + actor-pool spin-ups — the fixed cost
+    # the reference's 10-iteration schedule multiplies by 30+
+    def _tag(phase: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "text": t["text"],
+                    "phase": pa.array(
+                        np.full(t.num_rows, phase, dtype=np.int64)
+                    ),
+                }
+            )
+
+        return fn
+
+    tagged = (
+        plain.map_batches(_tag(0), batch_format="pyarrow")
+        .union(kg.map_batches(_tag(1), batch_format="pyarrow"))
+    )
+    if sg:
+        tagged = tagged.union(
+            anchored.map_batches(_tag(2), batch_format="pyarrow")
+        )
+    if cw:
+        tagged = tagged.union(
+            anchored.map_batches(_tag(3), batch_format="pyarrow")
+        )
+    tagged = tagged.materialize()
+
     stats = {"word_vocab": word_vocab.num_rows, "ent_vocab": ent_vocab.num_rows,
              "text_pairs": 0, "kg_pairs": 0, "anchor_pairs": 0}
     for i in range(1, iters + 1):
         # mean of the reference's continuous per-word decay within iter i
         a_i = max(alpha * (1.0 - (i - 0.5) / iters), alpha * 1e-4)
-        # fused epochs: pair generation + SGNS update in ONE actor pool
-        # per phase (the two-stage text_pairs→sgns_epoch path ships
-        # every pair through the object store and pays two pool
-        # spin-ups; see te.FusedSGNS)
-        stats["text_pairs"] += te.fused_epoch(
-            plain, te.PairGen, (wv_ref, window, sample, 100 + i),
-            mats["word_in"], mats["word_out"], "word_in", "word_out",
-            w_cum, a_i, neg, seed=200 + i, pair_chunk=batch_size, concurrency=concurrency,
+        phase_cfgs = [
+            (te.PairGen, (wv_ref, window, sample, 100 + i),
+             (mats["word_in"], mats["word_out"], "word_in", "word_out",
+              w_cum, a_i, neg, 200 + i), False),
+            (te.PairGen, (ev_ref, window, 0.0, 300 + i),
+             (mats["ent_in"], mats["ent_out"], "ent_in", "ent_out",
+              e_cum, a_i, neg, 400 + i), False),
+            # entity predicts context words (reference default ON)
+            (te.AnchorPairGen, (wv_ref, ev_ref, window, 500 + i),
+             (mats["ent_in"], mats["word_out"], "ent_in", "word_out",
+              w_cum, a_i, neg, 600 + i), False),
+            # context words predict entity (reference default OFF)
+            (te.AnchorPairGen, (wv_ref, ev_ref, window, 500 + i),
+             (mats["word_in"], mats["ent_out"], "word_in", "ent_out",
+              e_cum, a_i, neg, 700 + i), True),
+        ]
+        totals = te.fused_iteration(
+            tagged, phase_cfgs, pair_chunk=batch_size, concurrency=concurrency,
         )
-        stats["kg_pairs"] += te.fused_epoch(
-            kg, te.PairGen, (ev_ref, window, 0.0, 300 + i),
-            mats["ent_in"], mats["ent_out"], "ent_in", "ent_out",
-            e_cum, a_i, neg, seed=400 + i, pair_chunk=batch_size, concurrency=concurrency,
-        )
-        if sg:  # entity predicts context words (reference default ON)
-            stats["anchor_pairs"] += te.fused_epoch(
-                anchored, te.AnchorPairGen, (wv_ref, ev_ref, window, 500 + i),
-                mats["ent_in"], mats["word_out"], "ent_in", "word_out",
-                w_cum, a_i, neg, seed=600 + i, pair_chunk=batch_size, concurrency=concurrency,
-            )
-        if cw:  # context words predict entity (reference default OFF)
-            stats["anchor_pairs"] += te.fused_epoch(
-                anchored, te.AnchorPairGen, (wv_ref, ev_ref, window, 500 + i),
-                mats["word_in"], mats["ent_out"], "word_in", "ent_out",
-                e_cum, a_i, neg, seed=700 + i, pair_chunk=batch_size,
-                concurrency=concurrency, flip=True,
-            )
+        stats["text_pairs"] += totals.get(0, 0)
+        stats["kg_pairs"] += totals.get(1, 0)
+        stats["anchor_pairs"] += totals.get(2, 0) + totals.get(3, 0)
         te.save_vectors(
             f"{out_dir}/vectors_word{i}.parquet", word_vocab,
             mats["word_in"].to_numpy("word_in", word_vocab.num_rows, dim),

@@ -617,6 +617,78 @@ def fused_epoch(
     return total
 
 
+class MultiFusedSGNS:
+    """ALL phases of one training iteration in ONE actor pool: batches
+    carry a ``phase`` int column (0 = text, 1 = KG, 2 = anchor-sg,
+    3 = anchor-cw) and the actor routes each row slice to that phase's
+    generator + updater.
+
+    Why: an iteration previously launched one Dataset execution (and
+    spun up one actor pool) PER phase — 3 launches × iters; at smoke
+    scale the fixed launch cost dominates (the reference xlink-align.sh
+    trains 10 iterations, so launch overhead ×30). One tagged-union
+    execution per iteration amortizes it 3×; phase updates interleave
+    at batch granularity instead of running phase-sequentially, which
+    is within SGNS's stochastic-order contract (the smoke test and the
+    rows-only joint_norms check are order-tolerant by design)."""
+
+    def __init__(self, phase_cfgs: "list[tuple]", pair_chunk: int = 8192):
+        # phase_cfgs[p] = (gen_cls, gen_args, upd_args, flip)
+        self.units = [
+            (gen_cls(*gen_args), SGNSUpdater(*upd_args), flip)
+            for gen_cls, gen_args, upd_args, flip in phase_cfgs
+        ]
+        self.chunk = pair_chunk
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ph = t["phase"].to_numpy(zero_copy_only=False)
+        out_ph, out_n = [], []
+        for p, (gen, upd, flip) in enumerate(self.units):
+            sub = t.filter(pa.array(ph == p))
+            if sub.num_rows == 0:
+                continue
+            pairs = gen(sub)
+            if flip:
+                pairs = pa.table({"inp": pairs["out"], "out": pairs["inp"]})
+            total = 0
+            for s in range(0, pairs.num_rows, self.chunk):
+                out = upd(pairs.slice(s, self.chunk))
+                total += int(out["pairs"][0].as_py())
+            out_ph.append(p)
+            out_n.append(total)
+        return pa.table(
+            {
+                "phase": pa.array(out_ph, pa.int64()),
+                "pairs": pa.array(out_n, pa.int64()),
+            }
+        )
+
+
+def fused_iteration(
+    tagged: Dataset,
+    phase_cfgs: "list[tuple]",
+    pair_chunk: int = 8192,
+    batch_size: int = 256,
+    concurrency: tuple[int, int] = (1, 4),
+) -> "dict[int, int]":
+    """One Dataset execution = one FULL training iteration over the
+    phase-tagged corpus union. Returns {phase: pairs trained}; the
+    consume is the iteration barrier."""
+    counted = tagged.map_batches(
+        MultiFusedSGNS,
+        fn_constructor_args=(phase_cfgs, pair_chunk),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    totals: dict[int, int] = {}
+    for b in counted.iter_batches(batch_format="pyarrow"):
+        tb = pa.table(b)
+        for p, n in zip(tb["phase"].to_pylist(), tb["pairs"].to_pylist()):
+            totals[p] = totals.get(p, 0) + int(n)
+    return totals
+
+
 def save_vectors(path: str, vocab: pa.Table, mat: np.ndarray) -> None:
     """(token, vector) Parquet — the vectors_word{i}.dat analogue."""
     import pyarrow.parquet as pq
