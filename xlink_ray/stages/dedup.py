@@ -1264,24 +1264,47 @@ def jaccard_partner_counts(ds: Dataset, block_col: str = "lang", th: float = 0.9
     the vectorized char-set Jaccard; pairs found under several prefix
     chars are deduped before counting. No language-wide all-pairs grid.
     """
-    import math
-
     from xlink_ray.functions.similarity import char_jaccard_pairs
 
     def prefix_rows(t: pa.Table) -> pa.Table:
+        # vectorized distinct-char sets: one codepoint decode for the
+        # whole batch, one lexsort dedupe, per-row utf-32 slices — the
+        # only per-row Python is a cheap bytes.decode per doc and a chr()
+        # per PREFIX char (plen ≈ 1 at high thresholds)
+        texts = t["text"].to_pylist()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        blocks = t[block_col].to_pylist()
+        n = len(texts)
+        lens = np.fromiter((len(x) for x in texts), np.int64, count=n)
+        cp = np.frombuffer("".join(texts).encode("utf-32-le"), dtype=np.uint32)
+        row = np.repeat(np.arange(n, dtype=np.int64), lens)
+        order = np.lexsort((cp, row))
+        r_s, c_s = row[order], cp[order]
+        keep = (
+            np.r_[True, (r_s[1:] != r_s[:-1]) | (c_s[1:] != c_s[:-1])]
+            if len(r_s)
+            else np.zeros(0, bool)
+        )
+        r_k, c_k = r_s[keep], c_s[keep]
+        nchars = np.bincount(r_k, minlength=n)
+        starts = np.zeros(n + 1, np.int64)
+        np.cumsum(nchars, out=starts[1:])
+        # distinct chars ascending by codepoint == sorted(set(text))
+        cs_all = [
+            c_k[starts[i] : starts[i + 1]].tobytes().decode("utf-32-le")
+            for i in range(n)
+        ]
+        plen = np.maximum(
+            nchars - np.ceil(th * nchars).astype(np.int64) + 1, 1
+        )
         out_block, out_ch, out_id, out_set = [], [], [], []
-        for did, blk, text in zip(
-            t["doc_id"].to_pylist(), t[block_col].to_pylist(), t["text"].to_pylist()
-        ):
-            chars = sorted(set(text))
-            cs = "".join(chars)
-            plen = max(len(chars) - math.ceil(th * len(chars)) + 1, 1) if chars else 1
-            prefix = chars[:plen] if chars else [""]
-            for ch in prefix:
-                out_block.append(blk)
+        for i in range(n):
+            prefix = cs_all[i][: plen[i]] if nchars[i] else ""
+            for ch in (prefix or [""]):
+                out_block.append(blocks[i])
                 out_ch.append(ch)
-                out_id.append(did)
-                out_set.append(cs)
+                out_id.append(int(ids[i]))
+                out_set.append(cs_all[i])
         return pa.table(
             {
                 "block": pa.array(out_block, pa.string()),
