@@ -47,24 +47,24 @@ def _partial_sum(keys: list[str], val: str, out: str):
     return fn
 
 
-def _tree_combine(
-    partial: Dataset, keys: list[str], out: str, level1_rows: int = 1 << 20
-) -> Dataset:
-    """Final merge for DICTIONARY-SIZED aggregates: a block-coalescing
-    combine level + one single-block combine with an in-task
-    ``pa.Table.group_by`` instead of Ray's sort-based shuffle aggregate
-    (measured 1.59s → 0.35s on 128 pre-combined partial blocks at
-    sf0.1).  Level 1 is ``map_batches(batch_size=level1_rows)`` — Ray
-    bundles whole partial blocks up to the row target per task, so the
-    fan-in needs NO repartition (a block-count repartition pads small
-    inputs with schema-less empty blocks, flooding the executor log
-    with `new schema: .` warnings).  Safe only when the distinct-key
-    universe is dictionary-sized — the last task holds the merged
-    dictionary (these tables are later collected/broadcast anyway, so
-    that bound already governs the pipeline)."""
+def _tree_combine(partial: Dataset, keys: list[str], out: str, fanin: int = 16) -> Dataset:
+    """Final merge for DICTIONARY-SIZED aggregates: two repartition
+    levels with an in-task ``pa.Table.group_by`` combine instead of
+    Ray's sort-based shuffle aggregate (measured 1.59s → 0.35s on
+    128 pre-combined partial blocks at sf0.1).  Safe only when the
+    distinct-key universe is dictionary-sized — the last task holds
+    ≤ fanin × |keys| rows (these tables are later collected/broadcast
+    anyway, so that bound already governs the pipeline).
+
+    Do NOT replace level 1 with ``map_batches(batch_size=BIG)`` block
+    coalescing: Ray's bundler breaks pipelining for large batch-size
+    targets and the dict phase at 3.6 M pages went 19 s → 67 s per
+    aggregate (measured round 4). repartition pads small inputs with
+    schema-less empty blocks, but those executor-log warnings are
+    filtered at the source (xlink_ray._filter_empty_schema_warnings)."""
     combine = _partial_sum(keys, out, out)
-    first = partial.map_batches(
-        combine, batch_format="pyarrow", batch_size=level1_rows
+    first = partial.repartition(fanin).map_batches(
+        combine, batch_format="pyarrow", batch_size=None
     )
     return first.repartition(1).map_batches(
         combine, batch_format="pyarrow", batch_size=None
