@@ -358,8 +358,21 @@ def blocking_quality(
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
 
     n_rows = ds.count()
-    sizes = group_sizes(ds, keys).take_all()
-    candidate = sum(int(r["n"]) * (int(r["n"]) - 1) // 2 for r in sizes)
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(object)  # exact bigint
+        return pa.table(
+            {"p": pa.array([int(sum(x * (x - 1) // 2 for x in n))], pa.int64())}
+        )
+
+    # candidate-pair count summed worker-side — the per-key size table
+    # is key-universe-sized and never reaches the driver
+    candidate = int(
+        group_sizes(ds, keys)
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .sum("p")
+        or 0
+    )
     total = n_rows * (n_rows - 1) // 2
 
     def with_const(t: pa.Table) -> pa.Table:
