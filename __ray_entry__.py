@@ -316,6 +316,17 @@ def _q_er_clusters_constrained(sf_dir: str):
     return er.customer_clusters_constrained(sf_dir)
 
 
+def _q_er_clusters_incremental(sf_dir: str):
+    """Recrawl-shaped incremental transitive clustering: standing
+    labels + delta pairs merged via a delta-bounded label-graph CC
+    (stages/clustering.incremental_components) — pinned EQUAL to the
+    full recompute, so the oracle is er_clusters' recursive closure
+    verbatim."""
+    from xlink_ray.pipelines import er
+
+    return er.customer_clusters_incremental(sf_dir)
+
+
 def _q_er_constrained_invariants(sf_dir: str):
     """SQL-checkable projections of the (order-dependent, rows-only)
     constrained clustering: member count, offending-component member
@@ -3415,6 +3426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_clusters_bucket": _q_er_clusters_bucket,
         "er_clusters_constrained": _q_er_clusters_constrained,
         "er_constrained_invariants": _q_er_constrained_invariants,
+        "er_clusters_incremental": _q_er_clusters_incremental,
         "er_attach": _q_er_attach,
         "fs_weights": _q_fs_weights,
         "fs_scores": _q_fs_scores,
@@ -3592,6 +3604,19 @@ SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
 FROM customer a JOIN customer b
   ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
 WHERE jaro_winkler_similarity(a.c_name, b.c_name) >= 0.94""",
+        "er_clusters_incremental": """
+WITH RECURSIVE e AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+sym AS (SELECT id_a AS u, id_b AS v FROM e UNION SELECT id_b, id_a FROM e),
+reach(u, v) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
+SELECT u AS member_id, CAST(min(v) AS BIGINT) AS cluster_id
+FROM reach GROUP BY u""",
         "er_constrained_invariants": """
 WITH RECURSIVE e AS (
   SELECT a.c_custkey AS id_a, b.c_custkey AS id_b

@@ -197,3 +197,88 @@ def test_constrained_components(ray_session):
     assert got3.sort_values("member_id").reset_index(drop=True).equals(
         base.sort_values("member_id").reset_index(drop=True)
     )
+
+
+def test_incremental_components_equals_full_recompute(ray_session):
+    """incremental_components(standing, delta) == full CC over
+    old ∪ delta edges, across the tricky topologies: delta edges that
+    merge two standing clusters, chains that connect clusters only
+    THROUGH brand-new nodes, within-cluster no-op deltas, and new-new
+    edges forming their own component."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from xlink_ray.stages.clustering import (
+        connected_components,
+        incremental_components,
+    )
+
+    def edges_ds(pairs):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([a for a, _ in pairs], pa.int64()),
+                    "id_b": pa.array([b for _, b in pairs], pa.int64()),
+                }
+            )
+        )
+
+    # standing graph: clusters {1,2,3}, {10,11}, {20,21}, singleton 30
+    old = [(1, 2), (2, 3), (10, 11), (20, 21)]
+    nodes = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 10, 11, 20, 21, 30], pa.int64())})
+    )
+    delta = [
+        (3, 10),    # merges {1,2,3} with {10,11}
+        (21, 100),  # chain into a NEW node...
+        (100, 30),  # ...connecting {20,21} to singleton 30 through it
+        (1, 2),     # within-cluster no-op
+        (200, 201), # brand-new pair, own component
+    ]
+    standing = connected_components(edges_ds(old), nodes=nodes, node_col="k")
+    got = (
+        incremental_components(standing, edges_ds(delta))
+        .to_pandas()
+        .sort_values("member_id")
+        .reset_index(drop=True)
+    )
+    full_nodes = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 10, 11, 20, 21, 30, 100, 200, 201], pa.int64())})
+    )
+    exp = (
+        connected_components(edges_ds(old + delta), nodes=full_nodes, node_col="k")
+        .to_pandas()
+        .sort_values("member_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["member_id"]) == list(exp["member_id"])
+    assert list(got["cluster_id"]) == list(exp["cluster_id"])
+    # spot-check semantics: the merged big cluster is canonical-min 1
+    lab = dict(zip(got["member_id"], got["cluster_id"]))
+    assert lab[11] == 1 and lab[3] == 1
+    assert lab[30] == lab[100] == lab[20] == lab[21] == 20
+    assert lab[200] == lab[201] == 200
+
+
+def test_incremental_components_empty_delta(ray_session):
+    """An empty delta passes the standing labeling through unchanged."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from xlink_ray.stages.clustering import (
+        connected_components,
+        incremental_components,
+    )
+
+    edges = rd.from_arrow(
+        pa.table({"id_a": pa.array([1], pa.int64()), "id_b": pa.array([2], pa.int64())})
+    )
+    empty = rd.from_arrow(
+        pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+    )
+    standing = connected_components(edges)
+    got = incremental_components(standing, empty).to_pandas()
+    assert sorted(zip(got["member_id"], got["cluster_id"])) == [(1, 1), (2, 1)]

@@ -705,3 +705,41 @@ def customer_constrained_invariants(sf_dir: str) -> "pa.Table":
             "n_violations": pa.array([n_violations], pa.int64()),
         }
     )
+
+
+def customer_clusters_incremental(sf_dir: str) -> Dataset:
+    """Recrawl-shaped incremental clustering: candidate pairs are split
+    deterministically into a STANDING set (clustered the usual way) and
+    a DELTA set (md5(id_a)%5==0 — the 'new crawl' pairs); the delta
+    merges into the standing labels via
+    :func:`xlink_ray.stages.clustering.incremental_components` — work
+    scales with the delta. Output is pinned equal to the full recompute
+    over ALL pairs, so the DuckDB oracle is er_clusters' recursive
+    closure verbatim."""
+    import numpy as np
+    import pyarrow as pa
+
+    from xlink_ray.functions.hashing import md5_low64
+    from xlink_ray.stages.clustering import (
+        connected_components,
+        incremental_components,
+    )
+
+    pairs = customer_pairs(sf_dir).materialize()  # both splits consume it
+
+    def split(delta: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            h = md5_low64([str(x) for x in t["id_a"].to_pylist()]) % np.uint64(5)
+            m = h == 0 if delta else h != 0
+            return t.filter(pa.array(m)).select(["id_a", "id_b"])
+
+        return fn
+
+    standing = connected_components(
+        pairs.map_batches(split(False), batch_format="pyarrow"),
+        nodes=_customers(sf_dir),
+        node_col="c_custkey",
+    )
+    return incremental_components(
+        standing, pairs.map_batches(split(True), batch_format="pyarrow")
+    )

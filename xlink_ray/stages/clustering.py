@@ -45,7 +45,7 @@ from ray.data.aggregate import Min
 
 from xlink_ray.state.broadcast import broadcast_table
 
-__all__ = ["connected_components", "pairwise_cluster_f1"]
+__all__ = ["connected_components", "pairwise_cluster_f1", "incremental_components"]
 
 _LOCAL_EDGE_LIMIT = 2_000_000
 
@@ -717,3 +717,249 @@ def constrained_components(
         return t.filter(pa.array(keep))
 
     return base.map_batches(keep_ok, batch_format="pyarrow").union(repaired)
+
+
+def incremental_components(
+    standing: Dataset,
+    delta_edges: Dataset,
+    a: str = "id_a",
+    b: str = "id_b",
+    member_id_col: str = "member_id",
+    cluster_col: str = "cluster_id",
+    nbuckets: int = 64,
+) -> Dataset:
+    """Merge DELTA edges into a STANDING (member_id, cluster_id)
+    labeling without recomputing the full closure — the recrawl /
+    continuous-ingest shape for transitive clustering (the standing
+    corpus's pair graph is never touched again; new-crawl pairs arrive
+    as ``delta_edges``). → the full updated (member_id, cluster_id)
+    over standing members ∪ delta endpoints, min-member-id canonical —
+    test- and oracle-pinned EQUAL to a full recompute over
+    old ∪ delta edges.
+
+    Work scales with the DELTA, not the standing corpus:
+
+    1. one node-hash exchange stamps each delta endpoint with its
+       standing label (endpoints absent from standing are NEW nodes and
+       label as themselves);
+    2. one pair-hash exchange regroups the two sides → label edges
+       (la, lb), la ≠ lb — a graph over CLUSTER LABELS, bounded by the
+       delta edge count, contracted through every standing component;
+    3. distributed min-label CC over that label graph (delta-bounded);
+    4. the remap (old label → merged root) is affected-labels-sized and
+       broadcasts; standing members and new nodes re-stamp in one
+       streaming map — rows whose label is untouched pass through.
+
+    Why min-member canonicalization survives contraction: standing
+    labels ARE min member ids, so the min LABEL of a merged set of
+    components is the min MEMBER overall; new nodes label as their own
+    id, the same convention. int64 node ids (the repo's ER member key);
+    string-keyed labelings go through the full recompute path.
+    """
+    import ray as _ray
+
+    from xlink_ray.functions.hashing import md5_low64
+
+    # ---- 1. stamp both endpoints with standing labels (node exchange)
+    def pair_side_rows(t: pa.Table) -> pa.Table:
+        av = t[a].to_numpy(zero_copy_only=False).astype(np.int64)
+        bv = t[b].to_numpy(zero_copy_only=False).astype(np.int64)
+        pid = md5_low64(
+            [f"{x}|{y}" for x, y in zip(av.tolist(), bv.tolist())]
+        ).astype(np.int64) & np.int64(0x7FFFFFFFFFFFFFFF)
+        n = len(av)
+        return pa.table(
+            {
+                "k": pa.array(np.concatenate([av, bv])),
+                "pid": pa.array(np.concatenate([pid, pid])),
+                "side": pa.array(
+                    np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)])
+                ),
+                "lab": pa.array(np.full(2 * n, -1, np.int64)),
+            }
+        )
+
+    def label_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "k": pc.cast(t[member_id_col], pa.int64()),
+                "pid": pa.array(np.full(n, -1, np.int64)),
+                "side": pa.array(np.full(n, 2, np.int8)),
+                "lab": pc.cast(t[cluster_col], pa.int64()),
+            }
+        )
+
+    tagged = delta_edges.map_batches(pair_side_rows, batch_format="pyarrow").union(
+        standing.map_batches(label_rows, batch_format="pyarrow")
+    )
+
+    _stamped_empty = pa.table(
+        {
+            "pid": pa.array([], pa.int64()),
+            "side": pa.array([], pa.int8()),
+            "k": pa.array([], pa.int64()),
+            "lab": pa.array([], pa.int64()),
+        }
+    )
+
+    def stamp(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        is_lab = side == 2
+        gp = g.filter(pa.array(~is_lab))
+        if gp.num_rows == 0:
+            return _stamped_empty
+        k = gp["k"].to_numpy(zero_copy_only=False)
+        lab = np.array(k)  # absent from standing → NEW node → own id
+        gl = g.filter(pa.array(is_lab))
+        if gl.num_rows:
+            lk = gl["k"].to_numpy(zero_copy_only=False)
+            lv = gl["lab"].to_numpy(zero_copy_only=False)
+            order = np.argsort(lk, kind="stable")
+            lk_s, lv_s = lk[order], lv[order]
+            pos = np.searchsorted(lk_s, k)
+            posc = np.minimum(pos, len(lk_s) - 1)
+            has = (pos < len(lk_s)) & (lk_s[posc] == k)
+            lab[has] = lv_s[posc[has]]
+        return pa.table(
+            {
+                "pid": gp["pid"],
+                "side": gp["side"],
+                "k": gp["k"],
+                "lab": pa.array(lab, pa.int64()),
+            }
+        )
+
+    def bucket_by(col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            v = t[col].to_numpy(zero_copy_only=False)
+            return t.append_column(
+                "__b", pa.array((v % np.int64(nbuckets)).astype(np.int64))
+            )
+
+        return fn
+
+    stamped = (
+        tagged.map_batches(bucket_by("k"), batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(
+            lambda g: stamp(g).select(["pid", "side", "k", "lab"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    # ---- 2. regroup per pair → label edges (pair exchange) ----
+    _ledge_empty = pa.table(
+        {"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}
+    )
+
+    def label_edges(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return _ledge_empty
+        pid = g["pid"].to_numpy(zero_copy_only=False)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        lab = g["lab"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, pid))
+        p_s, s_s, l_s = pid[order], side[order], lab[order]
+        mate = (p_s[1:] == p_s[:-1]) & (s_s[:-1] == 0) & (s_s[1:] == 1)
+        i = np.flatnonzero(mate)
+        la, lb = l_s[i], l_s[i + 1]
+        keep = la != lb
+        la, lb = la[keep], lb[keep]
+        if not len(la):
+            return _ledge_empty
+        lo = np.minimum(la, lb)
+        hi = np.maximum(la, lb)
+        order2 = np.lexsort((hi, lo))
+        lo, hi = lo[order2], hi[order2]
+        first = np.r_[True, (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])]
+        return pa.table(
+            {"u": pa.array(lo[first], pa.int64()), "v": pa.array(hi[first], pa.int64())}
+        )
+
+    ledges = (
+        stamped.map_batches(bucket_by("pid"), batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(
+            lambda g: label_edges(g).select(["u", "v"]), batch_format="pyarrow"
+        )
+    )
+
+    # ---- 3. CC over the (delta-bounded) label graph ----
+    remap = connected_components(ledges, a="u", b="v").materialize()
+
+    # affected-labels remap is delta-bounded → broadcast once
+    rows = [pa.table(x) for x in remap.iter_batches(batch_format="pyarrow")]
+    remap_tbl = (
+        pa.concat_tables(rows)
+        if rows
+        else pa.table(
+            {"member_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
+        )
+    )
+    rk = remap_tbl["member_id"].to_numpy(zero_copy_only=False)
+    rv = remap_tbl["cluster_id"].to_numpy(zero_copy_only=False)
+    rorder = np.argsort(rk, kind="stable")
+    remap_ref = _ray.put((rk[rorder], rv[rorder]))
+
+    # ---- 4. one streaming re-stamp over standing ∪ new nodes ----
+    # new nodes = delta endpoints absent from standing: stamped rows
+    # with lab == k that do NOT appear in standing; emit (k, k) rows and
+    # dedupe reduce-side with the standing rows winning
+    def standing_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "member_id": pc.cast(t[member_id_col], pa.int64()),
+                "cluster_id": pc.cast(t[cluster_col], pa.int64()),
+                "pri": pa.array(np.zeros(t.num_rows, np.int8)),
+            }
+        )
+
+    def new_node_rows(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False)
+        lab = t["lab"].to_numpy(zero_copy_only=False)
+        own = k[lab == k]
+        return pa.table(
+            {
+                "member_id": pa.array(own, pa.int64()),
+                "cluster_id": pa.array(own, pa.int64()),
+                "pri": pa.array(np.ones(len(own), np.int8)),
+            }
+        )
+
+    allrows = standing.map_batches(standing_rows, batch_format="pyarrow").union(
+        stamped.map_batches(new_node_rows, batch_format="pyarrow")
+    )
+
+    _out_empty = pa.table(
+        {"member_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
+    )
+
+    def finalize(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _out_empty
+        m = g["member_id"].to_numpy(zero_copy_only=False)
+        c = g["cluster_id"].to_numpy(zero_copy_only=False)
+        p = g["pri"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, m))
+        keep = np.r_[True, m[order][1:] != m[order][:-1]]
+        sel = order[keep]
+        m, c = m[sel], c[sel]
+        keys, roots = _ray.get(remap_ref)
+        if len(keys):
+            pos = np.searchsorted(keys, c)
+            posc = np.minimum(pos, len(keys) - 1)
+            has = (pos < len(keys)) & (keys[posc] == c)
+            c = np.where(has, roots[np.where(has, posc, 0)], c)
+        return pa.table(
+            {"member_id": pa.array(m, pa.int64()), "cluster_id": pa.array(c, pa.int64())}
+        )
+
+    return (
+        allrows.map_batches(bucket_by("member_id"), batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(
+            lambda g: finalize(g).select(["member_id", "cluster_id"]),
+            batch_format="pyarrow",
+        )
+    )
