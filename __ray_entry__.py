@@ -327,6 +327,16 @@ def _q_er_clusters_incremental(sf_dir: str):
     return er.customer_clusters_incremental(sf_dir)
 
 
+def _q_er_golden_incremental(sf_dir: str):
+    """Golden-record maintenance under the recrawl delta: survivorship
+    re-folds ONLY for clusters the incremental re-clustering touched
+    (survivor.golden_records_incremental); pinned equal to the full
+    er_golden recompute, oracle verbatim."""
+    from xlink_ray.pipelines import er
+
+    return er.customer_golden_incremental(sf_dir)
+
+
 def _q_er_constrained_invariants(sf_dir: str):
     """SQL-checkable projections of the (order-dependent, rows-only)
     constrained clustering: member count, offending-component member
@@ -3427,6 +3437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_clusters_constrained": _q_er_clusters_constrained,
         "er_constrained_invariants": _q_er_constrained_invariants,
         "er_clusters_incremental": _q_er_clusters_incremental,
+        "er_golden_incremental": _q_er_golden_incremental,
         "er_attach": _q_er_attach,
         "fs_weights": _q_fs_weights,
         "fs_scores": _q_fs_scores,
@@ -3559,7 +3570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     occ = _occ_cte()
-    return {
+    out = {
         "extract_text": "SELECT doc_id, text FROM documents",
         "mention_anchors": f"{occ} SELECT mention, entity_id, link_count FROM ma",
         "freq_m": f"""WITH {_alias_values_sql()}
@@ -5022,3 +5033,7 @@ GROUP BY domain""",
         FROM documents))
 SELECT split, lang, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY split, lang""",
     }
+    # incremental maintenance ops are pinned EQUAL to their full
+    # recomputes — same oracle text by construction
+    out["er_golden_incremental"] = out["er_golden"]
+    return out

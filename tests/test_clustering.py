@@ -282,3 +282,64 @@ def test_incremental_components_empty_delta(ray_session):
     standing = connected_components(edges)
     got = incremental_components(standing, empty).to_pandas()
     assert sorted(zip(got["member_id"], got["cluster_id"])) == [(1, 1), (2, 1)]
+
+
+def test_golden_records_incremental_equals_full(ray_session):
+    """golden_records_incremental == a full golden_records recompute:
+    merged clusters re-fold (winner can change — the delta connects a
+    low-balance cluster to a high-balance one), untouched clusters'
+    rows pass through."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from xlink_ray.stages.clustering import (
+        connected_components,
+        incremental_components,
+    )
+    from xlink_ray.stages.survivor import golden_records, golden_records_incremental
+
+    def edges_ds(pairs):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([a for a, _ in pairs], pa.int64()),
+                    "id_b": pa.array([b for _, b in pairs], pa.int64()),
+                }
+            )
+        )
+
+    ids = [1, 2, 3, 10, 11, 20, 21, 30]
+    records = rd.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "name": pa.array([f"n{i}" for i in ids], pa.string()),
+                "bal": pa.array([5.0, 1.0, 2.0, 9.0, 3.0, 4.0, 8.0, 7.0]),
+            }
+        )
+    )
+    nodes = rd.from_arrow(pa.table({"k": pa.array(ids, pa.int64())}))
+    old = [(1, 2), (2, 3), (10, 11), (20, 21)]
+    delta = [(3, 10)]  # merges {1,2,3} (max bal 5.0) with {10,11} (max 9.0)
+    gkw = dict(id_col="id", carry_min_id=["name"], argmax_col="bal")
+
+    standing = connected_components(edges_ds(old), nodes=nodes, node_col="k").materialize()
+    old_golden = golden_records(standing, records, **gkw)
+    new_labels, remap = incremental_components(standing, edges_ds(delta), with_remap=True)
+    got = (
+        golden_records_incremental(old_golden, new_labels, records, remap, **gkw)
+        .to_pandas().sort_values("cluster_id").reset_index(drop=True)
+    )
+    full = connected_components(edges_ds(old + delta), nodes=nodes, node_col="k")
+    exp = (
+        golden_records(full, records, **gkw)
+        .to_pandas().sort_values("cluster_id").reset_index(drop=True)
+    )
+    assert got.equals(exp), (got, exp)
+    # the merged cluster's argmax winner came from the delta-joined side
+    merged = got[got["cluster_id"] == 1].iloc[0]
+    assert merged["n_members"] == 5 and merged["bal"] == 9.0
+    # untouched clusters pass through
+    assert set(got["cluster_id"]) == {1, 20, 30}

@@ -743,3 +743,57 @@ def customer_clusters_incremental(sf_dir: str) -> Dataset:
     return incremental_components(
         standing, pairs.map_batches(split(True), batch_format="pyarrow")
     )
+
+
+def customer_golden_incremental(sf_dir: str) -> Dataset:
+    """Recrawl-shaped golden-record maintenance: the standing golden
+    table (built from the standing pair split) is UPDATED under the
+    delta pairs — survivorship re-folds only for clusters the
+    incremental re-clustering touched (stages/survivor.
+    golden_records_incremental). Pinned equal to a full er_golden
+    recompute over all pairs, so the oracle is er_golden's SQL
+    verbatim."""
+    import numpy as np
+    import pyarrow as pa
+
+    from xlink_ray.functions.hashing import md5_low64
+    from xlink_ray.stages.clustering import (
+        connected_components,
+        incremental_components,
+    )
+    from xlink_ray.stages.survivor import golden_records, golden_records_incremental
+
+    pairs = customer_pairs(sf_dir).materialize()
+
+    def split(delta: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            h = md5_low64([str(x) for x in t["id_a"].to_pylist()]) % np.uint64(5)
+            m = h == 0 if delta else h != 0
+            return t.filter(pa.array(m)).select(["id_a", "id_b"])
+
+        return fn
+
+    standing = connected_components(
+        pairs.map_batches(split(False), batch_format="pyarrow"),
+        nodes=_customers(sf_dir),
+        node_col="c_custkey",
+    ).materialize()  # consumed by old-golden AND the incremental merge
+
+    records = read_pq(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_mktsegment"],
+    )
+    gkw = dict(
+        id_col="c_custkey",
+        carry_min_id=["c_name"],
+        argmax_col="c_acctbal",
+        carry_argmax=["c_mktsegment"],
+    )
+    old_golden = golden_records(standing, records, **gkw)
+    new_labels, remap = incremental_components(
+        standing, pairs.map_batches(split(True), batch_format="pyarrow"),
+        with_remap=True,
+    )
+    return golden_records_incremental(
+        old_golden, new_labels, records, remap, **gkw
+    )

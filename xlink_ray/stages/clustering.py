@@ -727,7 +727,8 @@ def incremental_components(
     member_id_col: str = "member_id",
     cluster_col: str = "cluster_id",
     nbuckets: int = 64,
-) -> Dataset:
+    with_remap: bool = False,
+) -> "Dataset | tuple[Dataset, pa.Table]":
     """Merge DELTA edges into a STANDING (member_id, cluster_id)
     labeling without recomputing the full closure — the recrawl /
     continuous-ingest shape for transitive clustering (the standing
@@ -755,6 +756,11 @@ def incremental_components(
     components is the min MEMBER overall; new nodes label as their own
     id, the same convention. int64 node ids (the repo's ER member key);
     string-keyed labelings go through the full recompute path.
+
+    ``with_remap=True`` additionally returns the (old label → merged
+    root) table — the AFFECTED-cluster set downstream incremental
+    maintenance needs (e.g. golden_records_incremental recomputes
+    survivorship only for those clusters).
     """
     import ray as _ray
 
@@ -955,7 +961,7 @@ def incremental_components(
             {"member_id": pa.array(m, pa.int64()), "cluster_id": pa.array(c, pa.int64())}
         )
 
-    return (
+    out = (
         allrows.map_batches(bucket_by("member_id"), batch_format="pyarrow")
         .groupby("__b")
         .map_groups(
@@ -963,3 +969,6 @@ def incremental_components(
             batch_format="pyarrow",
         )
     )
+    if with_remap:
+        return out, remap_tbl
+    return out

@@ -28,7 +28,7 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
-__all__ = ["golden_records", "stamp_cluster"]
+__all__ = ["golden_records", "stamp_cluster", "golden_records_incremental"]
 
 
 def stamp_cluster(
@@ -217,3 +217,53 @@ def golden_records(
         .groupby("ck")
         .map_groups(lambda b: survive(b.drop_columns(["ck"])), batch_format="pyarrow")
     )
+
+
+def golden_records_incremental(
+    old_golden: Dataset,
+    new_labels: Dataset,
+    records: Dataset,
+    remap_tbl: "pa.Table",
+    id_col: str,
+    member_id_col: str = "member_id",
+    cluster_col: str = "cluster_id",
+    **golden_kwargs,
+) -> Dataset:
+    """Maintain a golden-record table under an incremental re-clustering
+    (the recrawl shape): survivorship is recomputed ONLY for clusters
+    the label remap touched; every other golden row passes through
+    untouched — work scales with the remap, not the corpus.
+
+    ``remap_tbl`` is ``incremental_components(..., with_remap=True)``'s
+    (old label → merged root) table: its KEYS are the old cluster ids
+    whose golden rows are stale (dropped), its distinct ROOTS are the
+    new cluster ids to re-fold (plus any root that is itself a new
+    node). Both sets are remap-sized and broadcast; the kept side and
+    the re-fold side stream. ``golden_kwargs`` forward to
+    :func:`golden_records` (argmax_col / carries), which MUST match the
+    arguments that built ``old_golden``."""
+    import ray as _ray
+
+    old_keys = np.unique(remap_tbl[member_id_col].to_numpy(zero_copy_only=False))
+    roots = np.unique(remap_tbl[cluster_col].to_numpy(zero_copy_only=False))
+    drop_ref = _ray.put(old_keys)
+    root_ref = _ray.put(roots)
+
+    def keep_untouched(t: pa.Table) -> pa.Table:
+        cl = t[cluster_col].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(~np.isin(cl, _ray.get(drop_ref))))
+
+    def affected_only(t: pa.Table) -> pa.Table:
+        cl = t[cluster_col].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(cl, _ray.get(root_ref))))
+
+    kept = old_golden.map_batches(keep_untouched, batch_format="pyarrow")
+    refolded = golden_records(
+        new_labels.map_batches(affected_only, batch_format="pyarrow"),
+        records,
+        id_col=id_col,
+        member_id_col=member_id_col,
+        cluster_col=cluster_col,
+        **golden_kwargs,
+    )
+    return kept.union(refolded)
