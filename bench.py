@@ -103,6 +103,9 @@ def _run_queries() -> dict[str, float]:
         lambda: flagship.clusters(SF_DIR, method=FLAGSHIP_METHOD).count(),
     )
     timed("links", lambda: flagship.links(SF_DIR).count())
+    # the designated no-dictionary-broadcast migration path (100x
+    # dictionaries): tracked per-round so a regression is visible
+    timed("links_partitioned", lambda: flagship.links_partitioned(SF_DIR).count())
     timed("mention_anchors", lambda: dictbuild.mention_anchors(SF_DIR).count())
     timed("freq_m", lambda: dictbuild.freq_m(SF_DIR).count())
     timed("er_pairs", lambda: er.customer_pairs(SF_DIR).count())

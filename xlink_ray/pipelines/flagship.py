@@ -288,6 +288,16 @@ def links_partitioned(
        every candidate of an occurrence shares its mention and
        therefore its bucket — takes the COMPLETE per-(doc, offset)
        argmax and keep thresholds right there. No doc-salt re-shuffle.
+
+    Partitioning assumption (documented per the custom-operator rule):
+    a mention bucket must fit one map_groups task — nbuckets scales
+    with the corpus block count (4 × nparts), so a bucket holds
+    ~corpus/nbuckets occurrence rows; the same group-size shape the
+    previous doc-salt groupby had. A pathologically hot single mention
+    (> one task's memory) would need mention-level salting on the
+    occurrence side plus a second-level argmax — not implemented, no
+    such skew in web-crawl mention distributions at the reference's
+    dictionary scale.
     """
     import ray.data as rd
 
