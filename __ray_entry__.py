@@ -2906,6 +2906,21 @@ def _q_pmi_bigrams(sf_dir: str):
     )
 
 
+def _q_copurchase_lift(sf_dir: str):
+    """Frequent-itemset pair mining over order baskets: one group-key
+    bucket exchange, per-length-class vectorized pair generation, one
+    pair-key grouped sum; unary supports ride the same exchange under
+    sentinel keys and broadcast once for the lift attach."""
+    from xlink_ray.stages.itemsets import basket_pair_lift
+
+    return basket_pair_lift(
+        read_pq(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]),
+        "l_orderkey",
+        "l_partkey",
+        min_support=2,
+    )
+
+
 def _q_bm25_scores(sf_dir: str):
     """BM25 (Lucene idf) scores for a fixed query set: two-pass
     broadcast pattern, corpus never shuffled."""
@@ -3504,6 +3519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "signup_conversion": _q_signup_conversion,
         "bm25_scores": _q_bm25_scores,
         "pmi_bigrams": _q_pmi_bigrams,
+        "copurchase_lift": _q_copurchase_lift,
         "shared_ngrams": _q_shared_ngrams,
         "lm_scores": _q_lm_scores,
         "curated_corpus_v2": _q_curated_corpus_v2,
@@ -4217,6 +4233,22 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(count(*) AS BIGINT) AS n_shared
 FROM d a JOIN d b ON a.win = b.win AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id""",
+        # Frequent-itemset pairs (stages/itemsets.py): identical lift
+        # evaluation order — support·G in double first, then divided by
+        # the int64 product of the unary supports.
+        "copurchase_lift": """
+WITH items AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
+u AS (SELECT item, count(*) AS n FROM items GROUP BY item),
+gt AS (SELECT count(DISTINCT g) AS total FROM items),
+p AS (SELECT a.item AS item_a, b.item AS item_b,
+             CAST(count(*) AS BIGINT) AS support
+      FROM items a JOIN items b ON a.g = b.g AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT p.item_a, p.item_b, p.support,
+       CAST(p.support AS DOUBLE) * gt.total / (ua.n * ub.n) AS lift
+FROM p CROSS JOIN gt
+JOIN u ua ON ua.item = p.item_a
+JOIN u ub ON ub.item = p.item_b""",
         # PMI collocations (stages/collocations.py): identical division
         # order in the pmi expression; TB = T − n_docs exactly.
         "pmi_bigrams": """
