@@ -2906,6 +2906,19 @@ def _q_pmi_bigrams(sf_dir: str):
     )
 
 
+def _q_containment_pairs(sf_dir: str):
+    """Directional n-gram containment (quote/subset detection): the
+    shared-gram pair skeleton plus one tagged-union bucket exchange
+    stamping per-doc distinct-gram counts onto both pair directions."""
+    from xlink_ray.stages.dedup import containment_pairs
+
+    return containment_pairs(
+        read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        k=5,
+        tau_milli=200,
+    )
+
+
 def _q_copurchase_lift(sf_dir: str):
     """Frequent-itemset pair mining over order baskets: one group-key
     bucket exchange, per-length-class vectorized pair generation, one
@@ -3520,6 +3533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_scores": _q_bm25_scores,
         "pmi_bigrams": _q_pmi_bigrams,
         "copurchase_lift": _q_copurchase_lift,
+        "containment_pairs": _q_containment_pairs,
         "shared_ngrams": _q_shared_ngrams,
         "lm_scores": _q_lm_scores,
         "curated_corpus_v2": _q_curated_corpus_v2,
@@ -4233,6 +4247,23 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(count(*) AS BIGINT) AS n_shared
 FROM d a JOIN d b ON a.win = b.win AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id""",
+        # Directional containment (stages/dedup.containment_pairs):
+        # same literal-gram replica as shared_ngrams (the M61 gram hash
+        # is collision-free at gate scale); the tau cut is the same
+        # integer cross-multiply on both sides.
+        "containment_pairs": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT doc_id, list_aggregate(ws[j:j+4], 'string_agg', ' ') AS win
+      FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 3)) AS j) s(j)),
+d AS (SELECT DISTINCT doc_id, win FROM g),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY doc_id),
+i AS (SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS m
+      FROM d a JOIN d b ON a.win = b.win AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2)
+SELECT i.da AS doc_id, i.db AS partner_id, i.m AS n_shared, sz.n AS n_grams,
+       CAST(i.m AS DOUBLE) / sz.n AS containment
+FROM i JOIN sz ON sz.doc_id = i.da
+WHERE i.m * 1000 >= 200 * sz.n""",
         # Frequent-itemset pairs (stages/itemsets.py): identical lift
         # evaluation order — support·G in double first, then divided by
         # the int64 product of the unary supports.

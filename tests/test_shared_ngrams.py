@@ -71,3 +71,48 @@ def test_boilerplate_cap_drops_gram(ray_session):
     assert got == {}
     got_nocap = _run(texts, k=5, max_bucket=512)
     assert len(got_nocap) == 45 and set(got_nocap.values()) == {1}
+
+
+# ------------------------- containment_pairs (directional, same grams)
+
+from xlink_ray.stages.dedup import containment_pairs
+
+
+def _containment_oracle(texts, k, tau_milli):
+    wins = []
+    for t in texts:
+        ws = t.split(" ")
+        wins.append({" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)})
+    out = {}
+    for a in range(len(texts)):
+        for b in range(len(texts)):
+            if a == b or not wins[a]:
+                continue
+            m = len(wins[a] & wins[b])
+            if m * 1000 >= tau_milli * len(wins[a]):
+                out[(a, b)] = (m, len(wins[a]), m / len(wins[a]))
+    return out
+
+
+def test_containment_matches_oracle(ray_session):
+    rng = np.random.default_rng(9)
+    vocab = ["a", "b", "c", "d", "e"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(5, 40))) for _ in range(25)]
+    quote = " ".join(texts[0].split(" ")[:8])  # short doc quoted from doc 0
+    texts.append(quote)
+    got = containment_pairs(_ds(texts), k=5, tau_milli=300).to_pandas()
+    exp = _containment_oracle(texts, 5, 300)
+    assert len(got) == len(exp)
+    for r in got.itertuples():
+        m, n, c = exp[(int(r.doc_id), int(r.partner_id))]
+        assert (r.n_shared, r.n_grams) == (m, n)
+        assert abs(r.containment - c) < 1e-12
+
+
+def test_containment_is_directional(ray_session):
+    # the quote is fully contained in the source, not vice versa
+    base = " ".join(f"w{i}" for i in range(40))
+    quote = " ".join(f"w{i}" for i in range(10, 18))
+    got = containment_pairs(_ds([base, quote]), k=5, tau_milli=900).to_pandas()
+    assert set(zip(got.doc_id, got.partner_id)) == {(1, 0)}
+    assert got.containment.iloc[0] == 1.0

@@ -1609,6 +1609,130 @@ def shared_ngram_pairs(
     return counted.map_batches(fmt, batch_format="pyarrow")
 
 
+def containment_pairs(
+    ds: Dataset,
+    k: int = 5,
+    tau_milli: int = 500,
+    max_bucket: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    nbuckets: int = 64,
+) -> Dataset:
+    """Directional n-gram CONTAINMENT detection (Broder 1997's
+    containment, as opposed to resemblance/Jaccard): for each ordered
+    doc pair, c(a→b) = |G(a) ∩ G(b)| / |G(a)| over distinct word-k-gram
+    hashes; emit (doc_id, partner_id, n_shared, n_grams, containment)
+    for every direction with c ≥ tau_milli/1000. Catches quotes and
+    subset documents that symmetric Jaccard misses (a short doc fully
+    contained in a long one has high containment but low resemblance).
+
+    Scale shape: ``shared_ngram_pairs``' two shuffles produce the
+    symmetric (doc_a, doc_b, n_shared) skeleton; per-doc distinct-gram
+    counts are exact per batch (a doc is one input row, so all its
+    grams are in-batch); ONE more tagged-union bucket exchange stamps
+    each side's gram count onto its pair rows (searchsorted, no
+    per-pair Python) and both directions emit from the same stamp.
+    The threshold is an integer cross-multiply (n_shared·1000 ≥
+    tau_milli·n_grams) so the cut is float-exact."""
+    from xlink_ray.stages.curation import _gram_hashes
+
+    pairs = shared_ngram_pairs(
+        ds,
+        k=k,
+        min_shared=1,
+        max_bucket=max_bucket,
+        text_col=text_col,
+        id_col=id_col,
+        nbuckets=nbuckets,
+    )
+
+    def pair_side_rows(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        ns = t["n_shared"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "gid": pa.array(np.concatenate([a, b])),
+                "mate": pa.array(np.concatenate([b, a])),
+                "side": pa.array(
+                    np.concatenate([np.zeros(len(a), np.int8), np.ones(len(b), np.int8)])
+                ),
+                "n": pa.array(np.concatenate([ns, ns])),
+            }
+        )
+
+    def size_rows(t: pa.Table) -> pa.Table:
+        doc_idx, _gram = _gram_hashes(t[text_col], k)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.bincount(doc_idx, minlength=t.num_rows).astype(np.int64)
+        return pa.table(
+            {
+                "gid": pa.array(ids),
+                "mate": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+                "side": pa.array(np.full(len(ids), 2, dtype=np.int8)),
+                "n": pa.array(cnt),
+            }
+        )
+
+    tagged = pairs.map_batches(pair_side_rows, batch_format="pyarrow").union(
+        ds.map_batches(size_rows, batch_format="pyarrow")
+    )
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("partner_id", pa.int64()),
+            ("n_shared", pa.int64()),
+            ("n_grams", pa.int64()),
+            ("containment", pa.float64()),
+        ]
+    )
+
+    def stamp_bucket(g: pa.Table) -> pa.Table:
+        sides = g["side"].to_numpy(zero_copy_only=False)
+        gid = g["gid"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        holders = np.flatnonzero(sides == 2)
+        members = np.flatnonzero(sides != 2)
+        if len(holders) == 0 or len(members) == 0:
+            return out_schema.empty_table()
+        h_order = np.argsort(gid[holders], kind="stable")
+        h_gid = gid[holders][h_order]
+        h_n = n[holders][h_order]
+        m_gid = gid[members]
+        pos = np.searchsorted(h_gid, m_gid)
+        pos_ok = pos < len(h_gid)
+        pos_c = np.minimum(pos, len(h_gid) - 1)
+        found = pos_ok & (h_gid[pos_c] == m_gid)
+        ng = h_n[pos_c]
+        ns = n[members]
+        keep = found & (ng > 0) & (ns * 1000 >= tau_milli * ng)
+        if not keep.any():
+            return out_schema.empty_table()
+        sel = members[keep]
+        ng_k, ns_k = ng[keep], ns[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(gid[sel], pa.int64()),
+                "partner_id": pa.array(
+                    g["mate"].to_numpy(zero_copy_only=False)[sel], pa.int64()
+                ),
+                "n_shared": pa.array(ns_k, pa.int64()),
+                "n_grams": pa.array(ng_k, pa.int64()),
+                "containment": pa.array(ns_k / ng_k, pa.float64()),
+            }
+        )
+
+    return _hash_bucketed(
+        tagged,
+        lambda t: t["gid"].to_numpy(zero_copy_only=False).astype(np.int64),
+        lambda g: stamp_bucket(g).select(
+            ["doc_id", "partner_id", "n_shared", "n_grams", "containment"]
+        ),
+        nbuckets=nbuckets,
+    )
+
+
 # ------------------------------------- end-to-end near-dup clustering
 
 def neardup_clusters(ds: Dataset, max_hamming: int = 3) -> Dataset:
