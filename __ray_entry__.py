@@ -2906,6 +2906,30 @@ def _q_pmi_bigrams(sf_dir: str):
     )
 
 
+def _q_blocklist_stats(sf_dir: str):
+    """Per-doc blocklist hit counts (the C4 bad-words curation gate):
+    zero-shuffle scan, term automaton compiled once per worker."""
+    from xlink_ray.stages.curation import blocklist_stats
+
+    return blocklist_stats(
+        read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        terms=["filter", "join", "scan"],
+    )
+
+
+def _q_bpe_merges(sf_dir: str):
+    """Distributed BPE merge-rule training (rows-only: each merge rule
+    depends on all earlier rules — an inherently iterative greedy
+    trainer, same stance as the SGD trainer; pinned against the
+    sequential Sennrich reference in tests/test_bpe.py)."""
+    from xlink_ray.stages.bpe import bpe_merges
+
+    return bpe_merges(
+        read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        n_merges=10,
+    )
+
+
 def _q_containment_pairs(sf_dir: str):
     """Directional n-gram containment (quote/subset detection): the
     shared-gram pair skeleton plus one tagged-union bucket exchange
@@ -3534,6 +3558,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": _q_pmi_bigrams,
         "copurchase_lift": _q_copurchase_lift,
         "containment_pairs": _q_containment_pairs,
+        "blocklist_stats": _q_blocklist_stats,
+        "bpe_merges": _q_bpe_merges,
         "shared_ngrams": _q_shared_ngrams,
         "lm_scores": _q_lm_scores,
         "curated_corpus_v2": _q_curated_corpus_v2,
@@ -4247,6 +4273,20 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(count(*) AS BIGINT) AS n_shared
 FROM d a JOIN d b ON a.win = b.win AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id""",
+        # Blocklist stats (stages/curation.blocklist_stats): the oracle
+        # counts via non-overlapping replace; equal to the scanner's
+        # all-overlapping counts because the terms are border-free (no
+        # proper prefix = suffix, so occurrences cannot self-overlap).
+        "blocklist_stats": """
+WITH t AS (SELECT doc_id, lower(text) AS tx FROM documents)
+SELECT doc_id,
+  CAST((len(tx) - len(replace(tx, 'filter', ''))) // 6
+     + (len(tx) - len(replace(tx, 'join', ''))) // 4
+     + (len(tx) - len(replace(tx, 'scan', ''))) // 4 AS BIGINT) AS n_hits,
+  CAST((len(tx) > len(replace(tx, 'filter', '')))::INT
+     + (len(tx) > len(replace(tx, 'join', '')))::INT
+     + (len(tx) > len(replace(tx, 'scan', '')))::INT AS BIGINT) AS n_terms_hit
+FROM t""",
         # Directional containment (stages/dedup.containment_pairs):
         # same literal-gram replica as shared_ngrams (the M61 gram hash
         # is collision-free at gate scale); the tau cut is the same

@@ -1,0 +1,102 @@
+"""BPE merge-rule trainer (stages/bpe.py) pinned against the
+sequential Sennrich reference, plus the blocklist scanner
+(stages/curation.blocklist_stats) against a Python oracle."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def _docs_ds(rows, nparts=1):
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    return ds.repartition(nparts) if nparts > 1 else ds
+
+
+def test_bpe_matches_sequential_reference(ray_session):
+    from xlink_ray.stages.bpe import bpe_merges, ref_bpe_merges
+
+    rng = np.random.default_rng(11)
+    vocab = ["low", "lower", "lowest", "newer", "wider", "new", "bed", "beds"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(3, 12)))
+        for _ in range(80)
+    ]
+    texts += ["", "low low low", "δοκιμή δοκιμή unicode"]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+
+    want = ref_bpe_merges(texts, n_merges=12, min_pair_count=2)
+    got = bpe_merges(_docs_ds(rows, nparts=5), n_merges=12, min_pair_count=2)
+    got_rules = list(
+        zip(got["left"].to_pylist(), got["right"].to_pylist(), got["n"].to_pylist())
+    )
+    assert got_rules == want
+    assert got["rank"].to_pylist() == list(range(len(want)))
+    assert got["merged"].to_pylist() == [a + b for a, b, _ in want]
+
+
+def test_bpe_min_count_stops_early(ray_session):
+    from xlink_ray.stages.bpe import bpe_merges, ref_bpe_merges
+
+    texts = ["ab ab cd"]
+    rows = [{"doc_id": 0, "text": texts[0]}]
+    want = ref_bpe_merges(texts, n_merges=10, min_pair_count=2)
+    got = bpe_merges(_docs_ds(rows), n_merges=10, min_pair_count=2)
+    assert len(got) == len(want) == 1  # only 'a b' (n=2) clears min count
+    assert got["merged"].to_pylist() == ["ab"]
+
+
+def test_bpe_partition_invariance(ray_session):
+    from xlink_ray.stages.bpe import bpe_merges
+
+    rng = np.random.default_rng(3)
+    vocab = ["alpha", "alphabet", "beta", "bet", "better"]
+    rows = [
+        {"doc_id": i, "text": " ".join(rng.choice(vocab, size=6))}
+        for i in range(60)
+    ]
+    a = bpe_merges(_docs_ds(rows, nparts=1), n_merges=8)
+    b = bpe_merges(_docs_ds(rows, nparts=9), n_merges=8)
+    assert a.equals(b)
+
+
+def _py_blocklist(texts, terms):
+    out = []
+    for t in texts:
+        tl = t.lower()
+        hits = 0
+        nterms = 0
+        for term in terms:
+            c = 0
+            start = 0
+            while True:
+                j = tl.find(term, start)
+                if j < 0:
+                    break
+                c += 1
+                start = j + 1  # all-overlapping semantics
+            hits += c
+            nterms += c > 0
+        out.append((hits, nterms))
+    return out
+
+
+def test_blocklist_stats_vs_python_oracle(ray_session):
+    from xlink_ray.stages.curation import blocklist_stats
+
+    terms = ["foo", "bar", "aba"]
+    texts = [
+        "foo bar foo",
+        "FOO inside Barbarian",  # case-fold; 'barbar' has 2 overlapping 'bar'? no: bar at 0, bar at 3 -> non-overlap; aba none
+        "ababa",  # overlapping 'aba' at 0 and 2 -> 2 hits
+        "",
+        "nothing here",
+    ]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    got = (
+        blocklist_stats(_docs_ds(rows, nparts=2), terms=terms)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    want = _py_blocklist(texts, terms)
+    assert list(zip(got["n_hits"], got["n_terms_hit"])) == want

@@ -1,0 +1,247 @@
+"""Distributed BPE merge-rule training (Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units"): learn
+the top-N byte-pair-encoding merge rules over a corpus. This is the
+vocabulary-training step of an LLM tokenizer pipeline; the output is
+the ordered merge table (rank, left, right, merged, n).
+
+Scale shape (the classic reduction): BPE never needs the corpus after
+the first pass — only the WORD VOCABULARY with counts. One corpus pass
+builds (word, n) via per-batch partial counts + ONE grouped-sum
+shuffle (the E1 vocab pattern, reference align.c:220-432). Every merge
+iteration then runs over the vocab table only:
+
+* pair counting: per-batch adjacent-symbol pairs weighted by the word
+  count (flat-array mask, no per-word Python), partial ``group_by`` →
+  ONE grouped-sum shuffle → per-block top-1 → driver argmax over
+  ≤ nblocks candidate rows (never the pair table itself);
+* merge application: vectorized leftmost-greedy replace over the flat
+  symbol array (consecutive-candidate parity keeps exactly the
+  non-overlapping leftmost set); the vocab is re-materialized per
+  iteration (vocab-sized, not corpus-sized).
+
+Ties break deterministically: highest count, then lexicographically
+smallest (left, right) — pinned against a sequential reference
+implementation in tests/test_bpe.py. The merge loop is inherently
+iterative (each rule depends on all earlier rules), so this operator
+is exercised by the rows-only gate + the sequential-reference pin, the
+same stance as the SGD trainer and constrained clustering."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+__all__ = ["bpe_merges", "ref_bpe_merges"]
+
+_MERGE_SCHEMA = pa.schema(
+    [
+        ("rank", pa.int64()),
+        ("left", pa.string()),
+        ("right", pa.string()),
+        ("merged", pa.string()),
+        ("n", pa.int64()),
+    ]
+)
+
+
+def _word_counts(docs: Dataset, text_col: str) -> Dataset:
+    def partial(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(t[text_col], " "))
+        tb = pa.table({"word": flat})
+        tb = tb.filter(pc.not_equal(tb["word"], ""))
+        return (
+            tb.group_by("word")
+            .aggregate([([], "count_all")])
+            .rename_columns(["word", "n"])
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def _syms_of_words(t: pa.Table) -> pa.Table:
+    """word → list<string> of single-codepoint symbols."""
+    words = t["word"].to_pylist()
+    flat: list[str] = []
+    lens = np.zeros(len(words), dtype=np.int64)
+    for i, w in enumerate(words):
+        cs = list(w)
+        lens[i] = len(cs)
+        flat.extend(cs)
+    offsets = np.zeros(len(words) + 1, dtype=np.int32)
+    np.cumsum(lens, out=offsets[1:])
+    syms = pa.ListArray.from_arrays(
+        pa.array(offsets), pa.array(flat, pa.string())
+    )
+    return pa.table({"syms": syms, "n": pc.cast(t["n"], pa.int64())})
+
+
+def _flat_view(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(flat symbols object-array, word id per symbol, word counts)."""
+    syms = t["syms"].combine_chunks()
+    offsets = np.asarray(syms.offsets, dtype=np.int64)
+    flat = np.asarray(syms.values.to_pylist(), dtype=object)
+    lens = offsets[1:] - offsets[:-1]
+    wid = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+    n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return flat, wid, n
+
+
+def _pair_partial(t: pa.Table) -> pa.Table:
+    flat, wid, n = _flat_view(t)
+    empty = pa.table(
+        {
+            "s1": pa.array([], pa.string()),
+            "s2": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+    if len(flat) < 2:
+        return empty
+    same = wid[1:] == wid[:-1]
+    idx = np.flatnonzero(same)
+    if len(idx) == 0:
+        return empty
+    w = n[wid[idx]]
+    tb = pa.table(
+        {
+            "s1": pa.array(flat[idx].tolist(), pa.string()),
+            "s2": pa.array(flat[idx + 1].tolist(), pa.string()),
+            "w": pa.array(w),
+        }
+    )
+    return (
+        tb.group_by(["s1", "s2"])
+        .aggregate([("w", "sum")])
+        .rename_columns(["s1", "s2", "n"])
+    )
+
+
+def _top1(t: pa.Table) -> pa.Table:
+    """Per-block best (max n, then lexicographically smallest pair)."""
+    if t.num_rows == 0:
+        return t
+    t = t.sort_by(
+        [("n", "descending"), ("s1", "ascending"), ("s2", "ascending")]
+    )
+    return t.slice(0, 1)
+
+
+def _apply_merge(t: pa.Table, left: str, right: str) -> pa.Table:
+    flat, wid, n = _flat_view(t)
+    if len(flat) < 2:
+        return t
+    cand = np.flatnonzero(
+        (wid[1:] == wid[:-1]) & (flat[:-1] == left) & (flat[1:] == right)
+    )
+    if len(cand) == 0:
+        return t
+    # leftmost-greedy non-overlap: only consecutive candidate positions
+    # overlap (they share a symbol); within each consecutive run keep
+    # the alternating ones starting from the first
+    run_start = np.r_[True, cand[1:] != cand[:-1] + 1]
+    run_id = np.cumsum(run_start) - 1
+    starts = cand[run_start]
+    keep_c = ((cand - starts[run_id]) % 2) == 0
+    merge_at = cand[keep_c]
+    flat = flat.copy()
+    flat[merge_at] = left + right
+    drop = np.zeros(len(flat), dtype=bool)
+    drop[merge_at + 1] = True
+    new_flat = flat[~drop]
+    new_wid = wid[~drop]
+    new_lens = np.bincount(new_wid, minlength=t.num_rows)
+    offsets = np.zeros(t.num_rows + 1, dtype=np.int32)
+    np.cumsum(new_lens, out=offsets[1:])
+    syms = pa.ListArray.from_arrays(
+        pa.array(offsets), pa.array(new_flat.tolist(), pa.string())
+    )
+    return pa.table({"syms": syms, "n": t["n"]})
+
+
+def bpe_merges(
+    docs: Dataset,
+    n_merges: int = 10,
+    min_pair_count: int = 2,
+    text_col: str = "text",
+) -> pa.Table:
+    """Learn the first ``n_merges`` BPE merge rules; returns the merge
+    table (rank, left, right, merged, n) — n_merges rows or fewer if
+    the corpus runs dry of pairs above ``min_pair_count``."""
+    vocab = _word_counts(docs, text_col).map_batches(
+        _syms_of_words, batch_format="pyarrow"
+    ).materialize()
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        cands = (
+            vocab.map_batches(_pair_partial, batch_format="pyarrow")
+            .groupby(["s1", "s2"])
+            .aggregate(Sum("n", alias_name="n"))
+            .map_batches(_top1, batch_format="pyarrow")
+            .take_all()
+        )
+        if not cands:
+            break
+        best = min(cands, key=lambda r: (-r["n"], r["s1"], r["s2"]))
+        if best["n"] < min_pair_count:
+            break
+        left, right = best["s1"], best["s2"]
+        merges.append((left, right, int(best["n"])))
+        vocab = vocab.map_batches(
+            lambda t, a=left, b=right: _apply_merge(t, a, b),
+            batch_format="pyarrow",
+        ).materialize()
+
+    return pa.table(
+        {
+            "rank": pa.array(range(len(merges)), pa.int64()),
+            "left": pa.array([m[0] for m in merges], pa.string()),
+            "right": pa.array([m[1] for m in merges], pa.string()),
+            "merged": pa.array([m[0] + m[1] for m in merges], pa.string()),
+            "n": pa.array([m[2] for m in merges], pa.int64()),
+        }
+    ).cast(_MERGE_SCHEMA)
+
+
+def ref_bpe_merges(
+    texts: "list[str]", n_merges: int, min_pair_count: int = 2
+) -> "list[tuple[str, str, int]]":
+    """Sequential reference (the textbook Sennrich algorithm) used by
+    tests to pin the distributed trainer."""
+    from collections import Counter
+
+    wc = Counter(w for t in texts for w in t.split(" ") if w)
+    vocab = {w: list(w) for w in wc}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pair_n: Counter = Counter()
+        for w, syms in vocab.items():
+            c = wc[w]
+            for x, y in zip(syms, syms[1:]):
+                pair_n[(x, y)] += c
+        if not pair_n:
+            break
+        (a, b), n = min(pair_n.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_pair_count:
+            break
+        merges.append((a, b, int(n)))
+        for w, syms in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges

@@ -47,6 +47,7 @@ __all__ = [
     "bloom_filter_bits",
     "bloom_decontaminate",
     "corpus_diff",
+    "blocklist_stats",
 ]
 
 _GRAM_BASE = np.uint64(1000003)
@@ -728,3 +729,69 @@ def corpus_diff(
         )
 
     return bucket_shuffle(tagged, "doc_id", nbuckets, diff_bucket)
+
+
+def blocklist_stats(
+    docs: Dataset,
+    terms: "list[str]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Per-document blocklist hit statistics (the C4 "bad words"
+    curation gate): (doc_id, n_hits, n_terms_hit) counting every
+    occurrence of every blocklist term in the lowercased text. The
+    downstream filter is a trivial predicate on n_hits / n_terms_hit.
+
+    Scale shape: zero shuffle — the term list is fixed-size (wordlists
+    are KBs), compiled ONCE per worker into the vectorized multi-
+    pattern scanner (functions/ac.VectorScanner, all-overlapping
+    semantics, same automaton family the reference pins for freq_m:
+    generate_prob_files.py:164-193); each batch is scanned as one
+    NUL-joined blob and match starts map back to docs by searchsorted
+    over the doc boundaries.
+
+    SQL parity caveat (documented, test-pinned): the oracle counts via
+    non-overlapping ``replace``; equality holds because blocklist terms
+    are border-free words (no proper prefix = suffix), so occurrences
+    cannot self-overlap."""
+    from xlink_ray.functions.ac import VectorScanner
+    from xlink_ray.state.cached import cached_state
+
+    terms = sorted(set(t.lower() for t in terms))
+    if not terms:
+        raise ValueError("blocklist_stats needs at least one term")
+    key = ("blocklist", tuple(terms))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        scanner = cached_state(key, lambda: VectorScanner(terms))
+        n = batch.num_rows
+        out_schema = pa.schema(
+            [("doc_id", pa.int64()), ("n_hits", pa.int64()), ("n_terms_hit", pa.int64())]
+        )
+        if n == 0:
+            return out_schema.empty_table()
+        texts = [str(t).lower() for t in batch[text_col].to_pylist()]
+        blob = "\x00".join(texts)
+        starts, pids = scanner.find_all(VectorScanner.codepoints(blob))
+        # doc boundaries in the blob (codepoint offsets)
+        lens = np.asarray([len(t) for t in texts], dtype=np.int64)
+        bounds = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1] + 1, out=bounds[1:])
+        doc_of = np.searchsorted(bounds, starts, side="right") - 1
+        hits = np.bincount(doc_of, minlength=n).astype(np.int64)
+        # distinct terms hit per doc
+        if len(doc_of):
+            key2 = doc_of * len(terms) + pids
+            uniq = np.unique(key2)
+            terms_hit = np.bincount(uniq // len(terms), minlength=n).astype(np.int64)
+        else:
+            terms_hit = np.zeros(n, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch[id_col], pa.int64()),
+                "n_hits": pa.array(hits),
+                "n_terms_hit": pa.array(terms_hit),
+            }
+        )
+
+    return docs.map_batches(scan, batch_format="pyarrow")
