@@ -377,6 +377,25 @@ def _q_er_pairs_composite(sf_dir: str):
     return er.customer_pairs_composite(sf_dir)
 
 
+def _q_er_pairs_qgram(sf_dir: str):
+    """Character 3-gram Jaccard pair scoring (er.customer_pairs_qgram):
+    the positional-tolerant name scorer — nation-blocked, skew-salted,
+    one lexsort per chunk for all pair intersections; similarity in
+    integer basis points."""
+    from xlink_ray.pipelines import er
+
+    return er.customer_pairs_qgram(sf_dir)
+
+
+def _q_er_bcubed(sf_dir: str):
+    """B-cubed contingency table of predicted clusters vs the gold
+    labeling custkey//10 (er.customer_bcubed): integer (pred, gold)
+    cells + marginals; precision/recall are trivial folds over it."""
+    from xlink_ray.pipelines import er
+
+    return er.customer_bcubed(sf_dir)
+
+
 def _q_fs_weights(sf_dir: str):
     """Fellegi–Sunter m/u probabilities + log2 weights per agreement
     field (stages/fs.py), learned from labeled blocked customer pairs
@@ -3498,6 +3517,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_alignment": _q_er_alignment,
         "er_pairs_multiblock": _q_er_pairs_multiblock,
         "er_pairs_composite": _q_er_pairs_composite,
+        "er_pairs_qgram": _q_er_pairs_qgram,
+        "er_bcubed": _q_er_bcubed,
         "flagship_attach": _q_flagship_attach,
         "fs_review_queue": _q_fs_review_queue,
         "er_exemplars": _q_er_exemplars,
@@ -4464,6 +4485,51 @@ FROM customer a JOIN customer b
  AND (substr(a.c_name, 1, 13) = substr(b.c_name, 1, 13)
    OR substr(a.c_name, 14) = substr(b.c_name, 14))
 WHERE levenshtein(a.c_name, b.c_name) <= 1""",
+        # 3-gram Jaccard pairs (er.customer_pairs_qgram): the oracle
+        # enumerates each name's DISTINCT 3-grams laterally; the
+        # integer cross-multiply keep and (10000*inter)//union score
+        # are the same exact arithmetic as the kernel (ASCII keys, so
+        # DuckDB byte substr == the kernel's codepoint grams).
+        "er_pairs_qgram": """
+WITH pos AS (SELECT CAST(i AS INTEGER) AS i FROM range(1, 256) t(i)),
+g AS (
+  SELECT DISTINCT c.c_custkey AS id, c.c_nationkey AS blk,
+         substr(c.c_name, p.i, 3) AS q
+  FROM customer c JOIN pos p ON p.i <= len(c.c_name) - 2),
+sz AS (SELECT id, count(*) AS n FROM g GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS ni
+  FROM g a JOIN g b ON a.q = b.q AND a.blk = b.blk AND a.id < b.id
+  GROUP BY a.id, b.id)
+SELECT i.id_a, i.id_b,
+       CAST((10000 * i.ni) // (sa.n + sb.n - i.ni) AS BIGINT) AS sim_bp
+FROM inter i JOIN sz sa ON i.id_a = sa.id JOIN sz sb ON i.id_b = sb.id
+WHERE 10000 * i.ni >= 7000 * (sa.n + sb.n - i.ni)""",
+        # B-cubed contingency (er.customer_bcubed): predicted labels
+        # replicated by the er_clusters recursive-CTE closure; gold =
+        # custkey // 10; marginals via window sums over the cell table.
+        "er_bcubed": """
+WITH RECURSIVE e AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+sym AS (SELECT id_a AS u, id_b AS v FROM e UNION SELECT id_b, id_a FROM e),
+reach(u, v) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+labels AS (
+  SELECT u AS member_id, CAST(min(v) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY u),
+cells AS (
+  SELECT cluster_id, CAST(member_id // 10 AS BIGINT) AS gold_id,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM labels GROUP BY 1, 2)
+SELECT cluster_id, gold_id, n_common,
+       CAST(sum(n_common) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_pred,
+       CAST(sum(n_common) OVER (PARTITION BY gold_id) AS BIGINT) AS n_gold
+FROM cells""",
         "html_extract_text": """
 SELECT doc_id, text FROM documents""",
         "crawl_freshness": """

@@ -343,3 +343,40 @@ def test_golden_records_incremental_equals_full(ray_session):
     assert merged["n_members"] == 5 and merged["bal"] == 9.0
     # untouched clusters pass through
     assert set(got["cluster_id"]) == {1, 20, 30}
+
+
+def test_customer_bcubed_matches_python_fold(ray_session, sf_small):
+    """The contingency table reproduces exact B-cubed P/R computed
+    item-wise from the labels themselves."""
+    import numpy as np
+
+    from xlink_ray.pipelines.er import customer_bcubed, customer_clusters
+
+    labels = customer_clusters(sf_small).to_pandas()
+    cells = customer_bcubed(sf_small).to_pandas()
+
+    # marginals must be consistent
+    assert (
+        cells.groupby("cluster_id")["n_common"].transform("sum")
+        == cells["n_pred"]
+    ).all()
+    assert (
+        cells.groupby("gold_id")["n_common"].transform("sum") == cells["n_gold"]
+    ).all()
+    n = len(labels)
+    assert cells["n_common"].sum() == n
+
+    # item-wise oracle
+    gold = labels["member_id"] // 10
+    pred = labels["cluster_id"]
+    from collections import Counter
+
+    cell_n = Counter(zip(pred, gold))
+    pred_n = Counter(pred)
+    gold_n = Counter(gold)
+    P = sum(cell_n[(p, g)] / pred_n[p] for p, g in zip(pred, gold)) / n
+    R = sum(cell_n[(p, g)] / gold_n[g] for p, g in zip(pred, gold)) / n
+
+    P2 = (cells["n_common"] ** 2 / cells["n_pred"]).sum() / n
+    R2 = (cells["n_common"] ** 2 / cells["n_gold"]).sum() / n
+    assert np.isclose(P, P2) and np.isclose(R, R2)

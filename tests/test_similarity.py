@@ -89,3 +89,47 @@ def test_soundex_keys_batch_matches_scalar():
     names = ["Robert", "robert", "Lee", "Lu", "O'Brien", "O Brien", ""]
     got = soundex_keys(pa.array(names, pa.string())).to_pylist()
     assert got == [soundex(n) for n in names]
+
+
+def _py_qgram_jaccard(a: str, b: str, q: int) -> float:
+    ga = {a[i : i + q] for i in range(len(a) - q + 1)}
+    gb = {b[i : i + q] for i in range(len(b) - q + 1)}
+    u = len(ga | gb)
+    return 1.0 if u == 0 else len(ga & gb) / u
+
+
+def test_qgram_jaccard_matches_python_oracle(random_pairs):
+    from xlink_ray.functions.similarity import qgram_jaccard_pairs
+
+    a, b = random_pairs
+    for q in (1, 2, 3):
+        got = qgram_jaccard_pairs(a, b, q=q)
+        want = np.array([_py_qgram_jaccard(x, y, q) for x, y in zip(a, b)])
+        assert np.allclose(got, want)
+
+
+def test_qgram_jaccard_edges():
+    from xlink_ray.functions.similarity import qgram_jaccard_pairs
+
+    # gram-less strings: both sides -> 1.0, one side -> 0.0
+    got = qgram_jaccard_pairs(["ab", "ab", "abcd"], ["x", "xyzw", "abcd"], q=3)
+    assert np.allclose(got, [1.0, 0.0, 1.0])
+    # unicode codepoint grams (multi-byte UTF-8)
+    got2 = qgram_jaccard_pairs(["δοκabc"], ["abcδοκ"], q=3)
+    assert np.allclose(got2, [_py_qgram_jaccard("δοκabc", "abcδοκ", 3)])
+    assert len(qgram_jaccard_pairs([], [], q=3)) == 0
+
+
+def test_qgram_bp_floor_matches_integer_division(random_pairs):
+    # floor(10000*sim) must equal (10000*inter)//union exactly
+    from xlink_ray.functions.similarity import qgram_jaccard_pairs
+
+    a, b = random_pairs
+    got = np.floor(qgram_jaccard_pairs(a, b, 3) * 10000.0).astype(np.int64)
+    want = []
+    for x, y in zip(a, b):
+        ga = {x[i : i + 3] for i in range(len(x) - 2)}
+        gb = {y[i : i + 3] for i in range(len(y) - 2)}
+        u = len(ga | gb)
+        want.append(10000 if u == 0 else (10000 * len(ga & gb)) // u)
+    assert got.tolist() == want

@@ -23,6 +23,7 @@ __all__ = [
     "levenshtein_pairs",
     "jaro_winkler_pairs",
     "char_jaccard_pairs",
+    "qgram_jaccard_pairs",
     "cosine_rows",
 ]
 
@@ -319,6 +320,73 @@ def char_jaccard_pairs(a: "list[str]", b: "list[str]") -> np.ndarray:
 
     inter = (pres_a & pres_b).sum(axis=1)
     union = (pres_a | pres_b).sum(axis=1)
+    out = np.ones(n, dtype=np.float64)
+    nz = union > 0
+    out[nz] = inter[nz] / union[nz]
+    return out
+
+
+def qgram_jaccard_pairs(
+    a: "list[str] | np.ndarray", b: "list[str] | np.ndarray", q: int = 3
+) -> np.ndarray:
+    """Distinct character q-gram Jaccard similarity per pair — the
+    standard positional-tolerant name scorer of record-linkage toolkits
+    (Gravano et al. 2001 approximate string joins).
+
+    Vectorized across the pair axis: each q-gram is packed into ONE
+    uint64 (base 0x110000 positional code — exact and collision-free
+    for q ≤ 3 since 1114112³ < 2⁶³), per-row distinct sets come from a
+    single lexsort, and all pair intersections are counted by one more
+    lexsort over the concatenated sides (the dedup.py verify kernel's
+    pattern) — no Python set work per pair.
+
+    Convention: two gram-less strings (len < q on both sides) score 1.0
+    (same as ``char_jaccard_pairs`` on two empties); one-sided gram-less
+    scores 0.0. ``floor(10000·sim)`` is integer-exact against DuckDB's
+    ``(10000*inter)//union`` because a nonzero fractional part of
+    10000·inter/union is ≥ 1/union ≫ float64 ulp."""
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    if q < 1 or q > 3:
+        raise ValueError("q must be in 1..3 for exact uint64 packing")
+    am, alens = _to_codepoint_matrix(a)
+    bm, blens = _to_codepoint_matrix(b)
+
+    B = np.uint64(0x110000)
+
+    def distinct_grams(m: np.ndarray, lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(gram codes, row index) of each row's DISTINCT q-grams."""
+        L = m.shape[1]
+        ncols = L - q + 1
+        if ncols <= 0:
+            return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+        code = np.zeros((m.shape[0], ncols), dtype=np.uint64)
+        for t in range(q):
+            code = code * B + m[:, t : t + ncols].astype(np.uint64)
+        rows, cols = np.nonzero(
+            np.arange(ncols)[None, :] < (lens - q + 1)[:, None]
+        )
+        g, r = code[rows, cols], rows
+        o = np.lexsort((g, r))
+        g, r = g[o], r[o]
+        keep = np.r_[True, (r[1:] != r[:-1]) | (g[1:] != g[:-1])]
+        return g[keep], r[keep]
+
+    ga, ra = distinct_grams(am, alens)
+    gb, rb = distinct_grams(bm, blens)
+    na = np.bincount(ra, minlength=n).astype(np.int64)
+    nb = np.bincount(rb, minlength=n).astype(np.int64)
+
+    allg = np.concatenate([ga, gb])
+    allr = np.concatenate([ra, rb])
+    o = np.lexsort((allg, allr))
+    gs, rs = allg[o], allr[o]
+    # a code can appear at most once per side per row, so an adjacent
+    # equal run of length 2 is exactly a both-sides hit
+    dup = (rs[1:] == rs[:-1]) & (gs[1:] == gs[:-1]) if len(gs) > 1 else np.zeros(0, bool)
+    inter = np.bincount(rs[1:][dup], minlength=n).astype(np.int64)
+    union = na + nb - inter
     out = np.ones(n, dtype=np.float64)
     nz = union > 0
     out[nz] = inter[nz] / union[nz]

@@ -797,3 +797,106 @@ def customer_golden_incremental(sf_dir: str) -> Dataset:
     return golden_records_incremental(
         old_golden, new_labels, records, remap, **gkw
     )
+
+
+def customer_pairs_qgram(sf_dir: str, threshold_bp: int = 7000) -> Dataset:
+    """Character 3-gram Jaccard scoring of blocked candidate pairs —
+    the positional-tolerant name scorer (Gravano et al. 2001) that
+    catches transposed/shifted edits Levenshtein bands miss.
+
+    Blocking key = c_nationkey (skew-salted), score = distinct-3-gram
+    Jaccard in integer basis points (``floor(10000·sim)``, exactly
+    ``(10000*inter)//union`` — integers dodge float-hash issues), keep
+    pairs ≥ ``threshold_bp``. Output (id_a, id_b, sim_bp), id_a < id_b.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from xlink_ray.functions.similarity import qgram_jaccard_pairs
+
+    edges = block_score_pairs(
+        _customers(sf_dir),
+        key_cols="c_nationkey",
+        id_col="c_custkey",
+        attr_col="c_name",
+        scorer=lambda A, B: np.floor(qgram_jaccard_pairs(A, B, 3) * 10000.0),
+        keep=lambda s: s >= threshold_bp,
+        skew_cap=8192,  # exact hot-key splitting; output identical
+    )
+
+    return edges.map_batches(
+        lambda t: pa.table(
+            {
+                "id_a": pc.cast(t["id_a"], pa.int64()),
+                "id_b": pc.cast(t["id_b"], pa.int64()),
+                "sim_bp": pc.cast(t["score"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def customer_bcubed(sf_dir: str) -> Dataset:
+    """B-cubed contingency table of the predicted customer clusters vs
+    the gold labeling gold_id = c_custkey // 10 (Bagga & Baldwin 1998;
+    the extended B-cubed of Amigó et al. 2009 reduces to it for hard
+    clusterings). One row per nonempty (pred, gold) cell:
+
+        (cluster_id, gold_id, n_common, n_pred, n_gold)
+
+    B-cubed precision = Σ n_common²/n_pred / N and recall =
+    Σ n_common²/n_gold / N are trivial folds over this table — the
+    query emits the INTEGER table so the hash gate never compares
+    order-dependent float sums (the repo's basis-point convention).
+
+    Scale shape: ONE grouped-sum exchange over per-batch partial
+    (cluster, gold) counts — node-count rows in, ≤ #entities cells out
+    — then two tiny bucket exchanges over the CELL table stamp the
+    marginals (cells of one cluster/gold share a bucket by key-mod).
+    Nothing corpus-sized reaches the driver."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+    from xlink_ray.stages._bucket import bucket_shuffle
+
+    labels = customer_clusters(sf_dir)
+
+    def partial_cells(t: pa.Table) -> pa.Table:
+        cl = t["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gold = t["member_id"].to_numpy(zero_copy_only=False).astype(np.int64) // 10
+        tb = pa.table(
+            {
+                "cluster_id": pa.array(cl),
+                "gold_id": pa.array(gold),
+                "n_common": pa.array(np.ones(len(cl), dtype=np.int64)),
+            }
+        )
+        return tb.group_by(["cluster_id", "gold_id"]).aggregate(
+            [("n_common", "sum")]
+        ).rename_columns(["cluster_id", "gold_id", "n_common"])
+
+    cells = (
+        labels.map_batches(partial_cells, batch_format="pyarrow")
+        .groupby(["cluster_id", "gold_id"])
+        .aggregate(Sum("n_common", alias_name="n_common"))
+    )
+
+    def stamp_marginal(key: str, out_col: str):
+        def fold(bucket: pa.Table) -> pa.Table:
+            k = bucket[key].to_numpy(zero_copy_only=False)
+            n = bucket["n_common"].to_numpy(zero_copy_only=False)
+            u, inv = np.unique(k, return_inverse=True)
+            sums = np.zeros(len(u), dtype=np.int64)
+            np.add.at(sums, inv, n)
+            out = bucket.drop_columns(["__b"])
+            return out.append_column(out_col, pa.array(sums[inv]))
+
+        return fold
+
+    with_pred = bucket_shuffle(cells, "cluster_id", 64, stamp_marginal("cluster_id", "n_pred"))
+    with_both = bucket_shuffle(with_pred, "gold_id", 64, stamp_marginal("gold_id", "n_gold"))
+    return with_both.map_batches(
+        lambda t: t.select(["cluster_id", "gold_id", "n_common", "n_pred", "n_gold"]),
+        batch_format="pyarrow",
+    )
