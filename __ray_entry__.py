@@ -2949,6 +2949,21 @@ def _q_bpe_merges(sf_dir: str):
     )
 
 
+def _q_bpe_token_counts(sf_dir: str):
+    """Tokenizer train→apply loop closed: learn 10 BPE merge rules,
+    then stream the corpus through one zero-shuffle encode pass
+    (rules broadcast once, per-batch distinct-word reduction) →
+    (doc_id, n_words, n_tokens). Rows-only for the same reason as
+    bpe_merges (rules are an iterative greedy artifact); the encoder
+    itself is pinned against a sequential reference in
+    tests/test_bpe.py."""
+    from xlink_ray.stages.bpe import bpe_encode, bpe_merges
+
+    docs = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    merges = bpe_merges(docs, n_merges=10)
+    return bpe_encode(docs, merges)
+
+
 def _q_containment_pairs(sf_dir: str):
     """Directional n-gram containment (quote/subset detection): the
     shared-gram pair skeleton plus one tagged-union bucket exchange
@@ -3581,6 +3596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": _q_containment_pairs,
         "blocklist_stats": _q_blocklist_stats,
         "bpe_merges": _q_bpe_merges,
+        "bpe_token_counts": _q_bpe_token_counts,
         "shared_ngrams": _q_shared_ngrams,
         "lm_scores": _q_lm_scores,
         "curated_corpus_v2": _q_curated_corpus_v2,

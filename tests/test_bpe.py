@@ -100,3 +100,37 @@ def test_blocklist_stats_vs_python_oracle(ray_session):
     )
     want = _py_blocklist(texts, terms)
     assert list(zip(got["n_hits"], got["n_terms_hit"])) == want
+
+
+def test_bpe_encode_matches_sequential_reference(ray_session):
+    from xlink_ray.stages.bpe import bpe_encode, bpe_merges, ref_bpe_encode
+
+    rng = np.random.default_rng(5)
+    vocab = ["low", "lower", "lowest", "newer", "wider", "new"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 10))) for _ in range(50)
+    ]
+    texts += ["", "  low  low "]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    merges = bpe_merges(_docs_ds(rows, nparts=3), n_merges=8)
+    rules = list(zip(merges["left"].to_pylist(), merges["right"].to_pylist()))
+
+    got = (
+        bpe_encode(_docs_ds(rows, nparts=4), merges)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, t in enumerate(texts):
+        toks = ref_bpe_encode(t, rules)
+        assert got.loc[i, "n_tokens"] == len(toks)
+        assert got.loc[i, "n_words"] == len([w for w in t.split(" ") if w])
+
+
+def test_bpe_encode_zero_rules_counts_codepoints(ray_session):
+    from xlink_ray.stages.bpe import bpe_encode
+
+    rows = [{"doc_id": 0, "text": "ab δο"}, {"doc_id": 1, "text": ""}]
+    got = bpe_encode(_docs_ds(rows), []).to_pandas().sort_values("doc_id")
+    assert got["n_tokens"].tolist() == [4, 0]
+    assert got["n_words"].tolist() == [2, 0]

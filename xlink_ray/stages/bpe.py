@@ -35,7 +35,7 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
-__all__ = ["bpe_merges", "ref_bpe_merges"]
+__all__ = ["bpe_merges", "bpe_encode", "ref_bpe_merges", "ref_bpe_encode"]
 
 _MERGE_SCHEMA = pa.schema(
     [
@@ -245,3 +245,102 @@ def ref_bpe_merges(
                     i += 1
             vocab[w] = out
     return merges
+
+
+def bpe_encode(
+    docs: Dataset,
+    merges: "pa.Table | list[tuple[str, str]]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Apply learned BPE merge rules to the corpus: (doc_id, n_words,
+    n_tokens) — the tokenizer-application half of the train→apply loop
+    (``n_tokens`` is what a token-budgeted data mix is planned over).
+
+    Scale shape: the merge table is tokenizer-sized (KBs–MBs, fixed),
+    broadcast ONCE via ``ray.put`` and built into per-worker state; the
+    corpus streams through one zero-shuffle ``map_batches``. Inside a
+    batch the classic vocabulary reduction applies: rules run over the
+    batch's DISTINCT words only (Zipf dedupe), each rule as one
+    vectorized pass over the flat symbol array (the trainer's
+    ``_apply_merge`` kernel), and per-doc token counts come back
+    through the unique-inverse — no per-word Python loop over
+    occurrences. Pinned against a sequential encoder in
+    tests/test_bpe.py."""
+    import ray
+
+    from xlink_ray.state.cached import cached_state
+
+    if isinstance(merges, pa.Table):
+        rules = list(zip(merges["left"].to_pylist(), merges["right"].to_pylist()))
+    else:
+        rules = [(a, b) for a, b in merges]
+    rules_ref = ray.put(rules)
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_words", pa.int64()), ("n_tokens", pa.int64())]
+    )
+
+    def encode(t: pa.Table) -> pa.Table:
+        rls = cached_state(("bpe_rules", rules_ref.hex()), lambda: ray.get(rules_ref))
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        toks = pc.split_pattern(t[text_col], " ")
+        flat = pc.list_flatten(toks)
+        counts = pc.list_value_length(toks).fill_null(0).to_numpy(zero_copy_only=False)
+        row = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)
+        mask = pc.not_equal(flat, "")
+        flat = flat.filter(mask)
+        row = row[mask.to_numpy(zero_copy_only=False)]
+        n_words = np.bincount(row, minlength=t.num_rows).astype(np.int64)
+        if len(row):
+            words, inv = np.unique(
+                np.asarray(flat.to_pylist(), dtype=object), return_inverse=True
+            )
+            # symbolize the distinct words and run every rule over the
+            # flat symbol array (same kernel as training)
+            vocab = _syms_of_words(
+                pa.table({"word": pa.array(words, pa.string()),
+                          "n": pa.array(np.ones(len(words), dtype=np.int64))})
+            )
+            for a, b in rls:
+                vocab = _apply_merge(vocab, a, b)
+            syms = vocab["syms"].combine_chunks()
+            offs = np.asarray(syms.offsets, dtype=np.int64)
+            tok_per_word = offs[1:] - offs[:-1]
+            n_tokens = np.bincount(
+                row, weights=tok_per_word[inv], minlength=t.num_rows
+            ).astype(np.int64)
+        else:
+            n_tokens = np.zeros(t.num_rows, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t[id_col], pa.int64()),
+                "n_words": pa.array(n_words),
+                "n_tokens": pa.array(n_tokens),
+            }
+        )
+
+    return docs.map_batches(encode, batch_format="pyarrow")
+
+
+def ref_bpe_encode(text: str, rules: "list[tuple[str, str]]") -> "list[str]":
+    """Sequential reference encoder (leftmost-greedy per rule, rules in
+    rank order) used by tests to pin ``bpe_encode``."""
+    out: list[str] = []
+    for w in text.split(" "):
+        if not w:
+            continue
+        syms = list(w)
+        for a, b in rules:
+            i, merged = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            syms = merged
+        out.extend(syms)
+    return out
