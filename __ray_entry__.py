@@ -2937,10 +2937,11 @@ def _q_blocklist_stats(sf_dir: str):
 
 
 def _q_bpe_merges(sf_dir: str):
-    """Distributed BPE merge-rule training (rows-only: each merge rule
-    depends on all earlier rules — an inherently iterative greedy
-    trainer, same stance as the SGD trainer; pinned against the
-    sequential Sennrich reference in tests/test_bpe.py)."""
+    """Distributed BPE merge-rule training. SQL-oracled via an
+    unrolled-iteration DuckDB replica (one CTE chain per merge round,
+    wrapped-symbol ``replace`` = the leftmost-greedy merge kernel);
+    also pinned against the sequential Sennrich reference in
+    tests/test_bpe.py."""
     from xlink_ray.stages.bpe import bpe_merges
 
     return bpe_merges(
@@ -2953,10 +2954,10 @@ def _q_bpe_token_counts(sf_dir: str):
     """Tokenizer train→apply loop closed: learn 10 BPE merge rules,
     then stream the corpus through one zero-shuffle encode pass
     (rules broadcast once, per-batch distinct-word reduction) →
-    (doc_id, n_words, n_tokens). Rows-only for the same reason as
-    bpe_merges (rules are an iterative greedy artifact); the encoder
-    itself is pinned against a sequential reference in
-    tests/test_bpe.py."""
+    (doc_id, n_words, n_tokens). SQL-oracled: the replica recomputes
+    the merge rules with the unrolled trainer CTEs and applies them in
+    rank order over the corpus' distinct words; the encoder is also
+    pinned against a sequential reference in tests/test_bpe.py."""
     from xlink_ray.stages.bpe import bpe_encode, bpe_merges
 
     docs = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -3449,6 +3450,98 @@ a{i + 1} AS MATERIALIZED (
 SELECT n.node, n.node IN (SELECT node FROM a{rounds}) AS in_core FROM nodes n"""
     )
     return "".join(sql)
+
+
+def _bpe_merge_ctes(n_merges: int = 10, min_pair: int = 2) -> "list[str]":
+    """Unrolled-iteration DuckDB replica of stages/bpe.bpe_merges: the
+    word vocabulary is symbolized as ``<s1><s2>...`` strings (symbols
+    never contain ``<``/``>`` in this corpus — verified), each merge
+    round counts adjacent pairs by exploding the symbol list, picks the
+    best (max n, then lexicographically smallest pair) and applies it
+    via ``replace('<a><b>' -> '<ab>')`` — leftmost non-overlapping
+    replace is exactly the trainer's leftmost-greedy alternating rule
+    because every occurrence match consumes both wrapped symbols. A
+    round that runs dry (best pair below ``min_pair``) leaves b{i}
+    empty and the LEFT JOIN keeps the vocab unchanged, matching the
+    trainer's break."""
+    parts = [
+        """wc AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+v0 AS (SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS seq, n FROM wc)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"""p{i} AS (
+  SELECT syms[i] AS s1, syms[i+1] AS s2, CAST(sum(n) AS BIGINT) AS n
+  FROM (SELECT string_split(substr(seq, 2, length(seq)-2), '><') AS syms, n FROM v{i-1}) t,
+       UNNEST(range(1, len(syms))) u(i)
+  GROUP BY 1, 2
+),
+b{i} AS (
+  SELECT CAST({i-1} AS BIGINT) AS rank, s1, s2, n FROM p{i}
+  WHERE n >= {min_pair} ORDER BY n DESC, s1 ASC, s2 ASC LIMIT 1
+),
+v{i} AS (
+  SELECT CASE WHEN b.s1 IS NULL THEN v.seq
+         ELSE replace(v.seq, '<'||b.s1||'><'||b.s2||'>', '<'||b.s1||b.s2||'>') END AS seq, v.n
+  FROM v{i-1} v LEFT JOIN b{i} b ON TRUE
+)"""
+        )
+    return parts
+
+
+def _bpe_merges_sql(n_merges: int = 10, min_pair: int = 2) -> str:
+    parts = _bpe_merge_ctes(n_merges, min_pair)
+    union = "\nUNION ALL\n".join(
+        f'SELECT rank, s1 AS "left", s2 AS "right", s1||s2 AS merged, n FROM b{i}'
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union + "\nORDER BY rank"
+
+
+def _bpe_encode_sql(n_merges: int = 10, min_pair: int = 2) -> str:
+    """Replica of stages/bpe.bpe_encode composed over the learned merge
+    rules: the corpus' DISTINCT words are symbolized once and every
+    rule b{i} is applied in rank order (same wrapped-symbol replace as
+    the trainer), then per-doc (n_words, n_tokens) come back through
+    the word-count join — mirroring the encoder's unique-inverse
+    reduction."""
+    parts = _bpe_merge_ctes(n_merges, min_pair)
+    parts.append(
+        """dw AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY 1, 2
+),
+e0 AS (SELECT DISTINCT word, regexp_replace(word, '(.)', '<\\1>', 'g') AS seq FROM dw)"""
+    )
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"""e{i} AS (
+  SELECT word, CASE WHEN b.s1 IS NULL THEN e.seq
+         ELSE replace(e.seq, '<'||b.s1||'><'||b.s2||'>', '<'||b.s1||b.s2||'>') END AS seq
+  FROM e{i-1} e LEFT JOIN b{i} b ON TRUE
+)"""
+        )
+    parts.append(
+        f"""tok AS (
+  SELECT word, CAST(len(string_split(substr(seq, 2, length(seq)-2), '><')) AS BIGINT) AS nt
+  FROM e{n_merges}
+),
+per_doc AS (
+  SELECT dw.doc_id, CAST(sum(dw.c) AS BIGINT) AS n_words,
+         CAST(sum(dw.c * tok.nt) AS BIGINT) AS n_tokens
+  FROM dw JOIN tok USING (word) GROUP BY dw.doc_id
+)"""
+    )
+    return (
+        "WITH " + ",\n".join(parts) + """
+SELECT d.doc_id, coalesce(p.n_words, 0) AS n_words, coalesce(p.n_tokens, 0) AS n_tokens
+FROM documents d LEFT JOIN per_doc p USING (doc_id)"""
+    )
 
 
 def _q_winnow_fps(sf_dir: str):
@@ -5221,4 +5314,8 @@ SELECT split, lang, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY split, lang"""
     # incremental maintenance ops are pinned EQUAL to their full
     # recomputes — same oracle text by construction
     out["er_golden_incremental"] = out["er_golden"]
+    # BPE trainer/encoder: unrolled-iteration replicas (the k-means /
+    # pagerank stance — one CTE chain per merge round)
+    out["bpe_merges"] = _bpe_merges_sql()
+    out["bpe_token_counts"] = _bpe_encode_sql()
     return out
