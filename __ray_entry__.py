@@ -2562,6 +2562,35 @@ def _q_weighted_sample_by_lang(sf_dir: str):
     )
 
 
+def _q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    bucket models of target (lang='en') vs raw, per-doc log ratio as an
+    exact int64 1e-9-grid dot product. One sketch-reduce pass to fit,
+    one zero-shuffle pass to score."""
+    from xlink_ray.stages.dsir import bucket_llr_e9, dsir_weights, ngram_bucket_counts
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text", "lang"])
+    raw, tgt = ngram_bucket_counts(
+        docs, n_buckets=512, target_col="lang", target_val="en"
+    )
+    return dsir_weights(docs, bucket_llr_e9(tgt, raw))
+
+
+def _q_dsir_sample(sf_dir: str):
+    """DSIR selection: Gumbel-top-k over the importance weights
+    (sampling without replacement ∝ exp(log weight), deterministic in
+    the doc id) — k-bounded tree merge."""
+    import ray.data as rd
+
+    from xlink_ray.stages.dsir import dsir_select
+
+    return dsir_select(
+        _docs(sf_dir).select_columns(["doc_id", "text", "lang"]),
+        k=50,
+        n_buckets=512,
+    )
+
+
 def _q_decontamination(sf_dir: str):
     """Benchmark decontamination: flag docs sharing any word-8-gram
     with the 32-doc benchmark set (smallest id hashes); benchmark grams
@@ -3654,6 +3683,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": _q_doc_sample,
         "weighted_sample": _q_weighted_sample,
         "weighted_sample_by_lang": _q_weighted_sample_by_lang,
+        "dsir_weights": _q_dsir_weights,
+        "dsir_sample": _q_dsir_sample,
         "doc_sample_stratified": _q_doc_sample_stratified,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "length_quantiles": _q_length_quantiles,
@@ -3978,6 +4009,56 @@ FROM scores""",
         "doc_sample": """
 SELECT * FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 100 < 10""",
+        # DSIR importance weights (stages/dsir.py): hashed
+        # unigram+bigram buckets (md5 % 512), add-one bucket models of
+        # target (lang='en') vs raw, per-bucket log-ratio quantized
+        # HALF-UP to the int64 1e-9 grid — per-doc weights are exact
+        # integer dot products in both engines.
+        "dsir_weights": """
+WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+uni AS (SELECT doc_id, lang, unnest(ws) AS g FROM tok),
+big AS (SELECT doc_id, lang, ws[j] || ' ' || ws[j+1] AS g
+        FROM tok, LATERAL (SELECT unnest(range(1, len(ws))) AS j) s(j)),
+grams AS (SELECT doc_id, lang,
+                 CAST(('0x' || substr(md5(g), 1, 16))::UBIGINT % 512 AS BIGINT) AS b
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+rc AS (SELECT b, count(*) AS c FROM grams GROUP BY b),
+tc AS (SELECT b, count(*) AS c FROM grams WHERE lang = 'en' GROUP BY b),
+tot AS (SELECT (SELECT count(*) FROM grams WHERE lang = 'en') AS T,
+               (SELECT count(*) FROM grams) AS R),
+llr AS (SELECT r.b,
+               CAST(floor(1e9 * (ln((COALESCE(t.c, 0) + 1.0) / (T + 512.0))
+                               - ln((r.c + 1.0) / (R + 512.0))) + 0.5) AS BIGINT) AS l
+        FROM rc r LEFT JOIN tc t USING (b) CROSS JOIN tot),
+dc AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM grams GROUP BY doc_id, b)
+SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_grams,
+       CAST(sum(d.c * llr.l) AS BIGINT) AS llr_e9
+FROM dc d JOIN llr USING (b) GROUP BY d.doc_id""",
+        # DSIR Gumbel-top-k selection: key = llr/1e9 − ln(−ln(u)),
+        # u = (md5_low64(id)+0.5)/2^64 — deterministic in the id.
+        "dsir_sample": """
+WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+uni AS (SELECT doc_id, lang, unnest(ws) AS g FROM tok),
+big AS (SELECT doc_id, lang, ws[j] || ' ' || ws[j+1] AS g
+        FROM tok, LATERAL (SELECT unnest(range(1, len(ws))) AS j) s(j)),
+grams AS (SELECT doc_id, lang,
+                 CAST(('0x' || substr(md5(g), 1, 16))::UBIGINT % 512 AS BIGINT) AS b
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+rc AS (SELECT b, count(*) AS c FROM grams GROUP BY b),
+tc AS (SELECT b, count(*) AS c FROM grams WHERE lang = 'en' GROUP BY b),
+tot AS (SELECT (SELECT count(*) FROM grams WHERE lang = 'en') AS T,
+               (SELECT count(*) FROM grams) AS R),
+llr AS (SELECT r.b,
+               CAST(floor(1e9 * (ln((COALESCE(t.c, 0) + 1.0) / (T + 512.0))
+                               - ln((r.c + 1.0) / (R + 512.0))) + 0.5) AS BIGINT) AS l
+        FROM rc r LEFT JOIN tc t USING (b) CROSS JOIN tot),
+dc AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM grams GROUP BY doc_id, b),
+w AS (SELECT d.doc_id, CAST(sum(d.c * llr.l) AS BIGINT) AS llr_e9
+      FROM dc d JOIN llr USING (b) GROUP BY d.doc_id)
+SELECT doc_id, llr_e9 FROM (
+  SELECT doc_id, llr_e9,
+         llr_e9 / 1e9 - ln(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT AS DOUBLE) + 0.5) / 18446744073709551616.0)) AS gk
+  FROM w ORDER BY gk DESC, doc_id LIMIT 50)""",
         "weighted_sample": """
 SELECT doc_id, n_chars FROM (
   SELECT doc_id, n_chars,
