@@ -2562,6 +2562,16 @@ def _q_weighted_sample_by_lang(sf_dir: str):
     )
 
 
+def _q_meta_blocking(sf_dir: str):
+    """Meta-blocking (Papadakis et al. 2014): four redundancy-positive
+    blocking schemes per customer → ECBS-weighted pair graph → WEP
+    pruning (keep edges strictly above the global mean, exact integer
+    cross-multiply). One heavy block exchange, pair-proportional after."""
+    from xlink_ray.pipelines.er import customer_meta_blocking
+
+    return customer_meta_blocking(sf_dir)
+
+
 def _q_dsir_weights(sf_dir: str):
     """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
     bucket models of target (lang='en') vs raw, per-doc log ratio as an
@@ -3685,6 +3695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_by_lang": _q_weighted_sample_by_lang,
         "dsir_weights": _q_dsir_weights,
         "dsir_sample": _q_dsir_sample,
+        "meta_blocking": _q_meta_blocking,
         "doc_sample_stratified": _q_doc_sample_stratified,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "length_quantiles": _q_length_quantiles,
@@ -4009,6 +4020,29 @@ FROM scores""",
         "doc_sample": """
 SELECT * FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 100 < 10""",
+        # Meta-blocking (stages/metablocking.py): block purge 2..1024,
+        # CBS via the pair self-join, ECBS = cbs·ln(|B|/|Ba|)·ln(|B|/|Bb|)
+        # quantized half-up to the 1e-9 int grid (same multiply
+        # association as the engine), WEP as an integer cross-multiply.
+        "meta_blocking": """
+WITH c AS (SELECT c_custkey AS id, c_name, c_nationkey, c_acctbal FROM customer),
+k AS (
+  SELECT id, 'n:' || CAST(c_nationkey AS VARCHAR) AS key FROM c
+  UNION ALL SELECT id, 'b:' || CAST(CAST(floor(c_acctbal / 100) AS BIGINT) AS VARCHAR) FROM c
+  UNION ALL SELECT id, 'p:' || substr(c_name, 10, 7) FROM c
+  UNION ALL SELECT id, 's:' || substr(c_name, 17) FROM c),
+bs AS (SELECT key, count(*) AS n FROM k GROUP BY key),
+kb AS (SELECT k.id, k.key FROM k JOIN bs USING (key) WHERE bs.n BETWEEN 2 AND 1024),
+nbt AS (SELECT id, CAST(count(*) AS BIGINT) AS nb FROM kb GROUP BY id),
+nbl AS (SELECT CAST(count(DISTINCT key) AS DOUBLE) AS nblocks FROM kb),
+p AS (SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS cbs
+      FROM kb a JOIN kb b ON a.key = b.key AND a.id < b.id GROUP BY a.id, b.id),
+g AS (SELECT p.id_a, p.id_b, p.cbs, na.nb AS nb_a, nbx.nb AS nb_b,
+             CAST(floor((p.cbs * ln(nblocks / CAST(na.nb AS DOUBLE))
+                               * ln(nblocks / CAST(nbx.nb AS DOUBLE))) * 1e9 + 0.5) AS BIGINT) AS w_e9
+      FROM p JOIN nbt na ON na.id = p.id_a JOIN nbt nbx ON nbx.id = p.id_b CROSS JOIN nbl),
+m AS (SELECT CAST(COALESCE(sum(w_e9), 0) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS cnt FROM g)
+SELECT id_a, id_b, cbs, nb_a, nb_b, w_e9 FROM g, m WHERE w_e9 * m.cnt > m.s""",
         # DSIR importance weights (stages/dsir.py): hashed
         # unigram+bigram buckets (md5 % 512), add-one bucket models of
         # target (lang='en') vs raw, per-bucket log-ratio quantized

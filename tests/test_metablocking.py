@@ -1,0 +1,108 @@
+"""Meta-blocking (stages/metablocking.py) vs a plain-Python
+transcription of Papadakis et al. 2014: CBS/ECBS weighting, block
+purging, WEP mean-weight pruning."""
+
+import math
+from itertools import combinations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+
+KEYS = [
+    # block x: {1,2,3}; block y: {2,3}; block z: {3,4}; singleton s: {5}
+    (1, "x"), (2, "x"), (3, "x"),
+    (2, "y"), (3, "y"),
+    (3, "z"), (4, "z"),
+    (5, "s"),
+]
+
+
+def _py_meta(keys, max_block=1024):
+    blocks = {}
+    for i, k in keys:
+        blocks.setdefault(k, set()).add(i)
+    blocks = {k: v for k, v in blocks.items() if 2 <= len(v) <= max_block}
+    nblocks = len(blocks)
+    nb = {}
+    for v in blocks.values():
+        for i in v:
+            nb[i] = nb.get(i, 0) + 1
+    cbs = {}
+    for v in blocks.values():
+        for a, b in combinations(sorted(v), 2):
+            cbs[(a, b)] = cbs.get((a, b), 0) + 1
+    graph = {}
+    for (a, b), c in cbs.items():
+        w = c * math.log(nblocks / nb[a]) * math.log(nblocks / nb[b])
+        graph[(a, b)] = (c, nb[a], nb[b], math.floor(w * 1e9 + 0.5))
+    return graph, nblocks
+
+
+def _keys_ds(keys):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([i for i, _ in keys], pa.int64()),
+                "key": pa.array([k for _, k in keys], pa.string()),
+            }
+        )
+    )
+
+
+def test_graph_matches_python_oracle(ray_session):
+    from xlink_ray.stages.metablocking import meta_block_graph
+
+    graph, nblocks = meta_block_graph(_keys_ds(KEYS))
+    want, wantb = _py_meta(KEYS)
+    assert nblocks == wantb == 3
+    got = {
+        (r["id_a"], r["id_b"]): (r["cbs"], r["nb_a"], r["nb_b"], r["w_e9"])
+        for r in graph.take_all()
+    }
+    assert got == want
+    # the doubly-co-occurring pair carries CBS 2
+    assert got[(2, 3)][0] == 2
+
+
+def test_purge_drops_oversize_blocks(ray_session):
+    from xlink_ray.stages.metablocking import meta_block_graph
+
+    keys = KEYS + [(i, "hot") for i in range(100, 160)]
+    graph, nblocks = meta_block_graph(_keys_ds(keys), max_block=50)
+    want, wantb = _py_meta(keys, max_block=50)
+    assert nblocks == wantb == 3  # 'hot' purged
+    got = {
+        (r["id_a"], r["id_b"]): (r["cbs"], r["nb_a"], r["nb_b"], r["w_e9"])
+        for r in graph.take_all()
+    }
+    assert got == want
+    assert not any(a >= 100 for a, _ in got)
+
+
+def test_wep_prune_and_partitioning_invariance(ray_session):
+    from xlink_ray.stages.metablocking import meta_block_graph, wep_prune
+
+    # larger synthetic key table: ids 0..59, three schemes
+    keys = (
+        [(i, f"a:{i % 7}") for i in range(60)]
+        + [(i, f"b:{i % 11}") for i in range(60)]
+        + [(i, f"c:{i // 20}") for i in range(60)]
+    )
+    graph, nblocks = meta_block_graph(_keys_ds(keys))
+    kept = wep_prune(graph).take_all()
+
+    want, wantb = _py_meta(keys)
+    assert nblocks == wantb
+    tot = sum(v[3] for v in want.values())
+    cnt = len(want)
+    want_kept = {k for k, v in want.items() if v[3] * cnt > tot}
+    assert {(r["id_a"], r["id_b"]) for r in kept} == want_kept
+
+    # block-count invariance
+    graph2, nb2 = meta_block_graph(_keys_ds(keys).repartition(9))
+    kept2 = wep_prune(graph2).take_all()
+    assert nb2 == nblocks
+    assert {(r["id_a"], r["id_b"]) for r in kept2} == want_kept

@@ -900,3 +900,51 @@ def customer_bcubed(sf_dir: str) -> Dataset:
         lambda t: t.select(["cluster_id", "gold_id", "n_common", "n_pred", "n_gold"]),
         batch_format="pyarrow",
     )
+
+
+def customer_meta_blocking(sf_dir: str, max_block: int = 1024) -> Dataset:
+    """Meta-blocked candidate pairs (stages/metablocking.py): four
+    redundancy-positive key schemes per customer — nation, account-
+    balance band, name-digit prefix (7) and suffix (last 2) — weighted
+    ECBS, pruned WEP. Output: (id_a, id_b, cbs, nb_a, nb_b, w_e9),
+    only the edges strictly above the global mean weight — the
+    candidate set a pairwise scorer would then run on."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from xlink_ray.stages.metablocking import meta_block_graph, wep_prune
+
+    cust = read_pq(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"],
+    )
+
+    def keys_of(t: pa.Table) -> pa.Table:
+        ids = t["c_custkey"].cast(pa.int64())
+        n = t.num_rows
+        bal = t["c_acctbal"].to_numpy(zero_copy_only=False)
+        band = np.floor(bal / 100.0).astype(np.int64)
+        schemes = [
+            pc.binary_join_element_wise(
+                pa.array(["n:"] * n), pc.cast(t["c_nationkey"], pa.string()), ""
+            ),
+            pc.binary_join_element_wise(
+                pa.array(["b:"] * n), pa.array([str(x) for x in band]), ""
+            ),
+            pc.binary_join_element_wise(
+                pa.array(["p:"] * n), pc.utf8_slice_codeunits(t["c_name"], 9, 16), ""
+            ),
+            pc.binary_join_element_wise(
+                pa.array(["s:"] * n), pc.utf8_slice_codeunits(t["c_name"], 16, 10_000), ""
+            ),
+        ]
+        return pa.table(
+            {
+                "id": pa.concat_arrays([ids.combine_chunks()] * 4),
+                "key": pa.concat_arrays([s.combine_chunks() if hasattr(s, "combine_chunks") else s for s in schemes]),
+            }
+        )
+
+    keys = cust.map_batches(keys_of, batch_format="pyarrow")
+    graph, _ = meta_block_graph(keys, max_block=max_block)
+    return wep_prune(graph)

@@ -1,0 +1,213 @@
+"""Meta-blocking (Papadakis et al., "Meta-Blocking: Taking Entity
+Resolution to the Next Level", TKDE 2014 — public method).
+
+Redundancy-positive blocking (every record emits SEVERAL blocking
+keys) makes the number of blocks a pair co-occurs in a signal: truly
+matching records share many keys, coincidental pairs share one. Meta-
+blocking turns the block collection into a weighted pair graph and
+prunes the weak edges BEFORE any expensive pairwise comparison runs:
+
+- CBS  weight = |Bᵃ ∩ Bᵇ|  (number of common blocks),
+- ECBS weight = CBS · ln(|B|/|Bᵃ|) · ln(|B|/|Bᵇ|)  (discounts records
+  that sit in many blocks — the idf of blocking),
+- WEP  (weighted-edge pruning) keeps edges strictly above the global
+  mean edge weight.
+
+The reference (solitaryzero/XLink) has no counterpart — its only
+blocking is the single mention-dictionary key; this generalizes the
+repo's multi-scheme candidate union (pipelines/er.py:
+customer_pairs_multiblock) with principled weighting and pruning.
+
+Ray-Data shape (one heavy exchange, everything after is
+pair-proportional):
+
+1. The (id, key) table is grouped by key ONCE; the per-block task
+   inline-purges (singleton and over-``max_block`` blocks emit
+   nothing — the standard block-purging step, cap-and-log) and emits
+   THREE tagged row kinds in one stream: candidate pairs
+   (id_a < id_b), per-record surviving-block memberships
+   (id, SENTINEL_MEMBER), and one block counter row per surviving
+   block (SENTINEL_BLOCK pair).
+2. ONE hash-bucketed np.unique count collapses that stream into the
+   CBS graph + the per-record block counts |Bᵃ| + the |B| scalar —
+   the 40×-cheaper alternative to three sort-based groupbys
+   (TODO.md round-2 lesson).
+3. Two ``stamp_cluster`` bucket exchanges (stages/survivor.py) attach
+   |Bᵃ| and |Bᵇ| reduce-side; nothing is broadcast or collected.
+4. ECBS weights are quantized HALF-UP onto the int64 1e-9 grid, so
+   the WEP cut is an EXACT integer cross-multiply
+   (w_e9 · n_edges > Σ w_e9) — order-independent and SQL-replicable
+   (the same trick as stages/bm25.py's integer idf).
+
+Driver state: two int64 scalars (Σ w_e9, n_edges) + |B|.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+logger = logging.getLogger(__name__)
+
+# sentinel ids for the tagged count stream; real record ids must be >= 0
+_MEMBER = np.int64(-1)
+_BLOCK = np.int64(-2)
+
+
+def meta_block_graph(
+    keys: Dataset,
+    *,
+    id_col: str = "id",
+    key_col: str = "key",
+    max_block: int = 1024,
+    nbuckets: int = 64,
+) -> tuple[Dataset, int]:
+    """(id, key) rows → the ECBS-weighted candidate-pair graph:
+    (id_a, id_b, cbs, nb_a, nb_b, w_e9), plus |B| (surviving block
+    count). ``keys`` must be distinct per (id, key) — true by
+    construction when each scheme emits one prefixed key per record —
+    and ids must be non-negative int64."""
+    keys = keys.materialize()  # consumed by the block pass AND the stamps
+
+    def per_block(g: pa.Table) -> pa.Table:
+        ids = np.sort(g[id_col].to_numpy(zero_copy_only=False).astype(np.int64))
+        n = len(ids)
+        if n < 2 or n > max_block:
+            # block purging: singletons pair nothing; degenerate
+            # stop-word blocks (n > max_block) would cost O(n²) for
+            # near-zero signal — the standard purge, logged not silent
+            if n > max_block:
+                logger.warning(
+                    "meta_block_graph: purged block %r (%d > max_block=%d)",
+                    g[key_col][0].as_py() if n else "", n, max_block,
+                )
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            )
+        ii, jj = np.triu_indices(n, k=1)
+        id_a = np.concatenate([ids[ii], ids, [_BLOCK]])
+        id_b = np.concatenate([ids[jj], np.full(n, _MEMBER), [_BLOCK]])
+        return pa.table(
+            {"id_a": pa.array(id_a, pa.int64()), "id_b": pa.array(id_b, pa.int64())}
+        )
+
+    tagged = keys.groupby(key_col).map_groups(per_block, batch_format="pyarrow")
+
+    def pk_of(t: pa.Table) -> np.ndarray:
+        # same-pair copies share (id_a, id_b) so they land together;
+        # mask (not abs) keeps the key non-negative even on wrap
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        return (a * np.int64(1_000_003) + b) & np.int64(0x7FFF_FFFF_FFFF_FFFF)
+
+    def count_bucket(g: pa.Table) -> pa.Table:
+        a = g["id_a"].to_numpy(zero_copy_only=False)
+        b = g["id_b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        first = np.ones(len(a), dtype=bool)
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.r_[starts, len(a)])
+        return pa.table(
+            {
+                "id_a": pa.array(a[starts], pa.int64()),
+                "id_b": pa.array(b[starts], pa.int64()),
+                "c": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    from xlink_ray.stages.dedup import _hash_bucketed
+
+    graph0 = _hash_bucketed(
+        tagged, pk_of, lambda g: count_bucket(g.drop_columns(["pk"])), nbuckets
+    ).materialize()  # pair-proportional; consumed by 3 filters below
+
+    def _mask(pred):
+        def fn(t: pa.Table) -> pa.Table:
+            b = t["id_b"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(pred(b)))
+
+        return fn
+
+    nblocks_rows = graph0.map_batches(
+        _mask(lambda b: b == _BLOCK), batch_format="pyarrow"
+    ).take_all()
+    nblocks = int(nblocks_rows[0]["c"]) if nblocks_rows else 0
+
+    nb = graph0.map_batches(_mask(lambda b: b == _MEMBER), batch_format="pyarrow")
+    pairs = graph0.map_batches(_mask(lambda b: b >= 0), batch_format="pyarrow")
+
+    from xlink_ray.stages.survivor import stamp_cluster
+
+    # stamp |B_a| then |B_b| — two bucket exchanges, nothing collected
+    s1 = stamp_cluster(
+        pairs,
+        nb,
+        id_col="id_a",
+        carry_cols=["id_b", "c"],
+        carry_types={"id_b": pa.int64(), "c": pa.int64()},
+        member_id_col="id_a",
+        cluster_col="c",
+        nbuckets=nbuckets,
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "id_a": t["id"],
+                "id_b": t["id_b"],
+                "cbs": t["c"],
+                "nb_a": t["cluster"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    s2 = stamp_cluster(
+        s1,
+        nb,
+        id_col="id_b",
+        carry_cols=["id_a", "cbs", "nb_a"],
+        carry_types={"id_a": pa.int64(), "cbs": pa.int64(), "nb_a": pa.int64()},
+        member_id_col="id_a",
+        cluster_col="c",
+        nbuckets=nbuckets,
+    )
+
+    def weigh(t: pa.Table) -> pa.Table:
+        cbs = t["cbs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb_a = t["nb_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb_b = t["cluster"].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = cbs * np.log(nblocks / nb_a) * np.log(nblocks / nb_b)
+        return pa.table(
+            {
+                "id_a": t["id_a"],
+                "id_b": t["id"],
+                "cbs": t["cbs"],
+                "nb_a": t["nb_a"],
+                "nb_b": t["cluster"],
+                "w_e9": pa.array(np.floor(w * 1e9 + 0.5).astype(np.int64)),
+            }
+        )
+
+    return s2.map_batches(weigh, batch_format="pyarrow"), nblocks
+
+
+def wep_prune(graph: Dataset) -> Dataset:
+    """Weighted-edge pruning: keep edges with weight STRICTLY above the
+    global mean. Exact integer form — w_e9 · n_edges > Σ w_e9 — so the
+    cut is bit-identical across engines and partitionings. One
+    aggregate pass for two scalars, one streaming filter."""
+    from ray.data.aggregate import Count, Sum
+
+    graph = graph.materialize()  # consumed by the aggregate AND the filter
+    agg = graph.aggregate(Sum("w_e9"), Count())
+    total = int(agg["sum(w_e9)"] or 0)
+    n = int(agg["count()"] or 0)
+
+    def keep(t: pa.Table) -> pa.Table:
+        w = t["w_e9"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(w * n > total))
+
+    return graph.map_batches(keep, batch_format="pyarrow")
