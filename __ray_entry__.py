@@ -2572,6 +2572,15 @@ def _q_meta_blocking(sf_dir: str):
     return customer_meta_blocking(sf_dir)
 
 
+def _q_meta_blocking_cnp(sf_dir: str):
+    """Cardinality-node pruning over the same ECBS block graph: every
+    record keeps its 3 strongest neighbors (union over endpoints) — a
+    per-record comparison budget instead of a global threshold."""
+    from xlink_ray.pipelines.er import customer_meta_blocking_cnp
+
+    return customer_meta_blocking_cnp(sf_dir, k=3)
+
+
 def _q_dsir_weights(sf_dir: str):
     """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
     bucket models of target (lang='en') vs raw, per-doc log ratio as an
@@ -3696,6 +3705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": _q_dsir_weights,
         "dsir_sample": _q_dsir_sample,
         "meta_blocking": _q_meta_blocking,
+        "meta_blocking_cnp": _q_meta_blocking_cnp,
         "doc_sample_stratified": _q_doc_sample_stratified,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "length_quantiles": _q_length_quantiles,
@@ -4043,6 +4053,30 @@ g AS (SELECT p.id_a, p.id_b, p.cbs, na.nb AS nb_a, nbx.nb AS nb_b,
       FROM p JOIN nbt na ON na.id = p.id_a JOIN nbt nbx ON nbx.id = p.id_b CROSS JOIN nbl),
 m AS (SELECT CAST(COALESCE(sum(w_e9), 0) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS cnt FROM g)
 SELECT id_a, id_b, cbs, nb_a, nb_b, w_e9 FROM g, m WHERE w_e9 * m.cnt > m.s""",
+        # CNP over the same graph: both edge directions, per-node
+        # rank by (w_e9 DESC, mate ASC) — the same deterministic tie
+        # order as the engine's lexsort — keep rn<=3, distinct.
+        "meta_blocking_cnp": """
+WITH c AS (SELECT c_custkey AS id, c_name, c_nationkey, c_acctbal FROM customer),
+k AS (
+  SELECT id, 'n:' || CAST(c_nationkey AS VARCHAR) AS key FROM c
+  UNION ALL SELECT id, 'b:' || CAST(CAST(floor(c_acctbal / 100) AS BIGINT) AS VARCHAR) FROM c
+  UNION ALL SELECT id, 'p:' || substr(c_name, 10, 7) FROM c
+  UNION ALL SELECT id, 's:' || substr(c_name, 17) FROM c),
+bs AS (SELECT key, count(*) AS n FROM k GROUP BY key),
+kb AS (SELECT k.id, k.key FROM k JOIN bs USING (key) WHERE bs.n BETWEEN 2 AND 1024),
+nbt AS (SELECT id, CAST(count(*) AS BIGINT) AS nb FROM kb GROUP BY id),
+nbl AS (SELECT CAST(count(DISTINCT key) AS DOUBLE) AS nblocks FROM kb),
+p AS (SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS cbs
+      FROM kb a JOIN kb b ON a.key = b.key AND a.id < b.id GROUP BY a.id, b.id),
+g AS (SELECT p.id_a, p.id_b, p.cbs,
+             CAST(floor((p.cbs * ln(nblocks / CAST(na.nb AS DOUBLE))
+                               * ln(nblocks / CAST(nbx.nb AS DOUBLE))) * 1e9 + 0.5) AS BIGINT) AS w_e9
+      FROM p JOIN nbt na ON na.id = p.id_a JOIN nbt nbx ON nbx.id = p.id_b CROSS JOIN nbl),
+e AS (SELECT id_a AS node, id_b AS mate, id_a, id_b, cbs, w_e9 FROM g
+      UNION ALL SELECT id_b, id_a, id_a, id_b, cbs, w_e9 FROM g),
+r AS (SELECT *, row_number() OVER (PARTITION BY node ORDER BY w_e9 DESC, mate ASC) AS rn FROM e)
+SELECT DISTINCT id_a, id_b, cbs, w_e9 FROM r WHERE rn <= 3""",
         # DSIR importance weights (stages/dsir.py): hashed
         # unigram+bigram buckets (md5 % 512), add-one bucket models of
         # target (lang='en') vs raw, per-bucket log-ratio quantized

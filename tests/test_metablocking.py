@@ -106,3 +106,34 @@ def test_wep_prune_and_partitioning_invariance(ray_session):
     kept2 = wep_prune(graph2).take_all()
     assert nb2 == nblocks
     assert {(r["id_a"], r["id_b"]) for r in kept2} == want_kept
+
+
+def test_cnp_prune_matches_python_oracle(ray_session):
+    from xlink_ray.stages.metablocking import cnp_prune, meta_block_graph
+
+    keys = (
+        [(i, f"a:{i % 5}") for i in range(40)]
+        + [(i, f"b:{i % 9}") for i in range(40)]
+        + [(i, f"c:{i // 10}") for i in range(40)]
+    )
+    graph, _ = meta_block_graph(_keys_ds(keys))
+    k = 2
+    got = {
+        (r["id_a"], r["id_b"]) for r in cnp_prune(graph, k).take_all()
+    }
+
+    # python oracle: per-node top-k by (w desc, mate asc), union
+    full, _b = _py_meta(keys)
+    per_node = {}
+    for (a, b), (_, _, _, w) in full.items():
+        per_node.setdefault(a, []).append((-w, b, (a, b)))
+        per_node.setdefault(b, []).append((-w, a, (a, b)))
+    want = set()
+    for edges in per_node.values():
+        for _, _, pair in sorted(edges)[:k]:
+            want.add(pair)
+    assert got == want
+
+    # distinctness: no duplicate pairs
+    rows = cnp_prune(graph, k).take_all()
+    assert len(rows) == len({(r["id_a"], r["id_b"]) for r in rows})

@@ -902,17 +902,14 @@ def customer_bcubed(sf_dir: str) -> Dataset:
     )
 
 
-def customer_meta_blocking(sf_dir: str, max_block: int = 1024) -> Dataset:
-    """Meta-blocked candidate pairs (stages/metablocking.py): four
+def _customer_block_graph(sf_dir: str, max_block: int = 1024) -> Dataset:
+    """Shared ECBS block graph for the meta-blocking queries: four
     redundancy-positive key schemes per customer — nation, account-
-    balance band, name-digit prefix (7) and suffix (last 2) — weighted
-    ECBS, pruned WEP. Output: (id_a, id_b, cbs, nb_a, nb_b, w_e9),
-    only the edges strictly above the global mean weight — the
-    candidate set a pairwise scorer would then run on."""
+    balance band, name-digit prefix (7) and suffix (last 2)."""
     import numpy as np
     import pyarrow.compute as pc
 
-    from xlink_ray.stages.metablocking import meta_block_graph, wep_prune
+    from xlink_ray.stages.metablocking import meta_block_graph
 
     cust = read_pq(
         f"{sf_dir}/customer.parquet",
@@ -947,4 +944,25 @@ def customer_meta_blocking(sf_dir: str, max_block: int = 1024) -> Dataset:
 
     keys = cust.map_batches(keys_of, batch_format="pyarrow")
     graph, _ = meta_block_graph(keys, max_block=max_block)
-    return wep_prune(graph)
+    return graph
+
+
+def customer_meta_blocking(sf_dir: str, max_block: int = 1024) -> Dataset:
+    """Meta-blocked candidate pairs (stages/metablocking.py): the
+    four-scheme ECBS graph pruned by WEP. Output: (id_a, id_b, cbs,
+    nb_a, nb_b, w_e9), only the edges strictly above the global mean
+    weight — the candidate set a pairwise scorer would then run on."""
+    from xlink_ray.stages.metablocking import wep_prune
+
+    return wep_prune(_customer_block_graph(sf_dir, max_block=max_block))
+
+
+def customer_meta_blocking_cnp(sf_dir: str, k: int = 3, max_block: int = 1024) -> Dataset:
+    """Cardinality-node-pruned meta-blocking: same four-scheme block
+    graph as ``customer_meta_blocking``, but each record keeps only its
+    k strongest neighbors (union over endpoints) — the budget-bounded
+    pruning that caps comparisons per record at crawl scale."""
+    from xlink_ray.stages.metablocking import cnp_prune
+
+    graph = _customer_block_graph(sf_dir, max_block=max_block)
+    return cnp_prune(graph, k)

@@ -211,3 +211,81 @@ def wep_prune(graph: Dataset) -> Dataset:
         return t.filter(pa.array(w * n > total))
 
     return graph.map_batches(keep, batch_format="pyarrow")
+
+
+def cnp_prune(graph: Dataset, k: int, *, nbuckets: int = 64) -> Dataset:
+    """Cardinality-node pruning (the paper's CNP, union form): an edge
+    survives if it ranks in the top-k weighted edges of EITHER
+    endpoint (ties: higher w_e9 first, then smaller mate id — fully
+    deterministic). Each edge explodes to its two endpoint rows, ONE
+    hash-bucket exchange groups a node's edges together, a vectorized
+    rank kernel keeps each node's top-k, and a distinct pass collapses
+    edges kept by both endpoints. Per-node state only — no global
+    scalar, no driver data."""
+    import pyarrow.compute as pc
+
+    from xlink_ray.stages.dedup import _hash_bucketed
+
+    def explode(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        w = t["w_e9"].to_numpy(zero_copy_only=False)
+        c = t["cbs"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b]), pa.int64()),
+                "mate": pa.array(np.concatenate([b, a]), pa.int64()),
+                "w_e9": pa.array(np.concatenate([w, w]), pa.int64()),
+                "cbs": pa.array(np.concatenate([c, c]), pa.int64()),
+            }
+        )
+
+    def topk_per_node(g: pa.Table) -> pa.Table:
+        node = g["node"].to_numpy(zero_copy_only=False)
+        mate = g["mate"].to_numpy(zero_copy_only=False)
+        w = g["w_e9"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((mate, -w, node))
+        node_s, mate_s, w_s = node[order], mate[order], w[order]
+        starts = np.flatnonzero(np.r_[True, node_s[1:] != node_s[:-1]])
+        n = np.diff(np.r_[starts, len(node_s)])
+        rank = np.arange(len(node_s)) - np.repeat(starts, n)
+        keep = rank < k
+        cbs_s = g["cbs"].to_numpy(zero_copy_only=False)[order]
+        id_a = np.minimum(node_s[keep], mate_s[keep])
+        id_b = np.maximum(node_s[keep], mate_s[keep])
+        return pa.table(
+            {
+                "id_a": pa.array(id_a, pa.int64()),
+                "id_b": pa.array(id_b, pa.int64()),
+                "cbs": pa.array(cbs_s[keep], pa.int64()),
+                "w_e9": pa.array(w_s[keep], pa.int64()),
+            }
+        )
+
+    kept = _hash_bucketed(
+        graph.map_batches(explode, batch_format="pyarrow"),
+        lambda t: t["node"].to_numpy(zero_copy_only=False)
+        & np.int64(0x7FFF_FFFF_FFFF_FFFF),
+        lambda g: topk_per_node(g.drop_columns(["pk"])),
+        nbuckets,
+    )
+
+    # distinct: an edge kept by both endpoints appears twice
+    def distinct_bucket(g: pa.Table) -> pa.Table:
+        a = g["id_a"].to_numpy(zero_copy_only=False)
+        b = g["id_b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        first = np.ones(len(a), dtype=bool)
+        first[1:] = (a[order][1:] != a[order][:-1]) | (b[order][1:] != b[order][:-1])
+        return g.take(pa.array(order[first], pa.int64()))
+
+    return _hash_bucketed(
+        kept,
+        lambda t: (
+            t["id_a"].to_numpy(zero_copy_only=False) * np.int64(1_000_003)
+            + t["id_b"].to_numpy(zero_copy_only=False)
+        )
+        & np.int64(0x7FFF_FFFF_FFFF_FFFF),
+        lambda g: distinct_bucket(g.drop_columns(["pk"])),
+        nbuckets,
+    )
