@@ -2562,6 +2562,18 @@ def _q_weighted_sample_by_lang(sf_dir: str):
     )
 
 
+def _q_gopher_filter(sf_dir: str):
+    """Gopher quality-rule bundle (Rae et al. 2021 Table A1): word
+    count, mean word length, alpha-word fraction, stop-word floor and
+    bigram-repetition cap — all as integer cross-multiplies,
+    zero-shuffle."""
+    from xlink_ray.stages.textstats import gopher_filter
+
+    return gopher_filter(
+        _docs(sf_dir).select_columns(["doc_id", "text"])
+    )
+
+
 def _q_meta_blocking(sf_dir: str):
     """Meta-blocking (Papadakis et al. 2014): four redundancy-positive
     blocking schemes per customer → ECBS-weighted pair graph → WEP
@@ -3706,6 +3718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_sample": _q_dsir_sample,
         "meta_blocking": _q_meta_blocking,
         "meta_blocking_cnp": _q_meta_blocking_cnp,
+        "gopher_filter": _q_gopher_filter,
         "doc_sample_stratified": _q_doc_sample_stratified,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "length_quantiles": _q_length_quantiles,
@@ -4030,6 +4043,33 @@ FROM scores""",
         "doc_sample": """
 SELECT * FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 100 < 10""",
+        # Gopher rule bundle (stages/textstats.gopher_filter): every
+        # rule an integer cross-multiply; word chars = n_chars-(nw-1)
+        # is exact under the corpus's single-space joins.
+        "gopher_filter": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                  CAST(length(text) AS BIGINT) AS n_chars
+           FROM documents),
+s AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, n_chars,
+             CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_words,
+             CAST(len(list_filter(ws, x -> x IN ('the','of','and','to','in','is','a'))) AS BIGINT) AS n_stop_hits
+      FROM w),
+g2 AS (SELECT w.doc_id, ws[j] || ' ' || ws[j+1] AS g
+       FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS j) t(j)),
+g2c AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+b2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+              CAST(max(c) AS BIGINT) AS top_2gram_n
+       FROM g2c GROUP BY doc_id)
+SELECT s.doc_id, s.n_words, s.n_alpha_words, s.n_stop_hits,
+       COALESCE(b2.top_2gram_n, 0) AS top_2gram_n,
+       COALESCE(b2.n_2grams, 0) AS n_2grams
+FROM s LEFT JOIN b2 USING (doc_id)
+WHERE s.n_words BETWEEN 30 AND 100000
+  AND 3 * s.n_words <= s.n_chars - (s.n_words - 1)
+  AND s.n_chars - (s.n_words - 1) <= 10 * s.n_words
+  AND 5 * s.n_alpha_words >= 4 * s.n_words
+  AND s.n_stop_hits >= 2
+  AND 5 * COALESCE(b2.top_2gram_n, 0) <= COALESCE(b2.n_2grams, 0)""",
         # Meta-blocking (stages/metablocking.py): block purge 2..1024,
         # CBS via the pair self-join, ECBS = cbs·ln(|B|/|Ba|)·ln(|B|/|Bb|)
         # quantized half-up to the 1e-9 int grid (same multiply

@@ -325,3 +325,72 @@ class UnigramScorer:
         tot = np.zeros(nd, dtype=np.float64)
         np.add.at(tot, doc, lp)
         return nw, tot / nw
+
+
+# the 'en' function-word list used by the Gopher stop-word rule below
+_GOPHER_STOPS = ["the", "of", "and", "to", "in", "is", "a"]
+
+
+def gopher_filter(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+    """Gopher quality-rule bundle (Rae et al. 2021, Table A1 — public
+    rule set, adapted to this corpus's single-space tokenization):
+
+    keep a document iff ALL of
+      1. 30 ≤ word count ≤ 100,000,
+      2. mean word length in [3, 10]  — total word chars =
+         n_chars − (n_words − 1), exact under single-space joins,
+      3. ≥ 80% of words contain an alphabetic character,
+      4. ≥ 2 stop words ('the of and to in is a'),
+      5. modal word-bigram ≤ 20% of the doc's bigrams (repetition).
+
+    Every rule is an integer cross-multiply — no float thresholds, so
+    the filter is bit-identical across engines and partitionings.
+    Zero-shuffle: one pass, all features vectorized per batch (the
+    bigram counts reuse ``repetition_features``). Output: the kept
+    docs' (id, n_words, n_alpha_words, n_stop_hits, top_2gram_n,
+    n_2grams)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        nd = t.num_rows
+        toks = pc.split_pattern(t[text_col], " ")
+        nw = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = pc.utf8_length(t[text_col]).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        doc = np.repeat(np.arange(nd, dtype=np.int64), nw)
+        alpha = pc.match_substring_regex(flat, "[a-zA-Z]").to_numpy(
+            zero_copy_only=False
+        )
+        n_alpha = np.zeros(nd, dtype=np.int64)
+        np.add.at(n_alpha, doc[alpha], 1)
+        stop = pc.is_in(flat, value_set=pa.array(_GOPHER_STOPS)).to_numpy(
+            zero_copy_only=False
+        )
+        n_stop = np.zeros(nd, dtype=np.int64)
+        np.add.at(n_stop, doc[stop], 1)
+        rep = repetition_features(t, text_col, id_col)
+        top2 = rep["top_2gram_n"].to_numpy(zero_copy_only=False)
+        n2 = rep["n_2grams"].to_numpy(zero_copy_only=False)
+
+        word_chars = nc - (nw - 1)
+        keep = (
+            (nw >= 30)
+            & (nw <= 100_000)
+            & (3 * nw <= word_chars)
+            & (word_chars <= 10 * nw)
+            & (5 * n_alpha >= 4 * nw)
+            & (n_stop >= 2)
+            & (5 * top2 <= n2)
+        )
+        out = pa.table(
+            {
+                id_col: t[id_col],
+                "n_words": pa.array(nw),
+                "n_alpha_words": pa.array(n_alpha),
+                "n_stop_hits": pa.array(n_stop),
+                "top_2gram_n": pa.array(top2),
+                "n_2grams": pa.array(n2),
+            }
+        )
+        return out.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
