@@ -3604,6 +3604,28 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)"""
     )
 
 
+def _bpe_fertility_sql(n_merges: int = 10) -> str:
+    """Per-language fertility rollup over the encode replica — exact
+    integer division, matching stages/bpe.bpe_fertility_by_lang."""
+    return f"""WITH base AS ({_bpe_encode_sql(n_merges)})
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(b.n_words) AS BIGINT) AS n_words,
+       CAST(sum(b.n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(length(d.text)) AS BIGINT) AS n_chars,
+       CAST((1000 * sum(b.n_tokens)) // sum(length(d.text)) AS BIGINT) AS tokens_per_1k_chars
+FROM base b JOIN documents d USING (doc_id) GROUP BY d.lang"""
+
+
+def _q_bpe_fertility(sf_dir: str):
+    """Tokenizer fertility per language (tokens per 1k chars, exact
+    integer division): the mixture-planning metric a token-budgeted
+    data mix needs. One encode pass + a ≤nlangs-row aggregate."""
+    from xlink_ray.stages.bpe import bpe_fertility_by_lang, bpe_merges
+
+    docs = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    return bpe_fertility_by_lang(docs, bpe_merges(docs, n_merges=10))
+
+
 def _q_winnow_fps(sf_dir: str):
     """Winnowing (MOSS) fingerprint selection: per doc, the
     rightmost-min gram hash of each w-window of word-k-gram hashes."""
@@ -3755,6 +3777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist_stats": _q_blocklist_stats,
         "bpe_merges": _q_bpe_merges,
         "bpe_token_counts": _q_bpe_token_counts,
+        "bpe_fertility": _q_bpe_fertility,
         "shared_ngrams": _q_shared_ngrams,
         "lm_scores": _q_lm_scores,
         "curated_corpus_v2": _q_curated_corpus_v2,
@@ -5507,4 +5530,5 @@ SELECT split, lang, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY split, lang"""
     # pagerank stance — one CTE chain per merge round)
     out["bpe_merges"] = _bpe_merges_sql()
     out["bpe_token_counts"] = _bpe_encode_sql()
+    out["bpe_fertility"] = _bpe_fertility_sql()
     return out

@@ -134,3 +134,44 @@ def test_bpe_encode_zero_rules_counts_codepoints(ray_session):
     got = bpe_encode(_docs_ds(rows), []).to_pandas().sort_values("doc_id")
     assert got["n_tokens"].tolist() == [4, 0]
     assert got["n_words"].tolist() == [2, 0]
+
+
+def test_fertility_by_lang_matches_encode_rollup(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+    from xlink_ray.stages.bpe import bpe_encode, bpe_fertility_by_lang, bpe_merges
+
+    rows = [
+        {"doc_id": i, "text": " ".join(["lower bound lower bound", "upper scan", "merge sort"][i % 3] for _ in range(3)), "lang": ["en", "de"][i % 2]}
+        for i in range(24)
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    merges = bpe_merges(ds, n_merges=5)
+
+    got = (
+        bpe_fertility_by_lang(ds, merges)
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+
+    enc = bpe_encode(ds, merges).to_pandas()
+    import pandas as pd
+
+    docs = pd.DataFrame(rows)
+    docs["n_chars"] = docs.text.str.len()
+    j = enc.merge(docs[["doc_id", "lang", "n_chars"]], on="doc_id")
+    want = (
+        j.groupby("lang")
+        .agg(n_docs=("doc_id", "size"), n_words=("n_words", "sum"),
+             n_tokens=("n_tokens", "sum"), n_chars=("n_chars", "sum"))
+        .reset_index()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    want["tokens_per_1k_chars"] = (1000 * want.n_tokens) // want.n_chars
+    assert got[["lang", "n_docs", "n_words", "n_tokens", "n_chars", "tokens_per_1k_chars"]].equals(
+        want[["lang", "n_docs", "n_words", "n_tokens", "n_chars", "tokens_per_1k_chars"]]
+    )

@@ -252,6 +252,7 @@ def bpe_encode(
     merges: "pa.Table | list[tuple[str, str]]",
     text_col: str = "text",
     id_col: str = "doc_id",
+    passthrough: "list[str] | None" = None,
 ) -> Dataset:
     """Apply learned BPE merge rules to the corpus: (doc_id, n_words,
     n_tokens) — the tokenizer-application half of the train→apply loop
@@ -284,7 +285,10 @@ def bpe_encode(
     def encode(t: pa.Table) -> pa.Table:
         rls = cached_state(("bpe_rules", rules_ref.hex()), lambda: ray.get(rules_ref))
         if t.num_rows == 0:
-            return out_schema.empty_table()
+            empty = out_schema.empty_table()
+            for c in passthrough or []:
+                empty = empty.append_column(c, t[c])
+            return empty
         toks = pc.split_pattern(t[text_col], " ")
         flat = pc.list_flatten(toks)
         counts = pc.list_value_length(toks).fill_null(0).to_numpy(zero_copy_only=False)
@@ -313,15 +317,85 @@ def bpe_encode(
             ).astype(np.int64)
         else:
             n_tokens = np.zeros(t.num_rows, dtype=np.int64)
-        return pa.table(
+        out = pa.table(
             {
                 "doc_id": pc.cast(t[id_col], pa.int64()),
                 "n_words": pa.array(n_words),
                 "n_tokens": pa.array(n_tokens),
             }
         )
+        for c in passthrough or []:
+            out = out.append_column(c, t[c])
+        return out
 
     return docs.map_batches(encode, batch_format="pyarrow")
+
+
+def bpe_fertility_by_lang(
+    docs: Dataset,
+    merges: "pa.Table | list[tuple[str, str]]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> Dataset:
+    """Tokenizer fertility per language — the mixture-planning metric
+    (how many BPE tokens a language costs per unit of text): one
+    zero-shuffle encode pass carrying ``lang``/char counts through,
+    per-batch partial rollup, one tiny ``groupby(lang)`` of ≤ nlangs
+    rows per block. Output: (lang, n_docs, n_words, n_tokens, n_chars,
+    tokens_per_1k_chars) with the fertility as EXACT integer division
+    (1000·tokens // chars) — engine-identical."""
+    from ray.data.aggregate import Sum
+
+    with_chars = docs.map_batches(
+        lambda t: t.append_column(
+            "n_chars", pc.cast(pc.utf8_length(t[text_col]), pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+    enc = bpe_encode(
+        with_chars, merges, text_col=text_col, id_col=id_col,
+        passthrough=[lang_col, "n_chars"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        langs = np.asarray(t[lang_col].to_pylist(), dtype=object)
+        u, inv = np.unique(langs, return_inverse=True)
+        sums = {}
+        for c in ("n_words", "n_tokens", "n_chars"):
+            v = t[c].to_numpy(zero_copy_only=False)
+            acc = np.zeros(len(u), dtype=np.int64)
+            np.add.at(acc, inv, v)
+            sums[c] = acc
+        nd = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        return pa.table(
+            {
+                lang_col: pa.array(list(u), pa.string()),
+                "n_docs": pa.array(nd),
+                "n_words": pa.array(sums["n_words"]),
+                "n_tokens": pa.array(sums["n_tokens"]),
+                "n_chars": pa.array(sums["n_chars"]),
+            }
+        )
+
+    agg = (
+        enc.map_batches(partial, batch_format="pyarrow")
+        .groupby(lang_col)
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_words", alias_name="n_words"),
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("n_chars", alias_name="n_chars"),
+        )
+    )
+
+    def fert(t: pa.Table) -> pa.Table:
+        tk = t["n_tokens"].to_numpy(zero_copy_only=False)
+        ch = t["n_chars"].to_numpy(zero_copy_only=False)
+        f = np.where(ch > 0, (1000 * tk) // np.maximum(ch, 1), 0).astype(np.int64)
+        return t.append_column("tokens_per_1k_chars", pa.array(f))
+
+    return agg.map_batches(fert, batch_format="pyarrow")
 
 
 def ref_bpe_encode(text: str, rules: "list[tuple[str, str]]") -> "list[str]":
