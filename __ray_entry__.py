@@ -2382,6 +2382,31 @@ FROM (SELECT qid, did,
 WHERE rn <= {k}"""
 
 
+def _q_lsh_recall(sf_dir: str):
+    """Dedup-quality evaluation: MinHash-LSH verified pairs counted
+    against the EXACT shingle-Jaccard self-join (brute-force ground
+    truth; the LSH set is a subset by construction). One row:
+    (n_exact, n_lsh, recall_bp) with recall in integer basis points."""
+    import pyarrow as pa
+
+    from xlink_ray.stages.dedup import exact_jaccard_pairs, minhash_lsh_pairs
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    n_lsh = minhash_lsh_pairs(docs, jaccard_th=0.5).count()
+    n_exact = exact_jaccard_pairs(
+        docs, k=5, th_num=5000, th_den=10000, max_bucket=1_000_000
+    ).count()
+    return pa.table(
+        {
+            "n_exact": pa.array([n_exact], pa.int64()),
+            "n_lsh": pa.array([n_lsh], pa.int64()),
+            "recall_bp": pa.array(
+                [(10000 * n_lsh) // max(n_exact, 1)], pa.int64()
+            ),
+        }
+    )
+
+
 def _q_minhash_pairs(sf_dir: str):
     from xlink_ray.stages.dedup import minhash_lsh_pairs
 
@@ -3728,6 +3753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup": _q_embedding_dup,
         "ann_topk": _q_ann_topk,
         "minhash_pairs": _q_minhash_pairs,
+        "lsh_recall": _q_lsh_recall,
         "minhash_attach": _q_minhash_attach,
         "ppjoin_pairs": _q_ppjoin_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -5054,6 +5080,27 @@ SELECT DISTINCT 'https://crawl.example.org/' || source || '/' || lpad(CAST(doc_i
        entity_id AS dst
 FROM occ WHERE cnt > 0""",
         "minhash_pairs": _minhash_sql(),
+        # LSH recall vs the exact resemblance join: the exact side
+        # joins literal gram strings (collision-free vs the engine's
+        # M61 hashes at gate scale); the LSH side is the minhash
+        # replica counted; recall as exact integer division.
+        "lsh_recall": f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT doc_id, list_aggregate(ws[j:j+4], 'string_agg', ' ') AS win
+      FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 3)) AS j) s(j)),
+d AS (SELECT DISTINCT doc_id, win FROM g),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY doc_id),
+i AS (SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS m
+      FROM d a JOIN d b ON a.win = b.win AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+ex AS (SELECT i.da, i.db FROM i JOIN sz sa ON sa.doc_id = i.da
+       JOIN sz sb ON sb.doc_id = i.db
+       WHERE i.m * 10000 >= 5000 * (sa.n + sb.n - i.m)),
+mh AS (SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM ({_minhash_sql()})),
+exn AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex)
+SELECT exn.n_exact, mh.n_lsh,
+       CAST((10000 * mh.n_lsh) // greatest(exn.n_exact, 1) AS BIGINT) AS recall_bp
+FROM exn, mh""",
         "minhash_attach": _minhash_attach_sql(),
         "ppjoin_pairs": _PPJOIN_SQL,
         "simhash_pairs": _simhash_sql(),

@@ -403,3 +403,45 @@ def test_pq_recall_and_code_shape(ray_session):
         a = set(approx[approx["query_id"] == q]["vec_id"])
         recall += len(e & a) / 5
     assert recall / 3 >= 0.5
+
+
+def test_exact_jaccard_pairs_vs_python(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+    from xlink_ray.stages.dedup import exact_jaccard_pairs, minhash_lsh_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},  # identical → J=1
+        {"doc_id": 3, "text": base + " extra tail words here now"},  # high overlap
+        {"doc_id": 4, "text": "totally different content with no overlap at all ok"},
+        {"doc_id": 5, "text": "alpha beta gamma delta epsilon zeta eta theta iota mu"},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    got = exact_jaccard_pairs(ds, k=5, th_num=3000, th_den=10000).to_pandas()
+
+    def grams(t):
+        ws = t.split(" ")
+        return {" ".join(ws[i : i + 5]) for i in range(len(ws) - 4)}
+
+    want = {}
+    for a in rows:
+        for b in rows:
+            if a["doc_id"] < b["doc_id"]:
+                ga, gb = grams(a["text"]), grams(b["text"])
+                m = len(ga & gb)
+                u = len(ga | gb)
+                if u and m * 10000 >= 3000 * u:
+                    want[(a["doc_id"], b["doc_id"])] = (m, len(ga), len(gb), 10000 * m // u)
+    gotmap = {
+        (r.id_a, r.id_b): (r.n_shared, r.n_a, r.n_b, r.jaccard_bp)
+        for r in got.itertuples()
+    }
+    assert gotmap == want
+
+    # LSH verified pairs are a subset of the exact ground truth
+    lsh = minhash_lsh_pairs(ds, jaccard_th=0.3, shingle_k=5).to_pandas()
+    assert set(zip(lsh.id_a, lsh.id_b)) <= set(want)

@@ -1786,3 +1786,103 @@ def embedding_neardup_clusters(emb: Dataset, th: float = 0.35) -> Dataset:
         )
 
     return cc.map_batches(fmt, batch_format="pyarrow")
+
+
+def exact_jaccard_pairs(
+    ds: Dataset,
+    k: int = 5,
+    th_num: int = 5000,
+    th_den: int = 10000,
+    max_bucket: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    nbuckets: int = 64,
+) -> Dataset:
+    """EXACT shingle-resemblance self-join (Broder 1997's resemblance,
+    no sketching): all pairs with Jaccard(G_a, G_b) ≥ th_num/th_den
+    over distinct word-k-gram hashes — the brute-force ground truth the
+    MinHash-LSH pipeline approximates (its verified pairs are a SUBSET
+    of this set by construction, so recall = |lsh| / |exact|).
+
+    Scale shape: ``shared_ngram_pairs``' two shuffles build the
+    (doc_a, doc_b, n_shared) skeleton; per-doc distinct-gram counts are
+    one zero-shuffle pass; two ``stamp_cluster`` bucket exchanges
+    attach |G_a| and |G_b|; the threshold is the integer cross-multiply
+    m·th_den ≥ th_num·(|G_a|+|G_b|−m). Grams shared by more than
+    ``max_bucket`` docs are dropped cap-and-log by the skeleton (the
+    documented boilerplate bound — at ground-truth scale pass
+    ``max_bucket >= ndocs`` for a complete join).
+
+    Output: (id_a, id_b, n_shared, n_a, n_b, jaccard_bp)."""
+    import pyarrow.compute as pc
+
+    from xlink_ray.stages.curation import _gram_hashes
+    from xlink_ray.stages.survivor import stamp_cluster
+
+    def sizes(t: pa.Table) -> pa.Table:
+        doc_idx, _g = _gram_hashes(t[text_col], k)
+        n = np.bincount(doc_idx, minlength=t.num_rows).astype(np.int64)
+        return pa.table(
+            {id_col: pc.cast(t[id_col], pa.int64()), "n_grams": pa.array(n)}
+        )
+
+    sz = ds.map_batches(sizes, batch_format="pyarrow")
+    shared = shared_ngram_pairs(
+        ds, k=k, max_bucket=max_bucket, text_col=text_col, id_col=id_col,
+        nbuckets=nbuckets,
+    )
+
+    s1 = stamp_cluster(
+        shared,
+        sz,
+        id_col="doc_a",
+        carry_cols=["doc_b", "n_shared"],
+        carry_types={"doc_b": pa.int64(), "n_shared": pa.int64()},
+        member_id_col=id_col,
+        cluster_col="n_grams",
+        nbuckets=nbuckets,
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_a": t["id"],
+                "doc_b": t["doc_b"],
+                "n_shared": t["n_shared"],
+                "n_a": t["cluster"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    s2 = stamp_cluster(
+        s1,
+        sz,
+        id_col="doc_b",
+        carry_cols=["doc_a", "n_shared", "n_a"],
+        carry_types={"doc_a": pa.int64(), "n_shared": pa.int64(), "n_a": pa.int64()},
+        member_id_col=id_col,
+        cluster_col="n_grams",
+        nbuckets=nbuckets,
+    )
+
+    def thresh(t: pa.Table) -> pa.Table:
+        m = t["n_shared"].to_numpy(zero_copy_only=False)
+        na = t["n_a"].to_numpy(zero_copy_only=False)
+        nb = t["cluster"].to_numpy(zero_copy_only=False)
+        union = na + nb - m
+        keep = m * th_den >= th_num * union
+        out = pa.table(
+            {
+                "id_a": t["doc_a"],
+                "id_b": t["id"],
+                "n_shared": t["n_shared"],
+                "n_a": t["n_a"],
+                "n_b": t["cluster"],
+                "jaccard_bp": pa.array(
+                    np.where(union > 0, (10000 * m) // np.maximum(union, 1), 0).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+        return out.filter(pa.array(keep))
+
+    return s2.map_batches(thresh, batch_format="pyarrow")
