@@ -2587,6 +2587,16 @@ def _q_weighted_sample_by_lang(sf_dir: str):
     )
 
 
+def _q_ccnet_buckets(sf_dir: str):
+    """CCNet head/middle/tail perplexity terciles (Wenzek et al. 2020)
+    under the corpus's own unigram LM: per-token log-probs quantized to
+    the int 1e-6 grid so scores, ranks and bucket labels are
+    bit-stable; ranking via the value-range bucketed global_rank."""
+    from xlink_ray.stages.textstats import ccnet_buckets
+
+    return ccnet_buckets(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
 def _q_gopher_filter(sf_dir: str):
     """Gopher quality-rule bundle (Rae et al. 2021 Table A1): word
     count, mean word length, alpha-word fraction, stop-word floor and
@@ -3767,6 +3777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "meta_blocking": _q_meta_blocking,
         "meta_blocking_cnp": _q_meta_blocking_cnp,
         "gopher_filter": _q_gopher_filter,
+        "ccnet_buckets": _q_ccnet_buckets,
         "doc_sample_stratified": _q_doc_sample_stratified,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "length_quantiles": _q_length_quantiles,
@@ -4092,6 +4103,32 @@ FROM scores""",
         "doc_sample": """
 SELECT * FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 100 < 10""",
+        # CCNet terciles (stages/textstats.ccnet_buckets): per-token
+        # lp quantized floor(1e6·ln(c/T)+0.5); per-doc mean = ONE
+        # double division + floor (identical expression both engines);
+        # rank = row_number by (score DESC, id); terciles on the
+        # 0-based rank.
+        "ccnet_buckets": """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM tok),
+uni AS (SELECT tk, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY tk),
+lp AS (SELECT tk, CAST(floor(1e6 * ln(c / t) + 0.5) AS BIGINT) AS lp6
+       FROM uni CROSS JOIN tot),
+s AS (SELECT k.doc_id, CAST(count(*) AS BIGINT) AS nw,
+             CAST(sum(lp.lp6) AS BIGINT) AS s6
+      FROM tok k JOIN lp USING (tk) GROUP BY k.doc_id),
+sc AS (SELECT doc_id,
+              CAST(floor(CAST(s6 AS DOUBLE) / greatest(nw, 1)) AS BIGINT) AS logprob_e6
+       FROM s),
+r AS (SELECT doc_id, logprob_e6,
+             CAST(row_number() OVER (ORDER BY logprob_e6 DESC, doc_id) AS BIGINT) AS rank
+      FROM sc),
+n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM sc)
+SELECT doc_id, logprob_e6, rank,
+       CASE WHEN 3 * (rank - 1) < n.c THEN 'head'
+            WHEN 3 * (rank - 1) < 2 * n.c THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM r, n""",
         # Gopher rule bundle (stages/textstats.gopher_filter): every
         # rule an integer cross-multiply; word chars = n_chars-(nw-1)
         # is exact under the corpus's single-space joins.

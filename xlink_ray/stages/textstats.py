@@ -394,3 +394,76 @@ def gopher_filter(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -
         return out.filter(pa.array(keep))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def ccnet_buckets(
+    ds: Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> Dataset:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 — public
+    method): rank every document by its LM score and split the corpus
+    into head / middle / tail terciles (head = most fluent; CCNet keeps
+    head+middle for training). The KenLM stage is replaced by the
+    corpus's own MLE unigram LM, as in ``unigram_lm_scores``.
+
+    Exactness: per-TOKEN log-probs are quantized onto the int64 1e-6
+    grid (floor(1e6·ln(c/T)+0.5)), per-doc sums are exact integers
+    (order-independent), and the per-doc mean uses one double division
+    + floor — the identical expression in both engines, so ranks and
+    bucket labels are bit-stable. Ranking = ``global_rank``'s
+    value-range bucketed scan (no global sort of the corpus); labels
+    need only the 1-based rank and the total count.
+
+    Output: (doc_id, logprob_e6, rank, bucket) — ``global_rank``'s slim
+    projection carries (id, value, rank)."""
+    from xlink_ray.stages.stats import global_rank
+
+    uni_ref, total = unigram_vocab(ds, text_col)
+
+    class IntScore(UnigramScorer):
+        def __init__(self, ref, t):
+            super().__init__(ref, t)
+            self.lp6 = np.floor(
+                1e6 * np.log(self.counts / self.t) + 0.5
+            ).astype(np.int64)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            nd = t.num_rows
+            toks = pc.split_pattern(t[text_col], " ")
+            nw = (
+                pc.list_value_length(toks)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            flat = pc.list_flatten(toks)
+            doc = np.repeat(np.arange(nd, dtype=np.int64), nw)
+            code = (
+                pc.index_in(flat, value_set=self.vocab)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            s6 = np.zeros(nd, dtype=np.int64)
+            np.add.at(s6, doc, self.lp6[code])
+            mean6 = np.floor(s6.astype(np.float64) / np.maximum(nw, 1)).astype(
+                np.int64
+            )
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    "n_tokens": pa.array(nw),
+                    "logprob_e6": pa.array(mean6),
+                }
+            )
+
+    scored = ds.map_batches(
+        IntScore, fn_constructor_args=(uni_ref, total),
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+    ranked = global_rank(scored, "logprob_e6", id_col=id_col, descending=True)
+    n = ds.count()
+
+    def label(t: pa.Table) -> pa.Table:
+        r = t["rank"].to_numpy(zero_copy_only=False) - 1  # 0-based
+        bucket = np.where(3 * r < n, "head", np.where(3 * r < 2 * n, "middle", "tail"))
+        return t.append_column("bucket", pa.array(bucket, pa.string()))
+
+    return ranked.map_batches(label, batch_format="pyarrow")
