@@ -3285,6 +3285,55 @@ def _q_pagerank(sf_dir: str):
     return purchase_pagerank(sf_dir)
 
 
+def _q_purchase_hits(sf_dir: str):
+    """Fixed-point HITS hubs/authorities (Kleinberg 1999) over the
+    directed customer→supplier purchase graph — all-integer
+    max-normalized updates on the bucket harness, bit-identical to the
+    unrolled-CTE oracle."""
+    from xlink_ray.stages.graph import purchase_hits
+
+    return purchase_hits(sf_dir, iters=3)
+
+
+def _hits_sql(iters: int = 3, scale: int = 10**6) -> str:
+    """Unrolled-iteration DuckDB replica of stages/graph.hits_fixed
+    over the directed purchase graph: same int64 max-normalization
+    (v·scale // max) per half-step."""
+    sql = [
+        f"""WITH edges AS (
+  SELECT DISTINCT 2*o.o_custkey AS src, 2*l.l_suppkey+1 AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+h0 AS (SELECT node, CAST({scale} AS BIGINT) AS v FROM nodes)"""
+    ]
+    for i in range(iters):
+        sql.append(
+            f""",
+a{i+1}r AS (
+  SELECT n.node, CAST(COALESCE(s.m, 0) AS BIGINT) AS v
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(h.v) AS m
+    FROM edges e JOIN h{i} h ON h.node = e.src GROUP BY e.dst) s USING (node)),
+a{i+1} AS (
+  SELECT node, CASE WHEN m.m > 0 THEN v * {scale} // m.m ELSE 0 END AS v
+  FROM a{i+1}r, (SELECT max(v) AS m FROM a{i+1}r) m),
+h{i+1}r AS (
+  SELECT n.node, CAST(COALESCE(s.m, 0) AS BIGINT) AS v
+  FROM nodes n LEFT JOIN (
+    SELECT e.src AS node, SUM(a.v) AS m
+    FROM edges e JOIN a{i+1} a ON a.node = e.dst GROUP BY e.src) s USING (node)),
+h{i+1} AS (
+  SELECT node, CASE WHEN m.m > 0 THEN v * {scale} // m.m ELSE 0 END AS v
+  FROM h{i+1}r, (SELECT max(v) AS m FROM h{i+1}r) m)"""
+        )
+    sql.append(
+        f"""
+SELECT a.node, a.v AS auth_fp, h.v AS hub_fp
+FROM a{iters} a JOIN h{iters} h USING (node)"""
+    )
+    return "".join(sql)
+
+
 def _q_purchase_kcore(sf_dir: str):
     """Synchronous k-core peeling over the purchase graph
     (stages/graph.py kcore_peel, k=10): fixed-round semantics so the
@@ -3837,6 +3886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_pagerank": _q_weighted_pagerank,
         "purchase_distances": _q_purchase_distances,
         "purchase_kcore": _q_purchase_kcore,
+        "purchase_hits": _q_purchase_hits,
         "dup_ngrams": _q_dup_ngrams,
         "cdc_chunks": _q_cdc_chunks,
         "fidelity_links": _q_fidelity_links,
@@ -5615,4 +5665,5 @@ SELECT split, lang, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY split, lang"""
     out["bpe_merges"] = _bpe_merges_sql()
     out["bpe_token_counts"] = _bpe_encode_sql()
     out["bpe_fertility"] = _bpe_fertility_sql()
+    out["purchase_hits"] = _hits_sql()
     return out

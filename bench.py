@@ -116,7 +116,34 @@ def _run_queries() -> dict[str, float]:
     from xlink_ray.pipelines.curate import curated_corpus
 
     timed("curated_corpus", lambda: curated_corpus(SF_DIR).count())
+
+    # round-4 curation/blocking additions — tracked so regressions show
+    timed("meta_blocking", lambda: er.customer_meta_blocking(SF_DIR).count())
+    timed("gopher_filter", lambda: _gopher(SF_DIR))
+    timed("dsir_weights", lambda: _dsir(SF_DIR))
     return timings, trials
+
+
+def _gopher(sf_dir: str) -> int:
+    from xlink_ray.stages.textstats import gopher_filter
+    from xlink_ray.util import read_pq
+
+    return gopher_filter(
+        read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ).count()
+
+
+def _dsir(sf_dir: str) -> int:
+    from xlink_ray.stages.dsir import bucket_llr_e9, dsir_weights, ngram_bucket_counts
+    from xlink_ray.util import read_pq
+
+    docs = read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    raw, tgt = ngram_bucket_counts(
+        docs, n_buckets=4096, target_col="lang", target_val="en"
+    )
+    return dsir_weights(docs, bucket_llr_e9(tgt, raw)).count()
 
 
 def _loadavg() -> float:

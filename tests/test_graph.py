@@ -606,3 +606,48 @@ def test_purchase_kcore_shape(ray_session, sf_small):
     rows = purchase_kcore(sf_small, k=3, rounds=12).take_all()
     assert len(rows) > 0
     assert {r["in_core"] for r in rows} <= {True, False}
+
+
+def test_hits_fixed_matches_python(ray_session):
+    import pyarrow as pa
+
+    import ray.data as rd
+    from xlink_ray.stages.graph import hits_fixed
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 1), (2, 3), (5, 3), (6, 3), (3, 6)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in edges], pa.int64()),
+                "dst": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    )
+    got = {
+        r["node"]: (r["auth_fp"], r["hub_fp"])
+        for r in hits_fixed(ds, iters=3, nbuckets=4).take_all()
+    }
+
+    E = sorted(set(edges))
+    nodes = sorted({n for e in E for n in e})
+    scale = 10**6
+    h = {n: scale for n in nodes}
+    for _ in range(3):
+        a = {n: 0 for n in nodes}
+        for u, v in E:
+            a[v] += h[u]
+        m = max(a.values())
+        a = {n: (v * scale) // m if m > 0 else 0 for n, v in a.items()}
+        h = {n: 0 for n in nodes}
+        for u, v in E:
+            h[u] += a[v]
+        m = max(h.values())
+        h = {n: (v * scale) // m if m > 0 else 0 for n, v in h.items()}
+    assert got == {n: (a[n], h[n]) for n in nodes}
+
+    # bucket-count invariance
+    got2 = {
+        r["node"]: (r["auth_fp"], r["hub_fp"])
+        for r in hits_fixed(ds, iters=3, nbuckets=1).take_all()
+    }
+    assert got2 == got

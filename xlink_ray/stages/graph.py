@@ -1509,3 +1509,153 @@ def purchase_pagerank(sf_dir: str, iters: int = 5) -> Dataset:
         return pa.table({"node": t["node"], "pr_fp": t["r"]})
 
     return ranks.map_batches(fmt, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# HITS (Kleinberg 1999) — fixed-point hubs & authorities
+# ---------------------------------------------------------------------------
+
+@ray.remote
+def _hits_map(state: dict, nodes: np.ndarray, vals: np.ndarray, nbuckets: int) -> list:
+    """One src bucket: ship the src's current value along every distinct
+    edge, split by dst bucket (same routing as _lp_map, but integer
+    values instead of labels)."""
+    src = state["src"]
+    if len(src) == 0:
+        return [(_EMPTY_I64, _EMPTY_I64)] * nbuckets
+    v = vals[np.searchsorted(nodes, src)][state["perm"]]
+    bounds, dst = state["bounds"], state["dst_perm"]
+    return [(dst[bounds[k] : bounds[k + 1]], v[bounds[k] : bounds[k + 1]]) for k in range(nbuckets)]
+
+
+@ray.remote
+def _hits_reduce(nodes: np.ndarray, *pieces) -> np.ndarray:
+    """One node bucket: int64-sum the shipped values (no damping — the
+    raw HITS sum; normalization happens in _hits_norm)."""
+    s = np.zeros(len(nodes), dtype=np.int64)
+    for node_arr, v_arr in _flatten_pieces(pieces):
+        if len(node_arr):
+            np.add.at(s, np.searchsorted(nodes, node_arr), v_arr)
+    return s
+
+
+@ray.remote
+def _arr_max(a: np.ndarray) -> int:
+    return int(a.max()) if len(a) else 0
+
+
+@ray.remote
+def _hits_norm(a: np.ndarray, m: int, scale: int) -> np.ndarray:
+    """Fixed-point max-normalization: v ← v·scale // max (all-integer,
+    order-independent; max 0 ⇒ all zeros)."""
+    if m <= 0:
+        return np.zeros(len(a), dtype=np.int64)
+    return a * scale // m
+
+
+@ray.remote
+def _hits_table(nodes: np.ndarray, auth: np.ndarray, hub: np.ndarray) -> pa.Table:
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "auth_fp": pa.array(auth, pa.int64()),
+            "hub_fp": pa.array(hub, pa.int64()),
+        }
+    )
+
+
+def hits_fixed(
+    edges: Dataset, iters: int = 3, scale: int = 10**6, nbuckets: int = 32
+) -> Dataset:
+    """Fixed-point HITS (Kleinberg 1999 — public algorithm) over
+    directed edges (src, dst) → (node, auth_fp, hub_fp):
+
+        h[0] = scale                            (every node)
+        a[i+1](v) = norm( Σ_{u→v} h[i](u) )
+        h[i+1](u) = norm( Σ_{u→v} a[i+1](v) )
+        norm(x)   = x · scale // max(x)         (max-normalization)
+
+    All-integer (bit-identical to the unrolled-CTE SQL replica).
+    Duplicate edges collapse (the harness dedupes).
+
+    Scale shape: the same co-partitioned bucket harness as
+    pagerank_fixed, built TWICE — once on the edges, once reversed
+    (the hub update pushes authority scores back along out-edges) —
+    the node arrays of the two builds are identical by construction
+    (same hash bucketing, same node universe). Per iteration: two
+    vote exchanges + one O(nbuckets)-int driver sync for each max."""
+    nb = nbuckets
+    fwd = _graph_state(edges, nb)
+    if fwd is None:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "auth_fp": pa.array([], pa.int64()),
+                    "hub_fp": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    def swap(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["dst"], "dst": t["src"]})
+
+    rev = _graph_state(
+        edges.map_batches(swap, batch_format="pyarrow"), nb
+    )
+    f_states, nodes = fwd
+    r_states, _rev_nodes = rev  # same node arrays by construction
+
+    hub = [_init_ranks.remote(nodes[k], scale) for k in range(nb)]
+    auth = [None] * nb
+    for _ in range(iters):
+        # authority: sum hub over in-edges (forward harness ships
+        # src values to dst buckets)
+        pieces = [
+            _hits_map.options(num_returns=nb).remote(f_states[k], nodes[k], hub[k], nb)
+            for k in range(nb)
+        ]
+        if nb == 1:
+            pieces = [[p] for p in pieces]
+        auth = [
+            _hits_reduce.remote(nodes[k], *[pieces[j][k] for j in range(nb)])
+            for k in range(nb)
+        ]
+        amax = max(ray.get([_arr_max.remote(a) for a in auth]), default=0)
+        auth = [_hits_norm.remote(a, amax, scale) for a in auth]
+
+        # hub: sum authority over out-edges (reverse harness ships
+        # dst values back to src buckets)
+        pieces = [
+            _hits_map.options(num_returns=nb).remote(r_states[k], nodes[k], auth[k], nb)
+            for k in range(nb)
+        ]
+        if nb == 1:
+            pieces = [[p] for p in pieces]
+        hub = [
+            _hits_reduce.remote(nodes[k], *[pieces[j][k] for j in range(nb)])
+            for k in range(nb)
+        ]
+        hmax = max(ray.get([_arr_max.remote(h) for h in hub]), default=0)
+        hub = [_hits_norm.remote(h, hmax, scale) for h in hub]
+
+    tables = [_hits_table.remote(nodes[k], auth[k], hub[k]) for k in range(nb)]
+    return rd.from_arrow_refs(tables)
+
+
+def purchase_hits(sf_dir: str, iters: int = 3) -> Dataset:
+    """HITS hubs/authorities over the DIRECTED customer→supplier
+    purchase graph (hubs = customers that buy from authoritative
+    suppliers; authorities = suppliers bought by strong hubs). The
+    symmetric edge builder is reused and filtered to the
+    customer-side direction (customer ids are even by construction,
+    so src % 2 == 0 keeps exactly the original orientation)."""
+    edges = purchase_graph_edges(sf_dir)
+
+    def directed(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(src % 2 == 0))
+
+    return hits_fixed(
+        edges.map_batches(directed, batch_format="pyarrow"), iters=iters
+    )
