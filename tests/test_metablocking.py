@@ -137,3 +137,28 @@ def test_cnp_prune_matches_python_oracle(ray_session):
     # distinctness: no duplicate pairs
     rows = cnp_prune(graph, k).take_all()
     assert len(rows) == len({(r["id_a"], r["id_b"]) for r in rows})
+
+
+def test_broadcast_and_stamp_paths_identical(ray_session, monkeypatch):
+    from xlink_ray.stages.metablocking import meta_block_graph
+
+    keys = (
+        [(i, f"a:{i % 7}") for i in range(50)]
+        + [(i, f"b:{i % 11}") for i in range(50)]
+        + [(i, f"c:{i // 25}") for i in range(50)]
+    )
+
+    def snap(graph):
+        return sorted(
+            (r["id_a"], r["id_b"], r["cbs"], r["nb_a"], r["nb_b"], r["w_e9"])
+            for r in graph.take_all()
+        )
+
+    g_bcast, n1 = meta_block_graph(_keys_ds(keys))
+    bcast = snap(g_bcast)
+
+    # force the guard to trip → the stamp_cluster fallback
+    monkeypatch.setenv("XLINK_DICT_MAX_MB", "0.000001")
+    g_stamp, n2 = meta_block_graph(_keys_ds(keys))
+    assert n1 == n2
+    assert snap(g_stamp) == bcast

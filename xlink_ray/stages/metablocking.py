@@ -69,7 +69,13 @@ def meta_block_graph(
     (id_a, id_b, cbs, nb_a, nb_b, w_e9), plus |B| (surviving block
     count). ``keys`` must be distinct per (id, key) — true by
     construction when each scheme emits one prefixed key per record —
-    and ids must be non-negative int64."""
+    and ids must be non-negative int64.
+
+    |Bᵃ| attach is dual-path: the per-record block-count table
+    broadcasts under the shared ``XLINK_DICT_MAX_MB`` guard (one
+    zero-shuffle weigh pass); past the guard it falls back to two
+    ``stamp_cluster`` bucket exchanges (nothing collected). Outputs
+    are identical (test-pinned)."""
     keys = keys.materialize()  # consumed by the block pass AND the stamps
 
     def per_block(g: pa.Table) -> pa.Table:
@@ -140,6 +146,55 @@ def meta_block_graph(
 
     nb = graph0.map_batches(_mask(lambda b: b == _MEMBER), batch_format="pyarrow")
     pairs = graph0.map_batches(_mask(lambda b: b >= 0), batch_format="pyarrow")
+
+    # fast path: the per-record block-count table is O(#records) ints —
+    # broadcast it under the shared XLINK_DICT_MAX_MB guard and weigh
+    # in ONE zero-shuffle pass (the repo's broadcast/partitioned
+    # dual-path idiom, cf. prob.filter_mention_anchors); past the
+    # guard fall back to the two stamp_cluster exchanges below
+    import ray
+
+    from xlink_ray.util import dict_guard_max_bytes
+
+    n_records = nb.count()
+    if n_records * 16 <= dict_guard_max_bytes():
+        parts = [
+            pa.table(b)
+            for b in nb.iter_batches(batch_format="pyarrow")
+        ]
+        if parts:
+            nb_tbl = pa.concat_tables(parts)
+            ids = nb_tbl["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cnt = nb_tbl["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.argsort(ids)
+            nb_ref = ray.put((ids[order], cnt[order]))
+        else:
+            nb_ref = ray.put((np.zeros(0, np.int64), np.zeros(0, np.int64)))
+
+        def weigh_bcast(t: pa.Table) -> pa.Table:
+            from xlink_ray.state.cached import cached_state
+
+            bids, bcnt = cached_state(
+                ("metablock_nb", nb_ref.hex()), lambda: ray.get(nb_ref)
+            )
+            a = t["id_a"].to_numpy(zero_copy_only=False)
+            b = t["id_b"].to_numpy(zero_copy_only=False)
+            nb_a = bcnt[np.searchsorted(bids, a)]
+            nb_b = bcnt[np.searchsorted(bids, b)]
+            cbs = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+            w = cbs * np.log(nblocks / nb_a) * np.log(nblocks / nb_b)
+            return pa.table(
+                {
+                    "id_a": t["id_a"],
+                    "id_b": t["id_b"],
+                    "cbs": t["c"],
+                    "nb_a": pa.array(nb_a, pa.int64()),
+                    "nb_b": pa.array(nb_b, pa.int64()),
+                    "w_e9": pa.array(np.floor(w * 1e9 + 0.5).astype(np.int64)),
+                }
+            )
+
+        return pairs.map_batches(weigh_bcast, batch_format="pyarrow"), nblocks
 
     from xlink_ray.stages.survivor import stamp_cluster
 
