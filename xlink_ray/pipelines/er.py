@@ -966,3 +966,19 @@ def customer_meta_blocking_cnp(sf_dir: str, k: int = 3, max_block: int = 1024) -
 
     graph = _customer_block_graph(sf_dir, max_block=max_block)
     return cnp_prune(graph, k)
+
+
+def customer_clusters_meta(sf_dir: str, max_block: int = 1024) -> Dataset:
+    """End-to-end meta-blocked ER: the WEP-pruned ECBS pair graph →
+    transitive closure → (member_id, cluster_id = min id of the
+    component); every customer appears (non-candidates as
+    singletons). The blocking-side composition of the clustering
+    stack — the same closure the lev/JW pipelines use, fed by the
+    weight-pruned candidate graph instead of a similarity threshold."""
+    from xlink_ray.stages.clustering import connected_components
+
+    pairs = customer_meta_blocking(sf_dir, max_block=max_block)
+    cust = read_pq(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    return connected_components(
+        pairs, nodes=cust, node_col="c_custkey"
+    )
