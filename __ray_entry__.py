@@ -3244,6 +3244,33 @@ def _q_packed_sequences(sf_dir: str):
     )
 
 
+def _q_packed_by_bpe(sf_dir: str):
+    """Tokenizer-aware sequence packing: BPE-encode the corpus (10
+    learned merges) and pack documents into 2048-REAL-token chunks via
+    the distributed ordered prefix-sum — the packing a token-budgeted
+    trainer actually needs."""
+    from xlink_ray.stages.bpe import bpe_encode, bpe_merges
+    from xlink_ray.stages.packing import pack_sequences
+
+    docs = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    enc = bpe_encode(docs, bpe_merges(docs, n_merges=10))
+    return pack_sequences(enc, capacity=2048, length_col="n_tokens")
+
+
+def _bpe_pack_sql(n_merges: int = 10, capacity: int = 2048) -> str:
+    """Window-cumsum packing replica over the BPE encode replica."""
+    return f"""WITH base AS ({_bpe_encode_sql(n_merges)}),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+  FROM base
+)
+SELECT doc_id, n_tokens, CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(start_tok // {capacity} AS BIGINT) AS chunk_id
+FROM c"""
+
+
 def _q_embedding_neardup(sf_dir: str):
     """Semantic near-dup dedup: LSH-bucketed cosine pairs → transitive
     closure → (vec_id, canonical_id)."""
@@ -3881,6 +3908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_clusters": _q_neardup_clusters,
         "pii_scrub": _q_pii_scrub,
         "packed_sequences": _q_packed_sequences,
+        "packed_by_bpe": _q_packed_by_bpe,
         "embedding_neardup": _q_embedding_neardup,
         "inverted_index": _q_inverted_index,
         "winnow_fps": _q_winnow_fps,
@@ -5705,4 +5733,5 @@ SELECT split, lang, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY split, lang"""
     out["bpe_token_counts"] = _bpe_encode_sql()
     out["bpe_fertility"] = _bpe_fertility_sql()
     out["purchase_hits"] = _hits_sql()
+    out["packed_by_bpe"] = _bpe_pack_sql()
     return out

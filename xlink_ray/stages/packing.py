@@ -40,20 +40,32 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     nbuckets: int = 32,
+    length_col: str | None = None,
 ) -> Dataset:
     """``(doc_id, n_tokens, start_tok, chunk_id)`` for every document.
 
     Tokens = single-space split (DuckDB ``string_split(text, ' ')``
-    semantics, matching textstats.token_counts).
+    semantics, matching textstats.token_counts) — or, when
+    ``length_col`` is given, a precomputed per-doc length column (e.g.
+    the BPE encoder's ``n_tokens``), which packs by REAL tokenizer
+    budget instead of whitespace words.
     """
     if capacity <= 0:
         raise ValueError("capacity must be positive")
 
     def slim(t: pa.Table) -> pa.Table:
-        if t[id_col].null_count or t[text_col].null_count:
+        src_col = length_col if length_col is not None else text_col
+        if t[id_col].null_count or t[src_col].null_count:
             raise ValueError(
-                f"pack_sequences: nulls in {id_col!r}/{text_col!r} — null "
+                f"pack_sequences: nulls in {id_col!r}/{src_col!r} — null "
                 "n_tokens would NaN-poison the bucket cumsum downstream"
+            )
+        if length_col is not None:
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    "n_tokens": pc.cast(t[length_col], pa.int64()),
+                }
             )
         toks = pc.split_pattern(t[text_col], " ")
         return pa.table(
