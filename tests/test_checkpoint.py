@@ -219,3 +219,38 @@ def test_curate_job_resumes(ray_session, tmp_path):
     )
     exp = set(curated_corpus("/root/testdata/sf0.001").to_pandas()["doc_id"])
     assert ids == exp
+
+
+def test_dsir_job_resumes(ray_session, tmp_path):
+    """--job dsir: first run fits + scores + selects; an immediate
+    rerun skips the pipeline entirely; the selected set matches the
+    library composition."""
+    import duckdb
+
+    from xlink_ray.job import main
+    from xlink_ray.stages.dsir import dsir_select
+    from xlink_ray.util import read_pq
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    m1 = main(["--job", "dsir", "--sf-dir", "/root/testdata/sf0.001",
+               "--out", out, "--checkpoint-root", ck, "--dsir-k", "20"])
+    assert m1["stages_computed"] == ["dsir_weights"]
+    assert m1["out_buckets_written"] == 16 and m1["selected"] == 20
+    m2 = main(["--job", "dsir", "--sf-dir", "/root/testdata/sf0.001",
+               "--out", out, "--checkpoint-root", ck, "--dsir-k", "20"])
+    assert m2["stages_computed"] == [] and m2["out_buckets_skipped"] == 16
+    assert m2["rows"] == m1["rows"] > 0
+
+    got = set(
+        r[0] for r in duckdb.sql(
+            f"SELECT doc_id FROM '{out}-selected/selected.parquet'"
+        ).fetchall()
+    )
+    exp = set(
+        dsir_select(
+            read_pq("/root/testdata/sf0.001/documents.parquet",
+                    columns=["doc_id", "text", "lang"]),
+            k=20,
+        )["doc_id"].to_pylist()
+    )
+    assert got == exp

@@ -79,14 +79,18 @@ def main(argv: "list[str] | None" = None) -> dict:
     p.add_argument("--num-cpus", type=int, default=None,
                    help="only for local mode; a submitted job uses the cluster's size")
     p.add_argument("--job", default="clusters",
-                   choices=["clusters", "attach", "curate"],
+                   choices=["clusters", "attach", "curate", "dsir"],
                    help="clusters = standing-crawl flagship run; attach = "
                         "incremental crawl (reuse the standing dictionary and "
                         "clusters, attach copies 1..new-repeat-1 of the synth); "
                         "curate = LLM training-data curation (dedup + quality "
-                        "+ decontamination + sampling over documents)")
+                        "+ decontamination + sampling over documents); dsir = "
+                        "target-distribution selection (importance weights + "
+                        "Gumbel-top-k)")
     p.add_argument("--new-repeat", type=int, default=2,
                    help="attach mode: synth copies forming the new crawl")
+    p.add_argument("--dsir-k", type=int, default=100,
+                   help="dsir mode: number of documents to select")
     args = p.parse_args(argv)
 
     import ray
@@ -114,6 +118,8 @@ def main(argv: "list[str] | None" = None) -> dict:
         return _attach_job(args, src_sig, n_buckets, t0)
     if args.job == "curate":
         return _curate_job(args, src_sig, n_buckets, t0)
+    if args.job == "dsir":
+        return _dsir_job(args, src_sig, n_buckets, t0)
     sink_fp = fingerprint("clusters-out", args.sf_dir, args.method, *src_sig)
 
     # fully-resumed rerun: the output manifest already covers every
@@ -265,6 +271,117 @@ def _curate_job(args, src_sig: tuple, n_buckets: int, t0: float) -> dict:
         "sf_dir": args.sf_dir,
         "method": "curate",
         "rows": int(n),
+        "stages_skipped": cm.skipped,
+        "stages_computed": cm.computed,
+        "out_buckets_written": len(res["written"]),
+        "out_buckets_skipped": len(res["skipped"]),
+        "wall_sec": round(time.time() - t0, 3),
+    }
+    metrics["metrics_path"] = _write_metrics(
+        args.checkpoint_root, metrics,
+        cm.stage_metrics
+        + [{"stage": "out",
+            "action": "computed" if res["written"] else "skipped",
+            "rows": int(n), "wall_sec": 0.0}],
+    )
+    print(json.dumps(metrics))
+    return metrics
+
+
+def _dsir_job(args, src_sig: tuple, n_buckets: int, t0: float) -> dict:
+    """Target-distribution data-selection job (DSIR): fit the hashed
+    n-gram bucket models in one sketch-reduce pass, score every doc
+    (checkpointed as the resume point — the expensive corpus pass),
+    then Gumbel-top-k select ``--dsir-k`` docs. Outputs: per-doc
+    weights as bucket-partitioned resumable parquet under ``--out``,
+    plus the small selected set at ``<out>-selected/`` (k-bounded —
+    one file is correct here)."""
+    from xlink_ray.stages.dsir import (
+        bucket_llr_e9,
+        dsir_topk,
+        dsir_weights,
+        ngram_bucket_counts,
+    )
+    from xlink_ray.state.checkpoint import (
+        CheckpointManager,
+        fingerprint,
+        partitioned_sink_complete,
+        write_partitioned_resumable,
+    )
+    from xlink_ray.util import read_pq
+
+    sink_fp = fingerprint("dsir-out", args.sf_dir, args.dsir_k, *src_sig)
+    sel_path = f"{args.out}-selected"
+    done = partitioned_sink_complete(args.out, sink_fp, list(range(n_buckets)))
+    if done is not None and os.path.exists(f"{sel_path}/selected.parquet"):
+        metrics = {
+            "job": "dsir",
+            "sf_dir": args.sf_dir,
+            "method": "dsir",
+            "rows": int(sum(done["done"].values())),
+            "stages_skipped": ["dsir_weights", "out"],
+            "stages_computed": [],
+            "out_buckets_written": 0,
+            "out_buckets_skipped": n_buckets,
+            "wall_sec": round(time.time() - t0, 3),
+        }
+        metrics["metrics_path"] = _write_metrics(
+            args.checkpoint_root, metrics,
+            [{"stage": "out", "action": "skipped",
+              "rows": metrics["rows"], "wall_sec": 0.0}],
+        )
+        print(json.dumps(metrics))
+        return metrics
+
+    cm = CheckpointManager(args.checkpoint_root)
+    fp = fingerprint("dsir-job", args.sf_dir, *src_sig)
+
+    def build():
+        docs = read_pq(
+            f"{args.sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+        raw, tgt = ngram_bucket_counts(
+            docs, target_col="lang", target_val="en"
+        )
+        return dsir_weights(docs, bucket_llr_e9(tgt, raw))
+
+    weights = cm.run_stage("dsir_weights", fp, build)
+
+    # k-bounded selection (driver table ≤ k·64 rows by construction)
+    import pyarrow.parquet as pq
+
+    sel = dsir_topk(weights, args.dsir_k)
+    os.makedirs(sel_path, exist_ok=True)
+    tmp = f"{sel_path}/.selected.parquet.tmp"
+    pq.write_table(sel, tmp)
+    os.replace(tmp, f"{sel_path}/selected.parquet")
+
+    def add_bucket(t):
+        import numpy as np
+        import pyarrow as pa
+
+        from xlink_ray.functions.hashing import md5_low64
+
+        h = md5_low64([str(x) for x in t["doc_id"].to_pylist()])
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    res = write_partitioned_resumable(
+        weights.map_batches(add_bucket, batch_format="pyarrow").materialize(),
+        args.out,
+        by="bucket",
+        fp=sink_fp,
+        values=list(range(n_buckets)),
+    )
+    m = cm.manifest("dsir_weights")
+    n = (m or {}).get("rows") or weights.count()
+    metrics = {
+        "job": "dsir",
+        "sf_dir": args.sf_dir,
+        "method": "dsir",
+        "rows": int(n),
+        "selected": int(sel.num_rows),
         "stages_skipped": cm.skipped,
         "stages_computed": cm.computed,
         "out_buckets_written": len(res["written"]),
