@@ -2628,6 +2628,15 @@ def _q_meta_blocking_cnp(sf_dir: str):
     return customer_meta_blocking_cnp(sf_dir, k=3)
 
 
+def _q_er_pairs_meta(sf_dir: str):
+    """Meta-blocking feeding the north-star scorer: WEP-pruned
+    candidate pairs scored with Jaro-Winkler (names attached
+    reduce-side, scoring pair-axis vectorized)."""
+    from xlink_ray.pipelines.er import customer_meta_scored
+
+    return customer_meta_scored(sf_dir)
+
+
 def _q_er_clusters_meta(sf_dir: str):
     """End-to-end meta-blocked ER: WEP-pruned ECBS candidate graph →
     transitive closure → (member_id, cluster_id); all customers
@@ -3862,6 +3871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "meta_blocking": _q_meta_blocking,
         "meta_blocking_cnp": _q_meta_blocking_cnp,
         "er_clusters_meta": _q_er_clusters_meta,
+        "er_pairs_meta": _q_er_pairs_meta,
         "gopher_filter": _q_gopher_filter,
         "ccnet_buckets": _q_ccnet_buckets,
         "doc_sample_stratified": _q_doc_sample_stratified,
@@ -4267,6 +4277,31 @@ g AS (SELECT p.id_a, p.id_b, p.cbs, na.nb AS nb_a, nbx.nb AS nb_b,
       FROM p JOIN nbt na ON na.id = p.id_a JOIN nbt nbx ON nbx.id = p.id_b CROSS JOIN nbl),
 m AS (SELECT CAST(COALESCE(sum(w_e9), 0) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS cnt FROM g)
 SELECT id_a, id_b, cbs, nb_a, nb_b, w_e9 FROM g, m WHERE w_e9 * m.cnt > m.s""",
+        # Meta-blocked pairs + native jaro_winkler_similarity (the
+        # same floor(sim*10000) convention as er_pairs_jw).
+        "er_pairs_meta": """
+WITH c AS (SELECT c_custkey AS id, c_name, c_nationkey, c_acctbal FROM customer),
+k AS (
+  SELECT id, 'n:' || CAST(c_nationkey AS VARCHAR) AS key FROM c
+  UNION ALL SELECT id, 'b:' || CAST(CAST(floor(c_acctbal / 100) AS BIGINT) AS VARCHAR) FROM c
+  UNION ALL SELECT id, 'p:' || substr(c_name, 10, 7) FROM c
+  UNION ALL SELECT id, 's:' || substr(c_name, 17) FROM c),
+bs AS (SELECT key, count(*) AS n FROM k GROUP BY key),
+kb AS (SELECT k.id, k.key FROM k JOIN bs USING (key) WHERE bs.n BETWEEN 2 AND 1024),
+nbt AS (SELECT id, CAST(count(*) AS BIGINT) AS nb FROM kb GROUP BY id),
+nbl AS (SELECT CAST(count(DISTINCT key) AS DOUBLE) AS nblocks FROM kb),
+p AS (SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS cbs
+      FROM kb a JOIN kb b ON a.key = b.key AND a.id < b.id GROUP BY a.id, b.id),
+g AS (SELECT p.id_a, p.id_b,
+             CAST(floor((p.cbs * ln(nblocks / CAST(na.nb AS DOUBLE))
+                               * ln(nblocks / CAST(nbx.nb AS DOUBLE))) * 1e9 + 0.5) AS BIGINT) AS w_e9
+      FROM p JOIN nbt na ON na.id = p.id_a JOIN nbt nbx ON nbx.id = p.id_b CROSS JOIN nbl),
+m AS (SELECT CAST(COALESCE(sum(w_e9), 0) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS cnt FROM g),
+e AS (SELECT id_a, id_b, w_e9 FROM g, m WHERE w_e9 * m.cnt > m.s)
+SELECT e.id_a, e.id_b, e.w_e9,
+       CAST(floor(jaro_winkler_similarity(a.c_name, b.c_name) * 10000) AS BIGINT) AS sim_bp
+FROM e JOIN customer a ON a.c_custkey = e.id_a
+       JOIN customer b ON b.c_custkey = e.id_b""",
         # Transitive closure over the WEP-pruned meta-blocking graph
         # (same CTEs as "meta_blocking" + the recursive reach used by
         # er_clusters_incremental).

@@ -162,3 +162,25 @@ def test_broadcast_and_stamp_paths_identical(ray_session, monkeypatch):
     g_stamp, n2 = meta_block_graph(_keys_ds(keys))
     assert n1 == n2
     assert snap(g_stamp) == bcast
+
+
+def test_meta_scored_pairs_jw(ray_session):
+    """customer_meta_scored stamps both names and scores with the same
+    JW kernel as the direct pair path."""
+    from xlink_ray.functions.similarity import jaro_winkler_pairs
+    from xlink_ray.pipelines.er import customer_meta_blocking, customer_meta_scored
+    from xlink_ray.util import read_pq
+
+    sf = "/root/testdata/sf0.001"
+    got = customer_meta_scored(sf).to_pandas().sort_values(["id_a", "id_b"])
+    base = customer_meta_blocking(sf).to_pandas().sort_values(["id_a", "id_b"])
+    assert list(got.id_a) == list(base.id_a) and list(got.id_b) == list(base.id_b)
+
+    names = read_pq(f"{sf}/customer.parquet", columns=["c_custkey", "c_name"]).to_pandas()
+    nm = dict(zip(names.c_custkey, names.c_name))
+    import numpy as np
+
+    sim = jaro_winkler_pairs(
+        [nm[i] for i in got.id_a], [nm[i] for i in got.id_b]
+    )
+    assert (got.sim_bp.values == np.floor(sim * 10000).astype("int64")).all()

@@ -982,3 +982,70 @@ def customer_clusters_meta(sf_dir: str, max_block: int = 1024) -> Dataset:
     return connected_components(
         pairs, nodes=cust, node_col="c_custkey"
     )
+
+
+def customer_meta_scored(sf_dir: str, max_block: int = 1024) -> Dataset:
+    """Meta-blocking feeding the north-star scorer: the WEP-pruned
+    candidate pairs scored with Jaro-Winkler on the customer names.
+    Names attach reduce-side (two stamp_cluster bucket exchanges —
+    nothing broadcast), scoring is pair-axis vectorized. Output:
+    (id_a, id_b, w_e9, sim_bp) for every surviving candidate edge."""
+    import numpy as np
+
+    from xlink_ray.functions.similarity import jaro_winkler_pairs
+    from xlink_ray.stages.survivor import stamp_cluster
+
+    pairs = customer_meta_blocking(sf_dir, max_block=max_block).map_batches(
+        lambda t: t.select(["id_a", "id_b", "w_e9"]), batch_format="pyarrow"
+    )
+    names = read_pq(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+
+    s1 = stamp_cluster(
+        pairs,
+        names,
+        id_col="id_a",
+        carry_cols=["id_b", "w_e9"],
+        carry_types={"id_b": pa.int64(), "w_e9": pa.int64()},
+        member_id_col="c_custkey",
+        cluster_col="c_name",
+        cluster_type=pa.string(),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "id_a": t["id"],
+                "id_b": t["id_b"],
+                "w_e9": t["w_e9"],
+                "name_a": t["cluster"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    s2 = stamp_cluster(
+        s1,
+        names,
+        id_col="id_b",
+        carry_cols=["id_a", "w_e9", "name_a"],
+        carry_types={
+            "id_a": pa.int64(),
+            "w_e9": pa.int64(),
+            "name_a": pa.string(),
+        },
+        member_id_col="c_custkey",
+        cluster_col="c_name",
+        cluster_type=pa.string(),
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        na = t["name_a"].to_numpy(zero_copy_only=False)
+        nb = t["cluster"].to_numpy(zero_copy_only=False)
+        sim = jaro_winkler_pairs(na, nb) * 10000.0
+        return pa.table(
+            {
+                "id_a": t["id_a"],
+                "id_b": t["id"],
+                "w_e9": t["w_e9"],
+                "sim_bp": pa.array(np.floor(sim).astype(np.int64)),
+            }
+        )
+
+    return s2.map_batches(score, batch_format="pyarrow")
