@@ -413,6 +413,25 @@ def _q_fs_scores(sf_dir: str):
     return er.customer_fs_scores(sf_dir)
 
 
+def _q_fs_em_weights(sf_dir: str):
+    """UNSUPERVISED Fellegi–Sunter fit (Winkler 1988 EM, the Splink
+    recipe; stages/fs.py:fs_em_weights): λ/m/u learned label-free by a
+    4-round EM over the 2³-row agreement-pattern contingency, every
+    parameter quantized half-up onto the int64 1e-9 grid so the oracle's
+    unrolled per-iteration CTEs replay the identical fit."""
+    from xlink_ray.pipelines import er
+
+    return er.customer_fs_em_weights(sf_dir)
+
+
+def _q_fs_em_posteriors(sf_dir: str):
+    """Per-pair match posterior P(match | γ) under the EM-fitted
+    mixture for every blocked customer pair (id_a, id_b, p_e9)."""
+    from xlink_ray.pipelines import er
+
+    return er.customer_fs_em_posteriors(sf_dir)
+
+
 def _q_er_clusters_dist(sf_dir: str):
     """Same result via the distributed label-propagation path."""
     from xlink_ray.pipelines import er
@@ -1074,6 +1093,80 @@ def _q_pca_variance(sf_dir: str):
             "explained_var": pa.array(np.round(evar, 9), pa.float64()),
             "ratio": pa.array(np.round(evar / total, 9), pa.float64()),
         }
+    )
+
+
+def _fs_em_sql(n_iter: int = 4, final: str = "weights") -> str:
+    """CTE chain replaying fs_em_weights' quantized EM fit
+    (xlink_ray/stages/fs.py): agreement-pattern contingency + n_iter
+    unrolled E/M rounds. Exactness: responsibilities and parameters are
+    quantized half-up onto the int64 1e-9 grid each round, weighted sums
+    are HUGEINT (python-int driver-side) so accumulation order can never
+    drift, and the E-step product is written left-associated in the same
+    field order as the python kernel."""
+    fields = ["seg", "bal", "last1"]
+    e9 = "1000000000"
+
+    def eprod(pref: str, par: str) -> str:
+        terms = [f"({pref}/1e9)"]
+        for f in fields:
+            terms.append(
+                f"(CASE WHEN a_{f}=1 THEN {par}_{f}/1e9"
+                f" ELSE ({e9}-{par}_{f})/1e9 END)"
+            )
+        return " * ".join(terms)
+
+    parts = [
+        f"""c AS (SELECT c_custkey AS id, c_nationkey AS k, c_mktsegment AS seg,
+  CAST(floor(c_acctbal/1000) AS BIGINT) AS bal, right(c_name,1) AS last1 FROM customer),
+p AS (SELECT a.id AS ia, b.id AS ib,
+  CASE WHEN a.seg=b.seg THEN 1 ELSE 0 END AS a_seg,
+  CASE WHEN a.bal=b.bal THEN 1 ELSE 0 END AS a_bal,
+  CASE WHEN a.last1=b.last1 THEN 1 ELSE 0 END AS a_last1
+ FROM c a JOIN c b ON a.k=b.k AND a.id<b.id),
+pat AS (SELECT a_seg, a_bal, a_last1, count(*) AS n FROM p GROUP BY 1,2,3),
+it0 AS (SELECT CAST(500000000 AS BIGINT) AS lam,
+  {', '.join(f'CAST(900000000 AS BIGINT) AS m_{f}' for f in fields)},
+  {', '.join(f'CAST(100000000 AS BIGINT) AS u_{f}' for f in fields)})"""
+    ]
+    for i in range(1, n_iter + 1):
+        mu = []
+        for f in fields:
+            mu.append(
+                f"CAST(floor((CAST(sum(CAST(n AS HUGEINT)*pe*a_{f}) AS DOUBLE)+500000000.0)"
+                f"/(CAST(sum(CAST(n AS HUGEINT)*pe) AS DOUBLE)+1000000000.0)*1e9+0.5) AS BIGINT) AS m_{f}"
+            )
+            mu.append(
+                f"CAST(floor((CAST(sum(CAST(n AS HUGEINT)*({e9}-pe)*a_{f}) AS DOUBLE)+500000000.0)"
+                f"/(CAST(sum(CAST(n AS HUGEINT)*({e9}-pe)) AS DOUBLE)+1000000000.0)*1e9+0.5) AS BIGINT) AS u_{f}"
+            )
+        parts.append(
+            f"""e{i} AS (SELECT pat.*, {eprod('lam', 'm')} AS num,
+  {eprod(f'({e9}-lam)', 'u')} AS den FROM pat CROSS JOIN it{i - 1}),
+q{i} AS (SELECT a_seg, a_bal, a_last1, n,
+  CAST(floor(num/(num+den)*1e9+0.5) AS BIGINT) AS pe FROM e{i}),
+it{i} AS (SELECT
+  CAST(floor((CAST(sum(CAST(n AS HUGEINT)*pe) AS DOUBLE)+500000000.0)/(CAST(sum(n) AS DOUBLE)+1.0)+0.5) AS BIGINT) AS lam,
+  {', '.join(mu)}
+ FROM q{i})"""
+        )
+    cte = "WITH " + ",\n".join(parts)
+    if final == "weights":
+        rows = []
+        for f in fields:
+            rows.append(
+                f"SELECT '{f}' AS field, lam AS lam_e9, m_{f} AS m_e9, u_{f} AS u_e9,"
+                f" log2(m_{f}/u_{f}) AS w_agree,"
+                f" log2(({e9}-m_{f})/({e9}-u_{f})) AS w_disagree FROM it{n_iter}"
+            )
+        return cte + "\n" + "\nUNION ALL ".join(rows)
+    return (
+        cte
+        + f""",
+ef AS (SELECT p.ia, p.ib, {eprod('lam', 'm')} AS num,
+  {eprod(f'({e9}-lam)', 'u')} AS den FROM p CROSS JOIN it{n_iter})
+SELECT ia AS id_a, ib AS id_b,
+  CAST(floor(num/(num+den)*1e9+0.5) AS BIGINT) AS p_e9 FROM ef"""
     )
 
 
@@ -3831,6 +3924,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_attach": _q_er_attach,
         "fs_weights": _q_fs_weights,
         "fs_scores": _q_fs_scores,
+        "fs_em_weights": _q_fs_em_weights,
+        "fs_em_posteriors": _q_fs_em_posteriors,
         "er_golden": _q_er_golden,
         "er_cluster_metrics": _q_er_cluster_metrics,
         "er_alignment": _q_er_alignment,
@@ -5217,6 +5312,8 @@ w AS (
  UNION ALL SELECT 'bal', (s1_bal+0.5)/(n1+1), (s0_bal+0.5)/(n0+1) FROM s
  UNION ALL SELECT 'last1', (s1_last1+0.5)/(n1+1), (s0_last1+0.5)/(n0+1) FROM s)
 SELECT field, m, u, log2(m/u) AS w_agree, log2((1-m)/(1-u)) AS w_disagree FROM w""",
+        "fs_em_weights": _fs_em_sql(final="weights"),
+        "fs_em_posteriors": _fs_em_sql(final="posteriors"),
         "fs_scores": """
 WITH c AS (SELECT c_custkey AS id, c_nationkey AS k, c_mktsegment AS seg,
   CAST(floor(c_acctbal/1000) AS BIGINT) AS bal, right(c_name,1) AS last1, c_name FROM customer),

@@ -86,3 +86,83 @@ def test_cluster_exemplars_topk(ray_session):
     top = x.sort_values(["cluster_id", "c_acctbal"], ascending=[True, False]).groupby("cluster_id").head(1)
     merged = top.merge(g, on="cluster_id")
     assert (merged["c_acctbal_x"] == merged["c_acctbal_y"]).all()
+
+
+def _em_reference(patterns, counts, nf, n_iter):
+    """Independent plain-python replica of the quantized EM recipe."""
+    E9 = 10**9
+    lam, m, u = 500_000_000, [900_000_000] * nf, [100_000_000] * nf
+    for _ in range(n_iter):
+        pe = []
+        for pat in patterns:
+            num, den = lam / 1e9, (E9 - lam) / 1e9
+            for i in range(nf):
+                if (pat >> i) & 1:
+                    num, den = num * (m[i] / 1e9), den * (u[i] / 1e9)
+                else:
+                    num, den = num * ((E9 - m[i]) / 1e9), den * ((E9 - u[i]) / 1e9)
+            pe.append(int(np.floor(num / (num + den) * 1e9 + 0.5)))
+        n_tot = sum(counts)
+        s = sum(c * p for c, p in zip(counts, pe))
+        d = sum(c * (E9 - p) for c, p in zip(counts, pe))
+        lam = int(np.floor((float(s) + 5e8) / (float(n_tot) + 1.0) + 0.5))
+        m = [
+            int(np.floor((float(sum(c * p for c, p, q in zip(counts, pe, patterns) if (q >> i) & 1)) + 5e8)
+                         / (float(s) + 1e9) * 1e9 + 0.5))
+            for i in range(nf)
+        ]
+        u = [
+            int(np.floor((float(sum(c * (E9 - p) for c, p, q in zip(counts, pe, patterns) if (q >> i) & 1)) + 5e8)
+                         / (float(d) + 1e9) * 1e9 + 0.5))
+            for i in range(nf)
+        ]
+    return lam, m, u
+
+
+def test_fs_em_matches_reference(ray_session):
+    from xlink_ray.stages.fs import fs_em_params, fs_pattern_counts
+
+    feats = _fixture().materialize()
+    pc_tbl = fs_pattern_counts(feats, ["city"])
+    # 6 pairs: 3 city-agree (pattern 1), 3 disagree (pattern 0)
+    by_pat = dict(zip(pc_tbl["pattern"].to_pylist(), pc_tbl["n"].to_pylist()))
+    assert by_pat == {0: 3, 1: 3}
+
+    got = fs_em_params(pc_tbl, ["city"], n_iter=4)
+    lam, m, u = _em_reference(
+        pc_tbl["pattern"].to_pylist(), pc_tbl["n"].to_pylist(), 1, 4
+    )
+    assert got == {"lam_e9": lam, "m_e9": m, "u_e9": u}
+
+
+def test_fs_em_partition_invariance(ray_session):
+    """Integer pattern sums make the fit independent of block layout."""
+    from xlink_ray.pipelines import er
+    from xlink_ray.stages.fs import fs_em_params, fs_pattern_counts
+
+    feats = er._customer_fs_features(SF_SMALL).materialize()
+    a = fs_em_params(fs_pattern_counts(feats, er.FS_FIELDS), er.FS_FIELDS)
+    b = fs_em_params(
+        fs_pattern_counts(feats.repartition(17), er.FS_FIELDS), er.FS_FIELDS
+    )
+    assert a == b
+
+
+def test_fs_em_posteriors_consistent(ray_session):
+    """Posteriors are monotone in the number of agreeing fields when
+    every field has m > u (more agreement -> higher match posterior),
+    and agree with a direct per-pattern evaluation."""
+    from xlink_ray.pipelines import er
+
+    w = er.customer_fs_em_weights(SF_SMALL).to_pylist()
+    p = er.customer_fs_em_posteriors(SF_SMALL).to_pandas()
+    assert len(p) == 447
+    assert (p["p_e9"] >= 0).all() and (p["p_e9"] <= 10**9).all()
+    if all(r["m_e9"] > r["u_e9"] for r in w):
+        feats = er._customer_fs_features(SF_SMALL).to_pandas()
+        agr = feats[[f"agr_{f}" for f in er.FS_FIELDS]].sum(axis=1)
+        joined = p.merge(
+            feats.assign(n_agree=agr), on=["id_a", "id_b"], how="inner"
+        )
+        means = joined.groupby("n_agree")["p_e9"].mean()
+        assert means.is_monotonic_increasing

@@ -4,13 +4,16 @@ DuckDB over the same parquet tables, and compare row count, column
 names, and order-insensitive values (exact for ints/strings, isclose
 for floats).
 
-Usage: PYTHONPATH=/root/repo python tools/check_queries.py [sf_dir] [name ...]
+Usage: python tools/check_queries.py [sf_dir] [name ...]
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import numpy as np

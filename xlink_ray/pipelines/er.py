@@ -223,6 +223,28 @@ def customer_fs_scores(sf_dir: str) -> Dataset:
     return fs_scored_pairs(feats, fs_weights(feats, FS_FIELDS))
 
 
+def customer_fs_em_weights(sf_dir: str, n_iter: int = 4) -> pa.Table:
+    """UNSUPERVISED Fellegi–Sunter fit (Winkler 1988 EM / the Splink
+    recipe): the same blocked agreement vectors as ``fs_weights`` but
+    the ``label`` column is never read — λ, m, u come from a 4-round EM
+    over the 2³-row pattern contingency on the int64 1e-9 grid."""
+    from xlink_ray.stages.fs import fs_em_weights
+
+    return fs_em_weights(_customer_fs_features(sf_dir), FS_FIELDS, n_iter=n_iter)
+
+
+def customer_fs_em_posteriors(sf_dir: str, n_iter: int = 4) -> Dataset:
+    """Per-pair match posteriors under the EM-fitted mixture:
+    (id_a, id_b, p_e9) for every blocked candidate pair."""
+    from xlink_ray.stages.fs import fs_em_params, fs_em_posteriors, fs_pattern_counts
+
+    feats = _customer_fs_features(sf_dir).materialize()  # two consumers
+    params = fs_em_params(
+        fs_pattern_counts(feats, FS_FIELDS), FS_FIELDS, n_iter=n_iter
+    )
+    return fs_em_posteriors(feats, FS_FIELDS, params)
+
+
 def customer_golden(sf_dir: str) -> Dataset:
     """Golden records: each customer cluster collapsed to one canonical
     row — name from the smallest member id, balance + segment from the

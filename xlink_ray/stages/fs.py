@@ -30,7 +30,15 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
-__all__ = ["fs_pair_features", "fs_weights", "fs_scored_pairs"]
+__all__ = [
+    "fs_pair_features",
+    "fs_weights",
+    "fs_scored_pairs",
+    "fs_pattern_counts",
+    "fs_em_params",
+    "fs_em_weights",
+    "fs_em_posteriors",
+]
 
 _PAIR_CHUNK = 32768
 
@@ -175,3 +183,185 @@ def fs_scored_pairs(pair_features: Dataset, weights: pa.Table) -> Dataset:
         )
 
     return pair_features.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Unsupervised EM estimation (Splink-style; Winkler 1988's EM fit of the
+# Fellegi–Sunter mixture). No labels: the agreement vectors alone are
+# fitted as a two-component product-of-Bernoullis mixture.
+#
+# Scale shape: binary agreement vectors over F fields collapse to at
+# most 2^F distinct patterns, so ONE tiny groupby turns the corpus-sized
+# pair stream into a ≤2^F-row contingency table and EM runs on the
+# driver in O(2^F · F · n_iter) — independent of corpus size.
+#
+# Determinism (what makes the DuckDB oracle possible): every parameter
+# is quantized half-up onto the int64 1e-9 grid after each M-step, the
+# per-pattern responsibility is quantized the same way after each
+# E-step, and all weighted sums are exact integer arithmetic (python
+# ints driver-side, HUGEINT in the SQL replica) — both engines walk the
+# same parameter sequence, so an unrolled per-iteration CTE chain
+# reproduces the fit bit-exactly.
+# ---------------------------------------------------------------------------
+
+_E9 = 10**9
+_HALF = _E9 // 2
+
+
+def fs_pattern_counts(pair_features: Dataset, field_cols: list[str]) -> pa.Table:
+    """Collapse the pair agreement stream to its ≤2^F-row pattern
+    contingency: per-batch ``bincount`` partials over the packed
+    agreement bits → one ≤2^F-key ``groupby`` sum. Returns
+    (pattern, n) with pattern = Σ_i agr_{field_i} << i."""
+    from ray.data.aggregate import Sum
+
+    nf = len(field_cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        pat = np.zeros(t.num_rows, dtype=np.int64)
+        for i, f in enumerate(field_cols):
+            pat |= t[f"agr_{f}"].to_numpy(zero_copy_only=False).astype(np.int64) << i
+        cnt = np.bincount(pat, minlength=1 << nf)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {"pattern": pa.array(nz, pa.int64()), "n": pa.array(cnt[nz], pa.int64())}
+        )
+
+    out = (
+        pair_features.map_batches(partial, batch_format="pyarrow")
+        .groupby("pattern")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "pattern": pa.array(out["pattern"].to_numpy(), pa.int64()),
+            "n": pa.array(out["n"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+def _em_pattern_p_e9(
+    patterns: list[int],
+    nf: int,
+    lam_e9: int,
+    m_e9: list[int],
+    u_e9: list[int],
+) -> list[int]:
+    """E-step responsibilities per pattern on the 1e-9 grid. The
+    product is accumulated left-to-right starting from λ — the exact
+    association order of the SQL replica's ``x * c1 * c2 * …``."""
+    out = []
+    for pat in patterns:
+        num = lam_e9 / 1e9
+        den = (_E9 - lam_e9) / 1e9
+        for i in range(nf):
+            if (pat >> i) & 1:
+                num = num * (m_e9[i] / 1e9)
+                den = den * (u_e9[i] / 1e9)
+            else:
+                num = num * ((_E9 - m_e9[i]) / 1e9)
+                den = den * ((_E9 - u_e9[i]) / 1e9)
+        out.append(int(np.floor(num / (num + den) * 1e9 + 0.5)))
+    return out
+
+
+def fs_em_params(
+    pattern_counts: pa.Table,
+    field_cols: list[str],
+    n_iter: int = 4,
+    init_lam_e9: int = 500_000_000,
+    init_m_e9: int = 900_000_000,
+    init_u_e9: int = 100_000_000,
+) -> dict:
+    """Driver EM over the pattern contingency (pure python ints — the
+    weighted sums are exact at any corpus size). Returns the final
+    quantized parameters {lam_e9, m_e9: [..], u_e9: [..]} after
+    ``n_iter`` E/M rounds; add-half smoothing keeps every probability
+    inside (0, 1) so the log-weights stay finite."""
+    nf = len(field_cols)
+    pats = [int(x) for x in pattern_counts["pattern"].to_pylist()]
+    ns = [int(x) for x in pattern_counts["n"].to_pylist()]
+    lam = init_lam_e9
+    m = [init_m_e9] * nf
+    u = [init_u_e9] * nf
+    for _ in range(n_iter):
+        pe = _em_pattern_p_e9(pats, nf, lam, m, u)
+        n_tot = sum(ns)
+        s = sum(c * p for c, p in zip(ns, pe))          # Σ n·p_e9
+        d = sum(c * (_E9 - p) for c, p in zip(ns, pe))  # Σ n·(1e9−p_e9)
+        lam = int(np.floor((float(s) + float(_HALF)) / (float(n_tot) + 1.0) + 0.5))
+        new_m, new_u = [], []
+        for i in range(nf):
+            a = sum(c * p for c, p, pat in zip(ns, pe, pats) if (pat >> i) & 1)
+            b = sum(
+                c * (_E9 - p) for c, p, pat in zip(ns, pe, pats) if (pat >> i) & 1
+            )
+            new_m.append(
+                int(np.floor((float(a) + float(_HALF)) / (float(s) + 1e9) * 1e9 + 0.5))
+            )
+            new_u.append(
+                int(np.floor((float(b) + float(_HALF)) / (float(d) + 1e9) * 1e9 + 0.5))
+            )
+        m, u = new_m, new_u
+    return {"lam_e9": lam, "m_e9": m, "u_e9": u}
+
+
+def fs_em_weights(
+    pair_features: Dataset, field_cols: list[str], n_iter: int = 4
+) -> pa.Table:
+    """Unsupervised Fellegi–Sunter fit: (field, lam_e9, m_e9, u_e9,
+    w_agree, w_disagree) — the log2 weights of ``fs_weights`` learned
+    by EM instead of labels. Grid integers ride in the int columns;
+    the weights are single log2-of-integer-ratio expressions, identical
+    in numpy and the SQL replica."""
+    params = fs_em_params(
+        fs_pattern_counts(pair_features, field_cols), field_cols, n_iter=n_iter
+    )
+    rows = []
+    for i, f in enumerate(field_cols):
+        me, ue = params["m_e9"][i], params["u_e9"][i]
+        rows.append(
+            {
+                "field": f,
+                "lam_e9": params["lam_e9"],
+                "m_e9": me,
+                "u_e9": ue,
+                "w_agree": float(np.log2(me / ue)),
+                "w_disagree": float(np.log2((_E9 - me) / (_E9 - ue))),
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
+def fs_em_posteriors(
+    pair_features: Dataset,
+    field_cols: list[str],
+    params: dict,
+) -> Dataset:
+    """Per-pair match posterior P(match | γ) under the fitted mixture →
+    (id_a, id_b, p_e9). The 2^F per-pattern responsibilities are
+    precomputed once with the driver kernel (same association order as
+    the fit) and attached by a vectorized ``np.take`` — no float math
+    in the mapper."""
+    nf = len(field_cols)
+    table = np.asarray(
+        _em_pattern_p_e9(
+            list(range(1 << nf)), nf, params["lam_e9"], params["m_e9"], params["u_e9"]
+        ),
+        dtype=np.int64,
+    )
+
+    def post(t: pa.Table) -> pa.Table:
+        pat = np.zeros(t.num_rows, dtype=np.int64)
+        for i, f in enumerate(field_cols):
+            pat |= t[f"agr_{f}"].to_numpy(zero_copy_only=False).astype(np.int64) << i
+        return pa.table(
+            {
+                "id_a": t["id_a"],
+                "id_b": t["id_b"],
+                "p_e9": pa.array(np.take(table, pat)),
+            }
+        )
+
+    return pair_features.map_batches(post, batch_format="pyarrow")
