@@ -1267,6 +1267,42 @@ def _q_part_fuzzy_pairs(sf_dir: str):
     return edges.map_batches(fmt, batch_format="pyarrow")
 
 
+def _q_part_monge_pairs(sf_dir: str):
+    """Symmetric Monge–Elkan fuzzy matching over multi-token part
+    names (functions/similarity.py:monge_elkan_jw_bp): block on brand,
+    per-token best Jaro-Winkler both directions, directional means
+    averaged; integer basis points end-to-end."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from xlink_ray.functions.similarity import monge_elkan_jw_bp
+    from xlink_ray.stages.blocking import block_score_pairs
+
+    parts = read_pq(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_brand"]
+    )
+    edges = block_score_pairs(
+        parts,
+        key_cols="p_brand",
+        id_col="p_partkey",
+        attr_col="p_name",
+        scorer=monge_elkan_jw_bp,
+        keep=lambda s: s >= 8600,
+        skew_cap=8192,
+    )
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id_a": pc.cast(t["id_a"], pa.int64()),
+                "id_b": pc.cast(t["id_b"], pa.int64()),
+                "me_bp": pc.cast(t["score"], pa.int64()),
+            }
+        )
+
+    return edges.map_batches(fmt, batch_format="pyarrow")
+
+
 def _q_er_pairs_snm(sf_dir: str):
     """Sorted-Neighborhood blocking (the classic SNM alternative to
     key-equality blocking): candidates = name-adjacent customers within
@@ -4052,6 +4088,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_band_docs": _q_length_band_docs,
         "er_pairs_snm": _q_er_pairs_snm,
         "part_fuzzy_pairs": _q_part_fuzzy_pairs,
+        "part_monge_pairs": _q_part_monge_pairs,
         "part_codes": _q_part_codes,
         "part_soundex": _q_part_soundex,
         "embedding_znorm": _q_embedding_znorm,
@@ -5783,6 +5820,25 @@ SELECT vec_id, sqrt(sum(zv * zv)) AS znorm FROM z GROUP BY vec_id""",
         "part_codes": """SELECT p_partkey,
        CAST(dense_rank() OVER (ORDER BY p_name) - 1 AS BIGINT) AS p_name_code
 FROM part""",
+        "part_monge_pairs": """
+WITH p AS (SELECT a.p_partkey AS ia, b.p_partkey AS ib, a.p_name AS sa, b.p_name AS sb
+  FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey),
+ta AS (SELECT ia, ib, unnest(string_split(sa,' ')) AS tok,
+       generate_subscripts(string_split(sa,' '),1) AS i FROM p),
+tb AS (SELECT ia, ib, unnest(string_split(sb,' ')) AS tok,
+       generate_subscripts(string_split(sb,' '),1) AS i FROM p),
+g AS (SELECT ta.ia, ta.ib, ta.i AS ai, tb.i AS bi,
+      jaro_winkler_similarity(ta.tok, tb.tok) AS jw
+  FROM ta JOIN tb ON ta.ia = tb.ia AND ta.ib = tb.ib),
+mA AS (SELECT ia, ib, ai, CAST(floor(max(jw)*10000+0.5) AS BIGINT) AS best
+  FROM g GROUP BY ia, ib, ai),
+mB AS (SELECT ia, ib, bi, CAST(floor(max(jw)*10000+0.5) AS BIGINT) AS best
+  FROM g GROUP BY ia, ib, bi),
+sA AS (SELECT ia, ib, CAST(sum(best) AS DOUBLE)/count(*) AS mean_a FROM mA GROUP BY ia, ib),
+sB AS (SELECT ia, ib, CAST(sum(best) AS DOUBLE)/count(*) AS mean_b FROM mB GROUP BY ia, ib),
+s AS (SELECT sA.ia, sA.ib, CAST(floor((mean_a+mean_b)/2 + 0.5) AS BIGINT) AS me_bp
+  FROM sA JOIN sB ON sA.ia = sB.ia AND sA.ib = sB.ib)
+SELECT ia AS id_a, ib AS id_b, me_bp FROM s WHERE me_bp >= 8600""",
         "part_fuzzy_pairs": """WITH p AS (
   SELECT p_partkey, p_brand,
          list_aggregate(list_sort(string_split(p_name, ' ')), 'string_agg', ' ') AS skey

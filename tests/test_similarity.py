@@ -133,3 +133,30 @@ def test_qgram_bp_floor_matches_integer_division(random_pairs):
         u = len(ga | gb)
         want.append(10000 if u == 0 else (10000 * len(ga & gb)) // u)
     assert got.tolist() == want
+
+
+def test_monge_elkan_scalar_reference():
+    """Pin monge_elkan_jw_bp against a direct per-pair scalar replica."""
+    from xlink_ray.functions.similarity import monge_elkan_jw_bp
+
+    a = ["goldenrod lavender spring", "red shiny box", "a b", "same same"]
+    b = ["lavender goldenrod autumn", "red shiny box", "a c", "same"]
+
+    def scalar(x, y):
+        ta, tb = x.split(" "), y.split(" ")
+        qa = [
+            int(np.floor(max(jaro_winkler_pairs([t] * len(tb), tb)) * 10000 + 0.5))
+            for t in ta
+        ]
+        qb = [
+            int(np.floor(max(jaro_winkler_pairs(ta, [t] * len(ta))) * 10000 + 0.5))
+            for t in tb
+        ]
+        return int(np.floor((sum(qa) / len(qa) + sum(qb) / len(qb)) / 2.0 + 0.5))
+
+    got = monge_elkan_jw_bp(a, b)
+    assert got.tolist() == [scalar(x, y) for x, y in zip(a, b)]
+    # identical strings score exactly 10000; order permutation too
+    assert got[1] == 10000
+    assert monge_elkan_jw_bp(["x y z"], ["z x y"])[0] == 10000
+    assert monge_elkan_jw_bp([], []).tolist() == []

@@ -407,3 +407,62 @@ def cosine_rows(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     nz = den > 0
     out[nz] = num[nz] / den[nz]
     return out
+
+
+def monge_elkan_jw_bp(
+    a: "list[str] | np.ndarray", b: "list[str] | np.ndarray"
+) -> np.ndarray:
+    """Symmetric Monge–Elkan similarity over whitespace tokens with a
+    Jaro-Winkler base (Monge & Elkan 1996; the symmetrized mean of
+    Jimenez et al. 2009), in integer basis points.
+
+    For each pair: every a-token's best JW against the b-tokens is
+    quantized half-up to basis points (integer — directional sums stay
+    exact at any token count), likewise b→a, and the score is the
+    half-up-rounded mean of the two directional means. One flat
+    ``jaro_winkler_pairs`` call scores the whole chunk's token grids;
+    both directional maxes are segment reductions over that single
+    evaluation, so per-pair cost is numpy kernels only.
+    """
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    toks_a = [s.split(" ") for s in a]
+    toks_b = [s.split(" ") for s in b]
+    na = np.array([len(t) for t in toks_a], dtype=np.int64)
+    nb = np.array([len(t) for t in toks_b], dtype=np.int64)
+    flat_a = np.array([t for ts in toks_a for t in ts], dtype=object)
+    flat_b = np.array([t for ts in toks_b for t in ts], dtype=object)
+    a_off = np.concatenate([[0], np.cumsum(na)])
+    b_off = np.concatenate([[0], np.cumsum(nb)])
+
+    # token-grid expansion: pair k contributes na_k × nb_k rows in
+    # row-major (a-token major) order
+    big_a = np.repeat(flat_a, np.repeat(nb, na))
+    ga = np.repeat(np.arange(len(flat_a)), np.repeat(nb, na))  # global a-token id
+    # b-token global ids: per pair, tile (b_off[k] .. b_off[k+1]) na_k times
+    gb = np.concatenate(
+        [np.tile(np.arange(b_off[k], b_off[k + 1]), na[k]) for k in range(n)]
+    ) if n else np.zeros(0, dtype=np.int64)
+    big_b = flat_b[gb] if len(gb) else np.array([], dtype=object)
+
+    jw = jaro_winkler_pairs(big_a, big_b)
+
+    # direction a→b: contiguous runs of nb per a-token → reduceat
+    best_a = np.zeros(len(flat_a), dtype=np.float64)
+    starts = np.nonzero(np.diff(ga, prepend=-1))[0]
+    if len(starts):
+        red = np.maximum.reduceat(jw, starts)
+        best_a[ga[starts]] = red
+    # direction b→a: strided → scatter-max
+    best_b = np.zeros(len(flat_b), dtype=np.float64)
+    np.maximum.at(best_b, gb, jw)
+
+    qa = np.floor(best_a * 10000.0 + 0.5).astype(np.int64)
+    qb = np.floor(best_b * 10000.0 + 0.5).astype(np.int64)
+    pair_of_a = np.repeat(np.arange(n), na)
+    pair_of_b = np.repeat(np.arange(n), nb)
+    sa = np.bincount(pair_of_a, weights=qa, minlength=n)
+    sb = np.bincount(pair_of_b, weights=qb, minlength=n)
+    score = (sa / na + sb / nb) / 2.0
+    return np.floor(score + 0.5).astype(np.int64)
