@@ -413,6 +413,16 @@ def _q_fs_scores(sf_dir: str):
     return er.customer_fs_scores(sf_dir)
 
 
+def _q_er_one_to_one(sf_dir: str):
+    """Clean-clean 1:1 linkage by symmetric best match
+    (stages/attach.py:mutual_best_pairs): a pair survives iff each
+    record is the other's block argmax (max JW bp, min partner id on
+    ties) and sim ≥ 7000 bp."""
+    from xlink_ray.pipelines import er
+
+    return er.customer_one_to_one(sf_dir)
+
+
 def _q_fs_em_weights(sf_dir: str):
     """UNSUPERVISED Fellegi–Sunter fit (Winkler 1988 EM, the Splink
     recipe; stages/fs.py:fs_em_weights): λ/m/u learned label-free by a
@@ -3962,6 +3972,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fs_scores": _q_fs_scores,
         "fs_em_weights": _q_fs_em_weights,
         "fs_em_posteriors": _q_fs_em_posteriors,
+        "er_one_to_one": _q_er_one_to_one,
         "er_golden": _q_er_golden,
         "er_cluster_metrics": _q_er_cluster_metrics,
         "er_alignment": _q_er_alignment,
@@ -5349,6 +5360,20 @@ w AS (
  UNION ALL SELECT 'bal', (s1_bal+0.5)/(n1+1), (s0_bal+0.5)/(n0+1) FROM s
  UNION ALL SELECT 'last1', (s1_last1+0.5)/(n1+1), (s0_last1+0.5)/(n0+1) FROM s)
 SELECT field, m, u, log2(m/u) AS w_agree, log2((1-m)/(1-u)) AS w_disagree FROM w""",
+        "er_one_to_one": """
+WITH c AS (SELECT c_custkey AS id, c_nationkey AS k, c_name AS nm FROM customer),
+l AS (SELECT * FROM c WHERE id % 4 = 0),
+r AS (SELECT * FROM c WHERE id % 4 <> 0),
+p AS (SELECT l.id AS il, r.id AS ir,
+  CAST(floor(jaro_winkler_similarity(l.nm, r.nm)*10000) AS BIGINT) AS bp
+  FROM l JOIN r ON l.k = r.k),
+bl AS (SELECT il, ir, bp,
+  row_number() OVER (PARTITION BY il ORDER BY bp DESC, ir) AS rn FROM p),
+br AS (SELECT il, ir, bp,
+  row_number() OVER (PARTITION BY ir ORDER BY bp DESC, il) AS rn FROM p)
+SELECT bl.il AS id_l, bl.ir AS id_r, bl.bp AS sim_bp
+FROM bl JOIN br ON bl.il = br.il AND bl.ir = br.ir
+WHERE bl.rn = 1 AND br.rn = 1 AND bl.bp >= 7000""",
         "fs_em_weights": _fs_em_sql(final="weights"),
         "fs_em_posteriors": _fs_em_sql(final="posteriors"),
         "fs_scores": """

@@ -158,3 +158,100 @@ def test_merge_best_equals_brute_force_hypothesis(ray_session):
             )
 
     check()
+
+
+def _mb_fixture():
+    left = pa.Table.from_pylist(
+        [
+            {"k": 0, "id": 10, "name": "martha stone"},
+            {"k": 0, "id": 11, "name": "paul weiss"},
+            {"k": 0, "id": 12, "name": "zzz qqq"},
+            {"k": 1, "id": 13, "name": "lone left"},
+        ]
+    )
+    right = pa.Table.from_pylist(
+        [
+            {"k": 0, "id": 20, "name": "martha stone"},
+            {"k": 0, "id": 21, "name": "martha stones"},
+            {"k": 0, "id": 22, "name": "paul weis"},
+            {"k": 2, "id": 23, "name": "lone right"},
+        ]
+    )
+    return left, right
+
+
+def test_mutual_best_pairs_reference(ray_session):
+    from xlink_ray.stages.attach import mutual_best_pairs
+
+    left, right = _mb_fixture()
+
+    def brute(min_bp):
+        import itertools
+
+        lrows = left.to_pylist()
+        rrows = right.to_pylist()
+        pairs = {}
+        for l, r in itertools.product(lrows, rrows):
+            if l["k"] != r["k"]:
+                continue
+            bp = int(
+                np.floor(jaro_winkler_pairs([l["name"]], [r["name"]])[0] * 10000)
+            )
+            pairs[(l["id"], r["id"])] = bp
+        out = []
+        for (il, ir), bp in pairs.items():
+            if bp < min_bp:
+                continue
+            best_r = max(
+                ((b, j) for (i, j), b in pairs.items() if i == il),
+                key=lambda t: (t[0], -t[1]),
+            )
+            best_l = max(
+                ((b, i) for (i, j), b in pairs.items() if j == ir),
+                key=lambda t: (t[0], -t[1]),
+            )
+            if best_r[1] == ir and best_l[1] == il:
+                out.append((il, ir, bp))
+        return sorted(out)
+
+    for min_bp in (0, 7000, 9990):
+        got = mutual_best_pairs(
+            rd.from_arrow(left),
+            rd.from_arrow(right),
+            key_cols="k",
+            id_col="id",
+            attr_col="name",
+            scorer=jaro_winkler_pairs,
+            min_sim_bp=min_bp,
+        ).to_pandas()
+        assert (
+            sorted(map(tuple, got[["id_l", "id_r", "sim_bp"]].values.tolist()))
+            == brute(min_bp)
+        )
+
+
+def test_mutual_best_is_one_to_one(ray_session):
+    from xlink_ray.pipelines import er
+
+    got = er.customer_one_to_one("/root/testdata/sf0.001").to_pandas()
+    assert got["id_l"].is_unique and got["id_r"].is_unique
+    assert (got["sim_bp"] >= 7000).all()
+    # salting must not change the result
+    from xlink_ray.functions.similarity import jaro_winkler_pairs as jw
+    from xlink_ray.stages.attach import mutual_best_pairs
+    import pyarrow.compute as pc
+
+    cust = er._customers("/root/testdata/sf0.001")
+
+    def _mod4(t):
+        return pa.array(t["c_custkey"].to_numpy(zero_copy_only=False) % 4)
+
+    l = cust.map_batches(lambda t: t.filter(pc.equal(_mod4(t), 0)), batch_format="pyarrow")
+    r = cust.map_batches(lambda t: t.filter(pc.not_equal(_mod4(t), 0)), batch_format="pyarrow")
+    tiny_salt = mutual_best_pairs(
+        l, r, key_cols="c_nationkey", id_col="c_custkey", attr_col="c_name",
+        scorer=jw, min_sim_bp=7000, skew_cap=4,
+    ).to_pandas()
+    a = got.sort_values(["id_l", "id_r"]).reset_index(drop=True)
+    b = tiny_salt.sort_values(["id_l", "id_r"]).reset_index(drop=True)
+    assert a.equals(b)

@@ -161,6 +161,40 @@ def customer_attach(
     )
 
 
+def customer_one_to_one(sf_dir: str, min_sim_bp: int = 7000) -> Dataset:
+    """Clean-clean one-to-one linkage (stages/attach.py:
+    mutual_best_pairs): the ``c_custkey % 4 == 0`` "new crawl" side
+    linked 1:1 against the standing base by symmetric best
+    Jaro-Winkler match within the nation block."""
+    import pyarrow.compute as pc
+
+    from xlink_ray.functions.similarity import jaro_winkler_pairs
+    from xlink_ray.stages.attach import mutual_best_pairs
+
+    def _mod4(t: pa.Table):
+        import numpy as np
+
+        return pa.array(t["c_custkey"].to_numpy(zero_copy_only=False) % 4)
+
+    cust = _customers(sf_dir)
+    left = cust.map_batches(
+        lambda t: t.filter(pc.equal(_mod4(t), 0)), batch_format="pyarrow"
+    )
+    right = cust.map_batches(
+        lambda t: t.filter(pc.not_equal(_mod4(t), 0)), batch_format="pyarrow"
+    )
+    return mutual_best_pairs(
+        left,
+        right,
+        key_cols="c_nationkey",
+        id_col="c_custkey",
+        attr_col="c_name",
+        scorer=jaro_winkler_pairs,
+        min_sim_bp=min_sim_bp,
+        skew_cap=8192,
+    )
+
+
 FS_FIELDS = ["seg", "bal", "last1"]
 
 

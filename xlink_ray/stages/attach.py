@@ -47,7 +47,7 @@ import pyarrow.compute as pc
 
 from ray.data import Dataset
 
-__all__ = ["attach_to_clusters"]
+__all__ = ["attach_to_clusters", "mutual_best_pairs"]
 
 _PAIR_CHUNK = 32768
 
@@ -280,6 +280,108 @@ def attach_to_clusters(
         ).drop_columns([])
 
     out = bucket_shuffle(winners, "id", 64, finalize)
+    return out.map_batches(
+        lambda t: t.drop_columns(["__b"]) if "__b" in t.column_names else t,
+        batch_format="pyarrow",
+    )
+
+
+def mutual_best_pairs(
+    left: Dataset,
+    right: Dataset,
+    key_cols: "list[str] | str",
+    id_col: str,
+    attr_col: str,
+    scorer: Callable[[np.ndarray, np.ndarray], np.ndarray],
+    min_sim_bp: int,
+    max_block_rows: int = 4096,
+    skew_cap: int | None = None,
+) -> Dataset:
+    """Clean-clean one-to-one linkage by SYMMETRIC BEST MATCH: keep a
+    (left, right) pair iff each record is the other's argmax within the
+    block (max sim_bp, then min partner id — `attach_to_clusters`' rule)
+    and sim ≥ min_sim_bp. Mutual-best is the standard deterministic 1:1
+    assignment rule of clean-clean ER (every mutual-best pair is in any
+    greedy max-weight matching), with no sequential state.
+
+    Shape: two `attach_to_clusters` blocking exchanges compute the two
+    directional argmaxes (each inherits the exact two-sided grid
+    salting), then ONE tiny pair-keyed bucket reduce over the
+    ≤|L|+|R| winner rows keeps the pairs both directions agree on
+    (vectorized adjacent-duplicate scan, no per-pair python). Only
+    (key, id, attr) columns ever shuffle; the pair grid never leaves
+    the group tasks.
+
+    → (id_l, id_r, sim_bp), one row per mutual pair.
+    """
+
+    def _with_cluster(ds: Dataset) -> Dataset:
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column("__cl", pc.cast(t[id_col], pa.int64()))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    kwargs = dict(
+        key_cols=key_cols,
+        id_col=id_col,
+        cluster_col="__cl",
+        attr_col=attr_col,
+        scorer=scorer,
+        min_sim_bp=min_sim_bp,
+        max_block_rows=max_block_rows,
+        skew_cap=skew_cap,
+    )
+    best_l = attach_to_clusters(_with_cluster(right), left, **kwargs)
+    best_r = attach_to_clusters(_with_cluster(left), right, **kwargs)
+
+    def fmt(lhs: bool):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["matched"], 1))
+            me = pc.cast(t["id"], pa.int64())
+            other = pc.cast(t["best_id"], pa.int64())
+            return pa.table(
+                {
+                    "id_l": me if lhs else other,
+                    "id_r": other if lhs else me,
+                    "sim_bp": pc.cast(t["sim_bp"], pa.int64()),
+                    "side": pa.array(
+                        np.full(t.num_rows, 0 if lhs else 1, dtype=np.int64)
+                    ),
+                }
+            )
+
+        return f
+
+    both = best_l.map_batches(fmt(True), batch_format="pyarrow").union(
+        best_r.map_batches(fmt(False), batch_format="pyarrow")
+    )
+
+    def keep_mutual(bucket: pa.Table) -> pa.Table:
+        il = bucket["id_l"].to_numpy(zero_copy_only=False)
+        ir = bucket["id_r"].to_numpy(zero_copy_only=False)
+        side = bucket["side"].to_numpy(zero_copy_only=False)
+        bp = bucket["sim_bp"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((side, ir, il))
+        il, ir, side, bp = il[o], ir[o], side[o], bp[o]
+        # a pair appears ≤ once per side, so a mutual pair is exactly an
+        # adjacent (side 0, side 1) run with equal (id_l, id_r)
+        dup = np.zeros(len(il), dtype=bool)
+        if len(il) > 1:
+            dup[:-1] = (
+                (il[1:] == il[:-1]) & (ir[1:] == ir[:-1]) & (side[:-1] == 0)
+                & (side[1:] == 1)
+            )
+        return pa.table(
+            {
+                "id_l": pa.array(il[dup]),
+                "id_r": pa.array(ir[dup]),
+                "sim_bp": pa.array(bp[dup]),
+            }
+        )
+
+    from xlink_ray.stages._bucket import bucket_shuffle
+
+    out = bucket_shuffle(both, "id_l", 64, keep_mutual)
     return out.map_batches(
         lambda t: t.drop_columns(["__b"]) if "__b" in t.column_names else t,
         batch_format="pyarrow",
