@@ -533,6 +533,73 @@ def _docs(sf_dir: str):
     return read_pq(f"{sf_dir}/documents.parquet")
 
 
+def _docs_as_lines(sf_dir: str):
+    """Deterministic line-structured view of the documents table (the
+    synthetic corpus is single-line): words chunked into 8-word lines,
+    terminal '.' on lines with (doc_id + line_idx) % 3 != 0, first line
+    repeated for doc_id % 5 == 0, a 'lorem ipsum' line for % 17 == 0
+    and a '{'-bearing line for % 23 == 0 — exercising every C4 rule and
+    the within-doc line dedup. Replicated verbatim in the oracles."""
+    import pyarrow as pa
+
+    def derive(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out = []
+        for d, s in zip(ids, t["text"].to_pylist()):
+            ws = s.split(" ")
+            lines = [
+                " ".join(ws[j : j + 8]) + ("." if (d + j // 8) % 3 != 0 else "")
+                for j in range(0, len(ws), 8)
+            ]
+            if d % 5 == 0:
+                lines.append(lines[0])
+            if d % 17 == 0:
+                lines.append("lorem ipsum dolor.")
+            if d % 23 == 0:
+                lines.append("function() { var x }.")
+            out.append("\n".join(lines))
+        return pa.table(
+            {"doc_id": t["doc_id"], "text": pa.array(out, pa.string())}
+        )
+
+    return _docs(sf_dir).map_batches(derive, batch_format="pyarrow")
+
+
+_LINED_SQL = """
+w AS (SELECT doc_id, unnest(string_split(text,' ')) AS wd,
+      generate_subscripts(string_split(text,' '),1) AS i FROM documents),
+ln0 AS (SELECT doc_id, (i-1)//8 AS li, string_agg(wd, ' ' ORDER BY i) AS line
+        FROM w GROUP BY doc_id, (i-1)//8),
+ln AS (SELECT doc_id, li,
+       line || CASE WHEN (doc_id + li) % 3 <> 0 THEN '.' ELSE '' END AS line
+       FROM ln0),
+extra AS (
+  SELECT doc_id, 1000000 AS li, line FROM ln WHERE li = 0 AND doc_id % 5 = 0
+  UNION ALL SELECT doc_id, 1000001, 'lorem ipsum dolor.' FROM documents WHERE doc_id % 17 = 0
+  UNION ALL SELECT doc_id, 1000002, 'function() { var x }.' FROM documents WHERE doc_id % 23 = 0),
+lined AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY li) AS text
+          FROM (SELECT * FROM ln UNION ALL SELECT * FROM extra) GROUP BY doc_id)"""
+
+
+def _q_c4_filter(sf_dir: str):
+    """C4 'clean' filter bundle (stages/textstats.py:c4_filter) over
+    the line-structured corpus: terminal-punctuation + min-words line
+    rule, lorem-ipsum / brace / min-sentences doc rules — all
+    integer-exact, zero-shuffle."""
+    from xlink_ray.stages.textstats import c4_filter
+
+    return c4_filter(_docs_as_lines(sf_dir))
+
+
+def _q_deduped_lines(sf_dir: str):
+    """Within-document exact line dedup (RefinedWeb repeated-line rule;
+    stages/textstats.py:dedup_lines): first occurrence kept in order,
+    per-batch lexsort scan, zero-shuffle."""
+    from xlink_ray.stages.textstats import dedup_lines
+
+    return dedup_lines(_docs_as_lines(sf_dir))
+
+
 def _q_exact_dedup(sf_dir: str):
     from xlink_ray.stages.dedup import exact_dedup_keepers
 
@@ -3973,6 +4040,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fs_em_weights": _q_fs_em_weights,
         "fs_em_posteriors": _q_fs_em_posteriors,
         "er_one_to_one": _q_er_one_to_one,
+        "c4_filter": _q_c4_filter,
+        "deduped_lines": _q_deduped_lines,
         "er_golden": _q_er_golden,
         "er_cluster_metrics": _q_er_cluster_metrics,
         "er_alignment": _q_er_alignment,
@@ -5360,6 +5429,35 @@ w AS (
  UNION ALL SELECT 'bal', (s1_bal+0.5)/(n1+1), (s0_bal+0.5)/(n0+1) FROM s
  UNION ALL SELECT 'last1', (s1_last1+0.5)/(n1+1), (s0_last1+0.5)/(n0+1) FROM s)
 SELECT field, m, u, log2(m/u) AS w_agree, log2((1-m)/(1-u)) AS w_disagree FROM w""",
+        "c4_filter": f"""
+WITH {_LINED_SQL},
+lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+          generate_subscripts(string_split(text, chr(10)),1) AS i FROM lined),
+keptl AS (SELECT doc_id, line, i FROM lines
+  WHERE (line LIKE '%.' OR line LIKE '%!' OR line LIKE '%?')
+    AND len(string_split(line,' ')) >= 5),
+agg AS (SELECT doc_id, count(*) AS n_kept,
+        string_agg(line, chr(10) ORDER BY i) AS clean_text FROM keptl GROUP BY doc_id),
+base AS (SELECT doc_id, len(string_split(text, chr(10))) AS n_lines,
+  length(text) - length(replace(replace(replace(text,'.',''),'!',''),'?','')) AS n_sentences,
+  contains(lower(text), 'lorem ipsum') AS lor, contains(text, '{{') AS br FROM lined)
+SELECT b.doc_id, coalesce(a.clean_text, '') AS clean_text,
+  CAST(b.n_lines AS BIGINT) AS n_lines, CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+  CAST(b.n_sentences AS BIGINT) AS n_sentences,
+  CAST(CASE WHEN NOT b.lor AND NOT b.br AND b.n_sentences >= 3
+            AND coalesce(a.n_kept, 0) >= 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM base b LEFT JOIN agg a USING (doc_id)""",
+        "deduped_lines": f"""
+WITH {_LINED_SQL},
+lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+          generate_subscripts(string_split(text, chr(10)),1) AS i FROM lined),
+firsts AS (SELECT doc_id, line, i,
+  row_number() OVER (PARTITION BY doc_id, line ORDER BY i) AS rn FROM lines)
+SELECT doc_id,
+  string_agg(line, chr(10) ORDER BY i) FILTER (WHERE rn = 1) AS text,
+  count(*) AS n_lines,
+  count(*) - count(*) FILTER (WHERE rn = 1) AS n_dupes
+FROM firsts GROUP BY doc_id""",
         "er_one_to_one": """
 WITH c AS (SELECT c_custkey AS id, c_nationkey AS k, c_name AS nm FROM customer),
 l AS (SELECT * FROM c WHERE id % 4 = 0),

@@ -467,3 +467,126 @@ def ccnet_buckets(
         return t.append_column("bucket", pa.array(bucket, pa.string()))
 
     return ranked.map_batches(label, batch_format="pyarrow")
+
+
+def c4_filter(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> Dataset:
+    """C4 'clean' filter bundle (Raffel et al. 2020 §2.2 — the public
+    rule set, integer-exact subset over newline-delimited lines):
+
+    line level — keep lines that end in terminal punctuation
+    (``. ! ?``) AND have ≥ ``min_words_per_line`` words;
+    doc level — ``keep`` iff the doc contains neither ``lorem ipsum``
+    (case-folded) nor ``{``, has ≥ ``min_sentences`` terminal
+    punctuation marks, and retains ≥ 1 line.
+
+    Zero-shuffle: one vectorized pass; the line explode/reassemble
+    stays inside the batch via Arrow list offsets (no per-row python).
+    → (id, clean_text, n_lines, n_kept, n_sentences, keep)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        nd = t.num_rows
+        texts = t[text_col]
+        lines = pc.split_pattern(texts, "\n")
+        n_lines = pc.list_value_length(lines).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(lines)
+        seg = np.repeat(np.arange(nd, dtype=np.int64), n_lines)
+
+        ends_ok = (
+            pc.ends_with(flat, pattern=".").to_numpy(zero_copy_only=False)
+            | pc.ends_with(flat, pattern="!").to_numpy(zero_copy_only=False)
+            | pc.ends_with(flat, pattern="?").to_numpy(zero_copy_only=False)
+        )
+        wc = (
+            pc.count_substring(flat, " ").to_numpy(zero_copy_only=False).astype(np.int64)
+            + 1
+        )
+        keep_line = ends_ok & (wc >= min_words_per_line)
+
+        n_kept = np.zeros(nd, dtype=np.int64)
+        np.add.at(n_kept, seg[keep_line], 1)
+        kept_flat = flat.filter(pa.array(keep_line))
+        if isinstance(kept_flat, pa.ChunkedArray):
+            kept_flat = kept_flat.combine_chunks()
+        offs = np.concatenate([[0], np.cumsum(n_kept)]).astype(np.int32)
+        kept_list = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), kept_flat)
+        clean_text = pc.binary_join(kept_list, "\n")
+
+        ns = (
+            pc.count_substring(texts, ".").to_numpy(zero_copy_only=False)
+            + pc.count_substring(texts, "!").to_numpy(zero_copy_only=False)
+            + pc.count_substring(texts, "?").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        lorem = pc.match_substring(
+            pc.utf8_lower(texts), "lorem ipsum"
+        ).to_numpy(zero_copy_only=False)
+        brace = pc.match_substring(texts, "{").to_numpy(zero_copy_only=False)
+        keep = (
+            ~lorem & ~brace & (ns >= min_sentences) & (n_kept >= 1)
+        ).astype(np.int64)
+
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "clean_text": clean_text,
+                "n_lines": pa.array(n_lines),
+                "n_kept": pa.array(n_kept),
+                "n_sentences": pa.array(ns),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def dedup_lines(
+    ds: Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> Dataset:
+    """Within-document exact line deduplication (the RefinedWeb /
+    MassiveText repeated-line rule): keep the FIRST occurrence of each
+    line inside a doc, preserving line order. Zero-shuffle — docs are
+    whole inside their batch, so the dedup is a per-batch lexsort +
+    first-occurrence scan over the exploded lines.
+
+    → (id, text, n_lines, n_dupes)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        nd = t.num_rows
+        lines = pc.split_pattern(t[text_col], "\n")
+        n_lines = pc.list_value_length(lines).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(lines)
+        seg = np.repeat(np.arange(nd, dtype=np.int64), n_lines)
+        idx = np.arange(len(seg), dtype=np.int64)
+
+        flat_np = np.asarray(flat.to_pandas(), dtype=object)
+        order = np.lexsort((idx, flat_np, seg))
+        s_seg, s_line = seg[order], flat_np[order]
+        first = np.ones(len(order), dtype=bool)
+        if len(order) > 1:
+            first[1:] = (s_seg[1:] != s_seg[:-1]) | (s_line[1:] != s_line[:-1])
+        keep = np.zeros(len(order), dtype=bool)
+        keep[order] = first  # back to original positions
+
+        n_kept = np.zeros(nd, dtype=np.int64)
+        np.add.at(n_kept, seg[keep], 1)
+        kept_flat = flat.filter(pa.array(keep))
+        if isinstance(kept_flat, pa.ChunkedArray):
+            kept_flat = kept_flat.combine_chunks()
+        offs = np.concatenate([[0], np.cumsum(n_kept)]).astype(np.int32)
+        kept_list = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), kept_flat)
+
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "text": pc.binary_join(kept_list, "\n"),
+                "n_lines": pa.array(n_lines),
+                "n_dupes": pa.array(n_lines - n_kept),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
