@@ -413,6 +413,39 @@ def _q_fs_scores(sf_dir: str):
     return er.customer_fs_scores(sf_dir)
 
 
+def _q_er_hierarchy(sf_dir: str):
+    """Threshold dendrogram (stages/clustering.py:threshold_hierarchy):
+    customer clusters at JW cut-offs 9800/9500/9200 bp in ONE pass —
+    level i+1 runs CC over level i's CONTRACTED clusters with only the
+    [t_i+1, t_i) band edges, labels composed by reduce-side stamps."""
+    from xlink_ray.pipelines import er
+
+    return er.customer_threshold_hierarchy(sf_dir)
+
+
+def _hierarchy_sql(thresholds=(9800, 9500, 9200)) -> str:
+    """Oracle: an independent recursive closure per threshold (the
+    hierarchy must equal direct per-threshold CC), min-id labels,
+    singletons from the customer universe."""
+    parts, sels = [], []
+    for t in thresholds:
+        parts.append(
+            f"""e{t} AS (SELECT a.c_custkey AS u, b.c_custkey AS v
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+  WHERE CAST(floor(jaro_winkler_similarity(a.c_name, b.c_name)*10000) AS BIGINT) >= {t}),
+sym{t} AS (SELECT u, v FROM e{t} UNION SELECT v, u FROM e{t}),
+reach{t}(u, v) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION
+  SELECT r.u, s.v FROM reach{t} r JOIN sym{t} s ON r.v = s.u),
+lab{t} AS (SELECT u AS member_id, CAST({t} AS BIGINT) AS threshold,
+           CAST(min(v) AS BIGINT) AS cluster_id FROM reach{t} GROUP BY u)"""
+        )
+        sels.append(f"SELECT * FROM lab{t}")
+    return "WITH RECURSIVE " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sels)
+
+
 def _q_er_one_to_one(sf_dir: str):
     """Clean-clean 1:1 linkage by symmetric best match
     (stages/attach.py:mutual_best_pairs): a pair survives iff each
@@ -4040,6 +4073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fs_em_weights": _q_fs_em_weights,
         "fs_em_posteriors": _q_fs_em_posteriors,
         "er_one_to_one": _q_er_one_to_one,
+        "er_hierarchy": _q_er_hierarchy,
         "c4_filter": _q_c4_filter,
         "deduped_lines": _q_deduped_lines,
         "er_golden": _q_er_golden,
@@ -5429,6 +5463,7 @@ w AS (
  UNION ALL SELECT 'bal', (s1_bal+0.5)/(n1+1), (s0_bal+0.5)/(n0+1) FROM s
  UNION ALL SELECT 'last1', (s1_last1+0.5)/(n1+1), (s0_last1+0.5)/(n0+1) FROM s)
 SELECT field, m, u, log2(m/u) AS w_agree, log2((1-m)/(1-u)) AS w_disagree FROM w""",
+        "er_hierarchy": _hierarchy_sql(),
         "c4_filter": f"""
 WITH {_LINED_SQL},
 lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,

@@ -1,5 +1,6 @@
 """Connected components: local union-find vs distributed star rounds."""
 
+import pyarrow as pa
 import numpy as np
 import pytest
 
@@ -380,3 +381,63 @@ def test_customer_bcubed_matches_python_fold(ray_session, sf_small):
     P2 = (cells["n_common"] ** 2 / cells["n_pred"]).sum() / n
     R2 = (cells["n_common"] ** 2 / cells["n_gold"]).sum() / n
     assert np.isclose(P, P2) and np.isclose(R, R2)
+
+
+def test_threshold_hierarchy_matches_direct_cc(ray_session):
+    """Contracted incremental closure == independent CC per threshold,
+    on a hand graph spanning all band layouts."""
+    import pyarrow.compute as pc
+
+    from xlink_ray.stages.clustering import threshold_hierarchy
+
+    edges = pa.Table.from_pylist(
+        [
+            {"id_a": 1, "id_b": 2, "sim_bp": 9900},
+            {"id_a": 2, "id_b": 3, "sim_bp": 9500},
+            {"id_a": 4, "id_b": 5, "sim_bp": 9300},
+            {"id_a": 3, "id_b": 4, "sim_bp": 9100},
+            {"id_a": 6, "id_b": 7, "sim_bp": 8000},
+        ]
+    )
+    nodes = pa.table({"node": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64())})
+    got = (
+        threshold_hierarchy(
+            rd.from_arrow(edges), [9800, 9400, 9000], rd.from_arrow(nodes), "node"
+        )
+        .to_pandas()
+        .sort_values(["threshold", "member_id"])
+        .reset_index(drop=True)
+    )
+    for t in (9800, 9400, 9000):
+        e = rd.from_arrow(edges.filter(pc.greater_equal(edges["sim_bp"], t)))
+        direct = (
+            connected_components(e, nodes=rd.from_arrow(nodes), node_col="node")
+            .to_pandas()
+            .sort_values("member_id")
+            .reset_index(drop=True)
+        )
+        sub = (
+            got[got.threshold == t][["member_id", "cluster_id"]]
+            .sort_values("member_id")
+            .reset_index(drop=True)
+        )
+        assert sub.equals(direct[["member_id", "cluster_id"]])
+
+
+def test_threshold_hierarchy_nesting(ray_session):
+    """Higher thresholds refine lower: each high-level cluster maps
+    into exactly one low-level cluster."""
+    from xlink_ray.pipelines import er
+
+    got = er.customer_threshold_hierarchy("/root/testdata/sf0.001").to_pandas()
+    levels = sorted(got["threshold"].unique(), reverse=True)
+    assert levels == [9800, 9500, 9200]
+    for hi, lo in zip(levels, levels[1:]):
+        h = got[got.threshold == hi].set_index("member_id")["cluster_id"]
+        l = got[got.threshold == lo].set_index("member_id")["cluster_id"]
+        df = h.to_frame("hi").join(l.to_frame("lo"))
+        assert (df.groupby("hi")["lo"].nunique() == 1).all()
+    # and clusters only merge downward
+    n_hi = got[got.threshold == 9800]["cluster_id"].nunique()
+    n_lo = got[got.threshold == 9200]["cluster_id"].nunique()
+    assert n_lo <= n_hi

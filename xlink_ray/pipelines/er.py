@@ -161,6 +161,51 @@ def customer_attach(
     )
 
 
+def customer_threshold_hierarchy(
+    sf_dir: str, thresholds: "tuple[int, ...]" = (9800, 9500, 9200)
+) -> Dataset:
+    """Clusters at every operating threshold in one pass
+    (stages/clustering.py:threshold_hierarchy): nation-blocked JW
+    edges scored once; lower levels contract the previous level's
+    clusters so each scored pair joins exactly one closure."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from xlink_ray.functions.similarity import jaro_winkler_pairs
+    from xlink_ray.stages.clustering import threshold_hierarchy
+
+    lo = thresholds[-1]
+    edges = block_score_pairs(
+        _customers(sf_dir),
+        key_cols="c_nationkey",
+        id_col="c_custkey",
+        attr_col="c_name",
+        scorer=jaro_winkler_pairs,
+        keep=lambda s: np.floor(s * 10000.0) >= lo,
+        skew_cap=8192,
+    )
+
+    def fmt(t: pa.Table) -> pa.Table:
+        sim = t["score"].to_numpy(zero_copy_only=False) * 10000.0
+        import numpy as _np
+
+        return pa.table(
+            {
+                "id_a": pc.cast(t["id_a"], pa.int64()),
+                "id_b": pc.cast(t["id_b"], pa.int64()),
+                "sim_bp": pa.array(_np.floor(sim).astype(_np.int64)),
+            }
+        )
+
+    nodes = read_pq(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    return threshold_hierarchy(
+        edges.map_batches(fmt, batch_format="pyarrow"),
+        list(thresholds),
+        nodes,
+        "c_custkey",
+    )
+
+
 def customer_one_to_one(sf_dir: str, min_sim_bp: int = 7000) -> Dataset:
     """Clean-clean one-to-one linkage (stages/attach.py:
     mutual_best_pairs): the ``c_custkey % 4 == 0`` "new crawl" side

@@ -45,7 +45,12 @@ from ray.data.aggregate import Min
 
 from xlink_ray.state.broadcast import broadcast_table
 
-__all__ = ["connected_components", "pairwise_cluster_f1", "incremental_components"]
+__all__ = [
+    "connected_components",
+    "pairwise_cluster_f1",
+    "incremental_components",
+    "threshold_hierarchy",
+]
 
 _LOCAL_EDGE_LIMIT = 2_000_000
 
@@ -971,4 +976,131 @@ def incremental_components(
     )
     if with_remap:
         return out, remap_tbl
+    return out
+
+
+def threshold_hierarchy(
+    edges: Dataset,
+    thresholds: "list[int]",
+    nodes: Dataset,
+    node_col: str,
+    a: str = "id_a",
+    b: str = "id_b",
+    sim_col: str = "sim_bp",
+) -> Dataset:
+    """Entity clusters at EVERY operating threshold in one pass over the
+    scored pair graph → (member_id, threshold, cluster_id) — the
+    record-linkage threshold dendrogram used to tune an operating point
+    before committing to one closure.
+
+    ``thresholds`` must be strictly descending similarity cut-offs (in
+    the integer ``sim_col`` units). Level 0 is an ordinary connected-
+    components run over the edges ≥ thresholds[0]. Every later level
+    CONTRACTS: the previous level's labels become the nodes, only the
+    edges in [t_i, t_{i-1}) enter the incremental closure (each scored
+    pair participates in exactly one CC), and member labels compose
+    through a reduce-side ``stamp_cluster`` chain. Labels stay the min
+    member id at every level because a min-composition of min-labels is
+    the global min. Nesting (higher threshold refines lower) holds by
+    construction — the level-i clusters are unions of level-(i-1)
+    clusters.
+
+    Scale shape: the contracted graphs shrink monotonically (nodes =
+    live clusters), so the extra levels cost far less than re-running
+    CC from scratch per threshold; all attaches are hash-bucket
+    exchanges, nothing corpus-sized ever collects."""
+    import pyarrow.compute as pc
+
+    from xlink_ray.stages.survivor import stamp_cluster
+
+    if any(x <= y for x, y in zip(thresholds, thresholds[1:])):
+        raise ValueError(f"thresholds must be strictly descending: {thresholds}")
+
+    edges = edges.select_columns([a, b, sim_col]).materialize()
+
+    def band(lo: int, hi: "int | None"):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.greater_equal(t[sim_col], lo)
+            if hi is not None:
+                m = pc.and_(m, pc.less(t[sim_col], hi))
+            return t.filter(m).select([a, b])
+
+        return f
+
+    t0 = thresholds[0]
+    prev = connected_components(
+        edges.map_batches(band(t0, None), batch_format="pyarrow"),
+        a=a,
+        b=b,
+        nodes=nodes,
+        node_col=node_col,
+    ).materialize()
+
+    def tag(level_t: int):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "member_id": t["member_id"],
+                    "threshold": pa.array(
+                        np.full(t.num_rows, level_t, dtype=np.int64)
+                    ),
+                    "cluster_id": t["cluster_id"],
+                }
+            )
+
+        return f
+
+    out = prev.map_batches(tag(t0), batch_format="pyarrow")
+
+    for t_prev, t_cur in zip(thresholds, thresholds[1:]):
+        band_edges = edges.map_batches(band(t_cur, t_prev), batch_format="pyarrow")
+        # contract: map both endpoints through the previous labels
+        ea = stamp_cluster(
+            band_edges,
+            prev,
+            id_col=a,
+            carry_cols=[b],
+            carry_types={b: pa.int64()},
+        ).map_batches(
+            lambda t: pa.table({"ca": t["cluster"], b: t[b]}),
+            batch_format="pyarrow",
+        )
+        contracted = stamp_cluster(
+            ea,
+            prev,
+            id_col=b,
+            carry_cols=["ca"],
+            carry_types={"ca": pa.int64()},
+        ).map_batches(
+            lambda t: pa.table({"id_a": t["ca"], "id_b": t["cluster"]}).filter(
+                pc.invert(pc.equal(t["ca"], t["cluster"]))
+            ),
+            batch_format="pyarrow",
+        )
+        # cluster-level CC; previous labels ride as singleton nodes so
+        # untouched clusters keep their label
+        lab_c = connected_components(
+            contracted,
+            nodes=prev,
+            node_col="cluster_id",
+        ).materialize()
+        # compose member labels through the cluster relabeling
+        prev = stamp_cluster(
+            prev.map_batches(
+                lambda t: pa.table(
+                    {"cl": t["cluster_id"], "member_id": t["member_id"]}
+                ),
+                batch_format="pyarrow",
+            ),
+            lab_c,
+            id_col="cl",
+            carry_cols=["member_id"],
+            carry_types={"member_id": pa.int64()},
+        ).map_batches(
+            lambda t: pa.table(
+                {"member_id": t["member_id"], "cluster_id": t["cluster"]}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        out = out.union(prev.map_batches(tag(t_cur), batch_format="pyarrow"))
     return out
