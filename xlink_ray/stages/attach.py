@@ -76,6 +76,91 @@ def _merge_best(
     best_cluster[upd] = c_cluster[better]
 
 
+def _two_sided_grid_salt(
+    base: Dataset,
+    new: Dataset,
+    key_cols: list[str],
+    id_col: str,
+    skew_cap: "int | None",
+) -> "tuple[Dataset, Dataset, list[str]]":
+    """Exact two-sided hot-block grid salting (shared by
+    ``attach_to_clusters`` and ``mutual_best_pairs``): pre-count BOTH
+    sides' block sizes, split a block hot on either side into an
+    Sb×Sn bipartite grid where every (new, base) pair meets in exactly
+    one cell (see the module docstring). Returns the (possibly
+    salted+replicated) sides and the group keys for the blocking
+    shuffle. ``skew_cap=None`` → pass-through."""
+    if skew_cap is None:
+        return base, new, list(key_cols)
+
+    import ray
+
+    from xlink_ray.stages.blocking import group_sizes
+
+    def _composite(t: pa.Table) -> pa.Array:
+        parts = [pc.cast(t[k], pa.string()) for k in key_cols]
+        if len(parts) == 1:
+            return parts[0].combine_chunks() if isinstance(
+                parts[0], pa.ChunkedArray
+            ) else parts[0]
+        return pc.binary_join_element_wise(*parts, "\x1f")
+
+    def _hot_of(side_ds: Dataset) -> dict:
+        sizes = group_sizes(side_ds, key_cols)
+        tbls = [
+            pa.table(b)
+            for b in sizes.map_batches(
+                lambda t: t.filter(pc.greater(t["n"], skew_cap)),
+                batch_format="pyarrow",
+            ).iter_batches(batch_format="pyarrow")
+        ]
+        if not tbls:
+            return {}
+        hot_tbl = pa.concat_tables(tbls)
+        keys = _composite(hot_tbl).to_pylist()
+        ns = hot_tbl["n"].to_pylist()
+        return {k: int(np.ceil(v / skew_cap)) for k, v in zip(keys, ns)}
+
+    hot_ref = ray.put((_hot_of(base), _hot_of(new)))
+
+    def _grid_salt(t: pa.Table, side: int) -> pa.Table:
+        """side 0 = base (own salt from Sb grid dim, replicate
+        across the Sn dim); side 1 = new (symmetric). Vectorized:
+        one md5 batch, repeat/arange for the replication."""
+        import pandas as pd
+
+        from xlink_ray.functions.hashing import md5_low64
+        from xlink_ray.state.cached import cached_state
+
+        hot_b, hot_n = cached_state(
+            ("attach_hot", hot_ref.hex()), lambda: ray.get(hot_ref)
+        )
+        n = t.num_rows
+        z = pa.array(np.zeros(n, dtype=np.int32))
+        if (not hot_b and not hot_n) or n == 0:
+            return t.append_column("cell_a", z).append_column("cell_b", z)
+        ks = pd.Series(_composite(t).to_pylist())
+        Sb = ks.map(hot_b).fillna(1).to_numpy(np.int64)
+        Sn = ks.map(hot_n).fillna(1).to_numpy(np.int64)
+        own, other = (Sb, Sn) if side == 0 else (Sn, Sb)
+        h = md5_low64([str(x) for x in t[id_col].to_pylist()])
+        own_salt = (h % own.astype(np.uint64)).astype(np.int32)
+        idx = np.repeat(np.arange(n, dtype=np.int64), other)
+        total = int(other.sum())
+        starts = np.concatenate(([0], np.cumsum(other)[:-1]))
+        j = (np.arange(total) - np.repeat(starts, other)).astype(np.int32)
+        osr = np.repeat(own_salt, other)
+        cell_a, cell_b = (osr, j) if side == 0 else (j, osr)
+        rep = t.take(pa.array(idx, pa.int64()))
+        return rep.append_column("cell_a", pa.array(cell_a)).append_column(
+            "cell_b", pa.array(cell_b)
+        )
+
+    base = base.map_batches(lambda t: _grid_salt(t, 0), batch_format="pyarrow")
+    new = new.map_batches(lambda t: _grid_salt(t, 1), batch_format="pyarrow")
+    return base, new, key_cols + ["cell_a", "cell_b"]
+
+
 def attach_to_clusters(
     base: Dataset,
     new: Dataset,
@@ -99,75 +184,9 @@ def attach_to_clusters(
     base = base.select_columns(key_cols + [id_col, cluster_col, attr_col])
     new = new.select_columns(key_cols + [id_col, attr_col])
 
-    # ---- optional two-sided hot-block grid salting (exact) ----
-    if skew_cap is not None:
-        import ray
-
-        from xlink_ray.stages.blocking import group_sizes
-
-        def _composite(t: pa.Table) -> pa.Array:
-            parts = [pc.cast(t[k], pa.string()) for k in key_cols]
-            if len(parts) == 1:
-                return parts[0].combine_chunks() if isinstance(
-                    parts[0], pa.ChunkedArray
-                ) else parts[0]
-            return pc.binary_join_element_wise(*parts, "\x1f")
-
-        def _hot_of(side_ds: Dataset) -> dict:
-            sizes = group_sizes(side_ds, key_cols)
-            tbls = [
-                pa.table(b)
-                for b in sizes.map_batches(
-                    lambda t: t.filter(pc.greater(t["n"], skew_cap)),
-                    batch_format="pyarrow",
-                ).iter_batches(batch_format="pyarrow")
-            ]
-            if not tbls:
-                return {}
-            hot_tbl = pa.concat_tables(tbls)
-            keys = _composite(hot_tbl).to_pylist()
-            ns = hot_tbl["n"].to_pylist()
-            return {k: int(np.ceil(v / skew_cap)) for k, v in zip(keys, ns)}
-
-        hot_ref = ray.put((_hot_of(base), _hot_of(new)))
-
-        def _grid_salt(t: pa.Table, side: int) -> pa.Table:
-            """side 0 = base (own salt from Sb grid dim, replicate
-            across the Sn dim); side 1 = new (symmetric). Vectorized:
-            one md5 batch, repeat/arange for the replication."""
-            import pandas as pd
-
-            from xlink_ray.functions.hashing import md5_low64
-            from xlink_ray.state.cached import cached_state
-
-            hot_b, hot_n = cached_state(
-                ("attach_hot", hot_ref.hex()), lambda: ray.get(hot_ref)
-            )
-            n = t.num_rows
-            z = pa.array(np.zeros(n, dtype=np.int32))
-            if (not hot_b and not hot_n) or n == 0:
-                return t.append_column("cell_a", z).append_column("cell_b", z)
-            ks = pd.Series(_composite(t).to_pylist())
-            Sb = ks.map(hot_b).fillna(1).to_numpy(np.int64)
-            Sn = ks.map(hot_n).fillna(1).to_numpy(np.int64)
-            own, other = (Sb, Sn) if side == 0 else (Sn, Sb)
-            h = md5_low64([str(x) for x in t[id_col].to_pylist()])
-            own_salt = (h % own.astype(np.uint64)).astype(np.int32)
-            idx = np.repeat(np.arange(n, dtype=np.int64), other)
-            total = int(other.sum())
-            starts = np.concatenate(([0], np.cumsum(other)[:-1]))
-            j = (np.arange(total) - np.repeat(starts, other)).astype(np.int32)
-            osr = np.repeat(own_salt, other)
-            cell_a, cell_b = (osr, j) if side == 0 else (j, osr)
-            rep = t.take(pa.array(idx, pa.int64()))
-            return rep.append_column("cell_a", pa.array(cell_a)).append_column(
-                "cell_b", pa.array(cell_b)
-            )
-
-        base = base.map_batches(lambda t: _grid_salt(t, 0), batch_format="pyarrow")
-        new = new.map_batches(lambda t: _grid_salt(t, 1), batch_format="pyarrow")
-
-    group_keys = key_cols + (["cell_a", "cell_b"] if skew_cap is not None else [])
+    base, new, group_keys = _two_sided_grid_salt(
+        base, new, key_cols, id_col, skew_cap
+    )
 
     def tag_base(t: pa.Table) -> pa.Table:
         t = t.append_column("side", pa.array(np.zeros(t.num_rows, dtype=np.int8)))
@@ -286,6 +305,8 @@ def attach_to_clusters(
     )
 
 
+
+
 def mutual_best_pairs(
     left: Dataset,
     right: Dataset,
@@ -304,56 +325,127 @@ def mutual_best_pairs(
     assignment rule of clean-clean ER (every mutual-best pair is in any
     greedy max-weight matching), with no sequential state.
 
-    Shape: two `attach_to_clusters` blocking exchanges compute the two
-    directional argmaxes (each inherits the exact two-sided grid
-    salting), then ONE tiny pair-keyed bucket reduce over the
-    ≤|L|+|R| winner rows keeps the pairs both directions agree on
-    (vectorized adjacent-duplicate scan, no per-pair python). Only
-    (key, id, attr) columns ever shuffle; the pair grid never leaves
-    the group tasks.
+    Shape — FUSED dual argmax, ONE blocking exchange: both sides meet
+    in the same `groupby(block_key [+ grid salt])` task, the chunked
+    bipartite grid is scored ONCE, and BOTH directions' running
+    argmaxes fold in-task (`_merge_best` each way). Two tiny bucket
+    reduces follow: one merges salted replicas per (side, record), one
+    keeps the pairs both directions agree on — versus two full attach
+    exchanges for the composed form. Skew inherits the exact two-sided
+    grid salting (`_two_sided_grid_salt`).
 
     → (id_l, id_r, sim_bp), one row per mutual pair.
     """
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    proj = key_cols + [id_col, attr_col]
+    left = left.select_columns(proj)
+    right = right.select_columns(proj)
 
-    def _with_cluster(ds: Dataset) -> Dataset:
-        def f(t: pa.Table) -> pa.Table:
-            return t.append_column("__cl", pc.cast(t[id_col], pa.int64()))
-
-        return ds.map_batches(f, batch_format="pyarrow")
-
-    kwargs = dict(
-        key_cols=key_cols,
-        id_col=id_col,
-        cluster_col="__cl",
-        attr_col=attr_col,
-        scorer=scorer,
-        min_sim_bp=min_sim_bp,
-        max_block_rows=max_block_rows,
-        skew_cap=skew_cap,
+    right, left, group_keys = _two_sided_grid_salt(
+        right, left, key_cols, id_col, skew_cap
     )
-    best_l = attach_to_clusters(_with_cluster(right), left, **kwargs)
-    best_r = attach_to_clusters(_with_cluster(left), right, **kwargs)
 
-    def fmt(lhs: bool):
+    def tag(side_val: int):
         def f(t: pa.Table) -> pa.Table:
-            t = t.filter(pc.equal(t["matched"], 1))
-            me = pc.cast(t["id"], pa.int64())
-            other = pc.cast(t["best_id"], pa.int64())
-            return pa.table(
-                {
-                    "id_l": me if lhs else other,
-                    "id_r": other if lhs else me,
-                    "sim_bp": pc.cast(t["sim_bp"], pa.int64()),
-                    "side": pa.array(
-                        np.full(t.num_rows, 0 if lhs else 1, dtype=np.int64)
-                    ),
-                }
+            t = t.append_column(
+                "side", pa.array(np.full(t.num_rows, side_val, dtype=np.int8))
             )
+            t = t.rename_columns(
+                [{id_col: "__id", attr_col: "__attr"}.get(c, c) for c in t.column_names]
+            )
+            return t.select(group_keys + ["side", "__id", "__attr"])
 
         return f
 
-    both = best_l.map_batches(fmt(True), batch_format="pyarrow").union(
-        best_r.map_batches(fmt(False), batch_format="pyarrow")
+    tagged = right.map_batches(tag(0), batch_format="pyarrow").union(
+        left.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def per_block(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        ids = group["__id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        attrs = group["__attr"].to_numpy(zero_copy_only=False)
+        l_idx = np.nonzero(side == 1)[0]
+        r_idx = np.nonzero(side == 0)[0]
+        empty = pa.table(
+            {
+                "wside": pa.array([], pa.int8()),
+                "id": pa.array([], pa.int64()),
+                "best_id": pa.array([], pa.int64()),
+                "sim_bp": pa.array([], pa.int64()),
+            }
+        )
+        if len(l_idx) == 0 or len(r_idx) == 0:
+            return empty
+        nl, nr = len(l_idx), len(r_idx)
+        bl_sbp = np.full(nl, -1, dtype=np.int64)
+        bl_bid = np.full(nl, np.iinfo(np.int64).max, dtype=np.int64)
+        bl_dummy = np.zeros(nl, dtype=np.int64)
+        br_sbp = np.full(nr, -1, dtype=np.int64)
+        br_bid = np.full(nr, np.iinfo(np.int64).max, dtype=np.int64)
+        br_dummy = np.zeros(nr, dtype=np.int64)
+        zeros = np.zeros(0, dtype=np.int64)
+        for ci in range(0, nl, max_block_rows):
+            li = np.arange(ci, min(ci + max_block_rows, nl))
+            for cj in range(0, nr, max_block_rows):
+                rj = np.arange(cj, min(cj + max_block_rows, nr))
+                gi, gj = np.meshgrid(li, rj, indexing="ij")
+                gi, gj = gi.ravel(), gj.ravel()
+                for p0 in range(0, len(gi), _PAIR_CHUNK):
+                    pgi = gi[p0 : p0 + _PAIR_CHUNK]
+                    pgj = gj[p0 : p0 + _PAIR_CHUNK]
+                    sim = scorer(attrs[l_idx[pgi]], attrs[r_idx[pgj]])
+                    sbp = np.floor(sim * 10000.0).astype(np.int64)
+                    z = np.zeros(len(pgi), dtype=np.int64)
+                    _merge_best(bl_sbp, bl_bid, bl_dummy, pgi, sbp, ids[r_idx[pgj]], z)
+                    _merge_best(br_sbp, br_bid, br_dummy, pgj, sbp, ids[l_idx[pgi]], z)
+        return pa.table(
+            {
+                "wside": pa.array(
+                    np.concatenate(
+                        [np.ones(nl, dtype=np.int8), np.zeros(nr, dtype=np.int8)]
+                    )
+                ),
+                "id": pa.array(np.concatenate([ids[l_idx], ids[r_idx]])),
+                "best_id": pa.array(np.concatenate([bl_bid, br_bid])),
+                "sim_bp": pa.array(np.concatenate([bl_sbp, br_sbp])),
+            }
+        )
+
+    winners = tagged.groupby(group_keys).map_groups(per_block, batch_format="pyarrow")
+
+    from xlink_ray.stages._bucket import bucket_shuffle
+
+    def merge_cells(bucket: pa.Table) -> pa.Table:
+        """Per-(side, record) winner across salt cells, then emit the
+        directional claims as canonical (id_l, id_r) pair rows."""
+        w = bucket["wside"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = bucket["id"].to_numpy(zero_copy_only=False)
+        bid = bucket["best_id"].to_numpy(zero_copy_only=False)
+        sbp = bucket["sim_bp"].to_numpy(zero_copy_only=False)
+        tie = np.where(sbp < 0, np.iinfo(np.int64).max, bid)
+        order = np.lexsort((tie, -sbp, ids, w))
+        ws, idss = w[order], ids[order]
+        first = np.ones(len(order), dtype=bool)
+        if len(order) > 1:
+            first[1:] = (ws[1:] != ws[:-1]) | (idss[1:] != idss[:-1])
+        pos = order[first]
+        ok = sbp[pos] >= min_sim_bp
+        pos = pos[ok]
+        wl = w[pos] == 1
+        return pa.table(
+            {
+                "id_l": pa.array(np.where(wl, ids[pos], bid[pos])),
+                "id_r": pa.array(np.where(wl, bid[pos], ids[pos])),
+                "sim_bp": pa.array(sbp[pos]),
+                "side": pa.array(w[pos]),
+            }
+        )
+
+    claims = bucket_shuffle(winners, "id", 64, merge_cells).map_batches(
+        lambda t: t.drop_columns(["__b"]) if "__b" in t.column_names else t,
+        batch_format="pyarrow",
     )
 
     def keep_mutual(bucket: pa.Table) -> pa.Table:
@@ -379,9 +471,7 @@ def mutual_best_pairs(
             }
         )
 
-    from xlink_ray.stages._bucket import bucket_shuffle
-
-    out = bucket_shuffle(both, "id_l", 64, keep_mutual)
+    out = bucket_shuffle(claims, "id_l", 64, keep_mutual)
     return out.map_batches(
         lambda t: t.drop_columns(["__b"]) if "__b" in t.column_names else t,
         batch_format="pyarrow",
