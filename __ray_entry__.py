@@ -475,6 +475,16 @@ def _q_fs_em_posteriors(sf_dir: str):
     return er.customer_fs_em_posteriors(sf_dir)
 
 
+def _q_er_clusters_em(sf_dir: str):
+    """Unsupervised ER end-to-end (the Splink pipeline shape): blocked
+    agreement features → quantized EM fit → match posteriors →
+    transitive closure over pairs with P(match|γ) ≥ 0.1. No labels
+    anywhere in the chain."""
+    from xlink_ray.pipelines import er
+
+    return er.customer_clusters_em(sf_dir)
+
+
 def _q_er_clusters_dist(sf_dir: str):
     """Same result via the distributed label-propagation path."""
     from xlink_ray.pipelines import er
@@ -1270,13 +1280,27 @@ it{i} AS (SELECT
                 f" log2(({e9}-m_{f})/({e9}-u_{f})) AS w_disagree FROM it{n_iter}"
             )
         return cte + "\n" + "\nUNION ALL ".join(rows)
-    return (
-        cte
-        + f""",
+    post = f""",
 ef AS (SELECT p.ia, p.ib, {eprod('lam', 'm')} AS num,
-  {eprod(f'({e9}-lam)', 'u')} AS den FROM p CROSS JOIN it{n_iter})
-SELECT ia AS id_a, ib AS id_b,
-  CAST(floor(num/(num+den)*1e9+0.5) AS BIGINT) AS p_e9 FROM ef"""
+  {eprod(f'({e9}-lam)', 'u')} AS den FROM p CROSS JOIN it{n_iter}),
+posts AS (SELECT ia, ib,
+  CAST(floor(num/(num+den)*1e9+0.5) AS BIGINT) AS p_e9 FROM ef)"""
+    if final == "posteriors":
+        return cte + post + "\nSELECT ia AS id_a, ib AS id_b, p_e9 FROM posts"
+    # final == "clusters": closure over posterior-threshold pairs; the
+    # WITH must be RECURSIVE for the reach CTE
+    return (
+        "WITH RECURSIVE "
+        + (cte + post)[len("WITH ") :]
+        + """,
+sym AS (SELECT ia AS u, ib AS v FROM posts WHERE p_e9 >= 100000000
+        UNION SELECT ib, ia FROM posts WHERE p_e9 >= 100000000),
+reach(u, v) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
+SELECT u AS member_id, CAST(min(v) AS BIGINT) AS cluster_id
+FROM reach GROUP BY u"""
     )
 
 
@@ -4072,6 +4096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fs_scores": _q_fs_scores,
         "fs_em_weights": _q_fs_em_weights,
         "fs_em_posteriors": _q_fs_em_posteriors,
+        "er_clusters_em": _q_er_clusters_em,
         "er_one_to_one": _q_er_one_to_one,
         "er_hierarchy": _q_er_hierarchy,
         "c4_filter": _q_c4_filter,
@@ -5509,6 +5534,7 @@ FROM bl JOIN br ON bl.il = br.il AND bl.ir = br.ir
 WHERE bl.rn = 1 AND br.rn = 1 AND bl.bp >= 7000""",
         "fs_em_weights": _fs_em_sql(final="weights"),
         "fs_em_posteriors": _fs_em_sql(final="posteriors"),
+        "er_clusters_em": _fs_em_sql(final="clusters"),
         "fs_scores": """
 WITH c AS (SELECT c_custkey AS id, c_nationkey AS k, c_mktsegment AS seg,
   CAST(floor(c_acctbal/1000) AS BIGINT) AS bal, right(c_name,1) AS last1, c_name FROM customer),

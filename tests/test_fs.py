@@ -166,3 +166,16 @@ def test_fs_em_posteriors_consistent(ray_session):
         )
         means = joined.groupby("n_agree")["p_e9"].mean()
         assert means.is_monotonic_increasing
+
+
+def test_er_clusters_em_nontrivial(ray_session):
+    """The unsupervised chain must produce real clusters (not all
+    singletons, not one blob), and labels must be component mins."""
+    from xlink_ray.pipelines import er
+
+    got = er.customer_clusters_em(SF_SMALL).to_pandas()
+    assert len(got) == 150  # every customer labeled
+    n_clusters = got["cluster_id"].nunique()
+    assert 1 < n_clusters < 150
+    assert (got.groupby("cluster_id")["member_id"].min()
+            == got.groupby("cluster_id")["member_id"].apply(lambda s: s.name)).all()

@@ -324,6 +324,26 @@ def customer_fs_em_posteriors(sf_dir: str, n_iter: int = 4) -> Dataset:
     return fs_em_posteriors(feats, FS_FIELDS, params)
 
 
+def customer_clusters_em(
+    sf_dir: str, min_p_e9: int = 100_000_000, n_iter: int = 4
+) -> Dataset:
+    """The full unsupervised Splink shape end-to-end: blocked agreement
+    features → EM mixture fit → per-pair match posteriors → connected
+    components over the pairs with P(match|γ) ≥ min_p_e9 (singletons
+    from the customer universe). No labels anywhere in the chain."""
+    import pyarrow.compute as pc
+
+    posts = customer_fs_em_posteriors(sf_dir, n_iter=n_iter)
+    edges = posts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["p_e9"], min_p_e9)).select(
+            ["id_a", "id_b"]
+        ),
+        batch_format="pyarrow",
+    )
+    nodes = read_pq(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    return connected_components(edges, nodes=nodes, node_col="c_custkey")
+
+
 def customer_golden(sf_dir: str) -> Dataset:
     """Golden records: each customer cluster collapsed to one canonical
     row — name from the smallest member id, balance + segment from the
