@@ -1437,6 +1437,85 @@ def _q_part_monge_pairs(sf_dir: str):
     return edges.map_batches(fmt, batch_format="pyarrow")
 
 
+def _q_part_tfidf_pairs(sf_dir: str, min_cos_e6: int = 600000):
+    """TF-IDF-weighted cosine soft matching over part-name tokens
+    (stages/bm25.py:tfidf_cosine_pairs — the WHIRL scorer): one
+    distinct-token exchange builds the integer idf table (broadcast
+    under the shared dict guard, read via cached_state), then the
+    brand-blocked pair grids score with exact int64 dot products."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+
+    from xlink_ray.stages.bm25 import tfidf_cosine_pairs
+    from xlink_ray.stages.blocking import block_score_pairs
+    from xlink_ray.util import guard_dict_bytes
+
+    parts = read_pq(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_brand"]
+    )
+    n_docs = parts.count()
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["p_name"], " ")
+        flat = pc.list_flatten(toks)
+        seg = np.repeat(
+            np.arange(t.num_rows, dtype=np.int64),
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False),
+        )
+        arr = np.asarray(flat.to_pandas(), dtype=object)
+        o = np.lexsort((arr, seg))
+        keep = np.ones(len(o), dtype=bool)
+        if len(o) > 1:
+            keep[1:] = (seg[o][1:] != seg[o][:-1]) | (arr[o][1:] != arr[o][:-1])
+        return pa.table({"t": pa.array(arr[o][keep], pa.string())})
+
+    from ray.data.aggregate import Count
+
+    df_tbl = (
+        parts.map_batches(tok_rows, batch_format="pyarrow")
+        .groupby("t")
+        .aggregate(Count(alias_name="df"))
+        .to_pandas()
+    )
+    idf = {
+        t: int(np.floor(np.log(float(n_docs) / d) * 1e6 + 0.5))
+        for t, d in zip(df_tbl["t"], df_tbl["df"])
+    }
+    guard_dict_bytes(sum(len(k) + 24 for k in idf) + 48 * len(idf), "part idf table")
+    idf_ref = ray.put(idf)
+
+    def scorer(A, B):
+        from xlink_ray.state.cached import cached_state
+
+        m = cached_state(("tfidf_idf", idf_ref.hex()), lambda: ray.get(idf_ref))
+        return tfidf_cosine_pairs(A, B, m)
+
+    edges = block_score_pairs(
+        parts,
+        key_cols="p_brand",
+        id_col="p_partkey",
+        attr_col="p_name",
+        scorer=scorer,
+        keep=lambda s: np.floor(s * 1e6 + 0.5) >= min_cos_e6,
+        skew_cap=8192,
+    )
+
+    def fmt(t: pa.Table) -> pa.Table:
+        s = t["score"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "id_a": pc.cast(t["id_a"], pa.int64()),
+                "id_b": pc.cast(t["id_b"], pa.int64()),
+                "cos_e6": pa.array(np.floor(s * 1e6 + 0.5).astype(np.int64)),
+            }
+        )
+
+    return edges.map_batches(fmt, batch_format="pyarrow")
+
+
 def _q_er_pairs_snm(sf_dir: str):
     """Sorted-Neighborhood blocking (the classic SNM alternative to
     key-equality blocking): candidates = name-adjacent customers within
@@ -4228,6 +4307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_pairs_snm": _q_er_pairs_snm,
         "part_fuzzy_pairs": _q_part_fuzzy_pairs,
         "part_monge_pairs": _q_part_monge_pairs,
+        "part_tfidf_pairs": _q_part_tfidf_pairs,
         "part_codes": _q_part_codes,
         "part_soundex": _q_part_soundex,
         "embedding_znorm": _q_embedding_znorm,
@@ -6004,6 +6084,29 @@ SELECT vec_id, sqrt(sum(zv * zv)) AS znorm FROM z GROUP BY vec_id""",
         "part_codes": """SELECT p_partkey,
        CAST(dense_rank() OVER (ORDER BY p_name) - 1 AS BIGINT) AS p_name_code
 FROM part""",
+        "part_tfidf_pairs": """
+WITH p AS (SELECT p_partkey AS id, p_name AS nm, p_brand FROM part),
+tok AS (SELECT DISTINCT id, unnest(string_split(nm,' ')) AS t FROM p),
+df AS (SELECT t, count(*) AS df FROM tok GROUP BY t),
+nn AS (SELECT count(*) AS n FROM p),
+idf AS (SELECT t, CAST(floor(ln(CAST(n AS DOUBLE)/df)*1e6+0.5) AS BIGINT) AS w
+        FROM df CROSS JOIN nn),
+tw AS (SELECT tok.id, tok.t, i.w*i.w AS w2 FROM tok JOIN idf i USING (t)),
+norm AS (SELECT id, sum(w2) AS d FROM tw GROUP BY id),
+pr AS (SELECT a.id AS ia, b.id AS ib FROM p a JOIN p b
+       ON a.p_brand = b.p_brand AND a.id < b.id),
+inter AS (SELECT pr.ia, pr.ib, sum(ta.w2) AS num FROM pr
+  JOIN tw ta ON ta.id = pr.ia
+  JOIN tw tb ON tb.id = pr.ib AND tb.t = ta.t
+  GROUP BY pr.ia, pr.ib),
+sc AS (SELECT pr.ia, pr.ib,
+  CASE WHEN na.d = 0 OR nb.d = 0 THEN CAST(0 AS BIGINT)
+       ELSE CAST(floor(CAST(coalesce(i.num, 0) AS DOUBLE)
+            / sqrt(CAST(na.d AS DOUBLE)*CAST(nb.d AS DOUBLE))*1e6+0.5) AS BIGINT)
+  END AS cos_e6
+ FROM pr LEFT JOIN inter i ON i.ia = pr.ia AND i.ib = pr.ib
+ JOIN norm na ON na.id = pr.ia JOIN norm nb ON nb.id = pr.ib)
+SELECT ia AS id_a, ib AS id_b, cos_e6 FROM sc WHERE cos_e6 >= 600000""",
         "part_monge_pairs": """
 WITH p AS (SELECT a.p_partkey AS ia, b.p_partkey AS ib, a.p_name AS sa, b.p_name AS sb
   FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey),

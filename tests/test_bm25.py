@@ -117,3 +117,29 @@ def test_tfidf_keywords_matches_reference(ray_session):
         for r, (s, w) in enumerate(scored, 1):
             rows.append((i, w, s, r))
     assert list(map(tuple, got[["doc_id", "token", "score_m", "rank"]].to_numpy())) == rows
+
+
+def test_tfidf_cosine_pairs_reference():
+    """Pin the vectorized kernel against a scalar replica."""
+    import numpy as np
+
+    from xlink_ray.stages.bm25 import tfidf_cosine_pairs
+
+    idf = {"red": 1_000_000, "shiny": 2_000_000, "box": 500_000,
+           "old": 3_000_000, "zero": 0}
+    A = ["red shiny box", "red red box", "zero", "red box"]
+    B = ["red shiny old", "box red extra", "zero", "nothing shared"]
+
+    def scalar(a, b):
+        ta, tb = set(a.split()), set(b.split())
+        w2 = lambda s: sum(idf.get(t, 0) ** 2 for t in s)
+        da, db = w2(ta), w2(tb)
+        if da == 0 or db == 0:
+            return 0.0
+        return float(w2(ta & tb)) / np.sqrt(float(da) * float(db))
+
+    got = tfidf_cosine_pairs(np.array(A, object), np.array(B, object), idf)
+    want = [scalar(a, b) for a, b in zip(A, B)]
+    assert np.allclose(got, want, atol=0) and got[2] == 0.0
+    # duplicate tokens collapse (distinct-token semantics)
+    assert got[1] == scalar("red box", "box red extra")

@@ -22,7 +22,7 @@ import pyarrow.compute as pc
 
 from ray.data import Dataset
 
-__all__ = ["bm25_scores", "tfidf_keywords"]
+__all__ = ["bm25_scores", "tfidf_keywords", "tfidf_cosine_pairs"]
 
 
 def bm25_scores(
@@ -213,3 +213,61 @@ def tfidf_keywords(
             )
 
     return docs.map_batches(TopK, batch_format="pyarrow", concurrency=pool_size())
+
+
+def tfidf_cosine_pairs(
+    A: "np.ndarray", B: "np.ndarray", idf_e6: dict
+) -> "np.ndarray":
+    """TF-IDF-weighted cosine over DISTINCT whitespace tokens per pair
+    (the WHIRL soft-matching scorer, Cohen 1998): w_t = the quantized
+    integer idf, cos = Σ_{t∈A∩B} w_t² / √(Σ_{A} w_t² · Σ_{B} w_t²).
+    Numerator/denominators are exact int64 sums (order-free), the final
+    score is ONE identical double expression in numpy and the SQL
+    replica. Either side with zero weight norm scores 0.
+
+    Vectorized across the pair chunk: per-token work runs over the
+    np.unique token set only (idf lookups amortized); intersections
+    are one lexsort + adjacent-equal scan over (pair, token, side)."""
+    n = len(A)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+
+    toks_a = [sorted(set(s.split(" "))) for s in A]
+    toks_b = [sorted(set(s.split(" "))) for s in B]
+    na = np.array([len(t) for t in toks_a], dtype=np.int64)
+    nb = np.array([len(t) for t in toks_b], dtype=np.int64)
+    flat = np.array(
+        [t for ts in toks_a for t in ts] + [t for ts in toks_b for t in ts],
+        dtype=object,
+    )
+    pair = np.concatenate([np.repeat(np.arange(n), na), np.repeat(np.arange(n), nb)])
+    side = np.concatenate(
+        [np.zeros(int(na.sum()), dtype=np.int8), np.ones(int(nb.sum()), dtype=np.int8)]
+    )
+
+    uniq, inv = np.unique(flat, return_inverse=True)
+    w_u = np.array([int(idf_e6.get(t, 0)) for t in uniq], dtype=np.int64)
+    w2 = w_u * w_u  # idf_e6 ≲ 2e7 → w² ≲ 4e14, safely inside int64
+    w2_tok = w2[inv]
+
+    da = np.zeros(n, dtype=np.int64)
+    db = np.zeros(n, dtype=np.int64)
+    np.add.at(da, pair[side == 0], w2_tok[side == 0])
+    np.add.at(db, pair[side == 1], w2_tok[side == 1])
+
+    o = np.lexsort((side, inv, pair))
+    p_s, t_s, sd_s, w_s = pair[o], inv[o], side[o], w2_tok[o]
+    num = np.zeros(n, dtype=np.int64)
+    if len(o) > 1:
+        hit = (p_s[1:] == p_s[:-1]) & (t_s[1:] == t_s[:-1]) & (sd_s[:-1] == 0) & (
+            sd_s[1:] == 1
+        )
+        np.add.at(num, p_s[1:][hit], w_s[1:][hit])
+
+    out = np.zeros(n, dtype=np.float64)
+    nz = (da > 0) & (db > 0)
+    out[nz] = (
+        num[nz].astype(np.float64)
+        / np.sqrt(da[nz].astype(np.float64) * db[nz].astype(np.float64))
+    )
+    return out
