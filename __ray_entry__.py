@@ -842,6 +842,25 @@ def _q_ann_pq(sf_dir: str):
     return pq_topk(pq_encode(ds, cb), cb, queries, k=10)
 
 
+def _q_ann_rerank(sf_dir: str):
+    """Two-stage compressed search (stages/ann.py:pq_rerank_topk):
+    ADC shortlist of 40 candidates over the PQ codes, exact cosine
+    re-rank of the shortlist against the raw vectors — the Jégou et al.
+    recall-recovery step for indexes whose floats don't fit in RAM."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from xlink_ray.stages.ann import pq_encode, pq_rerank_topk, pq_train
+
+    q = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = q.sort_by("vec_id").slice(0, 5)
+    queries = np.asarray(q["embedding"].to_pylist(), dtype=np.float64)
+    ds = read_pq(f"{sf_dir}/embeddings.parquet")
+    cb = pq_train(ds, m_sub=32, n_codes=64)
+    codes = pq_encode(ds, cb).materialize()  # ADC pass + nothing else
+    return pq_rerank_topk(codes, ds, cb, queries, k=10, mult=4)
+
+
 _URL_TLDS = ["com", "org", "net", "co.uk", "com.au"]
 _URL_BLOCKLIST = frozenset({"site0.com", "site3.co.uk"})
 
@@ -1820,7 +1839,7 @@ WHERE rn <= {k}"""
 
 def _pq_sql(
     m_sub: int = 32, n_codes: int = 64, iters: int = 8, k: int = 10, nq: int = 5,
-    dim: int = 64,
+    dim: int = 64, rerank_mult: "int | None" = None,
 ) -> str:
     """DuckDB replica of stages/ann.pq_train + pq_encode + pq_topk:
     9-decimal quantized normalize, per-subspace euclidean Lloyd with
@@ -1921,14 +1940,39 @@ def _pq_sql(
   JOIN qsv q ON q.sub = c.sub AND q.d2i = c.d2i
   GROUP BY q.qid, a.vec_id)"""
     )
-    return (
-        "WITH "
-        + ",\n".join(p.replace(" AS (", " AS MATERIALIZED (", 1) for p in parts)
-        + f"""
+    cte = "WITH " + ",\n".join(
+        p.replace(" AS (", " AS MATERIALIZED (", 1) for p in parts
+    )
+    if rerank_mult is None:
+        return (
+            cte
+            + f"""
 SELECT qid AS query_id, CAST(rn AS BIGINT) AS rank, vec_id
 FROM (SELECT qid, vec_id,
              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
       FROM scored)
+WHERE rn <= {k}"""
+        )
+    # two-stage: ADC shortlist of k*mult, exact cosine re-rank on the
+    # raw embeddings (stages/ann.pq_rerank_topk)
+    return (
+        cte
+        + f""",
+shortlist AS (SELECT qid, vec_id
+  FROM (SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+        FROM scored)
+  WHERE rn <= {k * rerank_mult}),
+qraw AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+         FROM embeddings WHERE vec_id < {nq}),
+ex AS (SELECT s.qid, s.vec_id,
+  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS c
+  FROM shortlist s JOIN embeddings e ON e.vec_id = s.vec_id
+  JOIN qraw q ON q.qid = s.qid)
+SELECT qid AS query_id, CAST(rn AS BIGINT) AS rank, vec_id
+FROM (SELECT qid, vec_id,
+             row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rn
+      FROM ex)
 WHERE rn <= {k}"""
     )
 
@@ -4296,6 +4340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "title_entities": _q_title_entities,
         "ann_ivf": _q_ann_ivf,
         "ann_pq": _q_ann_pq,
+        "ann_rerank": _q_ann_rerank,
         "ann_ivfpq": _q_ann_ivfpq,
         "doc_semantic_topk": _q_doc_semantic_topk,
         "joint_norms": _q_joint_norms,
@@ -4471,6 +4516,7 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35""",
         "ann_ivf": _ivf_sql(),
         "ann_pq": _pq_sql(),
+        "ann_rerank": _pq_sql(rerank_mult=4),
         "ann_ivfpq": _ivfpq_sql(),
         "doc_semantic_topk": _doc_semantic_sql(),
         "ann_topk": """

@@ -445,3 +445,49 @@ def test_exact_jaccard_pairs_vs_python(ray_session):
     # LSH verified pairs are a subset of the exact ground truth
     lsh = minhash_lsh_pairs(ds, jaccard_th=0.3, shingle_k=5).to_pandas()
     assert set(zip(lsh.id_a, lsh.id_b)) <= set(want)
+
+
+def test_pq_rerank_improves_recall(ray_session):
+    """Exact re-rank of the ADC shortlist must be at least as close to
+    the brute-force truth as raw PQ ranks, and exactly equal whenever
+    the shortlist covers the true top-k."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from xlink_ray.stages.ann import (
+        brute_topk,
+        pq_encode,
+        pq_rerank_topk,
+        pq_topk,
+        pq_train,
+    )
+    from xlink_ray.util import read_pq
+
+    sf = "/root/testdata/sf0.001"
+    q = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = q.sort_by("vec_id").slice(0, 3)
+    queries = np.asarray(q["embedding"].to_pylist(), dtype=np.float64)
+    ds = read_pq(f"{sf}/embeddings.parquet")
+    cb = pq_train(ds, m_sub=32, n_codes=64)
+    codes = pq_encode(ds, cb).materialize()
+
+    truth = brute_topk(ds, queries, k=5).to_pandas()
+    raw = pq_topk(codes, cb, queries, k=5).to_pandas()
+    rr = pq_rerank_topk(codes, ds, cb, queries, k=5, mult=8).to_pandas()
+
+    def recall(df):
+        hits = 0
+        for qi in truth["query_id"].unique():
+            t = set(truth[truth.query_id == qi]["vec_id"])
+            g = set(df[df.query_id == qi]["vec_id"])
+            hits += len(t & g)
+        return hits / len(truth)
+
+    assert recall(rr) >= recall(raw)
+    # within the shortlist the order is the exact cosine order: where
+    # rerank returns exactly the brute top-5 set, ranks match too
+    for qi in truth["query_id"].unique():
+        t = truth[truth.query_id == qi].sort_values("rank")["vec_id"].tolist()
+        g = rr[rr.query_id == qi].sort_values("rank")["vec_id"].tolist()
+        if set(t) == set(g):
+            assert t == g

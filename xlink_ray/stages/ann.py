@@ -19,7 +19,15 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-__all__ = ["brute_topk", "lsh_topk", "ivf_topk", "pq_train", "pq_encode", "pq_topk"]
+__all__ = [
+    "brute_topk",
+    "lsh_topk",
+    "ivf_topk",
+    "pq_train",
+    "pq_encode",
+    "pq_topk",
+    "pq_rerank_topk",
+]
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -592,4 +600,84 @@ def ivfpq_topk(
     df["rank"] = df.groupby("query_id").cumcount() + 1
     return pa.Table.from_pandas(
         df[["query_id", "rank", "vec_id"]].reset_index(drop=True), preserve_index=False
+    )
+
+
+def pq_rerank_topk(
+    codes: Dataset,
+    vectors: Dataset,
+    codebooks: np.ndarray,
+    queries: np.ndarray,
+    k: int = 10,
+    mult: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Two-stage PQ search: ADC shortlist of k·mult candidates over the
+    COMPRESSED codes, then exact cosine re-rank of the shortlist
+    against the ORIGINAL vectors — the standard recall-recovery step
+    for compressed 10¹²-vector indexes (Jégou et al. 2011 §IV).
+
+    Scale shape: the shortlist is nq·k·mult (query, id) pairs — driver
+    tiny; the exact pass streams the vector corpus ONCE and scores only
+    shortlisted rows against the broadcast query matrix (a searchsorted
+    membership gate per batch), so full-precision floats are touched
+    for a vanishing fraction of the corpus."""
+    short = pq_topk(codes, codebooks, queries, k=k * mult, id_col=id_col)
+    s_id = np.asarray(short["vec_id"].to_pylist(), dtype=np.int64)
+    s_q = np.asarray(short["query_id"].to_pylist(), dtype=np.int64)
+    o = np.argsort(s_id, kind="stable")
+    s_id, s_q = s_id[o], s_q[o]
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    state_ref = ray.put((qn, s_id, s_q))
+
+    class ExactRerank:
+        def __init__(self):
+            self.qn, self.s_id, self.s_q = ray.get(state_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+            lo = np.searchsorted(self.s_id, ids, side="left")
+            hi = np.searchsorted(self.s_id, ids, side="right")
+            counts = hi - lo
+            cols = np.nonzero(counts)[0]
+            if len(cols) == 0:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "cos": pa.array([], pa.float64()),
+                    }
+                )
+            m = _normalize(vecs_to_numpy(batch[vec_col]))
+            sims = self.qn @ m.T  # (nq, nb)
+            reps = counts[cols]
+            total = int(reps.sum())
+            starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
+            flat = np.arange(total) - np.repeat(starts, reps) + np.repeat(lo[cols], reps)
+            qidx = self.s_q[flat]
+            colr = np.repeat(cols, reps)
+            return pa.table(
+                {
+                    "query_id": pa.array(qidx),
+                    "vec_id": pa.array(ids[colr]),
+                    "cos": pa.array(sims[qidx, colr]),
+                }
+            )
+
+    partials = vectors.map_batches(
+        ExactRerank, batch_format="pyarrow", concurrency=pool_size()
+    )
+    tbl = pa.concat_tables(
+        [pa.table(b) for b in partials.iter_batches(batch_format="pyarrow")]
+    )
+    import pandas as pd
+
+    df = tbl.to_pandas()
+    df = df.sort_values(["query_id", "cos", "vec_id"], ascending=[True, False, True])
+    df = df.groupby("query_id", sort=True).head(k).copy()
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(
+        df[["query_id", "rank", "vec_id"]].reset_index(drop=True),
+        preserve_index=False,
     )
