@@ -3087,6 +3087,23 @@ def _q_cluster_f1(sf_dir: str):
     return pairwise_cluster_f1(pred, er.customer_clusters(sf_dir))
 
 
+def _q_er_ari(sf_dir: str):
+    """Adjusted Rand Index between the JW-threshold clustering and the
+    Levenshtein-rule clustering (stages/clustering.py:
+    adjusted_rand_index) — chance-corrected agreement from the same
+    never-materialized contingency sums as cluster_f1, exact integer
+    rational quantized to ppm by trunc division (DuckDB `//`)."""
+    from xlink_ray.pipelines import er
+    from xlink_ray.stages.clustering import adjusted_rand_index, connected_components
+
+    pred = connected_components(
+        er.customer_pairs_jw(sf_dir),
+        nodes=er._customers(sf_dir),
+        node_col="c_custkey",
+    )
+    return adjusted_rand_index(pred, er.customer_clusters(sf_dir))
+
+
 def _q_blocking_quality(sf_dir: str):
     """Blocking-scheme validation (stages/blocking.py blocking_quality):
     reduction ratio + pairs completeness of the nation-key blocker
@@ -4220,6 +4237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fs_em_weights": _q_fs_em_weights,
         "fs_em_posteriors": _q_fs_em_posteriors,
         "er_clusters_em": _q_er_clusters_em,
+        "er_ari": _q_er_ari,
         "er_one_to_one": _q_er_one_to_one,
         "er_hierarchy": _q_er_hierarchy,
         "c4_filter": _q_c4_filter,
@@ -4962,6 +4980,47 @@ FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
         # Pairwise cluster F1 (stages/clustering.pairwise_cluster_f1):
         # tp = sum of C(cell,2) over the contingency table of the two
         # recursive-closure clusterings; exact ppm floor division.
+        "er_ari": """
+WITH RECURSIVE
+e1 AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+  WHERE jaro_winkler_similarity(a.c_name, b.c_name) >= 0.94),
+sym1 AS (SELECT id_a AS u, id_b AS v FROM e1 UNION SELECT id_b, id_a FROM e1),
+r1(u, v) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION
+  SELECT r.u, s.v FROM r1 r JOIN sym1 s ON r.v = s.u),
+c1 AS (SELECT u AS id, MIN(v) AS p FROM r1 GROUP BY u),
+e2 AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+sym2 AS (SELECT id_a AS u, id_b AS v FROM e2 UNION SELECT id_b, id_a FROM e2),
+r2(u, v) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION
+  SELECT r.u, s.v FROM r2 r JOIN sym2 s ON r.v = s.u),
+c2 AS (SELECT u AS id, MIN(v) AS t FROM r2 GROUP BY u),
+j AS (SELECT c1.p, c2.t FROM c1 JOIN c2 USING (id)),
+cells AS (SELECT p, t, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY p, t),
+tpx AS (SELECT CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS HUGEINT) AS s FROM cells),
+ppx AS (SELECT CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS HUGEINT) AS s
+        FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM j GROUP BY p)),
+ptx AS (SELECT CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS HUGEINT) AS s
+        FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM j GROUP BY t)),
+f AS (SELECT CAST((SELECT count(*) FROM j) AS HUGEINT) AS n,
+             ppx.s AS pp, ptx.s AS pt, tpx.s AS tp
+      FROM ppx, ptx, tpx),
+g AS (SELECT n, pp, pt, tp, n*(n-1)//2 AS c FROM f)
+SELECT CAST(n AS BIGINT) AS n_members, CAST(pp AS BIGINT) AS pairs_pred,
+       CAST(pt AS BIGINT) AS pairs_true, CAST(tp AS BIGINT) AS tp,
+       CAST(CASE WHEN (c*(pp+pt) - 2*pp*pt) = 0 THEN 1000000
+            ELSE (2*(tp*c - pp*pt)) * 1000000 // (c*(pp+pt) - 2*pp*pt)
+       END AS BIGINT) AS ari_ppm
+FROM g""",
         "cluster_f1": """
 WITH RECURSIVE
 e1 AS (

@@ -441,3 +441,45 @@ def test_threshold_hierarchy_nesting(ray_session):
     n_hi = got[got.threshold == 9800]["cluster_id"].nunique()
     n_lo = got[got.threshold == 9200]["cluster_id"].nunique()
     assert n_lo <= n_hi
+
+
+def test_adjusted_rand_index_reference(ray_session):
+    """Pin ARI against the closed-form on hand labelings, including the
+    identical (1e6), independent-ish, and disagreeing cases."""
+    from xlink_ray.stages.clustering import adjusted_rand_index
+
+    def lab(pairs):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "member_id": pa.array([p[0] for p in pairs], pa.int64()),
+                    "cluster_id": pa.array([p[1] for p in pairs], pa.int64()),
+                }
+            )
+        )
+
+    ids = list(range(8))
+    same = [(i, i // 2) for i in ids]
+    out = adjusted_rand_index(lab(same), lab(same)).to_pandas().iloc[0]
+    assert out["ari_ppm"] == 1_000_000 and out["n_members"] == 8
+
+    # shifted grouping: compute expected ARI with sklearn-free closed form
+    import numpy as np
+
+    pred = [(i, i // 2) for i in ids]
+    true = [(i, (i + 1) // 2) for i in ids]
+    o = adjusted_rand_index(lab(pred), lab(true)).to_pandas().iloc[0]
+    n = 8
+    c = n * (n - 1) // 2
+    # contingency by brute force
+    from collections import Counter
+
+    cells = Counter((p[1], t[1]) for p, t in zip(pred, true))
+    tp = sum(v * (v - 1) // 2 for v in cells.values())
+    pp = sum(v * (v - 1) // 2 for v in Counter(x[1] for x in pred).values())
+    pt = sum(v * (v - 1) // 2 for v in Counter(x[1] for x in true).values())
+    num2 = 2 * (tp * c - pp * pt)
+    den2 = c * (pp + pt) - 2 * pp * pt
+    q = (abs(num2) * 10**6) // den2
+    want = q if num2 >= 0 else -q
+    assert o["ari_ppm"] == want and o["tp"] == tp

@@ -50,6 +50,7 @@ __all__ = [
     "pairwise_cluster_f1",
     "incremental_components",
     "threshold_hierarchy",
+    "adjusted_rand_index",
 ]
 
 _LOCAL_EDGE_LIMIT = 2_000_000
@@ -396,24 +397,19 @@ def connected_components(
     return _distributed_cc(e, nodes, node_col, max_rounds, attach=attach)
 
 
-def pairwise_cluster_f1(
+def _contingency_sums(
     pred: Dataset,
     truth: Dataset,
-    id_col: str = "member_id",
-    cluster_col: str = "cluster_id",
-    nbuckets: int = 64,
-) -> Dataset:
-    """Pairwise precision/recall/F1 of one clustering against another
-    (the north rule's grading metric: pairs co-clustered in both) →
-    ONE row (pairs_pred, pairs_true, tp, precision_ppm, recall_ppm,
-    f1_ppm), exact ppm integers.
-
-    No pair set is ever materialized: tp = Σ C(n_ij, 2) over the
-    (pred, truth) contingency cells, and each side's pair count =
-    Σ C(cluster size, 2) — three hash-bucket counting shuffles over
-    id-aligned label rows.  Members must appear in both labelings
-    (inner join on id; one bucket shuffle aligns them).
-    """
+    id_col: str,
+    cluster_col: str,
+    nbuckets: int,
+) -> "tuple[int, int, int, int]":
+    """Shared pair-counting core of the cluster-agreement metrics
+    (pairwise F1, adjusted Rand): align the two labelings on id (one
+    bucket shuffle), then → (n_members, pairs_pred, pairs_true, tp)
+    where tp = Σ C(n_ij, 2) over the contingency cells and each side's
+    pair count = Σ C(cluster size, 2). No pair set is ever
+    materialized — three hash-bucket counting shuffles total."""
     import numpy as np
 
     from xlink_ray.stages._bucket import bucket_shuffle
@@ -498,6 +494,28 @@ def pairwise_cluster_f1(
     )
     pairs_pred = pair_sum(joined, "pa_")
     pairs_true = pair_sum(joined, "tb")
+    n_members = joined.count()
+    return n_members, pairs_pred, pairs_true, tp
+
+
+def pairwise_cluster_f1(
+    pred: Dataset,
+    truth: Dataset,
+    id_col: str = "member_id",
+    cluster_col: str = "cluster_id",
+    nbuckets: int = 64,
+) -> Dataset:
+    """Pairwise precision/recall/F1 of one clustering against another
+    (the north rule's grading metric: pairs co-clustered in both) →
+    ONE row (pairs_pred, pairs_true, tp, precision_ppm, recall_ppm,
+    f1_ppm), exact ppm integers.
+
+    Counting shape: see ``_contingency_sums`` — no pair set is ever
+    materialized. Members must appear in both labelings (inner join on
+    id; one bucket shuffle aligns them)."""
+    _, pairs_pred, pairs_true, tp = _contingency_sums(
+        pred, truth, id_col, cluster_col, nbuckets
+    )
 
     return rd.from_arrow(
         pa.table(
@@ -519,6 +537,47 @@ def pairwise_cluster_f1(
                     ],
                     pa.int64(),
                 ),
+            }
+        )
+    )
+
+
+def adjusted_rand_index(
+    pred: Dataset,
+    truth: Dataset,
+    id_col: str = "member_id",
+    cluster_col: str = "cluster_id",
+    nbuckets: int = 64,
+) -> Dataset:
+    """Adjusted Rand Index between two clusterings (Hubert & Arabie
+    1985) → ONE row (n_members, pairs_pred, pairs_true, tp, ari_ppm).
+
+    From the same contingency sums as ``pairwise_cluster_f1`` (no pair
+    set materialized): with C = C(n, 2),
+    ARI = (tp − pp·pt/C) / ((pp+pt)/2 − pp·pt/C); carried as the exact
+    integer rational num2/den2 = (2(tp·C − pp·pt)) / (C(pp+pt) −
+    2·pp·pt) on python big ints, then quantized to ppm by truncation
+    toward zero — DuckDB's `//` semantics, so the oracle replays it
+    verbatim (HUGEINT holds the cross terms to ~10¹⁸ members per
+    label side). Degenerate den2 = 0 (both clusterings trivial) → 1e6.
+    """
+    n, pp, pt, tp = _contingency_sums(pred, truth, id_col, cluster_col, nbuckets)
+    c = n * (n - 1) // 2
+    num2 = 2 * (tp * c - pp * pt)
+    den2 = c * (pp + pt) - 2 * pp * pt
+    if den2 == 0:
+        ari_ppm = 1_000_000
+    else:
+        q = (abs(num2) * 1_000_000) // den2  # den2 > 0 always
+        ari_ppm = q if num2 >= 0 else -q
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_members": pa.array([n], pa.int64()),
+                "pairs_pred": pa.array([pp], pa.int64()),
+                "pairs_true": pa.array([pt], pa.int64()),
+                "tp": pa.array([tp], pa.int64()),
+                "ari_ppm": pa.array([ari_ppm], pa.int64()),
             }
         )
     )
