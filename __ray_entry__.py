@@ -1323,6 +1323,134 @@ FROM reach GROUP BY u"""
     )
 
 
+def _unigram_sql(final: str = "vocab", L: int = 4, S: int = 60, T: int = 3,
+                 V: int = 48, P: int = 12) -> str:
+    """DuckDB replica of stages/unigram.py: substring seeding, T
+    unrolled Viterbi hard-EM rounds (DP + backtrack over ≤P positions,
+    exact integer scores on the 1e-9 logp grid, ties -> smallest last
+    piece = row_number ORDER BY score DESC, j), char-floored M-steps,
+    final prune + renormalize. final='vocab' -> (piece, n, logp_e9);
+    final='tokens' -> per-doc (doc_id, n_words, n_tokens)."""
+
+    def logp_cte(name, src):
+        return (f"{name} AS (SELECT piece, CAST(floor(ln(CAST(c AS DOUBLE)"
+                f"/(SELECT CAST(sum(c) AS DOUBLE) FROM {src}))*1e9+0.5) AS BIGINT) AS lp FROM {src})")
+
+    parts = [
+        "wr AS (SELECT unnest(string_split(text,' ')) AS word FROM documents)",
+        "w AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM wr WHERE word <> '' GROUP BY word)",
+        f"pos AS (SELECT generate_series AS i FROM generate_series(1, {P}))",
+        f"lns AS (SELECT generate_series AS j FROM generate_series(1, {L}))",
+        """sub AS (SELECT substr(w.word, pos.i, lns.j) AS piece, CAST(sum(w.n) AS BIGINT) AS c
+  FROM w, pos, lns WHERE pos.i + lns.j - 1 <= length(w.word) GROUP BY 1)""",
+        "chars AS (SELECT DISTINCT substr(word, pos.i, 1) AS piece FROM w, pos WHERE pos.i <= length(word))",
+        f"seedrank AS (SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece) AS rn FROM sub)",
+        f"""c0 AS (SELECT piece, c FROM seedrank WHERE rn <= {S}
+  UNION SELECT s.piece, s.c FROM seedrank s JOIN chars ch ON ch.piece = s.piece)""",
+        logp_cte("v0", "c0"),
+    ]
+
+    def em_round(t, vocab, out_counts):
+        ps = [f"dp{t}_0 AS (SELECT word, CAST(0 AS BIGINT) AS score, 0 AS j FROM w)"]
+        for p in range(1, P + 1):
+            branches = []
+            for j in range(1, min(L, p) + 1):
+                branches.append(
+                    f"SELECT d.word, d.score + v.lp AS score, {j} AS j "
+                    f"FROM dp{t}_{p-j} d JOIN {vocab} v ON v.piece = substr(d.word, {p-j+1}, {j}) "
+                    f"WHERE length(d.word) >= {p}"
+                )
+            ps.append(
+                f"""dp{t}_{p} AS (SELECT word, score, j FROM (
+  SELECT word, score, j, row_number() OVER (PARTITION BY word ORDER BY score DESC, j) AS rn
+  FROM ({chr(10).join('  UNION ALL '.join(branches).splitlines())})) WHERE rn = 1)"""
+            )
+        ps.append(
+            f"dpall{t} AS ({' UNION ALL '.join(f'SELECT {p} AS p, word, score, j FROM dp{t}_{p}' for p in range(1, P + 1))})"
+        )
+        ps.append(f"bt{t}_0 AS (SELECT word, length(word) AS pos FROM w)")
+        for k in range(1, P + 1):
+            ps.append(
+                f"""bt{t}_{k} AS (SELECT b.word, b.pos - d.j AS pos,
+  substr(b.word, b.pos - d.j + 1, d.j) AS piece
+  FROM bt{t}_{k-1} b JOIN dpall{t} d ON d.word = b.word AND d.p = b.pos
+  WHERE b.pos > 0)"""
+            )
+        ps.append(
+            f"segs{t} AS ({' UNION ALL '.join(f'SELECT word, piece FROM bt{t}_{k}' for k in range(1, P + 1))})"
+        )
+        ps.append(
+            f"cnt{t} AS (SELECT s.piece, CAST(sum(w.n) AS BIGINT) AS c FROM segs{t} s JOIN w USING (word) GROUP BY s.piece)"
+        )
+        ps.append(
+            f"""{out_counts} AS (SELECT piece, c FROM cnt{t} WHERE c > 0
+  UNION ALL SELECT ch.piece, CAST(1 AS BIGINT) FROM chars ch
+  WHERE NOT EXISTS (SELECT 1 FROM cnt{t} c2 WHERE c2.piece = ch.piece AND c2.c > 0))"""
+        )
+        return ps
+
+    for t in range(T):
+        parts += em_round(t, f"v{t}", f"c{t+1}")
+        if t + 1 < T:
+            parts.append(logp_cte(f"v{t+1}", f"c{t+1}"))
+
+    parts.append(
+        f"prune AS (SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece) AS rn FROM c{T})"
+    )
+    parts.append(
+        f"""fin AS (SELECT piece, c FROM prune WHERE rn <= {V}
+  UNION SELECT p.piece, p.c FROM prune p JOIN chars ch ON ch.piece = p.piece)"""
+    )
+    parts.append(logp_cte("vf", "fin"))
+
+    if final == "vocab":
+        tail = """
+SELECT f.piece, f.c AS n, v.lp AS logp_e9
+FROM fin f JOIN vf v USING (piece)"""
+    else:
+        parts += em_round(T, "vf", "cEnc_unused")
+        parts.append(
+            f"npw AS (SELECT word, CAST(count(*) AS BIGINT) AS np FROM segs{T} GROUP BY word)"
+        )
+        parts.append(
+            "dw AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents)"
+        )
+        parts.append(
+            "docw AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_words FROM documents)"
+        )
+        tail = """
+SELECT d.doc_id, d.n_words, CAST(coalesce(s.tok, 0) AS BIGINT) AS n_tokens
+FROM docw d LEFT JOIN (
+  SELECT dw.doc_id, sum(npw.np) AS tok FROM dw JOIN npw USING (word) GROUP BY dw.doc_id
+) s USING (doc_id)"""
+    return (
+        "WITH "
+        + ",\n".join(p.replace(" AS (", " AS MATERIALIZED (", 1) for p in parts)
+        + tail
+    )
+
+
+def _q_unigram_vocab(sf_dir: str):
+    """Unigram-LM tokenizer training (Kudo 2018 / SentencePiece,
+    deterministic Viterbi hard-EM; stages/unigram.py): substring
+    seeding over the word vocabulary, 3 EM rounds with exact integer
+    DP scores on the 1e-9 logp grid, char-floored M-steps, prune +
+    renormalize. The corpus is read once; EM is vocab-sized."""
+    from xlink_ray.stages.unigram import unigram_train
+
+    return unigram_train(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
+def _q_unigram_tokens(sf_dir: str):
+    """Per-doc Viterbi token counts under the trained unigram
+    vocabulary (stages/unigram.py:unigram_encode_counts — one corpus
+    pass, per-batch distinct-word memoization)."""
+    from xlink_ray.stages.unigram import unigram_encode_counts, unigram_train
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    return unigram_encode_counts(docs, unigram_train(docs))
+
+
 def _q_part_soundex(sf_dir: str):
     """Phonetic blocking keys: simplified Soundex per part name
     (functions/text.py soundex — amortized over unique values)."""
@@ -4371,6 +4499,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_fuzzy_pairs": _q_part_fuzzy_pairs,
         "part_monge_pairs": _q_part_monge_pairs,
         "part_tfidf_pairs": _q_part_tfidf_pairs,
+        "unigram_vocab": _q_unigram_vocab,
+        "unigram_tokens": _q_unigram_tokens,
         "part_codes": _q_part_codes,
         "part_soundex": _q_part_soundex,
         "embedding_znorm": _q_embedding_znorm,
@@ -6189,6 +6319,8 @@ SELECT vec_id, sqrt(sum(zv * zv)) AS znorm FROM z GROUP BY vec_id""",
         "part_codes": """SELECT p_partkey,
        CAST(dense_rank() OVER (ORDER BY p_name) - 1 AS BIGINT) AS p_name_code
 FROM part""",
+        "unigram_vocab": _unigram_sql("vocab"),
+        "unigram_tokens": _unigram_sql("tokens"),
         "part_tfidf_pairs": """
 WITH p AS (SELECT p_partkey AS id, p_name AS nm, p_brand FROM part),
 tok AS (SELECT DISTINCT id, unnest(string_split(nm,' ')) AS t FROM p),
