@@ -1418,11 +1418,22 @@ FROM fin f JOIN vf v USING (piece)"""
         parts.append(
             "docw AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_words FROM documents)"
         )
-        tail = """
-SELECT d.doc_id, d.n_words, CAST(coalesce(s.tok, 0) AS BIGINT) AS n_tokens
-FROM docw d LEFT JOIN (
-  SELECT dw.doc_id, sum(npw.np) AS tok FROM dw JOIN npw USING (word) GROUP BY dw.doc_id
-) s USING (doc_id)"""
+        parts.append(
+            """tok AS (SELECT dw.doc_id, CAST(sum(npw.np) AS BIGINT) AS tokc
+  FROM dw JOIN npw USING (word) GROUP BY dw.doc_id)"""
+        )
+        if final == "fertility":
+            tail = """
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(len(string_split(d.text,' '))) AS BIGINT) AS n_words,
+  CAST(sum(coalesce(t.tokc, 0)) AS BIGINT) AS n_tokens,
+  CAST(sum(length(d.text)) AS BIGINT) AS n_chars,
+  CAST(1000*sum(coalesce(t.tokc, 0)) // sum(length(d.text)) AS BIGINT) AS tokens_per_1k_chars
+FROM documents d LEFT JOIN tok t USING (doc_id) GROUP BY d.lang"""
+        else:
+            tail = """
+SELECT d.doc_id, d.n_words, CAST(coalesce(t.tokc, 0) AS BIGINT) AS n_tokens
+FROM docw d LEFT JOIN tok t USING (doc_id)"""
     return (
         "WITH "
         + ",\n".join(p.replace(" AS (", " AS MATERIALIZED (", 1) for p in parts)
@@ -1449,6 +1460,19 @@ def _q_unigram_tokens(sf_dir: str):
 
     docs = _docs(sf_dir).select_columns(["doc_id", "text"])
     return unigram_encode_counts(docs, unigram_train(docs))
+
+
+def _q_unigram_fertility(sf_dir: str):
+    """Unigram-tokenizer fertility per language
+    (stages/unigram.py:unigram_fertility_by_lang): the encode pass
+    carries lang/chars, ≤nlangs-row rollup, exact integer fertility."""
+    from xlink_ray.stages.unigram import unigram_fertility_by_lang, unigram_train
+
+    docs = _docs(sf_dir)
+    return unigram_fertility_by_lang(
+        docs.select_columns(["doc_id", "text", "lang"]),
+        unigram_train(docs.select_columns(["doc_id", "text"])),
+    )
 
 
 def _q_part_soundex(sf_dir: str):
@@ -4501,6 +4525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_tfidf_pairs": _q_part_tfidf_pairs,
         "unigram_vocab": _q_unigram_vocab,
         "unigram_tokens": _q_unigram_tokens,
+        "unigram_fertility": _q_unigram_fertility,
         "part_codes": _q_part_codes,
         "part_soundex": _q_part_soundex,
         "embedding_znorm": _q_embedding_znorm,
@@ -6321,6 +6346,7 @@ SELECT vec_id, sqrt(sum(zv * zv)) AS znorm FROM z GROUP BY vec_id""",
 FROM part""",
         "unigram_vocab": _unigram_sql("vocab"),
         "unigram_tokens": _unigram_sql("tokens"),
+        "unigram_fertility": _unigram_sql("fertility"),
         "part_tfidf_pairs": """
 WITH p AS (SELECT p_partkey AS id, p_name AS nm, p_brand FROM part),
 tok AS (SELECT DISTINCT id, unnest(string_split(nm,' ')) AS t FROM p),

@@ -67,3 +67,19 @@ def test_encode_counts_consistent(ray_session):
     # tokens >= words (a word is >= 1 piece), and strictly more overall
     assert (enc["n_tokens"] >= enc["n_words"]).all()
     assert enc["n_tokens"].sum() > enc["n_words"].sum()
+
+
+def test_fertility_rollup_consistent(ray_session):
+    from xlink_ray.stages.unigram import unigram_fertility_by_lang
+
+    docs = read_pq(f"{SF_SMALL}/documents.parquet", columns=["doc_id", "text", "lang"])
+    vocab = unigram_train(docs.select_columns(["doc_id", "text"]))
+    fert = unigram_fertility_by_lang(docs, vocab).to_pandas()
+    enc = unigram_encode_counts(
+        docs.select_columns(["doc_id", "text"]), vocab
+    ).to_pandas()
+    assert fert["n_docs"].sum() == 500
+    assert fert["n_tokens"].sum() == enc["n_tokens"].sum()
+    assert (
+        fert["tokens_per_1k_chars"] == 1000 * fert["n_tokens"] // fert["n_chars"]
+    ).all()

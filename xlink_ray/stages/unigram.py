@@ -35,6 +35,7 @@ __all__ = [
     "unigram_encode_counts",
     "ref_unigram_train",
     "viterbi_pieces",
+    "unigram_fertility_by_lang",
 ]
 
 _NEG = -(10**15)
@@ -273,3 +274,72 @@ def ref_unigram_train(
         (p, c, logp[p])
         for p, c in sorted(final.items(), key=lambda kv: (-kv[1], kv[0]))
     ]
+
+
+def unigram_fertility_by_lang(
+    docs: Dataset,
+    pieces: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    max_piece_len: int = 4,
+) -> Dataset:
+    """Unigram-tokenizer fertility per language (the mixture-planning
+    metric, mirroring ``bpe_fertility_by_lang``): the encode pass
+    carries lang/char counts through, per-batch partial rollup, one
+    ≤nlangs-row ``groupby(lang)``. Fertility = EXACT integer division
+    (1000·tokens // chars)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    logp = dict(zip(pieces["piece"].to_pylist(),
+                    (int(x) for x in pieces["logp_e9"].to_pylist())))
+    ref = ray.put(logp)
+
+    def partial(t: pa.Table) -> pa.Table:
+        from xlink_ray.state.cached import cached_state
+
+        lp = cached_state(("uni_fert", ref.hex()), lambda: ray.get(ref))
+        toks = pc.split_pattern(t[text_col], " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = np.asarray(pc.list_flatten(toks).to_pandas(), dtype=object)
+        uniq, inv = np.unique(flat, return_inverse=True)
+        np_u = np.array(
+            [len(viterbi_pieces(w, lp, max_piece_len)) if w else 0 for w in uniq],
+            dtype=np.int64,
+        )
+        seg = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        n_tokens = np.zeros(t.num_rows, dtype=np.int64)
+        np.add.at(n_tokens, seg, np_u[inv])
+        per_doc = pa.table(
+            {
+                "lang": t[lang_col],
+                "n_docs": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "n_words": pa.array(lens.astype(np.int64)),
+                "n_tokens": pa.array(n_tokens),
+                "n_chars": pc.cast(pc.utf8_length(t[text_col]), pa.int64()),
+            }
+        )
+        return per_doc.group_by("lang").aggregate(
+            [("n_docs", "sum"), ("n_words", "sum"), ("n_tokens", "sum"), ("n_chars", "sum")]
+        ).rename_columns(["lang", "n_docs", "n_words", "n_tokens", "n_chars"])
+
+    def fert(t: pa.Table) -> pa.Table:
+        tok = t["n_tokens"].to_numpy(zero_copy_only=False)
+        ch = t["n_chars"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "tokens_per_1k_chars", pa.array(1000 * tok // ch, pa.int64())
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_words", alias_name="n_words"),
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("n_chars", alias_name="n_chars"),
+        )
+        .map_batches(fert, batch_format="pyarrow")
+    )
