@@ -419,50 +419,72 @@ def monge_elkan_jw_bp(
     For each pair: every a-token's best JW against the b-tokens is
     quantized half-up to basis points (integer — directional sums stay
     exact at any token count), likewise b→a, and the score is the
-    half-up-rounded mean of the two directional means. One flat
-    ``jaro_winkler_pairs`` call scores the whole chunk's token grids;
-    both directional maxes are segment reductions over that single
-    evaluation, so per-pair cost is numpy kernels only.
-    """
+    half-up-rounded mean of the two directional means.
+
+    Vectorized end-to-end: names split once per DISTINCT name, tokens
+    integer-coded against the chunk vocabulary, the (a-token × b-token)
+    cell grid built by repeat/arange arithmetic (no per-pair python),
+    and the JW kernel invoked once per DISTINCT token pair present —
+    grids over repetitive vocabularies (the common case for product /
+    entity names) cost integer gathers, not string DPs."""
     n = len(a)
     if n == 0:
         return np.zeros(0, dtype=np.int64)
-    toks_a = [s.split(" ") for s in a]
-    toks_b = [s.split(" ") for s in b]
-    na = np.array([len(t) for t in toks_a], dtype=np.int64)
-    nb = np.array([len(t) for t in toks_b], dtype=np.int64)
-    flat_a = np.array([t for ts in toks_a for t in ts], dtype=object)
-    flat_b = np.array([t for ts in toks_b for t in ts], dtype=object)
-    a_off = np.concatenate([[0], np.cumsum(na)])
-    b_off = np.concatenate([[0], np.cumsum(nb)])
+    a = np.asarray(a, dtype=object)
+    b = np.asarray(b, dtype=object)
 
-    # token-grid expansion: pair k contributes na_k × nb_k rows in
-    # row-major (a-token major) order
-    big_a = np.repeat(flat_a, np.repeat(nb, na))
-    ga = np.repeat(np.arange(len(flat_a)), np.repeat(nb, na))  # global a-token id
-    # b-token global ids: per pair, tile (b_off[k] .. b_off[k+1]) na_k times
-    gb = np.concatenate(
-        [np.tile(np.arange(b_off[k], b_off[k + 1]), na[k]) for k in range(n)]
-    ) if n else np.zeros(0, dtype=np.int64)
-    big_b = flat_b[gb] if len(gb) else np.array([], dtype=object)
+    # split once per distinct name per side
+    una, ia = np.unique(a, return_inverse=True)
+    unb, ib = np.unique(b, return_inverse=True)
+    toks_ua = [s.split(" ") for s in una]
+    toks_ub = [s.split(" ") for s in unb]
+    na_u = np.array([len(t) for t in toks_ua], dtype=np.int64)
+    nb_u = np.array([len(t) for t in toks_ub], dtype=np.int64)
+    flat_ua = [t for ts in toks_ua for t in ts]
+    flat_ub = [t for ts in toks_ub for t in ts]
+    aoff_u = np.concatenate(([0], np.cumsum(na_u)))
+    boff_u = np.concatenate(([0], np.cumsum(nb_u)))
 
-    jw = jaro_winkler_pairs(big_a, big_b)
+    # integer-code tokens against the chunk vocabulary
+    vocab, tok_ids = np.unique(
+        np.array(flat_ua + flat_ub, dtype=object), return_inverse=True
+    )
+    v = len(vocab)
+    tid_a = tok_ids[: len(flat_ua)]
+    tid_b = tok_ids[len(flat_ua) :]
 
-    # direction a→b: contiguous runs of nb per a-token → reduceat
-    best_a = np.zeros(len(flat_a), dtype=np.float64)
-    starts = np.nonzero(np.diff(ga, prepend=-1))[0]
-    if len(starts):
-        red = np.maximum.reduceat(jw, starts)
-        best_a[ga[starts]] = red
-    # direction b→a: strided → scatter-max
-    best_b = np.zeros(len(flat_b), dtype=np.float64)
-    np.maximum.at(best_b, gb, jw)
+    na = na_u[ia]
+    nb = nb_u[ib]
 
+    # cell grid: pair k contributes na_k × nb_k cells in (a-major) order
+    cells = na * nb
+    tot = int(cells.sum())
+    pair_of = np.repeat(np.arange(n, dtype=np.int64), cells)
+    cell_start = np.concatenate(([0], np.cumsum(cells)[:-1]))
+    local = np.arange(tot, dtype=np.int64) - cell_start[pair_of]
+    nb_c = nb[pair_of]
+    a_local = local // nb_c
+    b_local = local - a_local * nb_c
+    ta = tid_a[aoff_u[ia][pair_of] + a_local]
+    tb = tid_b[boff_u[ib][pair_of] + b_local]
+
+    # JW once per distinct (token_a, token_b) pair present
+    key = ta * v + tb
+    ukey, kinv = np.unique(key, return_inverse=True)
+    jw = jaro_winkler_pairs(vocab[ukey // v], vocab[ukey % v])[kinv]
+
+    # direction a→b: cells of one a-token are contiguous (b_local runs)
+    best_a_starts = np.nonzero(b_local == 0)[0]
+    best_a = np.maximum.reduceat(jw, best_a_starts) if tot else np.zeros(0)
     qa = np.floor(best_a * 10000.0 + 0.5).astype(np.int64)
+    # direction b→a: scatter-max onto per-pair b-token slots
+    pair_b_start = np.concatenate(([0], np.cumsum(nb)[:-1]))
+    best_b = np.zeros(int(nb.sum()), dtype=np.float64)
+    np.maximum.at(best_b, pair_b_start[pair_of] + b_local, jw)
     qb = np.floor(best_b * 10000.0 + 0.5).astype(np.int64)
-    pair_of_a = np.repeat(np.arange(n), na)
-    pair_of_b = np.repeat(np.arange(n), nb)
-    sa = np.bincount(pair_of_a, weights=qa, minlength=n)
-    sb = np.bincount(pair_of_b, weights=qb, minlength=n)
+
+    pair_a_start = np.concatenate(([0], np.cumsum(na)[:-1]))
+    sa = np.add.reduceat(qa, pair_a_start)
+    sb = np.add.reduceat(qb, pair_b_start)
     score = (sa / na + sb / nb) / 2.0
     return np.floor(score + 0.5).astype(np.int64)
