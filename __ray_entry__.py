@@ -3953,6 +3953,42 @@ def _q_purchase_distances(sf_dir: str):
     return purchase_distances(sf_dir)
 
 
+def _q_purchase_sssp(sf_dir: str):
+    """Weighted SSSP (Bellman-Ford min-plus waves on the bucket
+    harness; stages/graph.py:sssp_distances): cheapest purchase-path
+    cost in integer cents from the smallest customer, edge weight =
+    the cheapest lineitem price connecting the pair. Fixed 16 relax
+    waves — early convergence equals the same fixed-round replica."""
+    from xlink_ray.stages.graph import purchase_sssp
+
+    return purchase_sssp(sf_dir)
+
+
+def _sssp_sql(rounds: int = 16) -> str:
+    parts = [
+        """eds AS (SELECT 2*o.o_custkey AS src, 2*l.l_suppkey+1 AS dst,
+  CAST(floor(l.l_extendedprice*100 + 0.5) AS BIGINT) AS w
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)""",
+        "sym AS (SELECT src, dst, w FROM eds UNION ALL SELECT dst, src, w FROM eds)",
+        "edges AS (SELECT src, dst, min(w) AS w FROM sym GROUP BY src, dst)",
+        "seed AS (SELECT 2*min(o_custkey) AS node FROM orders)",
+        "d0 AS (SELECT node, CAST(0 AS BIGINT) AS c FROM seed)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""d{i} AS (SELECT node, min(c) AS c FROM (
+  SELECT node, c FROM d{i - 1}
+  UNION ALL
+  SELECT e.dst AS node, d.c + e.w AS c FROM d{i - 1} d JOIN edges e ON e.src = d.node
+) GROUP BY node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(p.replace(" AS (", " AS MATERIALIZED (", 1) for p in parts)
+        + f"\nSELECT node, CAST(c AS BIGINT) AS cost FROM d{rounds}"
+    )
+
+
 def _q_weighted_pagerank(sf_dir: str):
     """Weighted fixed-point PageRank over the symmetrized co-supply
     graph (stages/graph.py pagerank_weighted): contribution =
@@ -4496,6 +4532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosupply_edges": _q_cosupply_edges,
         "weighted_pagerank": _q_weighted_pagerank,
         "purchase_distances": _q_purchase_distances,
+        "purchase_sssp": _q_purchase_sssp,
         "purchase_kcore": _q_purchase_kcore,
         "purchase_hits": _q_purchase_hits,
         "dup_ngrams": _q_dup_ngrams,
@@ -5980,6 +6017,7 @@ FROM reach GROUP BY u""",
         # BFS distances (stages/graph.py bfs_distances): bounded
         # recursive closure + MIN(dist) per reached node; the bound
         # (dist < 64) mirrors the Ray side's max_rounds.
+        "purchase_sssp": _sssp_sql(),
         "purchase_distances": """
 WITH RECURSIVE eds AS (
   SELECT DISTINCT 2*o.o_custkey AS src, 2*l.l_suppkey+1 AS dst

@@ -651,3 +651,75 @@ def test_hits_fixed_matches_python(ray_session):
         for r in hits_fixed(ds, iters=3, nbuckets=1).take_all()
     }
     assert got2 == got
+
+
+def test_sssp_matches_dijkstra_reference(ray_session):
+    """sssp_distances == a driver Dijkstra on a hand-built weighted
+    graph (including a parallel-edge min and a cheaper 2-hop path)."""
+    import heapq
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xlink_ray.stages.graph import sssp_distances
+
+    rows = [
+        (0, 1, 10), (0, 1, 4),        # parallel edges -> min 4
+        (0, 2, 100), (1, 2, 5),       # 0->1->2 (9) beats 0->2 (100)
+        (2, 3, 1), (4, 5, 7),         # 4,5 unreachable from 0
+        (3, 0, 2),                    # cycle back
+    ]
+    t = pa.table(
+        {
+            "src": pa.array([r[0] for r in rows], pa.int64()),
+            "dst": pa.array([r[1] for r in rows], pa.int64()),
+            "w": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    got = (
+        sssp_distances(rd.from_arrow(t), seeds=[0], nbuckets=4)
+        .to_pandas()
+        .set_index("node")["cost"]
+        .to_dict()
+    )
+
+    adj = {}
+    for s, d, w in rows:
+        adj.setdefault(s, []).append((d, w))
+    dist = {0: 0}
+    pq = [(0, 0)]
+    while pq:
+        c, u = heapq.heappop(pq)
+        if c > dist.get(u, 1 << 60):
+            continue
+        for v, w in adj.get(u, []):
+            nc = c + w
+            if nc < dist.get(v, 1 << 60):
+                dist[v] = nc
+                heapq.heappush(pq, (nc, v))
+    assert got == dist
+    assert 4 not in got and 5 not in got
+
+
+def test_sssp_fixed_rounds_partial(ray_session):
+    """With max_rounds=1 the result equals exactly one relax wave —
+    the fixed-round contract the SQL replica relies on."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xlink_ray.stages.graph import sssp_distances
+
+    t = pa.table(
+        {
+            "src": pa.array([0, 1], pa.int64()),
+            "dst": pa.array([1, 2], pa.int64()),
+            "w": pa.array([3, 4], pa.int64()),
+        }
+    )
+    got = (
+        sssp_distances(rd.from_arrow(t), seeds=[0], nbuckets=2, max_rounds=1)
+        .to_pandas()
+        .set_index("node")["cost"]
+        .to_dict()
+    )
+    assert got == {0: 0, 1: 3}  # node 2 needs a second wave

@@ -102,6 +102,8 @@ __all__ = [
     "purchase_graph_edges",
     "purchase_pagerank",
     "purchase_communities",
+    "sssp_distances",
+    "purchase_sssp",
 ]
 
 
@@ -1659,3 +1661,224 @@ def purchase_hits(sf_dir: str, iters: int = 3) -> Dataset:
     return hits_fixed(
         edges.map_batches(directed, batch_format="pyarrow"), iters=iters
     )
+
+
+# ------------------------------------------------------- weighted SSSP
+
+@ray.remote
+def _build_bucket_minw(nbuckets: int, *pieces) -> list:
+    """One src bucket of weighted edges → [state, dst sets × nbuckets]
+    for min-plus relaxation: duplicate (src, dst) weights take the MIN
+    (parallel edges can't both be on a shortest path)."""
+    pieces = _flatten_pieces(pieces)
+    if pieces:
+        s = np.concatenate([p[0] for p in pieces])
+        d = np.concatenate([p[1] for p in pieces])
+        w = np.concatenate([p[2] for p in pieces])
+    else:
+        s = d = w = _EMPTY_I64
+    order = np.lexsort((d, s))
+    s, d, w = s[order], d[order], w[order]
+    if len(s):
+        first = np.flatnonzero(np.r_[True, (s[1:] != s[:-1]) | (d[1:] != d[:-1])])
+        wmin = np.minimum.reduceat(w, first)
+        s, d, w = s[first], d[first], wmin
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        src_nodes = s[starts]
+    else:
+        src_nodes = _EMPTY_I64
+    db = d % nbuckets if len(d) else _EMPTY_I64
+    perm = np.argsort(db, kind="stable")
+    bounds = np.searchsorted(db[perm], np.arange(nbuckets + 1))
+    state = {
+        "src": s,
+        "w": w,
+        "dst_perm": d[perm],
+        "perm": perm,
+        "bounds": bounds,
+        "src_nodes": src_nodes,
+    }
+    dst_sets = [np.unique(state["dst_perm"][bounds[k] : bounds[k + 1]]) for k in range(nbuckets)]
+    return [state] + dst_sets
+
+
+@ray.remote
+def _sssp_map(state: dict, nodes: np.ndarray, dist: np.ndarray, nbuckets: int) -> list:
+    """Ship dist[src] + w along every edge whose src is reached."""
+    src = state["src"]
+    if len(src) == 0:
+        return [(_EMPTY_I64, _EMPTY_I64)] * nbuckets
+    d = dist[np.searchsorted(nodes, src)]
+    live = d < _INF64
+    cand = np.where(live, d + state["w"], _INF64)
+    perm = state["perm"]
+    livep = live[perm]
+    cp = cand[perm]
+    bounds, dsts = state["bounds"], state["dst_perm"]
+    out = []
+    for k in range(nbuckets):
+        sl = slice(bounds[k], bounds[k + 1])
+        m = livep[sl]
+        out.append((dsts[sl][m], cp[sl][m]))
+    return out
+
+
+def sssp_distances(
+    edges: Dataset,
+    seeds: "list[int]",
+    nbuckets: int = 32,
+    max_rounds: int = 16,
+) -> Dataset:
+    """Weighted single-source shortest paths over directed
+    (src:int64, dst:int64, w:int64) edges → (node, cost) for every
+    REACHED node — Bellman-Ford as min-plus relax waves on the raw-task
+    bucket harness (the weighted sibling of :func:`bfs_distances`).
+
+    Each round ships dist+w along edges out of reached nodes and takes
+    per-node minima (`_cc_relax_reduce`); ~4·nbuckets tiny int64-array
+    tasks per round, one changed-count per bucket to the driver.
+    Parallel (src, dst) edges min-collapse at build. The result after
+    early convergence equals exactly ``max_rounds`` relax waves, so a
+    fixed-round SQL replica matches whether or not the fixpoint was
+    reached — negative weights are the caller's responsibility."""
+    nb = nbuckets
+    blocks = edges.to_arrow_refs()
+    if not blocks:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "cost": pa.array([], pa.int64())})
+        )
+    split = [_split_block_w.options(num_returns=nb).remote(blk, nb) for blk in blocks]
+    if nb == 1:
+        split = [[s] for s in split]
+    built = [
+        _build_bucket_minw.options(num_returns=nb + 1).remote(
+            nb, *[split[i][k] for i in range(len(split))]
+        )
+        for k in range(nb)
+    ]
+    states = [b[0] for b in built]
+    nodes = [
+        _node_union.remote(
+            _src_nodes_task.remote(states[k]), *[built[j][1 + k] for j in range(nb)]
+        )
+        for k in range(nb)
+    ]
+    seed_arr = np.asarray(sorted(set(int(s) for s in seeds)), dtype=np.int64)
+    dist = [_bfs_init.remote(nodes[k], seed_arr) for k in range(nb)]
+
+    for _ in range(max_rounds):
+        pieces = [
+            _sssp_map.options(num_returns=nb).remote(states[k], nodes[k], dist[k], nb)
+            for k in range(nb)
+        ]
+        if nb == 1:
+            pieces = [[p] for p in pieces]
+        relaxed = [
+            _cc_relax_reduce.remote(nodes[k], dist[k], *[pieces[j][k] for j in range(nb)])
+            for k in range(nb)
+        ]
+        dist = [r[0] for r in relaxed]
+        if sum(ray.get([r[1] for r in relaxed])) == 0:
+            break
+
+    @ray.remote
+    def reached_table(nodes_k: np.ndarray, dist_k: np.ndarray) -> pa.Table:
+        m = dist_k < _INF64
+        return pa.table(
+            {
+                "node": pa.array(nodes_k[m], pa.int64()),
+                "cost": pa.array(dist_k[m], pa.int64()),
+            }
+        )
+
+    tbls = ray.get([reached_table.remote(nodes[k], dist[k]) for k in range(nb)])
+    return rd.from_arrow(pa.concat_tables(tbls))
+
+
+def purchase_sssp(sf_dir: str, max_rounds: int = 16) -> Dataset:
+    """Cheapest purchase-path costs (integer cents) from the smallest
+    customer over the symmetric customer–supplier graph, edge weight =
+    the cheapest lineitem price connecting the pair."""
+    import pyarrow.compute as pc
+
+    orders = read_pq(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    items = read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice"],
+    )
+
+    def order_side(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t["o_orderkey"],
+                "other": t["o_custkey"],
+                "w": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def item_side(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "key": t["l_orderkey"],
+                "other": t["l_suppkey"],
+                "w": pa.array(cents),
+                "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    tagged = orders.map_batches(order_side, batch_format="pyarrow").union(
+        items.map_batches(item_side, batch_format="pyarrow")
+    )
+
+    empty = pa.table(
+        {
+            "src": pa.array([], pa.int64()),
+            "dst": pa.array([], pa.int64()),
+            "w": pa.array([], pa.int64()),
+        }
+    )
+
+    def attach_bucket(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        key = g["key"].to_numpy(zero_copy_only=False)
+        other = g["other"].to_numpy(zero_copy_only=False)
+        w = g["w"].to_numpy(zero_copy_only=False)
+        holders = np.flatnonzero(side == 1)
+        members = np.flatnonzero(side == 0)
+        if len(holders) == 0 or len(members) == 0:
+            return empty
+        hk = key[holders]
+        horder = np.argsort(hk, kind="stable")
+        hk = hk[horder]
+        hcust = other[holders][horder]
+        mk = key[members]
+        idx = np.searchsorted(hk, mk)
+        idx[idx == len(hk)] = 0
+        ok = hk[idx] == mk
+        cust = hcust[idx[ok]]
+        supp = other[members][ok]
+        cents = w[members][ok]
+        src = 2 * cust
+        dst = 2 * supp + 1
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([src, dst])),
+                "dst": pa.array(np.concatenate([dst, src])),
+                "w": pa.array(np.concatenate([cents, cents])),
+            }
+        )
+
+    from xlink_ray.stages._bucket import bucket_shuffle
+
+    edges = bucket_shuffle(tagged, "key", 32, attach_bucket).map_batches(
+        lambda t: t.drop_columns(["__b"]) if "__b" in t.column_names else t,
+        batch_format="pyarrow",
+    )
+    seed = 2 * int(
+        read_pq(f"{sf_dir}/orders.parquet", columns=["o_custkey"]).min("o_custkey")
+    )
+    return sssp_distances(edges, seeds=[seed], max_rounds=max_rounds)
