@@ -3953,6 +3953,37 @@ def _q_purchase_distances(sf_dir: str):
     return purchase_distances(sf_dir)
 
 
+def _q_scd2_events(sf_dir: str):
+    """Type-2 SCD history of each user's event_type attribute
+    (stages/scd.py:scd2_intervals): consecutive equal values collapse
+    to validity intervals — the gaps-and-islands collapse in one
+    key-bucket shuffle + numpy run kernels."""
+    from xlink_ray.stages.scd import scd2_intervals
+
+    return scd2_intervals(
+        read_pq(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_id", "event_type"],
+        )
+    )
+
+
+def _q_signup_funnel(sf_dir: str):
+    """Open-window ordered funnel signup → click → purchase per user
+    (stages/scd.py:funnel_steps): step i = earliest matching event
+    strictly after step i-1; one key-bucket shuffle, vectorized
+    per-step searchsorted passes."""
+    from xlink_ray.stages.scd import funnel_steps
+
+    return funnel_steps(
+        read_pq(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_id", "event_type"],
+        ),
+        steps=["signup", "click", "purchase"],
+    )
+
+
 def _q_purchase_sssp(sf_dir: str):
     """Weighted SSSP (Bellman-Ford min-plus waves on the bucket
     harness; stages/graph.py:sssp_distances): cheapest purchase-path
@@ -4533,6 +4564,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_pagerank": _q_weighted_pagerank,
         "purchase_distances": _q_purchase_distances,
         "purchase_sssp": _q_purchase_sssp,
+        "scd2_events": _q_scd2_events,
+        "signup_funnel": _q_signup_funnel,
         "purchase_kcore": _q_purchase_kcore,
         "purchase_hits": _q_purchase_hits,
         "dup_ngrams": _q_dup_ngrams,
@@ -6018,6 +6051,40 @@ FROM reach GROUP BY u""",
         # recursive closure + MIN(dist) per reached node; the bound
         # (dist < 64) mirrors the Ray side's max_rounds.
         "purchase_sssp": _sssp_sql(),
+        "scd2_events": """
+WITH s AS (SELECT user_id, ts, event_id, event_type,
+  CASE WHEN lag(event_type) OVER w IS NULL
+         OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING) AS run FROM s),
+g AS (SELECT user_id, event_type, run, min(ts) AS valid_from,
+      min(event_id) AS mineid, CAST(count(*) AS BIGINT) AS n_events
+      FROM r GROUP BY user_id, event_type, run),
+f AS (SELECT user_id, event_type, valid_from,
+      lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, mineid) AS valid_to,
+      n_events FROM g)
+SELECT user_id, event_type, valid_from,
+  coalesce(valid_to, TIMESTAMP '9999-12-31') AS valid_to, n_events,
+  CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+FROM f""",
+        "signup_funnel": """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+       JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t1
+       WHERE e.event_type = 'click' GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+       JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t2
+       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT u.user_id,
+  CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS n_steps,
+  coalesce(s1.t1, TIMESTAMP '9999-12-31') AS ts_1,
+  coalesce(s2.t2, TIMESTAMP '9999-12-31') AS ts_2,
+  coalesce(s3.t3, TIMESTAMP '9999-12-31') AS ts_3
+FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)""",
         "purchase_distances": """
 WITH RECURSIVE eds AS (
   SELECT DISTINCT 2*o.o_custkey AS src, 2*l.l_suppkey+1 AS dst

@@ -1,0 +1,84 @@
+"""SCD2 intervals + funnel (stages/scd.py): pandas-reference equality
+and edge behavior."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from xlink_ray.stages.scd import HIGH_DATE, funnel_steps, scd2_intervals
+
+
+def _events():
+    rows = [
+        # user 1: A A B A  -> 3 intervals
+        (1, "2024-01-01T00:00", 1, "A"),
+        (1, "2024-01-01T01:00", 2, "A"),
+        (1, "2024-01-01T02:00", 3, "B"),
+        (1, "2024-01-01T03:00", 4, "A"),
+        # user 2: single event
+        (2, "2024-01-01T00:30", 5, "C"),
+        # user 3: tie on ts broken by event_id (B then A)
+        (3, "2024-01-01T00:00", 7, "B"),
+        (3, "2024-01-01T00:00", 8, "A"),
+    ]
+    return pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([np.datetime64(r[1], "us") for r in rows]),
+            "event_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+
+
+def test_scd2_intervals_reference(ray_session):
+    got = (
+        scd2_intervals(rd.from_arrow(_events()))
+        .to_pandas()
+        .sort_values(["user_id", "valid_from"])
+        .reset_index(drop=True)
+    )
+    u1 = got[got.user_id == 1]
+    assert list(u1["event_type"]) == ["A", "B", "A"]
+    assert list(u1["n_events"]) == [2, 1, 1]
+    assert list(u1["is_current"]) == [0, 0, 1]
+    # valid_to chains to the next interval's valid_from
+    assert u1.iloc[0]["valid_to"] == u1.iloc[1]["valid_from"]
+    assert u1.iloc[2]["valid_to"] == pd.Timestamp(HIGH_DATE.item())
+    u2 = got[got.user_id == 2]
+    assert len(u2) == 1 and u2.iloc[0]["is_current"] == 1
+    u3 = got[got.user_id == 3]
+    assert list(u3["event_type"]) == ["B", "A"]  # event_id tie-break
+
+
+def test_funnel_steps_reference(ray_session):
+    rows = [
+        (1, "2024-01-01T00:00", 1, "signup"),
+        (1, "2024-01-01T01:00", 2, "click"),
+        (1, "2024-01-01T02:00", 3, "purchase"),
+        (2, "2024-01-01T00:00", 4, "click"),     # click BEFORE signup
+        (2, "2024-01-01T01:00", 5, "signup"),
+        (2, "2024-01-01T02:00", 6, "purchase"),  # no click after signup
+        (3, "2024-01-01T00:00", 7, "view"),      # never signs up
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([np.datetime64(r[1], "us") for r in rows]),
+            "event_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    got = (
+        funnel_steps(rd.from_arrow(t), steps=["signup", "click", "purchase"])
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert got.loc[1, "n_steps"] == 3
+    assert got.loc[2, "n_steps"] == 1  # strictly-after: early click doesn't count
+    assert got.loc[3, "n_steps"] == 0
+    high = pd.Timestamp(HIGH_DATE.item())
+    assert got.loc[2, "ts_2"] == high and got.loc[3, "ts_1"] == high

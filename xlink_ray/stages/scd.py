@@ -1,0 +1,151 @@
+"""Slowly-changing-dimension maintenance and ordered-sequence analytics
+over an event stream — the warehouse-side operators of a curation
+pipeline (SCD type-2 validity intervals; step-funnel conversion).
+
+Both are ONE key-bucket shuffle + numpy run kernels per bucket (the
+``ordered.py`` pattern): rows of one key meet in their bucket, a single
+lexsort orders them, and run/step detection is vectorized — no per-key
+python, no window state on the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+__all__ = ["scd2_intervals", "funnel_steps"]
+
+# the SCD "high date": open intervals / missed funnel steps carry this
+# sentinel instead of NULL (NaT breaks exact-equality comparisons, and
+# the high-date convention is the standard warehouse encoding)
+HIGH_DATE = np.datetime64("9999-12-31T00:00:00.000000")
+
+
+def scd2_intervals(
+    ds: Dataset,
+    key_col: str = "user_id",
+    order_col: str = "ts",
+    id_col: str = "event_id",
+    attr_col: str = "event_type",
+    nbuckets: int = 64,
+) -> Dataset:
+    """Type-2 SCD history per key: consecutive rows (ordered by
+    ``order_col`` then ``id_col``) with an unchanged ``attr_col``
+    collapse into one validity interval →
+    (key, attr, valid_from, valid_to, n_events, is_current) with
+    ``valid_to`` = the next interval's ``valid_from`` (the 9999-12-31
+    high date on the current row) — the gaps-and-islands collapse,
+    distributed."""
+    from xlink_ray.stages._bucket import bucket_shuffle
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        k = g[key_col].to_numpy(zero_copy_only=False)
+        ts = g[order_col].to_numpy(zero_copy_only=False)
+        eid = g[id_col].to_numpy(zero_copy_only=False)
+        attr = np.asarray(g[attr_col].to_pandas(), dtype=object)
+        o = np.lexsort((eid, ts, k))
+        k, ts, eid, attr = k[o], ts[o], eid[o], attr[o]
+        n = len(k)
+        if n == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], g[key_col].type),
+                    attr_col: pa.array([], pa.string()),
+                    "valid_from": pa.array([], g[order_col].type),
+                    "valid_to": pa.array([], g[order_col].type),
+                    "n_events": pa.array([], pa.int64()),
+                    "is_current": pa.array([], pa.int64()),
+                }
+            )
+        new_key = np.r_[True, k[1:] != k[:-1]]
+        brk = new_key | np.r_[True, attr[1:] != attr[:-1]]
+        starts = np.flatnonzero(brk)
+        counts = np.diff(np.r_[starts, n])
+        ends = starts + counts - 1
+        run_key_last = np.r_[new_key[1:], True][ends]  # run is its key's last
+        valid_from = ts[starts]
+        # next run's valid_from within the same key, else null
+        nxt = np.empty(len(starts), dtype=ts.dtype)
+        nxt[:-1] = valid_from[1:]
+        valid_to = pa.array(np.where(run_key_last, HIGH_DATE, nxt))
+        return pa.table(
+            {
+                key_col: pa.array(k[starts]),
+                attr_col: pa.array(attr[starts], pa.string()),
+                "valid_from": pa.array(valid_from),
+                "valid_to": valid_to,
+                "n_events": pa.array(counts.astype(np.int64)),
+                "is_current": pa.array(run_key_last.astype(np.int64)),
+            }
+        )
+
+    out = bucket_shuffle(ds, key_col, nbuckets, per_bucket)
+    return out.map_batches(
+        lambda t: t.drop_columns(["__b"]) if "__b" in t.column_names else t,
+        batch_format="pyarrow",
+    )
+
+
+def funnel_steps(
+    ds: Dataset,
+    steps: "list[str]",
+    key_col: str = "user_id",
+    order_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    nbuckets: int = 64,
+) -> Dataset:
+    """Ordered-step funnel per key: step i's timestamp is the EARLIEST
+    ``steps[i]`` event strictly after step i-1's timestamp (classic
+    open-window funnel) → (key, n_steps, ts_1..ts_k) with nulls past
+    the reached depth. One key-bucket shuffle; inside the bucket every
+    step is one vectorized pass (sort + per-key searchsorted)."""
+    from xlink_ray.stages._bucket import bucket_shuffle
+
+    k_steps = len(steps)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        k = g[key_col].to_numpy(zero_copy_only=False)
+        ts = g[order_col].to_numpy(zero_copy_only=False)
+        eid = g[id_col].to_numpy(zero_copy_only=False)
+        et = np.asarray(g[type_col].to_pandas(), dtype=object)
+        o = np.lexsort((eid, ts, k))
+        k, ts, eid, et = k[o], ts[o], eid[o], et[o]
+        ukeys = np.unique(k)
+        nat = np.datetime64("NaT")
+        cur = np.full(len(ukeys), np.datetime64("1677-09-22"), dtype=ts.dtype)
+        reached = np.zeros(len(ukeys), dtype=np.int64)
+        cols = []
+        alive = np.ones(len(ukeys), dtype=bool)
+        for si, step in enumerate(steps):
+            m = et == step
+            sk, sts = k[m], ts[m]
+            # earliest step event strictly after cur, per key
+            step_ts = np.full(len(ukeys), nat, dtype=ts.dtype)
+            if len(sk):
+                kidx = np.searchsorted(ukeys, sk)
+                after = sts > cur[kidx]
+                kidx, sts2 = kidx[after], sts[after]
+                if len(kidx):
+                    order2 = np.lexsort((sts2, kidx))
+                    kidx, sts2 = kidx[order2], sts2[order2]
+                    first = np.r_[True, kidx[1:] != kidx[:-1]]
+                    step_ts[kidx[first]] = sts2[first]
+            hit = alive & ~np.isnat(step_ts)
+            step_ts[~hit] = nat
+            reached[hit] += 1
+            cur = np.where(hit, step_ts, cur)
+            alive = hit
+            cols.append(np.where(np.isnat(step_ts), HIGH_DATE, step_ts))
+        out = {key_col: pa.array(ukeys), "n_steps": pa.array(reached)}
+        for si in range(k_steps):
+            out[f"ts_{si + 1}"] = pa.array(cols[si])
+        return pa.table(out)
+
+    out = bucket_shuffle(ds, key_col, nbuckets, per_bucket)
+    return out.map_batches(
+        lambda t: t.drop_columns(["__b"]) if "__b" in t.column_names else t,
+        batch_format="pyarrow",
+    )
