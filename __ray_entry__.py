@@ -3984,6 +3984,17 @@ def _q_signup_funnel(sf_dir: str):
     )
 
 
+def _q_weekly_retention(sf_dir: str):
+    """Cohort retention matrix (stages/scd.py:weekly_retention):
+    first-activity-week cohorts × active-week offsets, Monday-start
+    integer epoch-weeks — user ids never leave their bucket."""
+    from xlink_ray.stages.scd import weekly_retention
+
+    return weekly_retention(
+        read_pq(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    )
+
+
 def _q_purchase_sssp(sf_dir: str):
     """Weighted SSSP (Bellman-Ford min-plus waves on the bucket
     harness; stages/graph.py:sssp_distances): cheapest purchase-path
@@ -4566,6 +4577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_sssp": _q_purchase_sssp,
         "scd2_events": _q_scd2_events,
         "signup_funnel": _q_signup_funnel,
+        "weekly_retention": _q_weekly_retention,
         "purchase_kcore": _q_purchase_kcore,
         "purchase_hits": _q_purchase_hits,
         "dup_ngrams": _q_dup_ngrams,
@@ -6051,6 +6063,15 @@ FROM reach GROUP BY u""",
         # recursive closure + MIN(dist) per reached node; the bound
         # (dist < 64) mirrors the Ray side's max_rounds.
         "purchase_sssp": _sssp_sql(),
+        "weekly_retention": """
+WITH uw AS (SELECT DISTINCT user_id,
+  (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) // 7 AS week
+  FROM events),
+c AS (SELECT user_id, min(week) AS cohort FROM uw GROUP BY user_id)
+SELECT CAST(c.cohort AS BIGINT) AS cohort_week,
+  CAST(uw.week - c.cohort AS BIGINT) AS week_offset,
+  CAST(count(*) AS BIGINT) AS n_users
+FROM uw JOIN c USING (user_id) GROUP BY 1, 2""",
         "scd2_events": """
 WITH s AS (SELECT user_id, ts, event_id, event_type,
   CASE WHEN lag(event_type) OVER w IS NULL

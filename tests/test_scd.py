@@ -82,3 +82,34 @@ def test_funnel_steps_reference(ray_session):
     assert got.loc[3, "n_steps"] == 0
     high = pd.Timestamp(HIGH_DATE.item())
     assert got.loc[2, "ts_2"] == high and got.loc[3, "ts_1"] == high
+
+
+def test_weekly_retention_reference(ray_session):
+    """Hand-built cohorts: two users starting week 0 (one retained in
+    week 1), one user starting week 1."""
+    from xlink_ray.stages.scd import weekly_retention
+
+    def d(day):
+        return np.datetime64(f"2024-01-{day:02d}T12:00", "us")
+
+    # 2024-01-01 is a Monday -> week boundary at Jan 8
+    rows = [
+        (1, d(2)), (1, d(3)), (1, d(9)),   # cohort w, active w and w+1
+        (2, d(4)),                          # cohort w only
+        (3, d(10)),                         # cohort w+1
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows]),
+        }
+    )
+    got = (
+        weekly_retention(rd.from_arrow(t))
+        .to_pandas()
+        .sort_values(["cohort_week", "week_offset"])
+        .reset_index(drop=True)
+    )
+    w0 = got["cohort_week"].min()
+    rowset = set(map(tuple, got[["cohort_week", "week_offset", "n_users"]].values.tolist()))
+    assert rowset == {(w0, 0, 2), (w0, 1, 1), (w0 + 1, 0, 1)}

@@ -15,7 +15,7 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
-__all__ = ["scd2_intervals", "funnel_steps"]
+__all__ = ["scd2_intervals", "funnel_steps", "weekly_retention"]
 
 # the SCD "high date": open intervals / missed funnel steps carry this
 # sentinel instead of NULL (NaT breaks exact-equality comparisons, and
@@ -149,3 +149,52 @@ def funnel_steps(
         lambda t: t.drop_columns(["__b"]) if "__b" in t.column_names else t,
         batch_format="pyarrow",
     )
+
+
+def weekly_retention(
+    ds: Dataset,
+    key_col: str = "user_id",
+    order_col: str = "ts",
+    nbuckets: int = 64,
+) -> Dataset:
+    """Cohort retention matrix: users grouped by FIRST-ACTIVITY week
+    (Monday-start, integer epoch-week = (epoch_days + 3) // 7 — no
+    date_trunc, so the arithmetic is engine-identical), counted in
+    every later week they were active →
+    (cohort_week, week_offset, n_users).
+
+    One key-bucket shuffle: a user's rows meet in their bucket, the
+    cohort week is the per-user min, distinct (user, week) pairs come
+    from one lexsort, and the per-bucket partial (cohort, offset)
+    counts collapse in a tiny final groupby — user ids never leave
+    their bucket."""
+    from ray.data.aggregate import Sum
+
+    from xlink_ray.stages._bucket import bucket_shuffle
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        k = g[key_col].to_numpy(zero_copy_only=False)
+        ts = g[order_col].to_numpy(zero_copy_only=False)
+        days = ts.astype("datetime64[D]").astype(np.int64)
+        week = (days + 3) // 7
+        o = np.lexsort((week, k))
+        k, week = k[o], week[o]
+        first = np.r_[True, (k[1:] != k[:-1]) | (week[1:] != week[:-1])]
+        k, week = k[first], week[first]  # distinct (user, week)
+        ustart = np.r_[True, k[1:] != k[:-1]]
+        cohort = np.repeat(week[ustart], np.diff(np.r_[np.flatnonzero(ustart), len(k)]))
+        off = week - cohort
+        pairs = cohort * (1 << 20) + off
+        up, cnt = np.unique(pairs, return_counts=True)
+        return pa.table(
+            {
+                "cohort_week": pa.array(up >> 20),
+                "week_offset": pa.array(up & ((1 << 20) - 1)),
+                "n_users": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    out = bucket_shuffle(
+        ds.select_columns([key_col, order_col]), key_col, nbuckets, per_bucket
+    ).groupby(["cohort_week", "week_offset"]).aggregate(Sum("n_users", alias_name="n_users"))
+    return out
