@@ -3439,6 +3439,81 @@ def _q_media_features_raw(sf_dir: str):
     return media_features(small, backend="raw").select_columns(["media_id", "media_type"])
 
 
+def _q_media_phash(sf_dir: str):
+    """Integer-exact perceptual average hash over the raw RGB fixture
+    (stages/multimodal.py:image_ahash): milli-luma block sums, mean
+    comparison by cross-multiply — bit-stable. SQL-oracled: the raw
+    payloads are closed-form integer gradients, so the oracle computes
+    every pixel from (w, h, base) literals."""
+    import ray.data as rd
+
+    from xlink_ray.stages.multimodal import image_ahash, synth_media_raw
+
+    return image_ahash(rd.from_arrow(synth_media_raw()))
+
+
+def _q_media_phash_pairs(sf_dir: str):
+    """Near-duplicate images by perceptual-hash Hamming distance ≤ 3
+    (stages/multimodal.py:phash_dup_pairs): SimHash-style band blocking
+    (pigeonhole-complete recall), in-group verify, pair-keyed dedupe."""
+    import ray.data as rd
+
+    from xlink_ray.stages.multimodal import (
+        image_ahash,
+        phash_dup_pairs,
+        synth_media_raw,
+    )
+
+    return phash_dup_pairs(
+        image_ahash(rd.from_arrow(synth_media_raw())).materialize()
+    )
+
+
+def _phash_sql(final: str = "hashes", grid: int = 4, max_hamming: int = 3) -> str:
+    """Oracle for the aHash family: the raw fixture's image payloads
+    are integer gradient arrays whose only free parameter is the
+    per-image base offset = payload byte 0, so (media_id, w, h, base)
+    literals + closed-form pixel expressions replay every luma."""
+    from xlink_ray.stages.multimodal import synth_media_raw
+
+    rows = [
+        r for r in synth_media_raw().to_pylist() if r["media_type"] == "image"
+    ]
+    vals = ", ".join(
+        f"({r['media_id']}, {r['width']}, {r['height']}, {r['payload'][0]})"
+        for r in rows
+    )
+    g = grid
+    base = f"""
+WITH imgs(media_id, w, h, base) AS (VALUES {vals}),
+xs AS (SELECT generate_series AS x FROM generate_series(0, 47)),
+ys AS (SELECT generate_series AS y FROM generate_series(0, 35)),
+px AS (SELECT i.media_id, i.w, i.h, x.x, y.y,
+  299*((x.x*255//(i.w-1) + i.base) % 256)
+ + 587*((y.y*255//(i.h-1) + i.base) % 256)
+ + 114*(((x.x+y.y)*255//(i.w+i.h-2) + i.base) % 256) AS luma
+ FROM imgs i, xs x, ys y WHERE x.x < i.w AND y.y < i.h),
+blocks AS (SELECT media_id, w, h, y // (h//{g}) AS gy, x // (w//{g}) AS gx,
+  sum(luma) AS bs FROM px GROUP BY 1, 2, 3, 4, 5),
+tot AS (SELECT media_id, sum(luma) AS ts FROM px GROUP BY 1),
+bits AS (SELECT b.media_id,
+  CASE WHEN b.bs * (b.w*b.h) >= t.ts * ((b.w//{g})*(b.h//{g}))
+       THEN (CAST(1 AS BIGINT) << (b.gy*{g} + b.gx)) ELSE 0 END AS bit
+ FROM blocks b JOIN tot t USING (media_id)),
+hashes AS (SELECT media_id, CAST(sum(bit) AS BIGINT) AS phash
+           FROM bits GROUP BY media_id)"""
+    if final == "hashes":
+        return base + "\nSELECT media_id, phash FROM hashes"
+    return (
+        base
+        + f"""
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}"""
+    )
+
+
 def _q_media_frames(sf_dir: str):
     """Video frame sampling plumbing (decode slot stubbed; expansion
     and schema real). SQL-oracled: the synth media table's ids,
@@ -4530,6 +4605,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "media_features_raw": _q_media_features_raw,
         "media_frames": _q_media_frames,
+        "media_phash": _q_media_phash,
+        "media_phash_pairs": _q_media_phash_pairs,
         "pricing_summary": _q_pricing_summary,
         "nation_revenue": _q_nation_revenue,
         "top_parts": _q_top_parts,
@@ -5695,6 +5772,8 @@ SELECT DISTINCT id_a, id_b FROM (
   FROM customer a JOIN customer b
     ON floor(a.c_acctbal/100) = floor(b.c_acctbal/100) AND a.c_custkey < b.c_custkey
   WHERE levenshtein(a.c_name, b.c_name) <= 1)""",
+        "media_phash": _phash_sql("hashes"),
+        "media_phash_pairs": _phash_sql("pairs"),
         "media_frames": """
 WITH media AS (
   SELECT CAST(i AS BIGINT) AS media_id,

@@ -168,3 +168,41 @@ def test_raw_media_features_cover_audio_rows(ray_session):
     for i in audio_ids:
         assert out[i]["media_type"] == "audio"
         assert np.asarray(out[i]["feature"])[0] > 0.1  # real RMS, not hash noise
+
+
+def test_image_ahash_properties(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xlink_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        image_ahash,
+        phash_dup_pairs,
+        synth_media_raw,
+    )
+
+    h = image_ahash(rd.from_arrow(synth_media_raw())).to_pandas()
+    assert (h["phash"] >= 0).all() and (h["phash"] < (1 << 16)).all()
+    # identical payloads must hash identically: duplicate a row
+    tbl = synth_media_raw()
+    img_rows = [r for r in tbl.to_pylist() if r["media_type"] == "image"][:1]
+    dup = dict(img_rows[0])
+    dup["media_id"] = 999
+    two = pa.Table.from_pylist(img_rows + [dup], schema=MEDIA_SCHEMA)
+    h2 = image_ahash(rd.from_arrow(two)).to_pandas().set_index("media_id")
+    assert h2.loc[img_rows[0]["media_id"], "phash"] == h2.loc[999, "phash"]
+
+    # banding recall: pairs equal brute-force hamming<=3 over all hashes
+    pairs = phash_dup_pairs(
+        image_ahash(rd.from_arrow(tbl)).materialize()
+    ).to_pandas()
+    hh = h.set_index("media_id")["phash"].to_dict()
+    brute = set()
+    ids = sorted(hh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin(hh[a] ^ hh[b]).count("1") <= 3:
+                brute.add((a, b))
+    got = set(map(tuple, pairs[["id_a", "id_b"]].values.tolist()))
+    assert got == brute

@@ -35,6 +35,8 @@ __all__ = [
     "resize_images",
     "FrameSampleActor",
     "sample_frames",
+    "image_ahash",
+    "phash_dup_pairs",
 ]
 
 MEDIA_SCHEMA = pa.schema(
@@ -389,4 +391,138 @@ def media_features(ds: Dataset, backend: str = "fake") -> Dataset:
         batch_size=32,
         concurrency=pool_size(),
         num_cpus=1,
+    )
+
+
+def image_ahash(
+    media: Dataset,
+    grid: int = 4,
+    id_col: str = "media_id",
+) -> Dataset:
+    """Integer-exact perceptual average hash (aHash) over the 'raw'
+    uncompressed RGB payloads → (media_id, phash).
+
+    Per image: milli-luma = 299·R + 587·G + 114·B per pixel (the BT.601
+    weights ×1000 — integers, no float), the frame divides into an
+    exact ``grid × grid`` block grid (the raw fixture's dimensions are
+    divisible; enforced), and bit gy·grid+gx is set iff
+    block_sum · n_pixels ≥ total_sum · block_pixels — the mean
+    comparison as an integer cross-multiply, so the hash is bit-stable
+    across engines and partitionings. Non-image rows are dropped."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.equal(t["media_type"], "image"))
+        ids, hashes = [], []
+        for row in t.to_pylist():
+            w, h = int(row["width"]), int(row["height"])
+            if w % grid or h % grid:
+                raise ValueError(f"image {row[id_col]}: {w}x{h} not divisible by {grid}")
+            px = _raw_rgb(row["payload"], w, h).astype(np.int64)
+            luma = 299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+            bh, bw = h // grid, w // grid
+            blocks = luma.reshape(grid, bh, grid, bw).sum(axis=(1, 3))
+            total = int(luma.sum())
+            npx, bpx = w * h, bh * bw
+            bits = (blocks * npx >= total * bpx).astype(np.int64)
+            phash = int((bits.ravel() << np.arange(grid * grid, dtype=np.int64)).sum())
+            ids.append(int(row[id_col]))
+            hashes.append(phash)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "phash": pa.array(hashes, pa.int64()),
+            }
+        )
+
+    return media.map_batches(fn, batch_format="pyarrow")
+
+
+def phash_dup_pairs(
+    hashes: Dataset,
+    max_hamming: int = 3,
+    nbits: int = 16,
+    bands: int = 4,
+    id_col: str = "media_id",
+) -> Dataset:
+    """Near-duplicate images by perceptual-hash Hamming distance →
+    (id_a, id_b, hamming). Banded exactly like SimHash dedup: the hash
+    splits into ``bands`` equal bit-bands; pairs within ≤ max_hamming
+    bits must collide on ≥ one band (pigeonhole: max_hamming < bands),
+    so one ``groupby(band, value)`` blocking shuffle + in-group verify
+    finds EVERY qualifying pair; a pair-keyed bucket reduce dedupes
+    multi-band collisions."""
+    if max_hamming >= bands:
+        raise ValueError("recall guarantee needs max_hamming < bands")
+    width = nbits // bands
+    mask = (1 << width) - 1
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        ph = t["phash"].to_numpy(zero_copy_only=False)
+        out_b = np.repeat(np.arange(bands, dtype=np.int64), len(ids))
+        out_id = np.tile(ids, bands)
+        out_ph = np.tile(ph, bands)
+        out_v = (out_ph >> (out_b * width)) & mask
+        return pa.table(
+            {
+                "band": pa.array(out_b),
+                "v": pa.array(out_v),
+                "id": pa.array(out_id),
+                "phash": pa.array(out_ph),
+            }
+        )
+
+    def in_group(g: pa.Table) -> pa.Table:
+        ids = g["id"].to_numpy(zero_copy_only=False)
+        ph = g["phash"].to_numpy(zero_copy_only=False)
+        o = np.argsort(ids, kind="stable")
+        ids, ph = ids[o], ph[o]
+        n = len(ids)
+        ii, jj = np.triu_indices(n, k=1)
+        x = ph[ii] ^ ph[jj]
+        ham = np.zeros(len(x), dtype=np.int64)
+        while True:
+            nz = x != 0
+            if not nz.any():
+                break
+            ham[nz] += 1
+            x = x & (x - 1)
+        keep = ham <= max_hamming
+        return pa.table(
+            {
+                "id_a": pa.array(ids[ii[keep]]),
+                "id_b": pa.array(ids[jj[keep]]),
+                "hamming": pa.array(ham[keep]),
+            }
+        )
+
+    cand = (
+        hashes.map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["band", "v"])
+        .map_groups(in_group, batch_format="pyarrow")
+    )
+
+    from xlink_ray.stages._bucket import bucket_shuffle
+
+    def dedupe(bucket: pa.Table) -> pa.Table:
+        a = bucket["id_a"].to_numpy(zero_copy_only=False)
+        b = bucket["id_b"].to_numpy(zero_copy_only=False)
+        hm = bucket["hamming"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((b, a))
+        a, b, hm = a[o], b[o], hm[o]
+        first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        return pa.table(
+            {
+                "id_a": pa.array(a[first]),
+                "id_b": pa.array(b[first]),
+                "hamming": pa.array(hm[first]),
+            }
+        )
+
+    out = bucket_shuffle(cand, "id_a", 32, dedupe)
+    return out.map_batches(
+        lambda t: t.drop_columns(["__b"]) if "__b" in t.column_names else t,
+        batch_format="pyarrow",
     )
