@@ -2277,6 +2277,65 @@ def _links_sql() -> str:
     )
 
 
+def _nil_sql(cos_th_e6: int = 800000, believe_th: float = 0.5) -> str:
+    """DuckDB replica of flagship.nil_clusters: the scored-winner CTE
+    chain with the keep filter INVERTED (the NIL set at the stricter
+    review bar), context-CLASS collapse (star edges to the min-node rep
+    per (mention, distinct context); in-class cosine is exactly 1),
+    the ≤ distinct-contexts² class-rep cosine grid quantized half-up to
+    1e-6, and a recursive closure with every NIL node as a singleton."""
+    from xlink_ray.stages.candidates import LINK_PROB_TH
+
+    extra = f""",
+best AS MATERIALIZED (
+  SELECT s.did, s.docnum, s.off, s.mention, s.believe, lp.link_prob,
+         row_number() OVER (PARTITION BY s.did, s.off
+                            ORDER BY s.believe DESC, s.entity_id) AS rn
+  FROM scored s JOIN lprob lp ON lp.mention = s.mention),
+nil AS MATERIALIZED (
+  SELECT did, docnum, off, mention FROM best
+  WHERE rn = 1 AND NOT (link_prob > {LINK_PROB_TH}
+                        AND (believe + link_prob)/2.0 > {believe_th})),
+nilc AS MATERIALIZED (
+  SELECT n.mention, m.cid, n.docnum*1000000 + n.off AS node
+  FROM nil n JOIN cmap2 m ON m.did = n.did AND m.off = n.off),
+cnorm AS MATERIALIZED (SELECT cid, sqrt(sum(x*x)) AS nn FROM cvd GROUP BY cid),
+cls AS MATERIALIZED (
+  SELECT mention, cid, min(node) AS rep FROM nilc GROUP BY mention, cid),
+star AS MATERIALIZED (
+  SELECT c.rep AS u, n.node AS v
+  FROM nilc n JOIN cls c ON c.mention = n.mention AND c.cid = n.cid
+  JOIN cnorm cn2 ON cn2.cid = n.cid
+  WHERE cn2.nn > 0 AND n.node <> c.rep),
+cpairs AS MATERIALIZED (
+  SELECT a.cid AS ca, b.cid AS cb, a.rep AS ra, b.rep AS rb
+  FROM cls a JOIN cls b ON a.mention = b.mention AND a.rep < b.rep),
+cdot AS MATERIALIZED (
+  SELECT p.ca, p.cb, sum(va.x*vb.x) AS num
+  FROM (SELECT DISTINCT ca, cb FROM cpairs) p
+  JOIN cvd va ON va.cid = p.ca
+  JOIN cvd vb ON vb.cid = p.cb AND vb.dim = va.dim
+  GROUP BY p.ca, p.cb),
+ce AS MATERIALIZED (
+  SELECT p.ra AS u, p.rb AS v FROM cpairs p
+  JOIN cnorm na ON na.cid = p.ca JOIN cnorm nb ON nb.cid = p.cb
+  LEFT JOIN cdot d ON d.ca = p.ca AND d.cb = p.cb
+  WHERE CAST(floor((CASE WHEN na.nn*nb.nn > 0
+                         THEN coalesce(d.num, 0)/(na.nn*nb.nn) ELSE 0 END)
+                   *1e6 + 0.5) AS BIGINT) >= {cos_th_e6}),
+alled AS MATERIALIZED (SELECT u, v FROM star UNION ALL SELECT u, v FROM ce),
+sym AS MATERIALIZED (SELECT u, v FROM alled UNION SELECT v, u FROM alled),
+reach(u, v) AS (
+  SELECT node, node FROM nilc
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
+SELECT u AS member_id, CAST(min(v) AS BIGINT) AS cluster_id
+FROM reach GROUP BY u"""
+    return (
+        f"WITH RECURSIVE {_alias_values_sql()},\n{_mat(_flagship_parts())}{extra}"
+    )
+
+
 def _links_partitioned_sql() -> str:
     return (
         f"WITH {_alias_values_sql()},\n{_mat(_flagship_parts())}\n"
@@ -4028,6 +4087,16 @@ def _q_purchase_distances(sf_dir: str):
     return purchase_distances(sf_dir)
 
 
+def _q_nil_clusters(sf_dir: str):
+    """NIL-mention clustering (TAC-KBP NIL coreference;
+    pipelines/flagship.py:nil_clusters): the linker's rejects at the
+    0.5 review bar cluster by same surface + context cosine ≥ 0.8 via
+    context-class star collapse + CC. member_id = docnum·10⁶+offset."""
+    from xlink_ray.pipelines import flagship
+
+    return flagship.nil_clusters(sf_dir)
+
+
 def _q_scd2_events(sf_dir: str):
     """Type-2 SCD history of each user's event_type attribute
     (stages/scd.py:scd2_intervals): consecutive equal values collapse
@@ -4655,6 +4724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_events": _q_scd2_events,
         "signup_funnel": _q_signup_funnel,
         "weekly_retention": _q_weekly_retention,
+        "nil_clusters": _q_nil_clusters,
         "purchase_kcore": _q_purchase_kcore,
         "purchase_hits": _q_purchase_hits,
         "dup_ngrams": _q_dup_ngrams,
@@ -6142,6 +6212,7 @@ FROM reach GROUP BY u""",
         # recursive closure + MIN(dist) per reached node; the bound
         # (dist < 64) mirrors the Ray side's max_rounds.
         "purchase_sssp": _sssp_sql(),
+        "nil_clusters": _nil_sql(),
         "weekly_retention": """
 WITH uw AS (SELECT DISTINCT user_id,
   (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) // 7 AS week

@@ -120,3 +120,47 @@ def test_links_partitioned_survives_block_splitting(ray_session, sf_small):
     assert len(a) == len(b)
     for c in ["doc_id", "offset", "mention", "entity_id"]:
         assert (a[c] == b[c]).all(), c
+
+
+def test_nil_mentions_partition_links(ray_session):
+    """At the stricter review bar, NIL ∪ accepted = all scanned winners
+    and the two sets are disjoint on (doc_id, offset)."""
+    from xlink_ray.pipelines import flagship
+
+    sf = "/root/testdata/sf0.001"
+    accepted = flagship.links(sf).to_pandas()
+    nil = flagship.nil_mentions(sf, believe_th=0.5).to_pandas()
+    # the default-bar accepted set splits into strict-bar accepted + NIL
+    a_keys = set(map(tuple, accepted[["doc_id", "offset"]].values.tolist()))
+    n_keys = set(map(tuple, nil[["doc_id", "offset"]].values.tolist()))
+    assert n_keys <= a_keys  # every default-accepted winner is scanned
+    assert len(nil) > 0
+
+
+def test_nil_clusters_structure(ray_session):
+    """Same (mention, context) occurrences must co-cluster (star
+    collapse); labels are component minima."""
+    from xlink_ray.pipelines import flagship
+
+    sf = "/root/testdata/sf0.001"
+    nil = flagship.nil_mentions(sf, believe_th=0.5).to_pandas()
+    nc = flagship.nil_clusters(sf).to_pandas()
+    assert len(nc) == len(nil)
+    assert (nc.groupby("cluster_id")["member_id"].min()
+            == nc.groupby("cluster_id")["member_id"].apply(lambda s: s.name)).all()
+    # equal-context same-mention occurrences share a cluster
+    from xlink_ray.synth import doc_id_of_url
+    import numpy as np
+    import pyarrow as pa
+
+    node = (
+        np.asarray(doc_id_of_url(pa.array(nil["doc_id"].tolist())), dtype=np.int64)
+        * 1_000_000
+        + nil["offset"].to_numpy()
+    )
+    nil = nil.assign(node=node)
+    lab = nc.set_index("member_id")["cluster_id"]
+    grp = nil.groupby(["mention", "context"])["node"].apply(
+        lambda s: lab.loc[s].nunique()
+    )
+    assert (grp == 1).all()

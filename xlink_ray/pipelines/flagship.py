@@ -1335,3 +1335,175 @@ def golden_clusters(sf_dir: str, repeat: int = 1) -> Dataset:
         id_type=pa.string(),
         cluster_type=pa.string(),
     )
+
+
+def nil_mentions(
+    sf_dir: str, repeat: int = 1, believe_th: "float | None" = None
+) -> Dataset:
+    """The TAC-KBP 'NIL' set: mention occurrences whose BEST candidate
+    fails the acceptance thresholds (the linker's rejects) →
+    (doc_id, offset, mention, entity_id, believe, context). Identical
+    pipeline to :func:`links` with the final keep filter inverted;
+    ``believe_th`` overrides the P8 constant (the synth corpus links
+    everything at the reference bar, so exercising the NIL path takes
+    a stricter review threshold)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from xlink_ray.stages.candidates import (
+        candidate_gen_raw_fn,
+        link_prob_filter,
+    )
+    from xlink_ray.stages.freq import freq_m as freq_m_stage
+    from xlink_ray.util import heavy_cpus
+
+    corpus, ma, link_m, vocab_ref, emb_ref = _dict_phase(sf_dir, repeat)
+    ma_ref = broadcast_table(ma)
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        freq_f = ex.submit(lambda: _collect(freq_m_stage(corpus, vocab_ref)))
+        raw_f = ex.submit(
+            lambda: corpus.map_batches(
+                candidate_gen_raw_fn,
+                fn_args=(ma_ref, emb_ref),
+                batch_format="pyarrow",
+                batch_size=256,
+                num_cpus=heavy_cpus(),
+            ).materialize()
+        )
+        freq_tbl = freq_f.result()
+        raw = raw_f.result()
+    lp_ref = broadcast_table(_lp_table(link_m, freq_tbl))
+    kw = {"invert": True}
+    if believe_th is not None:
+        kw["believe_th"] = believe_th
+    return raw.map_batches(
+        link_prob_filter, fn_args=(lp_ref,), fn_kwargs=kw,
+        batch_format="pyarrow",
+    )
+
+
+def nil_clusters(
+    sf_dir: str, cos_th_e6: int = 800000, believe_th: "float | None" = 0.5
+) -> Dataset:
+    """NIL-mention clustering (the TAC-KBP NIL-coreference step): the
+    linker's rejected occurrences cluster among themselves — same
+    normalized surface AND context cosine ≥ the threshold — via
+    connected components → (member_id, cluster_id), member_id =
+    docnum·10⁶ + offset.
+
+    Shape: the NIL set rides the links pipeline (inverted filter), a
+    parallel `_AddContextVec` stage attaches mean-pool context vectors,
+    and ONE groupby(mention) blocking shuffle clusters each surface
+    block in-task over its CONTEXT CLASSES: equal context strings share
+    a vector, so members star-connect to their class rep (in-class
+    cosine is exactly 1) and only the ≤ distinct-contexts² class-rep
+    grid is scored (chunked matmul, cosine quantized half-up to the
+    1e-6 grid — the links-oracle float convention). Connectivity equals
+    the full pairwise graph: any qualifying cross pair's class pair
+    qualifies identically. Zero-norm contexts stay singletons (cos ≔ 0
+    convention). Blocking assumption: one surface's context classes
+    fit a group task (salt like `clusters()` if a surface runs hot)."""
+    import numpy as np
+
+    from xlink_ray.stages.clustering import connected_components
+    from xlink_ray.synth import doc_id_of_url
+    from xlink_ray.util import pool_size
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from xlink_ray.stages.candidates import candidate_gen_raw_fn, link_prob_filter
+    from xlink_ray.stages.freq import freq_m as freq_m_stage
+    from xlink_ray.util import heavy_cpus
+
+    corpus, ma, link_m, vocab_ref, emb_ref = _dict_phase(sf_dir, 1)
+    ma_ref = broadcast_table(ma)
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        freq_f = ex.submit(lambda: _collect(freq_m_stage(corpus, vocab_ref)))
+        raw_f = ex.submit(
+            lambda: corpus.map_batches(
+                candidate_gen_raw_fn,
+                fn_args=(ma_ref, emb_ref),
+                batch_format="pyarrow",
+                batch_size=256,
+                num_cpus=heavy_cpus(),
+            ).materialize()
+        )
+        freq_tbl = freq_f.result()
+        raw = raw_f.result()
+    lp_ref = broadcast_table(_lp_table(link_m, freq_tbl))
+    kw = {"invert": True}
+    if believe_th is not None:
+        kw["believe_th"] = believe_th
+    nil = raw.map_batches(
+        link_prob_filter, fn_args=(lp_ref,), fn_kwargs=kw,
+        batch_format="pyarrow",
+    )
+
+    def add_node(t: pa.Table) -> pa.Table:
+        docnum = doc_id_of_url(t["doc_id"])
+        off = t["offset"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "node", pa.array(np.asarray(docnum, dtype=np.int64) * 1_000_000 + off)
+        )
+
+    with_vec = (
+        nil.map_batches(add_node, batch_format="pyarrow")
+        .map_batches(
+            _AddContextVec,
+            fn_constructor_args=(emb_ref,),
+            batch_format="pyarrow",
+            concurrency=pool_size(),
+            num_cpus=1,
+        )
+        .select_columns(["node", "mention", "context", "ctxvec"])
+        .materialize()  # two consumers: edges + CC node universe
+    )
+
+    def block_edges(g: pa.Table) -> pa.Table:
+        from xlink_ray.util import vecs_to_numpy
+
+        node = g["node"].to_numpy(zero_copy_only=False)
+        ctx = np.asarray(g["context"].to_pandas(), dtype=object)
+        v = vecs_to_numpy(g["ctxvec"])
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+        if len(node) < 2:
+            return empty
+        # context classes: equal strings share a vector; rep = min node
+        o = np.lexsort((node, ctx))
+        node, ctx, v = node[o], ctx[o], v[o]
+        first = np.r_[True, ctx[1:] != ctx[:-1]]
+        reps = node[first]
+        rv = v[first]
+        cls_of = np.cumsum(first) - 1
+        nn = np.sqrt((rv * rv).sum(axis=1))
+        nz = nn > 0
+        # star edges: member -> its class rep (skip reps themselves and
+        # zero-norm classes, whose members stay singletons)
+        member_m = nz[cls_of] & ~first
+        out_a = [reps[cls_of[member_m]]]
+        out_b = [node[member_m]]
+        # class-rep grid, chunked
+        k = len(reps)
+        step = 2048
+        for i0 in range(0, k, step):
+            vi = rv[i0 : i0 + step]
+            num = vi @ rv.T
+            den = nn[i0 : i0 + step][:, None] * nn[None, :]
+            cos = np.where(den > 0, num / den, 0.0)
+            q = np.floor(cos * 1e6 + 0.5).astype(np.int64)
+            ii, jj = np.nonzero(q >= cos_th_e6)
+            gi = ii + i0
+            keep = gi < jj
+            out_a.append(reps[gi[keep]])
+            out_b.append(reps[jj[keep]])
+        a = np.concatenate(out_a) if out_a else np.zeros(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.zeros(0, np.int64)
+        return pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
+
+    edges = with_vec.groupby("mention").map_groups(
+        block_edges, batch_format="pyarrow"
+    )
+    return connected_components(
+        edges, nodes=with_vec.select_columns(["node"]), node_col="node"
+    )

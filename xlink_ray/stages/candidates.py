@@ -353,9 +353,17 @@ def candidate_gen_raw_fn(
     )
 
 
-def link_prob_filter(batch: pa.Table, lp_ref: "ray.ObjectRef") -> pa.Table:
+def link_prob_filter(
+    batch: pa.Table,
+    lp_ref: "ray.ObjectRef",
+    invert: bool = False,
+    lp_th: float = LINK_PROB_TH,
+    believe_th: float = BELIEVE_TH,
+) -> pa.Table:
     """P8 keep thresholds applied post-scan: link_prob(m) > 0.008 and
-    (believe + link_prob)/2 > 0.2 (reference xlink.py:161-176)."""
+    (believe + link_prob)/2 > 0.2 (reference xlink.py:161-176).
+    ``invert=True`` keeps the REJECTED winners instead — the NIL
+    mention set (best candidate fails the acceptance thresholds)."""
     import pyarrow.compute as pc
 
     from xlink_ray.state.cached import cached_state
@@ -364,11 +372,13 @@ def link_prob_filter(batch: pa.Table, lp_ref: "ray.ObjectRef") -> pa.Table:
     joined = batch.join(lp_tbl, keys="mention", join_type="left outer")
     lp = pc.coalesce(joined["link_prob"], pa.scalar(0.0, pa.float64()))
     keep = pc.and_(
-        pc.greater(lp, LINK_PROB_TH),
+        pc.greater(lp, lp_th),
         pc.greater(
-            pc.divide(pc.add(joined["believe"], lp), 2.0), BELIEVE_TH
+            pc.divide(pc.add(joined["believe"], lp), 2.0), believe_th
         ),
     )
+    if invert:
+        keep = pc.invert(keep)
     return joined.filter(keep).select(batch.column_names)
 
 
