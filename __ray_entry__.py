@@ -1572,6 +1572,24 @@ def _q_part_fuzzy_pairs(sf_dir: str):
     return edges.map_batches(fmt, batch_format="pyarrow")
 
 
+def _q_part_pprl_pairs(sf_dir: str):
+    """Privacy-preserving record linkage (stages/pprl.py — Schnell et
+    al. CLK Bloom encodings + Dice scoring): the blocking exchange
+    carries only 64-bit encodings and popcounts, never the names;
+    dice_bp = 2·|A∧B|·10⁴ // (|A|+|B|), exact integers end to end."""
+    from xlink_ray.stages.pprl import pprl_pairs
+
+    return pprl_pairs(
+        read_pq(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_brand"]
+        ),
+        key_cols="p_brand",
+        id_col="p_partkey",
+        attr_col="p_name",
+        min_dice_bp=6500,
+    )
+
+
 def _q_part_monge_pairs(sf_dir: str):
     """Symmetric Monge–Elkan fuzzy matching over multi-token part
     names (functions/similarity.py:monge_elkan_jw_bp): block on brand,
@@ -4752,6 +4770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_fuzzy_pairs": _q_part_fuzzy_pairs,
         "part_monge_pairs": _q_part_monge_pairs,
         "part_tfidf_pairs": _q_part_tfidf_pairs,
+        "part_pprl_pairs": _q_part_pprl_pairs,
         "unigram_vocab": _q_unigram_vocab,
         "unigram_tokens": _q_unigram_tokens,
         "unigram_fertility": _q_unigram_fertility,
@@ -6623,6 +6642,23 @@ FROM part""",
         "unigram_vocab": _unigram_sql("vocab"),
         "unigram_tokens": _unigram_sql("tokens"),
         "unigram_fertility": _unigram_sql("fertility"),
+        "part_pprl_pairs": """
+WITH p AS (SELECT p_partkey AS id, p_brand AS k, p_name AS nm FROM part),
+pos AS (SELECT unnest(generate_series(1, 60)) AS i),
+dg AS (SELECT DISTINCT id, k, substr(nm, i, 2) AS gram
+       FROM p, pos WHERE i <= length(nm) - 1),
+salts(s) AS (VALUES (0), (1), (2)),
+bitrows AS (SELECT DISTINCT id, k,
+  ('0x' || substr(md5(CAST(s AS VARCHAR) || ':' || gram), 1, 16))::UBIGINT % 64 AS b
+  FROM dg, salts),
+bl AS (SELECT id, k, bit_or(CAST(1 AS UBIGINT) << CAST(b AS INTEGER)) AS bloom
+       FROM bitrows GROUP BY id, k),
+sc AS (SELECT a.id AS ia, b.id AS ib,
+  2 * bit_count(a.bloom & b.bloom) * 10000
+    // (bit_count(a.bloom) + bit_count(b.bloom)) AS dice
+ FROM bl a JOIN bl b ON a.k = b.k AND a.id < b.id)
+SELECT ia AS id_a, ib AS id_b, CAST(dice AS BIGINT) AS dice_bp
+FROM sc WHERE dice >= 6500""",
         "part_tfidf_pairs": """
 WITH p AS (SELECT p_partkey AS id, p_name AS nm, p_brand FROM part),
 tok AS (SELECT DISTINCT id, unnest(string_split(nm,' ')) AS t FROM p),

@@ -160,3 +160,37 @@ def test_monge_elkan_scalar_reference():
     assert got[1] == 10000
     assert monge_elkan_jw_bp(["x y z"], ["z x y"])[0] == 10000
     assert monge_elkan_jw_bp([], []).tolist() == []
+
+
+def test_pprl_dice_reference():
+    """CLK encode + Dice vs a scalar replica; identical values encode
+    identically; disjoint-gram names score low."""
+    import numpy as np
+
+    from xlink_ray.functions.hashing import md5_low64
+    from xlink_ray.stages.pprl import _encode_values, popcount64
+
+    names = ["martha stone", "martha stone", "marta stone", "zzzz qqqq"]
+    bl = _encode_values(names, 2, 64, 3)
+    assert bl[0] == bl[1]
+
+    def scalar_bloom(v):
+        out = 0
+        for g in {v[j : j + 2] for j in range(len(v) - 1)}:
+            for s in range(3):
+                # NB: int() BEFORE the modulo — numpy uint64 % python-int
+                # promotes to float64 and garbles the low bits
+                pos = int(md5_low64([f"{s}:{g}"])[0]) % 64
+                out |= 1 << pos
+        return out
+
+    for n, b in zip(names, bl):
+        assert int(b) == scalar_bloom(n)
+
+    def dice(a, b):
+        inter = bin(int(a) & int(b)).count("1")
+        return 2 * inter * 10000 // (bin(int(a)).count("1") + bin(int(b)).count("1"))
+
+    assert dice(bl[0], bl[1]) == 10000
+    assert dice(bl[0], bl[2]) > dice(bl[0], bl[3])
+    assert popcount64(np.array([bl[0]], dtype=np.uint64))[0] == bin(int(bl[0])).count("1")
