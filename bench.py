@@ -120,6 +120,8 @@ def _run_queries() -> dict[str, float]:
     # round-4 curation/blocking additions — tracked so regressions show
     timed("meta_blocking", lambda: er.customer_meta_blocking(SF_DIR).count())
     timed("er_one_to_one", lambda: er.customer_one_to_one(SF_DIR).count())
+    timed("er_hierarchy", lambda: er.customer_threshold_hierarchy(SF_DIR).count())
+    timed("nil_clusters", lambda: flagship.nil_clusters(SF_DIR).count())
     timed("gopher_filter", lambda: _gopher(SF_DIR))
     timed("dsir_weights", lambda: _dsir(SF_DIR))
     return timings, trials
