@@ -3333,6 +3333,22 @@ def _q_er_ari(sf_dir: str):
     return adjusted_rand_index(pred, er.customer_clusters(sf_dir))
 
 
+def _q_er_vmeasure(sf_dir: str):
+    """V-measure between the JW and Levenshtein clusterings
+    (stages/clustering.py:cluster_vmeasure): homogeneity /
+    completeness / harmonic mean from quantized-log integer entropy
+    aggregates — order-free sums, single-division ratios."""
+    from xlink_ray.pipelines import er
+    from xlink_ray.stages.clustering import cluster_vmeasure, connected_components
+
+    pred = connected_components(
+        er.customer_pairs_jw(sf_dir),
+        nodes=er._customers(sf_dir),
+        node_col="c_custkey",
+    )
+    return cluster_vmeasure(pred, er.customer_clusters(sf_dir))
+
+
 def _q_blocking_quality(sf_dir: str):
     """Blocking-scheme validation (stages/blocking.py blocking_quality):
     reduction ratio + pairs completeness of the nation-key blocker
@@ -4630,6 +4646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fs_em_posteriors": _q_fs_em_posteriors,
         "er_clusters_em": _q_er_clusters_em,
         "er_ari": _q_er_ari,
+        "er_vmeasure": _q_er_vmeasure,
         "er_one_to_one": _q_er_one_to_one,
         "er_hierarchy": _q_er_hierarchy,
         "c4_filter": _q_c4_filter,
@@ -5383,6 +5400,60 @@ FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
         # Pairwise cluster F1 (stages/clustering.pairwise_cluster_f1):
         # tp = sum of C(cell,2) over the contingency table of the two
         # recursive-closure clusterings; exact ppm floor division.
+        "er_vmeasure": """
+WITH RECURSIVE
+e1 AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+  WHERE jaro_winkler_similarity(a.c_name, b.c_name) >= 0.94),
+sym1 AS (SELECT id_a AS u, id_b AS v FROM e1 UNION SELECT id_b, id_a FROM e1),
+r1(u, v) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION
+  SELECT r.u, s.v FROM r1 r JOIN sym1 s ON r.v = s.u),
+c1 AS (SELECT u AS id, MIN(v) AS p FROM r1 GROUP BY u),
+e2 AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+sym2 AS (SELECT id_a AS u, id_b AS v FROM e2 UNION SELECT id_b, id_a FROM e2),
+r2(u, v) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION
+  SELECT r.u, s.v FROM r2 r JOIN sym2 s ON r.v = s.u),
+c2 AS (SELECT u AS id, MIN(v) AS t FROM r2 GROUP BY u),
+j AS (SELECT c1.p, c2.t FROM c1 JOIN c2 USING (id)),
+cells AS (SELECT p, t, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY p, t),
+asz AS (SELECT p, CAST(sum(n) AS BIGINT) AS c FROM cells GROUP BY p),
+bsz AS (SELECT t, CAST(sum(n) AS BIGINT) AS c FROM cells GROUP BY t),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM j),
+ht AS (SELECT -sum(CAST(c AS HUGEINT) *
+        CAST(floor(ln(CAST(c AS DOUBLE)/(SELECT n FROM nn))*1e9+0.5) AS BIGINT)) AS v
+       FROM bsz),
+hp AS (SELECT -sum(CAST(c AS HUGEINT) *
+        CAST(floor(ln(CAST(c AS DOUBLE)/(SELECT n FROM nn))*1e9+0.5) AS BIGINT)) AS v
+       FROM asz),
+htp AS (SELECT -sum(CAST(cells.n AS HUGEINT) *
+        CAST(floor(ln(CAST(cells.n AS DOUBLE)/asz.c)*1e9+0.5) AS BIGINT)) AS v
+        FROM cells JOIN asz USING (p)),
+hpt AS (SELECT -sum(CAST(cells.n AS HUGEINT) *
+        CAST(floor(ln(CAST(cells.n AS DOUBLE)/bsz.c)*1e9+0.5) AS BIGINT)) AS v
+        FROM cells JOIN bsz USING (t)),
+hc AS (SELECT
+  CASE WHEN (SELECT v FROM ht) = 0 THEN CAST(1000000 AS BIGINT)
+       ELSE CAST(floor((1.0 - CAST((SELECT v FROM htp) AS DOUBLE)
+                              / CAST((SELECT v FROM ht) AS DOUBLE))*1e6+0.5) AS BIGINT)
+  END AS h,
+  CASE WHEN (SELECT v FROM hp) = 0 THEN CAST(1000000 AS BIGINT)
+       ELSE CAST(floor((1.0 - CAST((SELECT v FROM hpt) AS DOUBLE)
+                              / CAST((SELECT v FROM hp) AS DOUBLE))*1e6+0.5) AS BIGINT)
+  END AS c)
+SELECT (SELECT n FROM nn) AS n_members, hc.h AS h_ppm, hc.c AS c_ppm,
+  CASE WHEN hc.h + hc.c = 0 THEN CAST(0 AS BIGINT)
+       ELSE CAST(floor(2.0*hc.h*hc.c/(hc.h+hc.c)+0.5) AS BIGINT) END AS v_ppm
+FROM hc""",
         "er_ari": """
 WITH RECURSIVE
 e1 AS (

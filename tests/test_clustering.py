@@ -483,3 +483,31 @@ def test_adjusted_rand_index_reference(ray_session):
     q = (abs(num2) * 10**6) // den2
     want = q if num2 >= 0 else -q
     assert o["ari_ppm"] == want and o["tp"] == tp
+
+
+def test_vmeasure_reference(ray_session):
+    """Pin V-measure against the closed-form on hand labelings:
+    identical → 1e6/1e6/1e6; refinement → homogeneity 1e6 but
+    completeness < 1e6."""
+    from xlink_ray.stages.clustering import cluster_vmeasure
+
+    def lab(pairs):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "member_id": pa.array([p[0] for p in pairs], pa.int64()),
+                    "cluster_id": pa.array([p[1] for p in pairs], pa.int64()),
+                }
+            )
+        )
+
+    ids = list(range(8))
+    same = [(i, i // 4) for i in ids]
+    out = cluster_vmeasure(lab(same), lab(same)).to_pandas().iloc[0]
+    assert (out[["h_ppm", "c_ppm", "v_ppm"]] == 1_000_000).all()
+
+    finer = [(i, i // 2) for i in ids]  # strict refinement of `same`
+    o = cluster_vmeasure(lab(finer), lab(same)).to_pandas().iloc[0]
+    assert o["h_ppm"] == 1_000_000  # every pred cluster pure in truth
+    assert o["c_ppm"] < 1_000_000   # truth classes split across preds
+    assert 0 < o["v_ppm"] < 1_000_000

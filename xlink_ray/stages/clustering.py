@@ -51,6 +51,7 @@ __all__ = [
     "incremental_components",
     "threshold_hierarchy",
     "adjusted_rand_index",
+    "cluster_vmeasure",
 ]
 
 _LOCAL_EDGE_LIMIT = 2_000_000
@@ -397,19 +398,16 @@ def connected_components(
     return _distributed_cc(e, nodes, node_col, max_rounds, attach=attach)
 
 
-def _contingency_sums(
+def _aligned_label_pairs(
     pred: Dataset,
     truth: Dataset,
     id_col: str,
     cluster_col: str,
     nbuckets: int,
-) -> "tuple[int, int, int, int]":
-    """Shared pair-counting core of the cluster-agreement metrics
-    (pairwise F1, adjusted Rand): align the two labelings on id (one
-    bucket shuffle), then → (n_members, pairs_pred, pairs_true, tp)
-    where tp = Σ C(n_ij, 2) over the contingency cells and each side's
-    pair count = Σ C(cluster size, 2). No pair set is ever
-    materialized — three hash-bucket counting shuffles total."""
+) -> Dataset:
+    """Inner-join the two labelings on id → (pa_, tb) int64 label pairs
+    (one hash-bucket shuffle; string labels md5-coded). The shared
+    alignment step of every cluster-agreement metric."""
     import numpy as np
 
     from xlink_ray.stages._bucket import bucket_shuffle
@@ -455,7 +453,29 @@ def _contingency_sums(
             }
         )
 
-    joined = bucket_shuffle(tagged, "id", nbuckets, align).materialize()
+    return bucket_shuffle(tagged, "id", nbuckets, align)
+
+
+def _contingency_sums(
+    pred: Dataset,
+    truth: Dataset,
+    id_col: str,
+    cluster_col: str,
+    nbuckets: int,
+) -> "tuple[int, int, int, int]":
+    """Shared pair-counting core of the cluster-agreement metrics
+    (pairwise F1, adjusted Rand): align the two labelings on id, then
+    → (n_members, pairs_pred, pairs_true, tp) where tp = Σ C(n_ij, 2)
+    over the contingency cells and each side's pair count =
+    Σ C(cluster size, 2). No pair set is ever materialized — three
+    hash-bucket counting shuffles total."""
+    import numpy as np
+
+    from xlink_ray.stages._bucket import bucket_shuffle
+
+    joined = _aligned_label_pairs(
+        pred, truth, id_col, cluster_col, nbuckets
+    ).materialize()
 
     def pair_sum(keyed: Dataset, key: str) -> int:
         def count_bucket(g: pa.Table) -> pa.Table:
@@ -1163,3 +1183,74 @@ def threshold_hierarchy(
         ).materialize()
         out = out.union(prev.map_batches(tag(t_cur), batch_format="pyarrow"))
     return out
+
+
+def cluster_vmeasure(
+    pred: Dataset,
+    truth: Dataset,
+    id_col: str = "member_id",
+    cluster_col: str = "cluster_id",
+    nbuckets: int = 64,
+) -> Dataset:
+    """V-measure (Rosenberg & Hirschberg 2007) → ONE row
+    (n_members, h_ppm, c_ppm, v_ppm): homogeneity = 1 − H(truth|pred)
+    / H(truth), completeness symmetric, v = their harmonic mean.
+
+    Exactness: every entropy is carried as the integer aggregate
+    −Σ count · lnq(count / denom) with lnq = floor(ln(·)·1e9 + 0.5) —
+    per-term quantization makes the sums order-free; the final ratios
+    are single double divisions, identical in the SQL replica.
+    Conventions: a zero conditional entropy (or a trivial reference
+    distribution) gives the component 1.0; v = 0 when h + c = 0.
+    Driver state is the ≤ #clusters² contingency-cell table."""
+    import numpy as np
+
+    joined = _aligned_label_pairs(
+        pred, truth, id_col, cluster_col, nbuckets
+    ).materialize()
+    n = joined.count()
+
+    from ray.data.aggregate import Count
+
+    cells = (
+        joined.groupby(["pa_", "tb"]).aggregate(Count(alias_name="n")).to_pandas()
+    )
+    pa_sizes = cells.groupby("pa_")["n"].sum().to_dict()
+    tb_sizes = cells.groupby("tb")["n"].sum().to_dict()
+
+    def lnq(num: int, den: int) -> int:
+        return int(np.floor(np.log(num / den) * 1e9 + 0.5))
+
+    # H(truth) and H(pred), scaled by n·1e9 (exact ints)
+    h_truth = -sum(c * lnq(c, n) for c in tb_sizes.values())
+    h_pred = -sum(c * lnq(c, n) for c in pa_sizes.values())
+    # H(truth | pred) = -Σ_cells n_ij · ln(n_ij / a_i); symmetric other way
+    h_t_given_p = -sum(
+        int(r.n) * lnq(int(r.n), pa_sizes[r.pa_]) for r in cells.itertuples()
+    )
+    h_p_given_t = -sum(
+        int(r.n) * lnq(int(r.n), tb_sizes[r.tb]) for r in cells.itertuples()
+    )
+
+    def comp(h_cond: int, h_base: int) -> int:
+        if h_base == 0:
+            return 1_000_000
+        return int(np.floor((1.0 - h_cond / h_base) * 1e6 + 0.5))
+
+    h_ppm = comp(h_t_given_p, h_truth)
+    c_ppm = comp(h_p_given_t, h_pred)
+    v_ppm = (
+        int(np.floor(2.0 * h_ppm * c_ppm / (h_ppm + c_ppm) + 0.5))
+        if h_ppm + c_ppm > 0
+        else 0
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_members": pa.array([n], pa.int64()),
+                "h_ppm": pa.array([h_ppm], pa.int64()),
+                "c_ppm": pa.array([c_ppm], pa.int64()),
+                "v_ppm": pa.array([v_ppm], pa.int64()),
+            }
+        )
+    )
