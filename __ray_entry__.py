@@ -4209,6 +4209,21 @@ def _sssp_sql(rounds: int = 16) -> str:
     )
 
 
+def _q_purchase_ppr(sf_dir: str):
+    """Personalized PageRank (random walk with restart to the two
+    smallest customer nodes — the standard entity-relatedness measure;
+    stages/graph.py:pagerank_personalized): teleport mass restricted
+    to the seed set, int64 fixed point on the bucket harness."""
+    import pyarrow as pa
+
+    from xlink_ray.stages.graph import purchase_ppr
+
+    return purchase_ppr(sf_dir).map_batches(
+        lambda t: pa.table({"node": t["node"], "ppr_fp": t["r"]}),
+        batch_format="pyarrow",
+    )
+
+
 def _q_weighted_pagerank(sf_dir: str):
     """Weighted fixed-point PageRank over the symmetrized co-supply
     graph (stages/graph.py pagerank_weighted): contribution =
@@ -4334,6 +4349,41 @@ pr{i + 1} AS (
     GROUP BY e.dst) s ON n.node = s.node)"""
         )
     sql.append(f"\nSELECT node, r AS pr_fp FROM pr{iters}")
+    return "".join(sql)
+
+
+def _ppr_sql(iters: int = 5, scale: int = 10**12, dn: int = 85, dd: int = 100) -> str:
+    """Unrolled replica of stages/graph.pagerank_personalized over the
+    purchase graph: teleport mass restricted to the two smallest
+    customer nodes, same int64 fixed-point floor rules."""
+    base = scale * (dd - dn) // dd
+    sql = [
+        f"""WITH eds AS (
+  SELECT DISTINCT 2*o.o_custkey AS src, 2*l.l_suppkey+1 AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+edges AS (SELECT src, dst FROM eds UNION SELECT dst, src FROM eds),
+deg AS (SELECT src, COUNT(*) AS c FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+seeds AS (SELECT 2*o_custkey AS node FROM
+          (SELECT DISTINCT o_custkey FROM orders ORDER BY o_custkey LIMIT 2)),
+pr0 AS (SELECT n.node,
+        CAST(CASE WHEN s.node IS NOT NULL THEN {scale} ELSE 0 END AS BIGINT) AS r
+        FROM nodes n LEFT JOIN seeds s ON s.node = n.node)"""
+    ]
+    for i in range(iters):
+        sql.append(
+            f""",
+pr{i + 1} AS (
+  SELECT n.node,
+    CAST(CASE WHEN sd.node IS NOT NULL THEN {base} ELSE 0 END
+         + ({dn} * COALESCE(s.m, 0)) // {dd} AS BIGINT) AS r
+  FROM nodes n LEFT JOIN seeds sd ON sd.node = n.node
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.r // d.c) AS m
+    FROM edges e JOIN deg d ON e.src = d.src JOIN pr{i} p ON p.node = e.src
+    GROUP BY e.dst) s ON n.node = s.node)"""
+        )
+    sql.append(f"\nSELECT node, r AS ppr_fp FROM pr{iters}")
     return "".join(sql)
 
 
@@ -4754,6 +4804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_walks": _q_purchase_walks,
         "cosupply_edges": _q_cosupply_edges,
         "weighted_pagerank": _q_weighted_pagerank,
+        "purchase_ppr": _q_purchase_ppr,
         "purchase_distances": _q_purchase_distances,
         "purchase_sssp": _q_purchase_sssp,
         "scd2_events": _q_scd2_events,
@@ -6297,6 +6348,7 @@ FROM reach GROUP BY u""",
         "communities": _label_prop_sql(),
         "purchase_walks": _walks_sql(),
         "weighted_pagerank": _weighted_pagerank_sql(),
+        "purchase_ppr": _ppr_sql(),
         "purchase_kcore": _kcore_sql(),
         # BFS distances (stages/graph.py bfs_distances): bounded
         # recursive closure + MIN(dist) per reached node; the bound

@@ -723,3 +723,45 @@ def test_sssp_fixed_rounds_partial(ray_session):
         .to_dict()
     )
     assert got == {0: 0, 1: 3}  # node 2 needs a second wave
+
+
+def test_personalized_pagerank_reference(ray_session):
+    """PPR == a driver replica of the integer fixed-point recurrence,
+    and mass concentrates near the seeds."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xlink_ray.stages.graph import pagerank_personalized
+
+    rows = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 2), (4, 0)]
+    t = pa.table(
+        {
+            "src": pa.array([r[0] for r in rows], pa.int64()),
+            "dst": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    scale, dn, dd, iters = 10**12, 85, 100, 5
+    got = (
+        pagerank_personalized(rd.from_arrow(t), seeds=[0], iters=iters,
+                              scale=scale, nbuckets=3)
+        .to_pandas().set_index("node")["r"].to_dict()
+    )
+
+    import numpy as np
+
+    nodes = sorted({x for r in rows for x in r})
+    out = {}
+    for s, d in set(rows):
+        out.setdefault(s, []).append(d)
+    deg = {n: len(v) for n, v in out.items()}
+    base = scale * (dd - dn) // dd
+    pr = {n: (scale if n == 0 else 0) for n in nodes}
+    for _ in range(iters):
+        s = {n: 0 for n in nodes}
+        for u, vs in out.items():
+            for v in vs:
+                s[v] += pr[u] // deg[u]
+        pr = {n: (base if n == 0 else 0) + dn * s[n] // dd for n in nodes}
+    assert got == pr
+    # node 4 has no in-edges and is not a seed -> rank exactly 0
+    assert got[4] == 0

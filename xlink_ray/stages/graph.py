@@ -104,6 +104,8 @@ __all__ = [
     "purchase_communities",
     "sssp_distances",
     "purchase_sssp",
+    "pagerank_personalized",
+    "purchase_ppr",
 ]
 
 
@@ -1882,3 +1884,101 @@ def purchase_sssp(sf_dir: str, max_rounds: int = 16) -> Dataset:
         read_pq(f"{sf_dir}/orders.parquet", columns=["o_custkey"]).min("o_custkey")
     )
     return sssp_distances(edges, seeds=[seed], max_rounds=max_rounds)
+
+
+# ------------------------------------------------- personalized PageRank
+
+@ray.remote
+def _seed_mask_ranks(nodes: np.ndarray, seeds: np.ndarray, scale: int) -> np.ndarray:
+    out = np.zeros(len(nodes), dtype=np.int64)
+    if len(nodes):
+        idx = np.searchsorted(nodes, seeds)
+        ok = (idx < len(nodes)) & (nodes[np.minimum(idx, len(nodes) - 1)] == seeds)
+        out[idx[ok]] = scale
+    return out
+
+
+@ray.remote
+def _iter_reduce_seeded(
+    nodes: np.ndarray,
+    seeds: np.ndarray,
+    base: int,
+    damp_num: int,
+    damp_den: int,
+    *pieces,
+) -> np.ndarray:
+    """Damped update with teleport mass restricted to the SEED set:
+    pr' = (seed ? base : 0) + damp·S // den."""
+    s = np.zeros(len(nodes), dtype=np.int64)
+    for node_arr, c_arr in _flatten_pieces(pieces):
+        if len(node_arr):
+            np.add.at(s, np.searchsorted(nodes, node_arr), c_arr)
+    b = np.zeros(len(nodes), dtype=np.int64)
+    if len(nodes):
+        idx = np.searchsorted(nodes, seeds)
+        ok = (idx < len(nodes)) & (nodes[np.minimum(idx, len(nodes) - 1)] == seeds)
+        b[idx[ok]] = base
+    return b + damp_num * s // damp_den
+
+
+def pagerank_personalized(
+    edges: Dataset,
+    seeds: "list[int]",
+    iters: int = 5,
+    scale: int = 10**12,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    nbuckets: int = 32,
+) -> Dataset:
+    """Personalized PageRank (random walk with restart to the seed set
+    — the standard entity-relatedness measure in entity linking, e.g.
+    Pershina et al. 2015) → (node, r), int64 fixed point:
+
+        pr[0]   = scale for seeds, else 0
+        pr[i+1] = (seed ? base : 0) + damp_num · S // damp_den
+
+    Same raw-task bucket harness and bit-stability rules as
+    :func:`pagerank_fixed`; the seed list is query-sized and rides in
+    the task args."""
+    base = scale * (damp_den - damp_num) // damp_den
+    nb = nbuckets
+    harness = _graph_state(edges, nb)
+    if harness is None:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "r": pa.array([], pa.int64())})
+        )
+    states, nodes = harness
+    seed_arr = np.asarray(sorted(set(int(s) for s in seeds)), dtype=np.int64)
+    ranks = [_seed_mask_ranks.remote(nodes[k], seed_arr, scale) for k in range(nb)]
+
+    for _ in range(iters):
+        pieces = [
+            _iter_map.options(num_returns=nb).remote(states[k], nodes[k], ranks[k], nb)
+            for k in range(nb)
+        ]
+        if nb == 1:
+            pieces = [[p] for p in pieces]
+        ranks = [
+            _iter_reduce_seeded.remote(
+                nodes[k], seed_arr, base, damp_num, damp_den,
+                *[pieces[j][k] for j in range(nb)]
+            )
+            for k in range(nb)
+        ]
+
+    tables = [_rank_table.remote(nodes[k], ranks[k]) for k in range(nb)]
+    return rd.from_arrow_refs(tables)
+
+
+def purchase_ppr(sf_dir: str, iters: int = 5) -> Dataset:
+    """Personalized PageRank from the two smallest customer nodes over
+    the symmetric purchase graph (relatedness to a query entity set)."""
+    import pyarrow.compute as pc
+
+    custs = read_pq(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    tbl = pa.concat_tables(
+        [pa.table(b) for b in custs.iter_batches(batch_format="pyarrow")]
+    )
+    uniq = sorted(set(tbl["o_custkey"].to_pylist()))[:2]
+    seeds = [2 * int(c) for c in uniq]
+    return pagerank_personalized(purchase_graph_edges(sf_dir), seeds=seeds, iters=iters)
