@@ -1087,7 +1087,12 @@ def threshold_hierarchy(
     Scale shape: the contracted graphs shrink monotonically (nodes =
     live clusters), so the extra levels cost far less than re-running
     CC from scratch per threshold; all attaches are hash-bucket
-    exchanges, nothing corpus-sized ever collects."""
+    exchanges, nothing corpus-sized ever collects. Per level, the
+    (member_id, cluster_id) label table — 2×int64 per member, the same
+    footprint the CC rounds themselves carry — is materialized once
+    (it feeds the band-edge stamps, the cluster-node universe and the
+    composition stamp; lazy re-execution would recompute the level
+    four times)."""
     import pyarrow.compute as pc
 
     from xlink_ray.stages.survivor import stamp_cluster

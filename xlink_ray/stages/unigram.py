@@ -129,23 +129,85 @@ def unigram_train(
     wn = [int(x) for x in vocab_tbl["n"].to_pylist()]
     chars = {c for w in words for c in w}
 
-    # ---- seed: substring occurrence weights over the word vocab ----
-    seed: dict[str, int] = {}
-    for w, n in zip(words, wn):
-        for i in range(len(w)):
-            for j in range(1, min(max_piece_len, len(w) - i) + 1):
-                piece = w[i : i + j]
-                seed[piece] = seed.get(piece, 0) + n
-    ranked = sorted(seed.items(), key=lambda kv: (-kv[1], kv[0]))
-    keep = {p for p, _ in ranked[:seed_size]} | chars
-    counts = {p: c for p, c in seed.items() if p in keep}
-
     # ---- Viterbi hard-EM over the word vocabulary ----
     vocab_ds = None
-    if len(words) > distribute_threshold:  # distribute the E-step for real vocabularies
+    if len(words) > distribute_threshold:  # real vocabularies distribute
         import ray.data as rd
 
         vocab_ds = rd.from_arrow(vocab_tbl)
+
+    # ---- seed: substring occurrence weights over the word vocab ----
+    # small vocab: driver loop; big vocab: per-batch partials → ONE
+    # grouped sum → per-block top-S → ≤ S·nblocks driver merge (the
+    # substring vocabulary itself never collects)
+    if vocab_ds is None:
+        seed: dict[str, int] = {}
+        for w, n in zip(words, wn):
+            for i in range(len(w)):
+                for j in range(1, min(max_piece_len, len(w) - i) + 1):
+                    piece = w[i : i + j]
+                    seed[piece] = seed.get(piece, 0) + n
+        ranked = sorted(seed.items(), key=lambda kv: (-kv[1], kv[0]))
+        keep = {p for p, _ in ranked[:seed_size]} | chars
+        counts = {p: c for p, c in seed.items() if p in keep}
+    else:
+        def sub_partial(t: pa.Table) -> pa.Table:
+            acc: dict[str, int] = {}
+            for w, n in zip(t["word"].to_pylist(), t["n"].to_pylist()):
+                for i in range(len(w)):
+                    for j in range(1, min(max_piece_len, len(w) - i) + 1):
+                        piece = w[i : i + j]
+                        acc[piece] = acc.get(piece, 0) + int(n)
+            return pa.table(
+                {
+                    "piece": pa.array(list(acc.keys()), pa.string()),
+                    "c": pa.array(list(acc.values()), pa.int64()),
+                }
+            )
+
+        grouped = (
+            vocab_ds.map_batches(sub_partial, batch_format="pyarrow")
+            .groupby("piece")
+            .aggregate(Sum("c", alias_name="c"))
+            .materialize()  # two consumers: top-S blocks + char rows
+        )
+
+        def block_tops(t: pa.Table) -> pa.Table:
+            ps = np.asarray(t["piece"].to_pandas(), dtype=object)
+            cs = t["c"].to_numpy(zero_copy_only=False)
+            o = np.lexsort((ps, -cs))[:seed_size]
+            return pa.table(
+                {"piece": pa.array(ps[o], pa.string()), "c": pa.array(cs[o])}
+            )
+
+        cand = pa.concat_tables(
+            [
+                pa.table(b)
+                for b in grouped.map_batches(
+                    block_tops, batch_format="pyarrow"
+                ).iter_batches(batch_format="pyarrow")
+            ]
+        )
+        rows = sorted(
+            zip(cand["piece"].to_pylist(), (int(x) for x in cand["c"].to_pylist())),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        counts = dict(rows[:seed_size])
+        import pyarrow.compute as _pc
+
+        char_tbl = pa.concat_tables(
+            [
+                pa.table(b)
+                for b in grouped.map_batches(
+                    lambda t: t.filter(
+                        _pc.equal(_pc.utf8_length(t["piece"]), 1)
+                    ),
+                    batch_format="pyarrow",
+                ).iter_batches(batch_format="pyarrow")
+            ]
+        )
+        for p, c in zip(char_tbl["piece"].to_pylist(), char_tbl["c"].to_pylist()):
+            counts.setdefault(p, int(c))
 
     for _ in range(n_iter):
         logp = _logp_table(counts)
