@@ -4162,6 +4162,21 @@ def _q_signup_funnel(sf_dir: str):
     )
 
 
+def _q_debounced_events(sf_dir: str):
+    """Windowed suppression (stages/scd.py:debounce_events): keep an
+    event iff first of its (user, type) or ≥ 24 h after the previous
+    one — the lag rule, one vectorized diff per bucket."""
+    from xlink_ray.stages.scd import debounce_events
+
+    return debounce_events(
+        read_pq(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_id", "event_type"],
+        ),
+        min_gap_us=86_400_000_000,  # 24 h
+    )
+
+
 def _q_weekly_retention(sf_dir: str):
     """Cohort retention matrix (stages/scd.py:weekly_retention):
     first-activity-week cohorts × active-week offsets, Monday-start
@@ -4810,6 +4825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_events": _q_scd2_events,
         "signup_funnel": _q_signup_funnel,
         "weekly_retention": _q_weekly_retention,
+        "debounced_events": _q_debounced_events,
         "nil_clusters": _q_nil_clusters,
         "purchase_kcore": _q_purchase_kcore,
         "purchase_hits": _q_purchase_hits,
@@ -6354,6 +6370,12 @@ FROM reach GROUP BY u""",
         # recursive closure + MIN(dist) per reached node; the bound
         # (dist < 64) mirrors the Ray side's max_rounds.
         "purchase_sssp": _sssp_sql(),
+        "debounced_events": """
+WITH s AS (SELECT user_id, event_type, ts, event_id,
+  CAST(coalesce(date_diff('microsecond', lag(ts) OVER w, ts), -1) AS BIGINT) AS gap_us
+  FROM events WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+SELECT user_id, event_type, ts, event_id, gap_us
+FROM s WHERE gap_us = -1 OR gap_us >= 86400000000""",
         "nil_clusters": _nil_sql(),
         "weekly_retention": """
 WITH uw AS (SELECT DISTINCT user_id,

@@ -113,3 +113,31 @@ def test_weekly_retention_reference(ray_session):
     w0 = got["cohort_week"].min()
     rowset = set(map(tuple, got[["cohort_week", "week_offset", "n_users"]].values.tolist()))
     assert rowset == {(w0, 0, 2), (w0, 1, 1), (w0 + 1, 0, 1)}
+
+
+def test_debounce_events_reference(ray_session):
+    from xlink_ray.stages.scd import debounce_events
+
+    def d(h):
+        return np.datetime64("2024-01-01T00:00", "us") + np.timedelta64(h, "h")
+
+    rows = [
+        (1, d(0), 1, "a"),   # first -> kept
+        (1, d(1), 2, "a"),   # 1h gap -> dropped
+        (1, d(4), 3, "a"),   # 3h after PREVIOUS (lag rule) -> kept
+        (1, d(5), 4, "b"),   # different type: first -> kept
+        (2, d(0), 5, "a"),   # other user: first -> kept
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows]),
+            "event_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    got = debounce_events(
+        rd.from_arrow(t), min_gap_us=2 * 3600 * 1_000_000
+    ).to_pandas()
+    assert sorted(got["event_id"]) == [1, 3, 4, 5]
+    assert got.set_index("event_id").loc[3, "gap_us"] == 3 * 3600 * 1_000_000

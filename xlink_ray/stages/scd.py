@@ -15,7 +15,7 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
-__all__ = ["scd2_intervals", "funnel_steps", "weekly_retention"]
+__all__ = ["scd2_intervals", "funnel_steps", "weekly_retention", "debounce_events"]
 
 # the SCD "high date": open intervals / missed funnel steps carry this
 # sentinel instead of NULL (NaT breaks exact-equality comparisons, and
@@ -198,3 +198,66 @@ def weekly_retention(
         ds.select_columns([key_col, order_col]), key_col, nbuckets, per_bucket
     ).groupby(["cohort_week", "week_offset"]).aggregate(Sum("n_users", alias_name="n_users"))
     return out
+
+
+def debounce_events(
+    ds: Dataset,
+    min_gap_us: int,
+    key_col: str = "user_id",
+    order_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    nbuckets: int = 64,
+) -> Dataset:
+    """Windowed suppression (the recrawl-politeness rule): keep an
+    event iff it is the FIRST of its (key, type) or ≥ ``min_gap_us``
+    after the PREVIOUS event of that (key, type) — the gap test against
+    the immediate predecessor (the lag rule), not against the last
+    KEPT event, so the filter is one vectorized diff with no sequential
+    state and an exact lag-window SQL replica.
+
+    → the kept rows (key, type, ts, event_id, gap_us; gap = -1 on each
+    (key, type)'s first event). One key-bucket shuffle."""
+    from xlink_ray.stages._bucket import bucket_shuffle
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        k = g[key_col].to_numpy(zero_copy_only=False)
+        ts = g[order_col].to_numpy(zero_copy_only=False)
+        eid = g[id_col].to_numpy(zero_copy_only=False)
+        et = np.asarray(g[type_col].to_pandas(), dtype=object)
+        o = np.lexsort((eid, ts, k, et))
+        # group runs are (type, key) ordered by (ts, id)
+        k, ts, eid, et = k[o], ts[o], eid[o], et[o]
+        n = len(k)
+        if n == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], g[key_col].type),
+                    type_col: pa.array([], pa.string()),
+                    order_col: pa.array([], g[order_col].type),
+                    id_col: pa.array([], g[id_col].type),
+                    "gap_us": pa.array([], pa.int64()),
+                }
+            )
+        new_grp = np.r_[True, (et[1:] != et[:-1]) | (k[1:] != k[:-1])]
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = -1
+        if n > 1:
+            gap[1:] = (ts[1:] - ts[:-1]).astype("timedelta64[us]").astype(np.int64)
+        gap[new_grp] = -1
+        keep = new_grp | (gap >= min_gap_us)
+        return pa.table(
+            {
+                key_col: pa.array(k[keep]),
+                type_col: pa.array(et[keep], pa.string()),
+                order_col: pa.array(ts[keep]),
+                id_col: pa.array(eid[keep]),
+                "gap_us": pa.array(gap[keep]),
+            }
+        )
+
+    out = bucket_shuffle(ds, key_col, nbuckets, per_bucket)
+    return out.map_batches(
+        lambda t: t.drop_columns(["__b"]) if "__b" in t.column_names else t,
+        batch_format="pyarrow",
+    )
