@@ -184,3 +184,31 @@ def test_meta_scored_pairs_jw(ray_session):
         [nm[i] for i in got.id_a], [nm[i] for i in got.id_b]
     )
     assert (got.sim_bp.values == np.floor(sim * 10000).astype("int64")).all()
+
+
+def test_lookup_block_counts_guard():
+    """Broadcast-path |B| lookup: correct values on present ids, a
+    descriptive error (not IndexError / wrong counts) on missing ids."""
+    import pytest
+
+    from xlink_ray.stages.metablocking import _lookup_block_counts
+
+    bids = np.array([1, 2, 3, 5], np.int64)
+    bcnt = np.array([3, 2, 1, 4], np.int64)
+    nb_a, nb_b = _lookup_block_counts(
+        bids, bcnt, np.array([1, 3], np.int64), np.array([5, 2], np.int64)
+    )
+    assert nb_a.tolist() == [3, 1] and nb_b.tolist() == [4, 2]
+    with pytest.raises(ValueError, match="absent"):
+        _lookup_block_counts(
+            bids, bcnt, np.array([4], np.int64), np.array([1], np.int64)
+        )
+    with pytest.raises(ValueError, match="absent"):  # past-the-end id
+        _lookup_block_counts(
+            bids, bcnt, np.array([9], np.int64), np.array([1], np.int64)
+        )
+    with pytest.raises(ValueError, match="absent"):  # empty table
+        _lookup_block_counts(
+            np.zeros(0, np.int64), np.zeros(0, np.int64),
+            np.array([1], np.int64), np.array([1], np.int64),
+        )

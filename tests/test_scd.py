@@ -84,6 +84,21 @@ def test_funnel_steps_reference(ray_session):
     assert got.loc[2, "ts_2"] == high and got.loc[3, "ts_1"] == high
 
 
+def test_scd2_and_funnel_nanosecond_input(ray_session):
+    """datetime64[ns] order columns (pandas-written parquet) must NOT
+    wrap the 9999-12-31 sentinel to year 1816 — the input is coarsened
+    to microseconds on entry."""
+    ns = _events().set_column(
+        1, "ts", _events()["ts"].cast(pa.timestamp("ns"))
+    )
+    got = scd2_intervals(rd.from_arrow(ns)).to_pandas()
+    cur = got[got.is_current == 1]
+    assert len(cur) == 3
+    assert (cur["valid_to"] == pd.Timestamp(HIGH_DATE.item())).all()
+    f = funnel_steps(rd.from_arrow(ns), steps=["A", "Z"]).to_pandas()
+    assert (f["ts_2"] == pd.Timestamp(HIGH_DATE.item())).all()
+
+
 def test_weekly_retention_reference(ray_session):
     """Hand-built cohorts: two users starting week 0 (one retained in
     week 1), one user starting week 1."""

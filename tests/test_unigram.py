@@ -83,3 +83,31 @@ def test_fertility_rollup_consistent(ray_session):
     assert (
         fert["tokens_per_1k_chars"] == 1000 * fert["n_tokens"] // fert["n_chars"]
     ).all()
+
+
+def test_fertility_zero_char_guard(ray_session):
+    """A language whose docs are all empty strings yields fertility 0
+    without a divide-by-zero (mirrors bpe_fertility_by_lang's guard)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xlink_ray.stages.unigram import unigram_fertility_by_lang
+
+    base = read_pq(f"{SF_SMALL}/documents.parquet", columns=["doc_id", "text"])
+    vocab = unigram_train(base)
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([900001, 900002], pa.int64()),
+                "text": pa.array(["", ""], pa.string()),
+                "lang": pa.array(["zz", "zz"], pa.string()),
+            }
+        )
+    )
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        fert = unigram_fertility_by_lang(docs, vocab).to_pandas()
+    row = fert.set_index("lang").loc["zz"]
+    assert row["n_chars"] == 0 and row["tokens_per_1k_chars"] == 0

@@ -57,6 +57,37 @@ _MEMBER = np.int64(-1)
 _BLOCK = np.int64(-2)
 
 
+def _lookup_block_counts(
+    bids: np.ndarray, bcnt: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> "tuple[np.ndarray, np.ndarray]":
+    """|B_a|, |B_b| for each pair via searchsorted on the sorted
+    (id, count) table — with a presence guard (the _seed_mask_ranks
+    pattern): every pair id must appear in the table; a violated
+    upstream precondition (non-distinct (id, key) rows, a pair id
+    missing from the member counts) raises a descriptive error instead
+    of an IndexError or a silently wrong |B_a|."""
+    ia = np.searchsorted(bids, a)
+    ib = np.searchsorted(bids, b)
+    if len(bids) == 0:
+        ok = np.zeros(len(a), dtype=bool)
+    else:
+        ok = (
+            (ia < len(bids))
+            & (ib < len(bids))
+            & (bids[np.minimum(ia, len(bids) - 1)] == a)
+            & (bids[np.minimum(ib, len(bids) - 1)] == b)
+        )
+    if not ok.all():
+        missing = np.unique(np.r_[a[~ok], b[~ok]])[:5]
+        raise ValueError(
+            "meta-blocking: pair ids absent from the per-record "
+            f"block-count table (first few: {missing.tolist()}) — "
+            "upstream must emit distinct (id, key) rows covering "
+            "every pair id"
+        )
+    return bcnt[ia], bcnt[ib]
+
+
 def meta_block_graph(
     keys: Dataset,
     *,
@@ -179,8 +210,7 @@ def meta_block_graph(
             )
             a = t["id_a"].to_numpy(zero_copy_only=False)
             b = t["id_b"].to_numpy(zero_copy_only=False)
-            nb_a = bcnt[np.searchsorted(bids, a)]
-            nb_b = bcnt[np.searchsorted(bids, b)]
+            nb_a, nb_b = _lookup_block_counts(bids, bcnt, a, b)
             cbs = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
             w = cbs * np.log(nblocks / nb_a) * np.log(nblocks / nb_b)
             return pa.table(

@@ -23,6 +23,25 @@ __all__ = ["scd2_intervals", "funnel_steps", "weekly_retention", "debounce_event
 HIGH_DATE = np.datetime64("9999-12-31T00:00:00.000000")
 
 
+def _order_ts(g: "pa.Table", order_col: str) -> np.ndarray:
+    """Order column as numpy, coarsened to microsecond resolution when
+    finer: 9999-12-31 does not fit in int64 nanoseconds, so combining
+    HIGH_DATE with a datetime64[ns] array (pandas-written parquet) would
+    silently wrap the sentinel to year 1816. Coarsening on entry keeps
+    the sentinel exact for any caller."""
+    ts = g[order_col].to_numpy(zero_copy_only=False)
+    if ts.dtype.kind == "M" and np.datetime_data(ts.dtype)[0] in ("ns", "ps", "fs", "as"):
+        ts = ts.astype("datetime64[us]")
+    return ts
+
+
+def _order_ts_type(t: "pa.DataType") -> "pa.DataType":
+    """Arrow output type matching ``_order_ts``'s coarsening."""
+    if pa.types.is_timestamp(t) and t.unit == "ns":
+        return pa.timestamp("us", tz=t.tz)
+    return t
+
+
 def scd2_intervals(
     ds: Dataset,
     key_col: str = "user_id",
@@ -33,7 +52,8 @@ def scd2_intervals(
 ) -> Dataset:
     """Type-2 SCD history per key: consecutive rows (ordered by
     ``order_col`` then ``id_col``) with an unchanged ``attr_col``
-    collapse into one validity interval →
+    collapse into one validity interval (nanosecond order columns are
+    coarsened to microseconds so the high-date sentinel stays exact) →
     (key, attr, valid_from, valid_to, n_events, is_current) with
     ``valid_to`` = the next interval's ``valid_from`` (the 9999-12-31
     high date on the current row) — the gaps-and-islands collapse,
@@ -42,19 +62,20 @@ def scd2_intervals(
 
     def per_bucket(g: pa.Table) -> pa.Table:
         k = g[key_col].to_numpy(zero_copy_only=False)
-        ts = g[order_col].to_numpy(zero_copy_only=False)
+        ts = _order_ts(g, order_col)
         eid = g[id_col].to_numpy(zero_copy_only=False)
         attr = np.asarray(g[attr_col].to_pandas(), dtype=object)
         o = np.lexsort((eid, ts, k))
         k, ts, eid, attr = k[o], ts[o], eid[o], attr[o]
         n = len(k)
         if n == 0:
+            tt = _order_ts_type(g[order_col].type)
             return pa.table(
                 {
                     key_col: pa.array([], g[key_col].type),
                     attr_col: pa.array([], pa.string()),
-                    "valid_from": pa.array([], g[order_col].type),
-                    "valid_to": pa.array([], g[order_col].type),
+                    "valid_from": pa.array([], tt),
+                    "valid_to": pa.array([], tt),
                     "n_events": pa.array([], pa.int64()),
                     "is_current": pa.array([], pa.int64()),
                 }
@@ -99,8 +120,10 @@ def funnel_steps(
 ) -> Dataset:
     """Ordered-step funnel per key: step i's timestamp is the EARLIEST
     ``steps[i]`` event strictly after step i-1's timestamp (classic
-    open-window funnel) → (key, n_steps, ts_1..ts_k) with nulls past
-    the reached depth. One key-bucket shuffle; inside the bucket every
+    open-window funnel) → (key, n_steps, ts_1..ts_k) with the
+    9999-12-31 HIGH_DATE sentinel (NOT null) past the reached depth —
+    the module-level high-date convention, kept so exact-equality
+    comparisons work. One key-bucket shuffle; inside the bucket every
     step is one vectorized pass (sort + per-key searchsorted)."""
     from xlink_ray.stages._bucket import bucket_shuffle
 
@@ -108,7 +131,7 @@ def funnel_steps(
 
     def per_bucket(g: pa.Table) -> pa.Table:
         k = g[key_col].to_numpy(zero_copy_only=False)
-        ts = g[order_col].to_numpy(zero_copy_only=False)
+        ts = _order_ts(g, order_col)
         eid = g[id_col].to_numpy(zero_copy_only=False)
         et = np.asarray(g[type_col].to_pandas(), dtype=object)
         o = np.lexsort((eid, ts, k))

@@ -390,8 +390,11 @@ def unigram_fertility_by_lang(
     def fert(t: pa.Table) -> pa.Table:
         tok = t["n_tokens"].to_numpy(zero_copy_only=False)
         ch = t["n_chars"].to_numpy(zero_copy_only=False)
+        # zero-chars guard (all-empty-doc language) — mirrors
+        # bpe_fertility_by_lang's np.where guard
         return t.append_column(
-            "tokens_per_1k_chars", pa.array(1000 * tok // ch, pa.int64())
+            "tokens_per_1k_chars",
+            pa.array(np.where(ch > 0, 1000 * tok // np.maximum(ch, 1), 0), pa.int64()),
         )
 
     return (
