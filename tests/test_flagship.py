@@ -122,6 +122,33 @@ def test_links_partitioned_survives_block_splitting(ray_session, sf_small):
         assert (a[c] == b[c]).all(), c
 
 
+def test_links_partitioned_forced_hot_mention_salting(ray_session, sf_small):
+    """Forced-skew regime: with hot_mention_cap=1 EVERY mention exceeds
+    the cap (the hottest mention's occurrences dominate its bucket and
+    salt across ceil(freq/1) sub-keys, candidates replicated per salt)
+    — results must be identical to the broadcast path."""
+    import numpy as np
+
+    from xlink_ray.pipelines import flagship
+
+    key = ["doc_id", "offset"]
+    a = flagship.links(sf_small).to_pandas().sort_values(key).reset_index(drop=True)
+    b = (
+        flagship.links_partitioned(sf_small, hot_mention_cap=1)
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b)
+    for c in ["doc_id", "offset", "mention", "entity_id", "context"]:
+        assert (a[c] == b[c]).all(), c
+    assert np.allclose(a["believe"], b["believe"], atol=1e-12)
+    # the skew premise actually holds: at cap=1 the hottest mention IS
+    # hot (its corpus freq is > 1), so the salted path was exercised
+    counts = a["mention"].value_counts()
+    assert counts.iloc[0] > 1
+
+
 def test_nil_mentions_partition_links(ray_session):
     """At the stricter review bar, NIL ∪ accepted = all scanned winners
     and the two sets are disjoint on (doc_id, offset)."""

@@ -255,7 +255,10 @@ def _argmax_first(doc, off, ent, believe) -> np.ndarray:
 
 
 def links_partitioned(
-    sf_dir: str, repeat: int = 1, num_partitions: int | None = None
+    sf_dir: str,
+    repeat: int = 1,
+    num_partitions: int | None = None,
+    hot_mention_cap: int | None = None,
 ) -> Dataset:
     """The linking path with NO dictionary broadcast: per-mention and
     per-entity state attaches to the scan output through tagged-union
@@ -272,10 +275,13 @@ def links_partitioned(
     word-vector model for context embedding. Equality with ``links()``
     is test-pinned (same rows; believe equal to float tolerance).
 
-    Cost shape — exactly THREE exchanges and TWO materializations
-    (down from five sequential Dataset-join barriers; sort-based
-    groupby shuffles need no join-aggregator actor pools, so the whole
-    chain is one streaming DAG):
+    Cost shape — exactly THREE exchanges and THREE materializations:
+    corpus, mention-anchor table, and the per-mention freq table (the
+    freq scan output now feeds BOTH the stats exchange and the
+    hot-mention detector, so it pins once; still down from five
+    sequential Dataset-join barriers — sort-based groupby shuffles
+    need no join-aggregator actor pools, so the rest of the chain is
+    one streaming DAG):
 
     1. mention exchange: mention_anchor rows + freq rows meet per
        mention; link_m / e_given_m / link_prob all computed in-bucket
@@ -293,11 +299,23 @@ def links_partitioned(
     a mention bucket must fit one map_groups task — nbuckets scales
     with the corpus block count (4 × nparts), so a bucket holds
     ~corpus/nbuckets occurrence rows; the same group-size shape the
-    previous doc-salt groupby had. A pathologically hot single mention
-    (> one task's memory) would need mention-level salting on the
-    occurrence side plus a second-level argmax — not implemented, no
-    such skew in web-crawl mention distributions at the reference's
-    dictionary scale.
+    previous doc-salt groupby had.
+
+    Hot-mention salting (the skew guard for that assumption): the
+    per-mention corpus frequencies — already computed for link_prob —
+    feed a hot-mention detector. A mention whose occurrence count
+    exceeds ``hot_mention_cap`` (default: 4× the average bucket share,
+    min 4096; env ``XLINK_HOT_MENTION_CAP`` overrides; a stop-word-like
+    alias surviving the anchor filter would otherwise land every
+    occurrence in ONE task) is split: its occurrence rows salt into
+    ``ceil(freq/cap)`` sub-keys by a deterministic (doc, offset) hash,
+    and its candidate rows REPLICATE once per sub-key — so every
+    occurrence still meets ALL of its mention's candidates in exactly
+    one bucket and the in-bucket per-(doc, offset) argmax stays
+    complete with no second-level reduce. The hot set is bounded by
+    total_occurrences/cap ≤ nbuckets/4 mentions, so the driver-side
+    hot table stays tiny at any corpus scale. Forced-skew equality
+    with ``links()`` is test-pinned.
     """
     import ray.data as rd
 
@@ -341,7 +359,34 @@ def links_partitioned(
         }
     )
     vocab_ref = ray.put(vocab)
-    freq_ds = freq_m_stage(corpus, vocab_ref)
+    freq_ds = freq_m_stage(corpus, vocab_ref).materialize()
+
+    # ---- hot-mention detection (skew guard for exchange 3) from the
+    # freq table computed above — no extra corpus pass. The hot set is
+    # ≤ total/cap mentions, so this collect is tiny by construction.
+    import os as _os
+
+    if hot_mention_cap is None:
+        _env = _os.environ.get("XLINK_HOT_MENTION_CAP", "")
+        hot_mention_cap = int(_env) if _env else 0
+    total_occ = int(freq_ds.sum("freq") or 0)
+    cap = hot_mention_cap or max(4096, -(-4 * total_occ // nbuckets))
+    hot_tbl = _collect(
+        freq_ds.map_batches(
+            lambda t: t.filter(pc.greater(t["freq"], cap)).select(["mention", "freq"]),
+            batch_format="pyarrow",
+        )
+    )
+    hot: "dict[str, int]" = (
+        {
+            m: int(min(nbuckets, -(-int(f) // cap)))
+            for m, f in zip(
+                hot_tbl["mention"].to_pylist(), hot_tbl["freq"].to_pylist()
+            )
+        }
+        if hot_tbl.num_rows
+        else {}
+    )
 
     def add_bk(col: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -539,11 +584,25 @@ def links_partitioned(
 
     def tag_occ(t: pa.Table) -> pa.Table:
         n = t.num_rows
+        ms = t["mention"].to_pylist()
+        mkey = ms
+        if hot:
+            hidx = [i for i, m in enumerate(ms) if m in hot]
+            if hidx:
+                doc = t["doc_id"].to_pylist()
+                off = t["offset"].to_numpy(zero_copy_only=False)
+                # deterministic per-occurrence salt — independent of
+                # batching/partitioning, so results are bit-stable
+                hsalt = md5_low64([f"{doc[i]}#{off[i]}" for i in hidx])
+                mkey = list(ms)
+                for j, i in enumerate(hidx):
+                    mkey[i] = f"{ms[i]}\x1f{int(hsalt[j] % np.uint64(hot[ms[i]]))}"
         return pa.table(
             {
                 "doc_id": t["doc_id"],
                 "offset": pc.cast(t["offset"], pa.int64()),
                 "mention": t["mention"],
+                "mkey": pa.array(mkey, pa.string()),
                 "context": t["context"],
                 "ctxbin": t["ctxbin"],
                 "entity_id": pa.array([""] * n, pa.string()),
@@ -555,12 +614,34 @@ def links_partitioned(
         )
 
     def tag_cand2(t: pa.Table) -> pa.Table:
+        mkey = None
+        if hot and t.num_rows:
+            ms0 = t["mention"].to_pylist()
+            nrep = np.array([hot.get(m, 1) for m in ms0], np.int64)
+            if (nrep > 1).any():
+                # replicate each hot mention's candidate rows once per
+                # salt sub-key: every salted occurrence bucket sees the
+                # mention's FULL candidate set exactly once
+                idx = np.repeat(np.arange(len(ms0), dtype=np.int64), nrep)
+                ends = np.cumsum(nrep)
+                salt = (
+                    np.arange(int(nrep.sum()), dtype=np.int64)
+                    - np.repeat(ends - nrep, nrep)
+                )
+                t = t.take(pa.array(idx))
+                mkey = [
+                    ms0[i] if n == 1 else f"{ms0[i]}\x1f{int(s)}"
+                    for i, n, s in zip(idx, nrep[idx], salt)
+                ]
         n = t.num_rows
+        if mkey is None:
+            mkey = t["mention"].to_pylist()
         return pa.table(
             {
                 "doc_id": pa.array([""] * n, pa.string()),
                 "offset": pa.array(np.full(n, -1, np.int64)),
                 "mention": t["mention"],
+                "mkey": pa.array(mkey, pa.string()),
                 "context": pa.array([""] * n, pa.string()),
                 "ctxbin": pa.array([None] * n, pa.binary()),
                 "entity_id": t["entity_id"],
@@ -574,7 +655,7 @@ def links_partitioned(
     tagged3 = (
         occ.map_batches(tag_occ, batch_format="pyarrow")
         .union(cand2.map_batches(tag_cand2, batch_format="pyarrow"))
-        .map_batches(add_bk("mention"), batch_format="pyarrow")
+        .map_batches(add_bk("mkey"), batch_format="pyarrow")
     )
 
     def score_bucket(g: pa.Table) -> pa.Table:
@@ -585,8 +666,10 @@ def links_partitioned(
         gc = g.filter(pa.array(side == 1))
         if go.num_rows == 0 or gc.num_rows == 0:
             return _LINKS_EMPTY
-        om = np.asarray(go["mention"].to_pylist(), dtype=object)
-        cm = np.asarray(gc["mention"].to_pylist(), dtype=object)
+        # join on the SALTED key: a hot mention's occurrence meets the
+        # replicated candidate set of its own salt sub-key only
+        om = np.asarray(go["mkey"].to_pylist(), dtype=object)
+        cm = np.asarray(gc["mkey"].to_pylist(), dtype=object)
         corder = np.argsort(cm, kind="stable")
         cm_s = cm[corder]
         lo = np.searchsorted(cm_s, om, side="left")
