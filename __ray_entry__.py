@@ -4131,6 +4131,19 @@ def _q_nil_clusters(sf_dir: str):
     return flagship.nil_clusters(sf_dir)
 
 
+def _q_nil_attach(sf_dir: str):
+    """NIL clustering as a POST-FILTER over the standing linker scan
+    (pipelines/flagship.py:nil_attach): the memoized _raw_scan is
+    reused — no second corpus pass — and the two-stage salted
+    context-class blocking removes the hot-surface assumption. Result
+    is pinned identical to nil_clusters (same SQL oracle)."""
+    from xlink_ray.pipelines import flagship
+
+    nil = flagship.nil_mentions(sf_dir, believe_th=0.5)
+    _, _, emb_ref = flagship._raw_scan(sf_dir, 1)
+    return flagship.nil_attach(nil, emb_ref)
+
+
 def _q_scd2_events(sf_dir: str):
     """Type-2 SCD history of each user's event_type attribute
     (stages/scd.py:scd2_intervals): consecutive equal values collapse
@@ -4827,6 +4840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_retention": _q_weekly_retention,
         "debounced_events": _q_debounced_events,
         "nil_clusters": _q_nil_clusters,
+        "nil_attach": _q_nil_attach,
         "purchase_kcore": _q_purchase_kcore,
         "purchase_hits": _q_purchase_hits,
         "dup_ngrams": _q_dup_ngrams,
@@ -6377,6 +6391,7 @@ WITH s AS (SELECT user_id, event_type, ts, event_id,
 SELECT user_id, event_type, ts, event_id, gap_us
 FROM s WHERE gap_us = -1 OR gap_us >= 86400000000""",
         "nil_clusters": _nil_sql(),
+        "nil_attach": _nil_sql(),
         "weekly_retention": """
 WITH uw AS (SELECT DISTINCT user_id,
   (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) // 7 AS week

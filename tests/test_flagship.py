@@ -191,3 +191,32 @@ def test_nil_clusters_structure(ray_session):
         lambda s: lab.loc[s].nunique()
     )
     assert (grp == 1).all()
+
+
+def test_nil_attach_equals_nil_clusters_and_reuses_scan(ray_session):
+    """nil_attach over a standing nil_mentions set is pinned identical
+    to nil_clusters, including at an aggressive context-salt count
+    (every surface split across many sub-groups), and the memoized
+    _raw_scan is shared — the corpus is not re-scanned."""
+    from xlink_ray.pipelines import flagship
+
+    sf = "/root/testdata/sf0.001"
+    base = (
+        flagship.nil_clusters(sf)
+        .to_pandas()
+        .sort_values("member_id")
+        .reset_index(drop=True)
+    )
+    # the standing scan is memoized: same tuple object on re-request
+    raw1 = flagship._raw_scan(sf, 1)
+    raw2 = flagship._raw_scan(sf, 1)
+    assert raw1 is raw2
+    nil = flagship.nil_mentions(sf, believe_th=0.5)
+    got = (
+        flagship.nil_attach(nil, raw1[2], nsalt=64)
+        .to_pandas()
+        .sort_values("member_id")
+        .reset_index(drop=True)
+    )
+    assert (base["member_id"] == got["member_id"]).all()
+    assert (base["cluster_id"] == got["cluster_id"]).all()

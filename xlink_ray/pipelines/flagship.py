@@ -186,32 +186,32 @@ def _prepare(sf_dir: str, repeat: int, align_salt: bool = False):
     return corpus, broadcast_table(ma), broadcast_table(_lp_table(link_m, freq_tbl)), emb_ref
 
 
-def links(sf_dir: str, concurrency: int | tuple[int, int] | None = None, repeat: int = 1) -> Dataset:
-    """pages → resolved occurrence links (the XLink `links` table).
+# the standing raw-scan memo: ONE entry, keyed (sf_dir, repeat, ray job
+# id). The materialized scan pins object-store blocks, so a second
+# distinct key evicts the first; the job-id component guarantees a
+# fresh ray.init never sees stale object refs.
+_RAW_SCAN_CACHE: "dict[tuple, tuple]" = {}
 
-    Pass structure: synth→strip→corpus (materialized) overlapped with
-    the mention-anchor pass; then the freq scan and the raw candidate
-    scan run CONCURRENTLY over the materialized corpus (the scan only
-    needs e_given_m; the link-prob keep thresholds are a cheap
-    per-mention post-filter — identical final rows, one corpus pass
-    less on the critical path).
-    """
-    if concurrency is not None:
-        corpus, ma_ref, lp_ref, emb_ref = _prepare(sf_dir, repeat)
-        return corpus.map_batches(
-            CandidateGenActor,
-            fn_constructor_args=(ma_ref, lp_ref, emb_ref),
-            batch_format="pyarrow",
-            batch_size=256,
-            concurrency=concurrency,
-            num_cpus=1,
-        )
 
+def _raw_scan(sf_dir: str, repeat: int = 1):
+    """Dictionary phase + raw candidate scan, MATERIALIZED and memoized:
+    ``links``, ``nil_mentions`` and ``nil_clusters`` all consume the
+    same standing scan, so a suite that runs the linker and then
+    NIL-clusters its rejects pays the corpus scan ONCE.
+
+    Returns (raw, lp_ref, emb_ref): raw = per-occurrence candidate rows
+    before the link-prob keep filter; lp_ref / emb_ref = broadcast
+    link-prob table / embedding-table refs."""
     from concurrent.futures import ThreadPoolExecutor
 
-    from xlink_ray.stages.candidates import candidate_gen_raw_fn, link_prob_filter
+    from xlink_ray.stages.candidates import candidate_gen_raw_fn
     from xlink_ray.stages.freq import freq_m as freq_m_stage
 
+    job = ray.get_runtime_context().get_job_id() if ray.is_initialized() else None
+    key = (sf_dir, repeat, job)
+    hit = _RAW_SCAN_CACHE.get(key)
+    if hit is not None:
+        return hit
     corpus, ma, link_m, vocab_ref, emb_ref = _dict_phase(sf_dir, repeat)
     ma_ref = broadcast_table(ma)
     with ThreadPoolExecutor(max_workers=2) as ex:
@@ -228,6 +228,36 @@ def links(sf_dir: str, concurrency: int | tuple[int, int] | None = None, repeat:
         freq_tbl = freq_f.result()
         raw = raw_f.result()
     lp_ref = broadcast_table(_lp_table(link_m, freq_tbl))
+    _RAW_SCAN_CACHE.clear()
+    _RAW_SCAN_CACHE[key] = (raw, lp_ref, emb_ref)
+    return raw, lp_ref, emb_ref
+
+
+def links(sf_dir: str, concurrency: int | tuple[int, int] | None = None, repeat: int = 1) -> Dataset:
+    """pages → resolved occurrence links (the XLink `links` table).
+
+    Pass structure: synth→strip→corpus (materialized) overlapped with
+    the mention-anchor pass; then the freq scan and the raw candidate
+    scan run CONCURRENTLY over the materialized corpus (the scan only
+    needs e_given_m; the link-prob keep thresholds are a cheap
+    per-mention post-filter — identical final rows, one corpus pass
+    less on the critical path). The scan is the memoized ``_raw_scan``,
+    shared with the NIL pipeline.
+    """
+    if concurrency is not None:
+        corpus, ma_ref, lp_ref, emb_ref = _prepare(sf_dir, repeat)
+        return corpus.map_batches(
+            CandidateGenActor,
+            fn_constructor_args=(ma_ref, lp_ref, emb_ref),
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+
+    from xlink_ray.stages.candidates import link_prob_filter
+
+    raw, lp_ref, _ = _raw_scan(sf_dir, repeat)
     return raw.map_batches(link_prob_filter, fn_args=(lp_ref,), batch_format="pyarrow")
 
 
@@ -1429,32 +1459,11 @@ def nil_mentions(
     pipeline to :func:`links` with the final keep filter inverted;
     ``believe_th`` overrides the P8 constant (the synth corpus links
     everything at the reference bar, so exercising the NIL path takes
-    a stricter review threshold)."""
-    from concurrent.futures import ThreadPoolExecutor
+    a stricter review threshold). Rides the memoized ``_raw_scan`` —
+    after a ``links()`` run the corpus is NOT re-scanned."""
+    from xlink_ray.stages.candidates import link_prob_filter
 
-    from xlink_ray.stages.candidates import (
-        candidate_gen_raw_fn,
-        link_prob_filter,
-    )
-    from xlink_ray.stages.freq import freq_m as freq_m_stage
-    from xlink_ray.util import heavy_cpus
-
-    corpus, ma, link_m, vocab_ref, emb_ref = _dict_phase(sf_dir, repeat)
-    ma_ref = broadcast_table(ma)
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        freq_f = ex.submit(lambda: _collect(freq_m_stage(corpus, vocab_ref)))
-        raw_f = ex.submit(
-            lambda: corpus.map_batches(
-                candidate_gen_raw_fn,
-                fn_args=(ma_ref, emb_ref),
-                batch_format="pyarrow",
-                batch_size=256,
-                num_cpus=heavy_cpus(),
-            ).materialize()
-        )
-        freq_tbl = freq_f.result()
-        raw = raw_f.result()
-    lp_ref = broadcast_table(_lp_table(link_m, freq_tbl))
+    raw, lp_ref, _ = _raw_scan(sf_dir, repeat)
     kw = {"invert": True}
     if believe_th is not None:
         kw["believe_th"] = believe_th
@@ -1464,72 +1473,54 @@ def nil_mentions(
     )
 
 
-def nil_clusters(
-    sf_dir: str, cos_th_e6: int = 800000, believe_th: "float | None" = 0.5
+def nil_attach(
+    nil: Dataset,
+    emb_ref: "ray.ObjectRef",
+    cos_th_e6: int = 800000,
+    nsalt: int = 16,
 ) -> Dataset:
-    """NIL-mention clustering (the TAC-KBP NIL-coreference step): the
-    linker's rejected occurrences cluster among themselves — same
-    normalized surface AND context cosine ≥ the threshold — via
-    connected components → (member_id, cluster_id), member_id =
-    docnum·10⁶ + offset.
+    """NIL-coreference clustering over a STANDING rejected-occurrence
+    Dataset (the post-filter form: attach to any existing `links`-style
+    scan instead of re-running it) → (member_id, cluster_id),
+    member_id = docnum·10⁶ + offset.
 
-    Shape: the NIL set rides the links pipeline (inverted filter), a
-    parallel `_AddContextVec` stage attaches mean-pool context vectors,
-    and ONE groupby(mention) blocking shuffle clusters each surface
-    block in-task over its CONTEXT CLASSES: equal context strings share
-    a vector, so members star-connect to their class rep (in-class
-    cosine is exactly 1) and only the ≤ distinct-contexts² class-rep
-    grid is scored (chunked matmul, cosine quantized half-up to the
-    1e-6 grid — the links-oracle float convention). Connectivity equals
-    the full pairwise graph: any qualifying cross pair's class pair
-    qualifies identically. Zero-norm contexts stay singletons (cos ≔ 0
-    convention). Blocking assumption: one surface's context classes
-    fit a group task (salt like `clusters()` if a surface runs hot)."""
+    Two-stage blocking — no hot-surface assumption:
+
+    1. groupby (mention, context-salt), salt = hash(context) % nsalt:
+       equal context strings share a salt, so each CONTEXT CLASS is
+       whole in one sub-group. Members star-connect to their class rep
+       (min node; in-class cosine is exactly 1) — per-task load is
+       ~surface_members/nsalt even for a boilerplate surface that
+       dominates the NIL set. Zero-norm contexts stay singletons
+       (cos ≔ 0 convention).
+    2. groupby (mention) over the class REPS only (≤ distinct contexts
+       of the surface): the rep grid is scored with chunked matmul,
+       cosine quantized half-up to the 1e-6 grid (the links-oracle
+       float convention). Connectivity equals the full pairwise graph:
+       any qualifying cross pair's class pair qualifies identically.
+
+    Residual assumption (documented per the custom-operator rule): one
+    surface's distinct-context rep SET fits a group task — far weaker
+    than the old all-members-in-one-task shape; the rep grid itself is
+    chunked."""
     import numpy as np
 
+    from xlink_ray.functions.hashing import md5_low64
     from xlink_ray.stages.clustering import connected_components
     from xlink_ray.synth import doc_id_of_url
     from xlink_ray.util import pool_size
 
-    from concurrent.futures import ThreadPoolExecutor
-
-    from xlink_ray.stages.candidates import candidate_gen_raw_fn, link_prob_filter
-    from xlink_ray.stages.freq import freq_m as freq_m_stage
-    from xlink_ray.util import heavy_cpus
-
-    corpus, ma, link_m, vocab_ref, emb_ref = _dict_phase(sf_dir, 1)
-    ma_ref = broadcast_table(ma)
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        freq_f = ex.submit(lambda: _collect(freq_m_stage(corpus, vocab_ref)))
-        raw_f = ex.submit(
-            lambda: corpus.map_batches(
-                candidate_gen_raw_fn,
-                fn_args=(ma_ref, emb_ref),
-                batch_format="pyarrow",
-                batch_size=256,
-                num_cpus=heavy_cpus(),
-            ).materialize()
-        )
-        freq_tbl = freq_f.result()
-        raw = raw_f.result()
-    lp_ref = broadcast_table(_lp_table(link_m, freq_tbl))
-    kw = {"invert": True}
-    if believe_th is not None:
-        kw["believe_th"] = believe_th
-    nil = raw.map_batches(
-        link_prob_filter, fn_args=(lp_ref,), fn_kwargs=kw,
-        batch_format="pyarrow",
-    )
-
-    def add_node(t: pa.Table) -> pa.Table:
+    def prep(t: pa.Table) -> pa.Table:
         docnum = doc_id_of_url(t["doc_id"])
         off = t["offset"].to_numpy(zero_copy_only=False)
+        ctx = t["context"].to_pylist()
+        csalt = md5_low64(ctx) % np.uint64(nsalt)
         return t.append_column(
             "node", pa.array(np.asarray(docnum, dtype=np.int64) * 1_000_000 + off)
-        )
+        ).append_column("csalt", pa.array(csalt.astype(np.int64)))
 
     with_vec = (
-        nil.map_batches(add_node, batch_format="pyarrow")
+        nil.map_batches(prep, batch_format="pyarrow")
         .map_batches(
             _AddContextVec,
             fn_constructor_args=(emb_ref,),
@@ -1537,22 +1528,31 @@ def nil_clusters(
             concurrency=pool_size(),
             num_cpus=1,
         )
-        .select_columns(["node", "mention", "context", "ctxvec"])
+        .select_columns(["node", "mention", "csalt", "context", "ctxvec"])
         .materialize()  # two consumers: edges + CC node universe
     )
 
-    def block_edges(g: pa.Table) -> pa.Table:
+    _stage1_empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "mention": pa.array([], pa.string()),
+            "vec": pa.array([], pa.binary()),
+            "kind": pa.array([], pa.int8()),
+        }
+    )
+
+    def collapse_classes(g: pa.Table) -> pa.Table:
+        """Stage 1: star edges (kind 0) + one rep row per context class
+        (kind 1, vector as a binary blob for the stage-2 grid)."""
         from xlink_ray.util import vecs_to_numpy
 
         node = g["node"].to_numpy(zero_copy_only=False)
+        if len(node) == 0:
+            return _stage1_empty
         ctx = np.asarray(g["context"].to_pandas(), dtype=object)
         v = vecs_to_numpy(g["ctxvec"])
-        empty = pa.table(
-            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
-        )
-        if len(node) < 2:
-            return empty
-        # context classes: equal strings share a vector; rep = min node
+        mention = g["mention"].to_pylist()[0]
         o = np.lexsort((node, ctx))
         node, ctx, v = node[o], ctx[o], v[o]
         first = np.r_[True, ctx[1:] != ctx[:-1]]
@@ -1564,10 +1564,49 @@ def nil_clusters(
         # star edges: member -> its class rep (skip reps themselves and
         # zero-norm classes, whose members stay singletons)
         member_m = nz[cls_of] & ~first
-        out_a = [reps[cls_of[member_m]]]
-        out_b = [node[member_m]]
-        # class-rep grid, chunked
+        ea = reps[cls_of[member_m]]
+        eb = node[member_m]
         k = len(reps)
+        return pa.table(
+            {
+                "id_a": pa.array(np.r_[ea, reps]),
+                "id_b": pa.array(np.r_[eb, np.full(k, -1, np.int64)]),
+                "mention": pa.array(
+                    [""] * len(ea) + [mention] * k, pa.string()
+                ),
+                "vec": pa.array(
+                    [None] * len(ea) + [row.tobytes() for row in rv], pa.binary()
+                ),
+                "kind": pa.array(
+                    np.r_[np.zeros(len(ea), np.int8), np.ones(k, np.int8)]
+                ),
+            }
+        )
+
+    stage1 = with_vec.groupby(["mention", "csalt"]).map_groups(
+        lambda g: collapse_classes(g).select(
+            ["id_a", "id_b", "mention", "vec", "kind"]
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # two consumers: star edges + rep rows
+
+    star_edges = stage1.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 0)).select(["id_a", "id_b"]),
+        batch_format="pyarrow",
+    )
+
+    _edges_empty = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+    )
+
+    def rep_grid(g: pa.Table) -> pa.Table:
+        reps = g["id_a"].to_numpy(zero_copy_only=False)
+        k = len(reps)
+        if k < 2:
+            return _edges_empty
+        rv = np.frombuffer(b"".join(g["vec"].to_pylist()), np.float64).reshape(k, -1)
+        nn = np.sqrt((rv * rv).sum(axis=1))
+        out_a, out_b = [], []
         step = 2048
         for i0 in range(0, k, step):
             vi = rv[i0 : i0 + step]
@@ -1584,9 +1623,39 @@ def nil_clusters(
         b = np.concatenate(out_b) if out_b else np.zeros(0, np.int64)
         return pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
 
-    edges = with_vec.groupby("mention").map_groups(
-        block_edges, batch_format="pyarrow"
+    grid_edges = (
+        stage1.map_batches(
+            lambda t: t.filter(pc.equal(t["kind"], 1)).select(
+                ["id_a", "mention", "vec"]
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("mention")
+        .map_groups(
+            lambda g: rep_grid(g).select(["id_a", "id_b"]),
+            batch_format="pyarrow",
+        )
     )
+
     return connected_components(
-        edges, nodes=with_vec.select_columns(["node"]), node_col="node"
+        star_edges.union(grid_edges),
+        nodes=with_vec.select_columns(["node"]),
+        node_col="node",
     )
+
+
+def nil_clusters(
+    sf_dir: str, cos_th_e6: int = 800000, believe_th: "float | None" = 0.5
+) -> Dataset:
+    """NIL-mention clustering (the TAC-KBP NIL-coreference step): the
+    linker's rejected occurrences cluster among themselves — same
+    normalized surface AND context cosine ≥ the threshold — via
+    connected components → (member_id, cluster_id).
+
+    Composition: ``nil_mentions`` (the inverted keep filter over the
+    memoized ``_raw_scan`` — a preceding ``links()`` run's scan is
+    REUSED, not re-run) → :func:`nil_attach` (two-stage salted
+    context-class blocking; see its docstring for the scale shape)."""
+    nil = nil_mentions(sf_dir, believe_th=believe_th)
+    _, _, emb_ref = _raw_scan(sf_dir, 1)
+    return nil_attach(nil, emb_ref, cos_th_e6=cos_th_e6)
