@@ -1074,28 +1074,27 @@ def threshold_hierarchy(
 
     ``thresholds`` must be strictly descending similarity cut-offs (in
     the integer ``sim_col`` units). Level 0 is an ordinary connected-
-    components run over the edges ≥ thresholds[0]. Every later level
-    CONTRACTS: the previous level's labels become the nodes, only the
-    edges in [t_i, t_{i-1}) enter the incremental closure (each scored
-    pair participates in exactly one CC), and member labels compose
-    through a reduce-side ``stamp_cluster`` chain. Labels stay the min
-    member id at every level because a min-composition of min-labels is
-    the global min. Nesting (higher threshold refines lower) holds by
+    components run over the edges ≥ thresholds[0]. Every later level is
+    ONE closure over ``star(prev) ∪ band``: the previous level's
+    (member → label) rows ride as depth-1 STAR edges — labels are min
+    member ids, i.e. real node ids, so they need no contraction or
+    relabeling — and only the scored edges in [t_i, t_{i-1}) enter
+    (each scored pair participates in exactly one CC). The star edges
+    have the same connectivity as the full previous closure, so the
+    level-i labels equal a from-scratch CC at t_i; labels stay min
+    member ids. Nesting (higher threshold refines lower) holds by
     construction — the level-i clusters are unions of level-(i-1)
     clusters.
 
-    Scale shape: the contracted graphs shrink monotonically (nodes =
-    live clusters), so the extra levels cost far less than re-running
-    CC from scratch per threshold; all attaches are hash-bucket
-    exchanges, nothing corpus-sized ever collects. Per level, the
-    (member_id, cluster_id) label table — 2×int64 per member, the same
-    footprint the CC rounds themselves carry — is materialized once
-    (it feeds the band-edge stamps, the cluster-node universe and the
-    composition stamp; lazy re-execution would recompute the level
-    four times)."""
+    Scale shape: per level exactly ONE connected-components run whose
+    input is members + band-sized (the star side is 2×int64 per member,
+    the same footprint the CC label rounds themselves carry) — this
+    replaced a per-level chain of two endpoint-stamp exchanges, a
+    contracted CC and a composition stamp (~4 Dataset launches each);
+    nothing corpus-sized ever collects. The per-level label table is
+    materialized once (it feeds the next level's star side and the
+    output union)."""
     import pyarrow.compute as pc
-
-    from xlink_ray.stages.survivor import stamp_cluster
 
     if any(x <= y for x, y in zip(thresholds, thresholds[1:])):
         raise ValueError(f"thresholds must be strictly descending: {thresholds}")
@@ -1136,55 +1135,20 @@ def threshold_hierarchy(
 
     out = prev.map_batches(tag(t0), batch_format="pyarrow")
 
+    def star(t: pa.Table) -> pa.Table:
+        # previous labels as depth-1 edges: label ids ARE member ids,
+        # so connectivity of star(prev) == connectivity of the full
+        # previous closure and the node universe is unchanged
+        return pa.table({a: t["member_id"], b: t["cluster_id"]})
+
     for t_prev, t_cur in zip(thresholds, thresholds[1:]):
         band_edges = edges.map_batches(band(t_cur, t_prev), batch_format="pyarrow")
-        # contract: map both endpoints through the previous labels
-        ea = stamp_cluster(
-            band_edges,
-            prev,
-            id_col=a,
-            carry_cols=[b],
-            carry_types={b: pa.int64()},
-        ).map_batches(
-            lambda t: pa.table({"ca": t["cluster"], b: t[b]}),
-            batch_format="pyarrow",
-        )
-        contracted = stamp_cluster(
-            ea,
-            prev,
-            id_col=b,
-            carry_cols=["ca"],
-            carry_types={"ca": pa.int64()},
-        ).map_batches(
-            lambda t: pa.table({"id_a": t["ca"], "id_b": t["cluster"]}).filter(
-                pc.invert(pc.equal(t["ca"], t["cluster"]))
-            ),
-            batch_format="pyarrow",
-        )
-        # cluster-level CC; previous labels ride as singleton nodes so
-        # untouched clusters keep their label
-        lab_c = connected_components(
-            contracted,
-            nodes=prev,
-            node_col="cluster_id",
-        ).materialize()
-        # compose member labels through the cluster relabeling
-        prev = stamp_cluster(
-            prev.map_batches(
-                lambda t: pa.table(
-                    {"cl": t["cluster_id"], "member_id": t["member_id"]}
-                ),
-                batch_format="pyarrow",
-            ),
-            lab_c,
-            id_col="cl",
-            carry_cols=["member_id"],
-            carry_types={"member_id": pa.int64()},
-        ).map_batches(
-            lambda t: pa.table(
-                {"member_id": t["member_id"], "cluster_id": t["cluster"]}
-            ),
-            batch_format="pyarrow",
+        prev = connected_components(
+            prev.map_batches(star, batch_format="pyarrow").union(band_edges),
+            a=a,
+            b=b,
+            nodes=nodes,
+            node_col=node_col,
         ).materialize()
         out = out.union(prev.map_batches(tag(t_cur), batch_format="pyarrow"))
     return out
