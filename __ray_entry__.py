@@ -691,6 +691,51 @@ def _q_ann_topk(sf_dir: str):
     return brute_topk(read_pq(f"{sf_dir}/embeddings.parquet"), queries, k=10)
 
 
+def _q_word_analogy(sf_dir: str):
+    """Embedding-QA analogy ranking (reference
+    TrainJointModel/src/analogy.c:1-50, compute-accuracy.c: nearest
+    neighbors of b−a+c over per-word-normalized vectors, the three
+    inputs excluded): triples (a,b,c)=(3i,3i+1,3i+2) for i<5 →
+    (query_id, rank, vec_id), top-5 by (cos desc, vec_id). Distributed
+    scan via ann.brute_topk (k=8 covers the ≤3 exclusions); only the
+    k-bounded result touches the driver."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from xlink_ray.stages.ann import brute_topk
+
+    tb = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).sort_by("vec_id")
+    ids = np.asarray(tb["vec_id"].to_pylist())
+    sel = {
+        int(i): np.asarray(v, dtype=np.float64)
+        for i, v in zip(ids, tb["embedding"].to_pylist())
+        if i < 15
+    }
+
+    def nrm(v):
+        n = np.linalg.norm(v)
+        return v / n if n > 0 else v
+
+    qs, excl = [], []
+    for i in range(5):
+        a, b, c = 3 * i, 3 * i + 1, 3 * i + 2
+        qs.append(nrm(sel[b]) - nrm(sel[a]) + nrm(sel[c]))
+        excl.append({a, b, c})
+    res = brute_topk(
+        read_pq(f"{sf_dir}/embeddings.parquet"), np.asarray(qs), k=8
+    ).to_pandas()
+    out = []
+    for qid, grp in res.groupby("query_id"):
+        keep = grp.sort_values("rank")
+        keep = keep[~keep["vec_id"].isin(excl[qid])].head(5)
+        for r, vid in enumerate(keep["vec_id"], 1):
+            out.append((int(qid), r, int(vid)))
+    return pd.DataFrame(out, columns=["query_id", "rank", "vec_id"])
+
+
 _EXPAND_DICT_ROWS = [
     # (title-mention, entity_id): branch-a row (known mention, new
     # entity), a no-op row (already-anchored pair), and two branch-b
@@ -1232,6 +1277,98 @@ def _q_pca_variance(sf_dir: str):
             "explained_var": pa.array(np.round(evar, 9), pa.float64()),
             "ratio": pa.array(np.round(evar / total, 9), pa.float64()),
         }
+    )
+
+
+def _q_pca_invariants(sf_dir: str):
+    """SQL-checkable companion for the rows-only pca_variance (the
+    er_constrained_invariants pattern): (1) the FULL eigenvalue sum of
+    the population covariance equals its trace — which SQL recomputes
+    independently as the sum of per-dimension population variances;
+    (2) the component matrix is orthonormal (violation count 0, an
+    eigh property SQL asserts as a literal); (3) the top-8 explained
+    ratio is ≤ 1. The eigen-decomposition itself stays rows-only."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from xlink_ray.stages.projection import pca_fit
+
+    dim = len(
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        .slice(0, 1)["embedding"]
+        .to_pylist()[0]
+    )
+    comps, evar, _ = pca_fit(
+        read_pq(f"{sf_dir}/embeddings.parquet"), n_components=dim
+    )
+    eig_sum = float(evar.sum())
+    resid = np.abs(comps @ comps.T - np.eye(dim))
+    n_viol = int((resid > 1e-8).sum())
+    ratio8 = float(evar[:8].sum() / evar.sum())
+    return pd.DataFrame(
+        {
+            "metric": ["eig_sum", "orthonormal_viol", "top8_ratio_le_1"],
+            "value": [eig_sum, float(n_viol), float(1.0 if ratio8 <= 1.0 else 0.0)],
+        }
+    )
+
+
+def _pca_invariants_sql() -> str:
+    return """
+WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+u AS (SELECT t.j, v[t.j] AS x FROM e, unnest(range(1, len(v)+1)) AS t(j)),
+dv AS (SELECT j, avg(x*x) - avg(x)*avg(x) AS vp FROM u GROUP BY j)
+SELECT 'eig_sum' AS metric, sum(vp) AS value FROM dv
+UNION ALL SELECT 'orthonormal_viol', 0.0
+UNION ALL SELECT 'top8_ratio_le_1', 1.0"""
+
+
+def _q_fidelity_invariants(sf_dir: str):
+    """SQL-checkable companion for the rows-only fidelity_links (the
+    er_constrained_invariants pattern): the reference-parity linker's
+    ACCEPTED OCCURRENCE SET matches the links CTE chain — per-doc link
+    counts plus offset and mention-length aggregates, replicated in SQL
+    over the links-family chain. Entity choice / believe (the P7/P9
+    variant semantics with embedding scoring) stay rows-only."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from xlink_ray.pipelines import parity
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "off": pc.cast(t["start"], pa.int64()),
+                "len": pc.cast(pc.subtract(t["end"], t["start"]), pa.int64()),
+            }
+        )
+
+    return (
+        parity.fidelity_links(sf_dir)
+        .map_batches(pre, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Count(alias_name="n_links"),
+            Min("off", alias_name="min_off"),
+            Max("off", alias_name="max_off"),
+            Sum("off", alias_name="sum_off"),
+            Sum("len", alias_name="sum_len"),
+        )
+    )
+
+
+def _fidelity_invariants_sql() -> str:
+    return (
+        f"WITH {_alias_values_sql()},\n{_mat(_flagship_parts())}\n"
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_links,\n"
+        "       CAST(min(off) AS BIGINT) AS min_off,\n"
+        "       CAST(max(off) AS BIGINT) AS max_off,\n"
+        "       CAST(sum(off) AS BIGINT) AS sum_off,\n"
+        "       CAST(sum(length(mention)) AS BIGINT) AS sum_len\n"
+        "FROM kept GROUP BY doc_id"
     )
 
 
@@ -4700,35 +4837,189 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
-        "extract_text": _q_extract_text,
-        "mention_anchors": _q_mention_anchors,
-        "freq_m": _q_freq_m,
-        "e_given_m": _q_e_given_m,
-        "m_given_e": _q_m_given_e,
-        "entity_prior": _q_entity_prior,
-        "link_prob": _q_link_prob,
-        "out_links": _q_out_links,
-        "er_pairs": _q_er_pairs,
-        "er_pairs_jw": _q_er_pairs_jw,
-        "er_clusters": _q_er_clusters,
-        "er_clusters_dist": _q_er_clusters_dist,
-        "er_clusters_bucket": _q_er_clusters_bucket,
-        "er_clusters_constrained": _q_er_clusters_constrained,
-        "er_constrained_invariants": _q_er_constrained_invariants,
-        "er_clusters_incremental": _q_er_clusters_incremental,
-        "er_golden_incremental": _q_er_golden_incremental,
-        "er_attach": _q_er_attach,
-        "fs_weights": _q_fs_weights,
-        "fs_scores": _q_fs_scores,
-        "fs_em_weights": _q_fs_em_weights,
-        "fs_em_posteriors": _q_fs_em_posteriors,
-        "er_clusters_em": _q_er_clusters_em,
-        "er_ari": _q_er_ari,
-        "er_vmeasure": _q_er_vmeasure,
-        "er_one_to_one": _q_er_one_to_one,
-        "er_hierarchy": _q_er_hierarchy,
+        "media_features_raw": _q_media_features_raw,
+        "bpe_merges": _q_bpe_merges,
+        "purchase_attribution": _q_purchase_attribution,
+        "dsir_weights": _q_dsir_weights,
+        "gopher_filter": _q_gopher_filter,
+        "lsh_recall": _q_lsh_recall,
+        "ann_ivf": _q_ann_ivf,
+        "heavy_hitters": _q_heavy_hitters,
+        "hopping_agg": _q_hopping_agg,
+        "constraint_violations": _q_constraint_violations,
+        "meta_blocking": _q_meta_blocking,
+        "joint_norms": _q_joint_norms,
+        "revenue_rollup": _q_revenue_rollup,
+        "nil_clusters": _q_nil_clusters,
+        "bm25_scores": _q_bm25_scores,
+        "media_frames": _q_media_frames,
+        "bpe_token_counts": _q_bpe_token_counts,
+        "copurchase_lift": _q_copurchase_lift,
+        "dsir_sample": _q_dsir_sample,
+        "ccnet_buckets": _q_ccnet_buckets,
+        "containment_pairs": _q_containment_pairs,
+        "ann_pq": _q_ann_pq,
+        "hll_tokens": _q_hll_tokens,
+        "signup_conversion": _q_signup_conversion,
+        "table_profile": _q_table_profile,
+        "meta_blocking_cnp": _q_meta_blocking_cnp,
+        "pca_variance": _q_pca_variance,
+        "pca_invariants": _q_pca_invariants,
+        "segment_pivot": _q_segment_pivot,
+        "nil_attach": _q_nil_attach,
+        "pmi_bigrams": _q_pmi_bigrams,
+        "media_phash": _q_media_phash,
+        "bpe_fertility": _q_bpe_fertility,
+        "pagerank": _q_pagerank,
+        "curated_corpus": _q_curated_corpus,
+        "repetition_stats": _q_repetition_stats,
+        "shared_ngrams": _q_shared_ngrams,
+        "ann_rerank": _q_ann_rerank,
+        "hll_by_lang": _q_hll_by_lang,
+        "scd2_events": _q_scd2_events,
+        "pii_scrub": _q_pii_scrub,
+        "er_clusters_meta": _q_er_clusters_meta,
+        "top_parts": _q_top_parts,
+        "merged_anchors": _q_merged_anchors,
+        "user_running_stats": _q_user_running_stats,
+        "media_phash_pairs": _q_media_phash_pairs,
+        "unigram_vocab": _q_unigram_vocab,
+        "communities": _q_communities,
+        "blocklist_stats": _q_blocklist_stats,
+        "lm_scores": _q_lm_scores,
+        "neardup_clusters": _q_neardup_clusters,
+        "ann_ivfpq": _q_ann_ivfpq,
+        "cms_counts": _q_cms_counts,
+        "signup_funnel": _q_signup_funnel,
+        "packed_sequences": _q_packed_sequences,
+        "er_pairs_meta": _q_er_pairs_meta,
+        "vocab_counts": _q_vocab_counts,
+        "merged_link_prob": _q_merged_link_prob,
+        "clean_paragraphs": _q_clean_paragraphs,
+        "media_features": _q_media_features,
+        "unigram_tokens": _q_unigram_tokens,
+        "supplier_triangles": _q_supplier_triangles,
+        "curated_corpus_v2": _q_curated_corpus_v2,
         "c4_filter": _q_c4_filter,
+        "embedding_neardup": _q_embedding_neardup,
+        "doc_semantic_topk": _q_doc_semantic_topk,
+        "weekly_retention": _q_weekly_retention,
+        "packed_by_bpe": _q_packed_by_bpe,
+        "blocking_quality": _q_blocking_quality,
+        "aida_eval": _q_aida_eval,
+        "length_band_docs": _q_length_band_docs,
+        "unigram_fertility": _q_unigram_fertility,
+        "purchase_walks": _q_purchase_walks,
+        "mixture_plan": _q_mixture_plan,
         "deduped_lines": _q_deduped_lines,
+        "winnow_fps": _q_winnow_fps,
+        "ann_topk": _q_ann_topk,
+        "word_analogy": _q_word_analogy,
+        "debounced_events": _q_debounced_events,
+        "inverted_index": _q_inverted_index,
+        "cluster_f1": _q_cluster_f1,
+        "expanded_anchors": _q_expanded_anchors,
+        "embedding_znorm": _q_embedding_znorm,
+        "cosupply_edges": _q_cosupply_edges,
+        "mixture_corpus": _q_mixture_corpus,
+        "quality_stats": _q_quality_stats,
+        "stripped_corpus": _q_stripped_corpus,
+        "doc_ranks": _q_doc_ranks,
+        "er_pairs_snm": _q_er_pairs_snm,
+        "title_entities": _q_title_entities,
+        "pair_features": _q_pair_features,
+        "weighted_pagerank": _q_weighted_pagerank,
+        "weighted_sample": _q_weighted_sample,
+        "lang_id": _q_lang_id,
+        "dup_ngrams": _q_dup_ngrams,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "part_fuzzy_pairs": _q_part_fuzzy_pairs,
+        "extract_text": _q_extract_text,
+        "latest_events": _q_latest_events,
+        "purchase_ppr": _q_purchase_ppr,
+        "weighted_sample_by_lang": _q_weighted_sample_by_lang,
+        "cdc_chunks": _q_cdc_chunks,
+        "url_features": _q_url_features,
+        "part_monge_pairs": _q_part_monge_pairs,
+        "mention_anchors": _q_mention_anchors,
+        "bigram_lm": _q_bigram_lm,
+        "purchase_distances": _q_purchase_distances,
+        "kmeans_sizes": _q_kmeans_sizes,
+        "part_tfidf_pairs": _q_part_tfidf_pairs,
+        "freq_m": _q_freq_m,
+        "doc_keywords": _q_doc_keywords,
+        "purchase_sssp": _q_purchase_sssp,
+        "semantic_dedup": _q_semantic_dedup,
+        "part_pprl_pairs": _q_part_pprl_pairs,
+        "e_given_m": _q_e_given_m,
+        "event_props": _q_event_props,
+        "purchase_kcore": _q_purchase_kcore,
+        "exact_dedup": _q_exact_dedup,
+        "part_codes": _q_part_codes,
+        "m_given_e": _q_m_given_e,
+        "normalized_docs": _q_normalized_docs,
+        "purchase_hits": _q_purchase_hits,
+        "minhash_pairs": _q_minhash_pairs,
+        "part_soundex": _q_part_soundex,
+        "entity_prior": _q_entity_prior,
+        "domain_stats": _q_domain_stats,
+        "minhash_attach": _q_minhash_attach,
+        "er_threshold_sweep": _q_er_threshold_sweep,
+        "link_prob": _q_link_prob,
+        "dataset_split": _q_dataset_split,
+        "ppjoin_pairs": _q_ppjoin_pairs,
+        "er_pairs": _q_er_pairs,
+        "out_links": _q_out_links,
+        "quantile_norm": _q_quantile_norm,
+        "simhash_pairs": _q_simhash_pairs,
+        "er_pairs_jw": _q_er_pairs_jw,
+        "flagship_attach": _q_flagship_attach,
+        "crawl_freshness": _q_crawl_freshness,
+        "er_clusters": _q_er_clusters,
+        "html_extract_text": _q_html_extract_text,
+        "token_counts": _q_token_counts,
+        "er_clusters_dist": _q_er_clusters_dist,
+        "flagship_golden": _q_flagship_golden,
+        "jaccard_partners": _q_jaccard_partners,
+        "er_clusters_bucket": _q_er_clusters_bucket,
+        "candidate_recall": _q_candidate_recall,
+        "embedding_dup": _q_embedding_dup,
+        "er_clusters_constrained": _q_er_clusters_constrained,
+        "doc_mentions": _q_doc_mentions,
+        "fingerprints": _q_fingerprints,
+        "er_constrained_invariants": _q_er_constrained_invariants,
+        "links": _q_links,
+        "doc_sample": _q_doc_sample,
+        "er_clusters_incremental": _q_er_clusters_incremental,
+        "links_partitioned": _q_links_partitioned,
+        "doc_sample_stratified": _q_doc_sample_stratified,
+        "er_golden_incremental": _q_er_golden_incremental,
+        "flagship_clusters": _q_flagship_clusters,
+        "top_docs_per_lang": _q_top_docs_per_lang,
+        "er_attach": _q_er_attach,
+        "fidelity_links": _q_fidelity_links,
+        "fidelity_invariants": _q_fidelity_invariants,
+        "length_quantiles": _q_length_quantiles,
+        "fs_weights": _q_fs_weights,
+        "linking_eval": _q_linking_eval,
+        "decontamination": _q_decontamination,
+        "fs_scores": _q_fs_scores,
+        "candidate_histogram": _q_candidate_histogram,
+        "bloom_flags": _q_bloom_flags,
+        "fs_em_weights": _q_fs_em_weights,
+        "corpus_diff": _q_corpus_diff,
+        "fs_em_posteriors": _q_fs_em_posteriors,
+        "pricing_summary": _q_pricing_summary,
+        "er_clusters_em": _q_er_clusters_em,
+        "nation_revenue": _q_nation_revenue,
+        "er_ari": _q_er_ari,
+        "mktsegments": _q_mktsegments,
+        "er_vmeasure": _q_er_vmeasure,
+        "customers_without_orders": _q_customers_without_orders,
+        "er_one_to_one": _q_er_one_to_one,
+        "window_agg": _q_window_agg,
+        "er_hierarchy": _q_er_hierarchy,
+        "sessions": _q_sessions,
         "er_golden": _q_er_golden,
         "er_cluster_metrics": _q_er_cluster_metrics,
         "er_alignment": _q_er_alignment,
@@ -4736,159 +5027,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_pairs_composite": _q_er_pairs_composite,
         "er_pairs_qgram": _q_er_pairs_qgram,
         "er_bcubed": _q_er_bcubed,
-        "flagship_attach": _q_flagship_attach,
         "fs_review_queue": _q_fs_review_queue,
         "er_exemplars": _q_er_exemplars,
-        "quantile_norm": _q_quantile_norm,
-        "html_extract_text": _q_html_extract_text,
-        "crawl_freshness": _q_crawl_freshness,
-        "flagship_golden": _q_flagship_golden,
-        "candidate_recall": _q_candidate_recall,
-        "doc_mentions": _q_doc_mentions,
-        "links": _q_links,
-        "links_partitioned": _q_links_partitioned,
-        "flagship_clusters": _q_flagship_clusters,
-        "exact_dedup": _q_exact_dedup,
-        "token_counts": _q_token_counts,
-        "quality_stats": _q_quality_stats,
-        "jaccard_partners": _q_jaccard_partners,
-        "embedding_dup": _q_embedding_dup,
-        "ann_topk": _q_ann_topk,
-        "minhash_pairs": _q_minhash_pairs,
-        "lsh_recall": _q_lsh_recall,
-        "minhash_attach": _q_minhash_attach,
-        "ppjoin_pairs": _q_ppjoin_pairs,
-        "simhash_pairs": _q_simhash_pairs,
-        "lang_id": _q_lang_id,
-        "fingerprints": _q_fingerprints,
-        "doc_sample": _q_doc_sample,
-        "weighted_sample": _q_weighted_sample,
-        "weighted_sample_by_lang": _q_weighted_sample_by_lang,
-        "dsir_weights": _q_dsir_weights,
-        "dsir_sample": _q_dsir_sample,
-        "meta_blocking": _q_meta_blocking,
-        "meta_blocking_cnp": _q_meta_blocking_cnp,
-        "er_clusters_meta": _q_er_clusters_meta,
-        "er_pairs_meta": _q_er_pairs_meta,
-        "gopher_filter": _q_gopher_filter,
-        "ccnet_buckets": _q_ccnet_buckets,
-        "doc_sample_stratified": _q_doc_sample_stratified,
-        "top_docs_per_lang": _q_top_docs_per_lang,
-        "length_quantiles": _q_length_quantiles,
-        "decontamination": _q_decontamination,
-        "bloom_flags": _q_bloom_flags,
-        "cms_counts": _q_cms_counts,
-        "corpus_diff": _q_corpus_diff,
-        "constraint_violations": _q_constraint_violations,
-        "table_profile": _q_table_profile,
-        "blocking_quality": _q_blocking_quality,
-        "cluster_f1": _q_cluster_f1,
-        "curated_corpus": _q_curated_corpus,
-        "media_features": _q_media_features,
-        "media_features_raw": _q_media_features_raw,
-        "media_frames": _q_media_frames,
-        "media_phash": _q_media_phash,
-        "media_phash_pairs": _q_media_phash_pairs,
-        "pricing_summary": _q_pricing_summary,
-        "nation_revenue": _q_nation_revenue,
-        "top_parts": _q_top_parts,
-        "mktsegments": _q_mktsegments,
-        "customers_without_orders": _q_customers_without_orders,
-        "vocab_counts": _q_vocab_counts,
-        "revenue_rollup": _q_revenue_rollup,
-        "segment_pivot": _q_segment_pivot,
-        "window_agg": _q_window_agg,
-        "hopping_agg": _q_hopping_agg,
-        "sessions": _q_sessions,
-        "purchase_attribution": _q_purchase_attribution,
-        "repetition_stats": _q_repetition_stats,
-        "signup_conversion": _q_signup_conversion,
-        "bm25_scores": _q_bm25_scores,
-        "pmi_bigrams": _q_pmi_bigrams,
-        "copurchase_lift": _q_copurchase_lift,
-        "containment_pairs": _q_containment_pairs,
-        "blocklist_stats": _q_blocklist_stats,
-        "bpe_merges": _q_bpe_merges,
-        "bpe_token_counts": _q_bpe_token_counts,
-        "bpe_fertility": _q_bpe_fertility,
-        "shared_ngrams": _q_shared_ngrams,
-        "lm_scores": _q_lm_scores,
-        "curated_corpus_v2": _q_curated_corpus_v2,
-        "heavy_hitters": _q_heavy_hitters,
-        "neardup_clusters": _q_neardup_clusters,
-        "pii_scrub": _q_pii_scrub,
-        "packed_sequences": _q_packed_sequences,
-        "packed_by_bpe": _q_packed_by_bpe,
-        "embedding_neardup": _q_embedding_neardup,
-        "inverted_index": _q_inverted_index,
-        "winnow_fps": _q_winnow_fps,
-        "doc_ranks": _q_doc_ranks,
-        "pagerank": _q_pagerank,
-        "communities": _q_communities,
-        "hll_tokens": _q_hll_tokens,
-        "hll_by_lang": _q_hll_by_lang,
-        "supplier_triangles": _q_supplier_triangles,
-        "stripped_corpus": _q_stripped_corpus,
-        "purchase_walks": _q_purchase_walks,
-        "cosupply_edges": _q_cosupply_edges,
-        "weighted_pagerank": _q_weighted_pagerank,
-        "purchase_ppr": _q_purchase_ppr,
-        "purchase_distances": _q_purchase_distances,
-        "purchase_sssp": _q_purchase_sssp,
-        "scd2_events": _q_scd2_events,
-        "signup_funnel": _q_signup_funnel,
-        "weekly_retention": _q_weekly_retention,
-        "debounced_events": _q_debounced_events,
-        "nil_clusters": _q_nil_clusters,
-        "nil_attach": _q_nil_attach,
-        "purchase_kcore": _q_purchase_kcore,
-        "purchase_hits": _q_purchase_hits,
-        "dup_ngrams": _q_dup_ngrams,
-        "cdc_chunks": _q_cdc_chunks,
-        "fidelity_links": _q_fidelity_links,
-        "linking_eval": _q_linking_eval,
-        "candidate_histogram": _q_candidate_histogram,
-        "merged_anchors": _q_merged_anchors,
-        "merged_link_prob": _q_merged_link_prob,
-        "aida_eval": _q_aida_eval,
-        "expanded_anchors": _q_expanded_anchors,
-        "title_entities": _q_title_entities,
-        "ann_ivf": _q_ann_ivf,
-        "ann_pq": _q_ann_pq,
-        "ann_rerank": _q_ann_rerank,
-        "ann_ivfpq": _q_ann_ivfpq,
-        "doc_semantic_topk": _q_doc_semantic_topk,
-        "joint_norms": _q_joint_norms,
-        "kmeans_sizes": _q_kmeans_sizes,
-        "semantic_dedup": _q_semantic_dedup,
-        "user_running_stats": _q_user_running_stats,
-        "clean_paragraphs": _q_clean_paragraphs,
-        "length_band_docs": _q_length_band_docs,
-        "er_pairs_snm": _q_er_pairs_snm,
-        "part_fuzzy_pairs": _q_part_fuzzy_pairs,
-        "part_monge_pairs": _q_part_monge_pairs,
-        "part_tfidf_pairs": _q_part_tfidf_pairs,
-        "part_pprl_pairs": _q_part_pprl_pairs,
-        "unigram_vocab": _q_unigram_vocab,
-        "unigram_tokens": _q_unigram_tokens,
-        "unigram_fertility": _q_unigram_fertility,
-        "part_codes": _q_part_codes,
-        "part_soundex": _q_part_soundex,
-        "embedding_znorm": _q_embedding_znorm,
-        "mixture_plan": _q_mixture_plan,
-        "pair_features": _q_pair_features,
-        "er_threshold_sweep": _q_er_threshold_sweep,
-        "latest_events": _q_latest_events,
-        "paragraph_dedup": _q_paragraph_dedup,
-        "bigram_lm": _q_bigram_lm,
-        "doc_keywords": _q_doc_keywords,
-        "event_props": _q_event_props,
-        "mixture_corpus": _q_mixture_corpus,
-        "pca_variance": _q_pca_variance,
-        "normalized_docs": _q_normalized_docs,
-        "url_features": _q_url_features,
-        "domain_stats": _q_domain_stats,
-        "dataset_split": _q_dataset_split,
     }
 
 
@@ -4993,6 +5133,8 @@ reach(u, v) AS (
 SELECT u AS member_id, CAST(min(v) AS BIGINT) AS cluster_id
 FROM reach GROUP BY u""",
         "links": _links_sql(),
+        "pca_invariants": _pca_invariants_sql(),
+        "fidelity_invariants": _fidelity_invariants_sql(),
         "flagship_golden": _golden_sql(),
         "flagship_attach": _attach_sql(),
         "links_partitioned": _links_partitioned_sql(),
@@ -5038,6 +5180,30 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS 
         "ann_rerank": _pq_sql(rerank_mult=4),
         "ann_ivfpq": _ivfpq_sql(),
         "doc_semantic_topk": _doc_semantic_sql(),
+        "word_analogy": """
+WITH trip AS (SELECT CAST(i AS BIGINT) AS qid,
+                     CAST(3*i AS BIGINT) AS a, CAST(3*i+1 AS BIGINT) AS b,
+                     CAST(3*i+2 AS BIGINT) AS c
+              FROM (SELECT unnest(range(5)) AS i)),
+vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+nrm AS (SELECT vec_id,
+               list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS nv
+        FROM vecs),
+tgt AS (SELECT t.qid, t.a, t.b, t.c,
+               list_transform(range(1, len(nb.nv)+1),
+                              j -> nb.nv[j] - na.nv[j] + nc.nv[j]) AS qv
+        FROM trip t
+        JOIN nrm na ON na.vec_id = t.a
+        JOIN nrm nb ON nb.vec_id = t.b
+        JOIN nrm nc ON nc.vec_id = t.c),
+s AS (SELECT g.qid, e.vec_id, list_cosine_similarity(e.v, g.qv) AS cos
+      FROM vecs e CROSS JOIN tgt g
+      WHERE e.vec_id NOT IN (g.a, g.b, g.c)),
+r AS (SELECT qid, vec_id,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+      FROM s)
+SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rank, vec_id
+FROM r WHERE rnk <= 5""",
         "ann_topk": """
 WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE vec_id < 5),

@@ -176,3 +176,35 @@ def test_train_joint_smoke(ray_session, sf_small, tmp_path):
     assert np.linalg.norm(
         np.asarray(w["vector"].combine_chunks().flatten().to_numpy(zero_copy_only=False))
     ) > 0
+    # word-analogy smoke over the TRAINED vectors (the analogy.c QA
+    # surface): b - a + c nearest neighbors via brute_topk, inputs
+    # excluded, pinned against a direct numpy ranking
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xlink_ray.stages.ann import brute_topk
+
+    dimv = w["vector"].combine_chunks()
+    V = dimv.flatten().to_numpy(zero_copy_only=False).reshape(w.num_rows, -1)
+    assert w.num_rows >= 8
+    ids = np.arange(w.num_rows, dtype=np.int64)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "embedding": pa.array([row.tolist() for row in V]),
+            }
+        )
+    )
+
+    def nrm(M):
+        n = np.linalg.norm(M, axis=-1, keepdims=True)
+        return M / np.where(n > 0, n, 1.0)
+
+    target = nrm(V[1]) - nrm(V[0]) + nrm(V[2])
+    got = brute_topk(ds, target[None, :], k=6).to_pandas().sort_values("rank")
+    keep = got[~got["vec_id"].isin({0, 1, 2})].head(3)["vec_id"].tolist()
+    cos = (nrm(target[None, :]) @ nrm(V).T).ravel()
+    order = np.lexsort((np.arange(len(cos)), -cos))
+    want = [int(i) for i in order if i not in (0, 1, 2)][:3]
+    assert keep == want
