@@ -39,6 +39,12 @@ SCALE_HI = int(os.environ.get("GRAFT_SCALE_HI", "16"))
 # single runs swing by 2x; the minimum is the least-noisy estimate of
 # the pipeline's actual cost at each level
 SCALING_TRIALS = int(os.environ.get("GRAFT_BENCH_TRIALS", "3"))
+# ER-chain scaling witness: replica count for the expanded customer
+# universe (independent blocking universes, work scales linearly) so
+# the north-rule number doesn't rest on one pipeline family. 32 puts
+# the 4-CPU leg near ~45 s — compute-bound (repeat 4 measured 0.51
+# efficiency from fixed cost alone; 32 measured 0.83 on a quiet host)
+ER_REPEAT = int(os.environ.get("GRAFT_ER_REPEAT", "32"))
 
 
 def _wait_quiet(max_wait: float = 90.0, threshold: float = 6.0) -> None:
@@ -183,11 +189,38 @@ def _headline_only() -> tuple[float, int]:
     return dt, pages
 
 
+def _er_headline_only() -> tuple[float, int]:
+    """ER chain (block → score → CC) once over the expanded customer
+    universe; returns (seconds, records)."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from xlink_ray.pipelines import er
+    from xlink_ray.util import prewarm_workers
+
+    prewarm_workers()
+    records = er.customers_expanded(SF_DIR, ER_REPEAT).count()  # warm reads
+    t0 = time.time()
+    er.customer_clusters_expanded(SF_DIR, ER_REPEAT).count()
+    dt = time.time() - t0
+    ray.shutdown()
+    return dt, records
+
+
 def _scaling() -> None:
-    def run_once(ncpu: int) -> dict:
+    def run_once(ncpu: int, mode: str = "--headline") -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
         out = subprocess.run(
-            [sys.executable, os.path.join(os.path.dirname(__file__), "bench.py"), "--headline"],
+            [sys.executable, os.path.join(os.path.dirname(__file__), "bench.py"), mode],
             env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
@@ -207,10 +240,21 @@ def _scaling() -> None:
         lo_runs.append(run_once(lo_cpus))
         _wait_quiet()
         hi_runs.append(run_once(hi_cpus))
+    # second datapoint: the ER chain (block → score → CC) over the
+    # expanded customer universe, same interleaved quiet-guarded scheme
+    er_lo_runs, er_hi_runs = [], []
+    for _ in range(SCALING_TRIALS):
+        _wait_quiet()
+        er_lo_runs.append(run_once(lo_cpus, "--er-headline"))
+        _wait_quiet()
+        er_hi_runs.append(run_once(hi_cpus, "--er-headline"))
     lo = min(lo_runs, key=lambda r: r["value"])
     hi = min(hi_runs, key=lambda r: r["value"])
     t_lo, t_hi = lo["value"], hi["value"]
     eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
+    er_lo = min(er_lo_runs, key=lambda r: r["value"])
+    er_hi = min(er_hi_runs, key=lambda r: r["value"])
+    er_eff = (er_lo["value"] / er_hi["value"]) / (hi_cpus / lo_cpus)
     # persist EVERY trial (not just the winning pair) so judges can see
     # the shared-host variance without re-running; per-trial
     # efficiencies pair trial i's legs (interleaved, same load window)
@@ -238,6 +282,30 @@ def _scaling() -> None:
                 "trial_loads_hi": [
                     [r.get("load_before"), r.get("load_after")] for r in hi_runs
                 ],
+                "er_metric": "er_chain_scaling",
+                "er_repeat": ER_REPEAT,
+                "er_sec_lo": er_lo["value"],
+                "er_sec_hi": er_hi["value"],
+                "er_records": er_lo.get("records"),
+                "er_records_per_sec_lo": round(
+                    (er_lo.get("records") or 0) / er_lo["value"], 1
+                ),
+                "er_records_per_sec_hi": round(
+                    (er_lo.get("records") or 0) / er_hi["value"], 1
+                ),
+                "er_scaling_efficiency": round(er_eff, 3),
+                "er_trials_sec_lo": [r["value"] for r in er_lo_runs],
+                "er_trials_sec_hi": [r["value"] for r in er_hi_runs],
+                "er_trial_efficiencies": [
+                    round((a["value"] / b["value"]) / (hi_cpus / lo_cpus), 3)
+                    for a, b in zip(er_lo_runs, er_hi_runs)
+                ],
+                "er_trial_loads_lo": [
+                    [r.get("load_before"), r.get("load_after")] for r in er_lo_runs
+                ],
+                "er_trial_loads_hi": [
+                    [r.get("load_before"), r.get("load_after")] for r in er_hi_runs
+                ],
                 "sf": SF_DIR,
             }
         )
@@ -254,6 +322,16 @@ def main() -> None:
         dt, pages = _headline_only()
         print(json.dumps({"metric": "flagship_e2e", "value": round(dt, 3),
                           "unit": "sec", "pages": pages, "num_cpus": NUM_CPUS,
+                          "load_before": load_before,
+                          "load_after": _loadavg()}))
+        return
+    if "--er-headline" in sys.argv:
+        _wait_quiet()
+        load_before = _loadavg()
+        dt, records = _er_headline_only()
+        print(json.dumps({"metric": "er_chain_e2e", "value": round(dt, 3),
+                          "unit": "sec", "records": records,
+                          "num_cpus": NUM_CPUS, "er_repeat": ER_REPEAT,
                           "load_before": load_before,
                           "load_after": _loadavg()}))
         return

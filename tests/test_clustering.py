@@ -511,3 +511,32 @@ def test_vmeasure_reference(ray_session):
     assert o["h_ppm"] == 1_000_000  # every pred cluster pure in truth
     assert o["c_ppm"] < 1_000_000   # truth classes split across preds
     assert 0 < o["v_ppm"] < 1_000_000
+
+
+def test_customer_clusters_expanded_replicas(ray_session, sf_small):
+    """The scaling-bench ER witness: repeat=1 equals customer_clusters;
+    at repeat=2 each replica is an independent blocking universe whose
+    labels are replica 0's shifted by 10^7."""
+    from xlink_ray.pipelines import er
+
+    base = (
+        er.customer_clusters(sf_small)
+        .to_pandas()
+        .sort_values("member_id")
+        .reset_index(drop=True)
+    )
+    one = (
+        er.customer_clusters_expanded(sf_small, repeat=1)
+        .to_pandas()
+        .sort_values("member_id")
+        .reset_index(drop=True)
+    )
+    assert (base["member_id"] == one["member_id"]).all()
+    assert (base["cluster_id"] == one["cluster_id"]).all()
+    two = er.customer_clusters_expanded(sf_small, repeat=2).to_pandas()
+    r0 = two[two["member_id"] < 10_000_000].sort_values("member_id").reset_index(drop=True)
+    r1 = two[two["member_id"] >= 10_000_000].sort_values("member_id").reset_index(drop=True)
+    assert len(r0) == len(r1) == len(base)
+    assert (r0["cluster_id"].values == base["cluster_id"].values).all()
+    assert (r1["member_id"].values - 10_000_000 == base["member_id"].values).all()
+    assert (r1["cluster_id"].values - 10_000_000 == base["cluster_id"].values).all()

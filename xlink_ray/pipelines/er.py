@@ -115,6 +115,74 @@ def customer_clusters(
     )
 
 
+def customers_expanded(sf_dir: str, repeat: int = 1) -> Dataset:
+    """Deterministic scale-up of the customer table for scaling
+    benchmarks: ``repeat`` shifted replicas — custkeys offset by
+    r·10⁷, nation keys by r·25 — so every replica is an independent
+    blocking universe. Work scales linearly with ``repeat``; no
+    cross-replica pairs; per-block grid shape unchanged. One generator
+    map_batches (the round-2 lesson: never union hundreds of per-copy
+    branches)."""
+    base = _customers(sf_dir)
+    if repeat <= 1:
+        return base
+
+    def rep(t: pa.Table):
+        import numpy as np
+
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        for r in range(repeat):
+            yield pa.table(
+                {
+                    "c_custkey": pa.array(ck + r * 10_000_000),
+                    "c_name": t["c_name"],
+                    "c_nationkey": pa.array(nk + r * 25),
+                }
+            )
+
+    return base.map_batches(rep, batch_format="pyarrow")
+
+
+def customer_clusters_expanded(
+    sf_dir: str, repeat: int = 1, threshold: int = LEV_THRESHOLD
+) -> Dataset:
+    """The full ER chain (nation-block → banded Levenshtein score →
+    connected components with singletons) over the expanded customer
+    universe — the scaling-bench witness for the blocking + scoring +
+    transitive-closure pipeline family. repeat=1 is pinned equal to
+    ``customer_clusters``; replica r's labels are replica 0's labels
+    shifted by r·10⁷ (blocks never cross replicas)."""
+    cust = customers_expanded(sf_dir, repeat)
+    edges = block_score_pairs(
+        cust,
+        key_cols="c_nationkey",
+        id_col="c_custkey",
+        attr_col="c_name",
+        scorer=lambda A, B: levenshtein_pairs(A, B, max_dist=threshold),
+        keep=lambda s: s <= threshold,
+        skew_cap=8192,
+    )
+
+    def fmt(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "id_a": pc.cast(t["id_a"], pa.int64()),
+                "id_b": pc.cast(t["id_b"], pa.int64()),
+            }
+        )
+
+    return connected_components(
+        edges.map_batches(fmt, batch_format="pyarrow"),
+        a="id_a",
+        b="id_b",
+        nodes=cust.select_columns(["c_custkey"]),
+        node_col="c_custkey",
+    )
+
+
 def customer_attach(
     sf_dir: str, min_sim_bp: int = 9700, skew_cap: int | None = None
 ) -> Dataset:
