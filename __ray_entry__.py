@@ -1360,6 +1360,87 @@ def _q_fidelity_invariants(sf_dir: str):
     )
 
 
+def _q_joint_invariants(sf_dir: str):
+    """SQL-checkable companion for the rows-only joint_norms (the
+    er_constrained_invariants pattern): the trained-vector table's
+    vocabulary composition is replicated in SQL — word rows = corpus
+    tokens with count ≥ min_count over the doc_id-ordered 512-doc smoke
+    cap; entity rows = distinct page heads + out-linked entities of the
+    (src-ordered, 512-capped) train_kg lines — and every trained vector
+    moved off zero (nonpositive-norm count asserted 0). The SGD values
+    themselves stay rows-only."""
+    import pandas as pd
+
+    from xlink_ray.pipelines.embedding import joint_embedding_norms
+
+    t = joint_embedding_norms(sf_dir).to_pandas()
+    return pd.DataFrame(
+        {
+            "metric": ["word_vocab_size", "ent_vocab_size", "nonpos_norm_count"],
+            "value": [
+                int((t["kind"] == "word").sum()),
+                int((t["kind"] == "entity").sum()),
+                int((~(t["norm"] > 0)).sum()),
+            ],
+        }
+    )
+
+
+def _joint_invariants_sql() -> str:
+    return f"""
+WITH {_alias_values_sql()},
+d AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 512),
+tok AS (SELECT unnest(string_split(lower(text), ' ')) AS t FROM d),
+wc AS (SELECT t, count(*) AS n FROM tok WHERE t <> '' GROUP BY t),
+occ AS (
+  SELECT d2.doc_id, d2.source, a.entity_id,
+         CAST((length(d2.text) - length(replace(d2.text, a.mention, ''))) / length(a.mention) AS BIGINT) AS cnt
+  FROM documents d2 JOIN alias a ON (d2.doc_id % a.n_slots) = a.slot),
+ol AS (SELECT DISTINCT 'https://crawl.example.org/' || source || '/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS src,
+              entity_id AS dst
+       FROM occ WHERE cnt > 0),
+lines AS (SELECT src, list(DISTINCT dst) AS ds FROM ol GROUP BY src ORDER BY src LIMIT 512),
+ents AS (SELECT src AS e FROM lines UNION SELECT unnest(ds) FROM lines)
+SELECT 'word_vocab_size' AS metric,
+       CAST((SELECT count(*) FROM wc WHERE n >= 2) AS BIGINT) AS value
+UNION ALL SELECT 'ent_vocab_size', CAST((SELECT count(*) FROM ents) AS BIGINT)
+UNION ALL SELECT 'nonpos_norm_count', 0"""
+
+
+def _linking_eval_sql() -> str:
+    """Full DuckDB replica of linking_eval over the flagship chain:
+    pred = the links ``kept`` CTE; gold = every alias-token occurrence
+    with the slot-rule entity (docnum % n_slots = slot — the synth
+    markup's assignment, same join the mention_anchors oracle uses).
+    Metrics row matches stages/evaluation.linking_eval exactly."""
+    return (
+        f"WITH {_alias_values_sql()},\n{_mat(_flagship_parts())},\n"
+        "gold AS (SELECT DISTINCT t.did AS doc_id, t.off, t.tok AS mention, a.entity_id\n"
+        "         FROM tpos t JOIN alias a\n"
+        "           ON t.tok = a.mention AND (t.docnum % a.n_slots) = a.slot),\n"
+        "pred AS (SELECT DISTINCT doc_id, off, mention, entity_id FROM kept),\n"
+        "c AS (SELECT\n"
+        "  (SELECT count(*) FROM (SELECT DISTINCT doc_id, off, mention FROM gold)) AS n_gold,\n"
+        "  (SELECT count(*) FROM (SELECT DISTINCT doc_id, off, mention FROM pred)) AS n_pred,\n"
+        "  (SELECT count(*) FROM (SELECT DISTINCT p.doc_id, p.off, p.mention FROM pred p\n"
+        "     JOIN gold g ON g.doc_id = p.doc_id AND g.off = p.off AND g.mention = p.mention)) AS n_span_match,\n"
+        "  (SELECT count(*) FROM (SELECT DISTINCT p.doc_id, p.off, p.mention FROM pred p\n"
+        "     JOIN gold g ON g.doc_id = p.doc_id AND g.off = p.off AND g.mention = p.mention\n"
+        "        AND g.entity_id = p.entity_id)) AS n_entity_match)\n"
+        "SELECT CAST(n_gold AS BIGINT) AS n_gold, CAST(n_pred AS BIGINT) AS n_pred,\n"
+        "       CAST(n_span_match AS BIGINT) AS n_span_match,\n"
+        "       CAST(n_entity_match AS BIGINT) AS n_entity_match,\n"
+        "       CASE WHEN n_pred > 0 THEN n_span_match / CAST(n_pred AS DOUBLE) ELSE 0.0 END AS \"precision\",\n"
+        "       CASE WHEN n_gold > 0 THEN n_span_match / CAST(n_gold AS DOUBLE) ELSE 0.0 END AS recall,\n"
+        "       CASE WHEN n_pred > 0 AND n_gold > 0 AND n_span_match > 0 THEN\n"
+        "         2.0 * (n_span_match / CAST(n_pred AS DOUBLE)) * (n_span_match / CAST(n_gold AS DOUBLE))\n"
+        "           / (n_span_match / CAST(n_pred AS DOUBLE) + n_span_match / CAST(n_gold AS DOUBLE))\n"
+        "         ELSE 0.0 END AS f1,\n"
+        "       CASE WHEN n_span_match > 0 THEN n_entity_match / CAST(n_span_match AS DOUBLE) ELSE 0.0 END AS ed_accuracy\n"
+        "FROM c"
+    )
+
+
 def _fidelity_invariants_sql() -> str:
     return (
         f"WITH {_alias_values_sql()},\n{_mat(_flagship_parts())}\n"
@@ -4849,6 +4930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "constraint_violations": _q_constraint_violations,
         "meta_blocking": _q_meta_blocking,
         "joint_norms": _q_joint_norms,
+        "joint_invariants": _q_joint_invariants,
         "revenue_rollup": _q_revenue_rollup,
         "nil_clusters": _q_nil_clusters,
         "bm25_scores": _q_bm25_scores,
@@ -5134,6 +5216,8 @@ SELECT u AS member_id, CAST(min(v) AS BIGINT) AS cluster_id
 FROM reach GROUP BY u""",
         "links": _links_sql(),
         "pca_invariants": _pca_invariants_sql(),
+        "linking_eval": _linking_eval_sql(),
+        "joint_invariants": _joint_invariants_sql(),
         "fidelity_invariants": _fidelity_invariants_sql(),
         "flagship_golden": _golden_sql(),
         "flagship_attach": _attach_sql(),
