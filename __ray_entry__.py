@@ -3740,8 +3740,11 @@ def _q_media_features(sf_dir: str):
 def _q_media_features_raw(sf_dir: str):
     """REAL codec-free decode path: uncompressed RGB payloads →
     bilinear resize to 16x16 → mean/std/luma-histogram features
-    (stages/multimodal.py backend='raw'; rows-only — image features
-    are not SQL-expressible)."""
+    (stages/multimodal.py backend='raw'). The (media_id, media_type)
+    projection is SQL-oracled against the closed-form fixture — the
+    chain must decode/resize/extract every row to emit it; the float
+    feature values themselves are not SQL-expressible and are excluded
+    by the projection (media_features keeps them, rows-only)."""
     import ray.data as rd
 
     from xlink_ray.stages.multimodal import media_features, resize_images, synth_media_raw
@@ -5218,6 +5221,15 @@ FROM reach GROUP BY u""",
         "pca_invariants": _pca_invariants_sql(),
         "linking_eval": _linking_eval_sql(),
         "joint_invariants": _joint_invariants_sql(),
+        # media_features_raw projects to (media_id, media_type) — both
+        # closed-form from the synth fixture, so the row identity of
+        # the decode->resize->feature chain IS value-checkable (any
+        # decode/resize failure drops rows); the float features stay
+        # uncheckable and are excluded by the projection
+        "media_features_raw": """
+SELECT CAST(i AS BIGINT) AS media_id,
+       CASE WHEN i % 3 = 2 THEN 'audio' ELSE 'image' END AS media_type
+FROM range(64) t(i)""",
         "fidelity_invariants": _fidelity_invariants_sql(),
         "flagship_golden": _golden_sql(),
         "flagship_attach": _attach_sql(),
