@@ -41,10 +41,12 @@ SCALE_HI = int(os.environ.get("GRAFT_SCALE_HI", "16"))
 SCALING_TRIALS = int(os.environ.get("GRAFT_BENCH_TRIALS", "3"))
 # ER-chain scaling witness: replica count for the expanded customer
 # universe (independent blocking universes, work scales linearly) so
-# the north-rule number doesn't rest on one pipeline family. 32 puts
-# the 4-CPU leg near ~45 s — compute-bound (repeat 4 measured 0.51
-# efficiency from fixed cost alone; 32 measured 0.83 on a quiet host)
-ER_REPEAT = int(os.environ.get("GRAFT_ER_REPEAT", "32"))
+# the north-rule number doesn't rest on one pipeline family. Profiled
+# decomposition at repeat 32: scoring scales at 0.93 (45.3 s @4 →
+# 12.2 s @16) but the CC label rounds cost a FIXED ~1 s at both
+# levels, dragging a short hi leg; 64 doubles the legs and halves the
+# fixed share (repeat 4 measured 0.51 overall — pure fixed cost)
+ER_REPEAT = int(os.environ.get("GRAFT_ER_REPEAT", "64"))
 
 
 def _wait_quiet(max_wait: float = 90.0, threshold: float = 6.0) -> None:
