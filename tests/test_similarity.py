@@ -194,3 +194,28 @@ def test_pprl_dice_reference():
     assert dice(bl[0], bl[1]) == 10000
     assert dice(bl[0], bl[2]) > dice(bl[0], bl[3])
     assert popcount64(np.array([bl[0]], dtype=np.uint64))[0] == bin(int(bl[0])).count("1")
+
+
+def test_jw_block_scorer_equals_plain():
+    """JaroWinklerBlockScorer.for_block scores index pairs identically
+    to jaro_winkler_pairs (same kernel, one block-level encode)."""
+    import numpy as np
+
+    from xlink_ray.functions.similarity import (
+        JaroWinklerBlockScorer,
+        jaro_winkler_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    attrs = np.asarray(
+        ["martha", "marhta", "dwayne", "duane", "", "x", "dixon", "dicksonx"]
+        + [f"Customer#{i:09d}" for i in rng.integers(0, 50, 24)],
+        dtype=object,
+    )
+    ii, jj = np.meshgrid(np.arange(len(attrs)), np.arange(len(attrs)), indexing="ij")
+    ii, jj = ii.ravel(), jj.ravel()
+    blk = JaroWinklerBlockScorer().for_block(attrs)
+    got = blk(ii, jj)
+    want = jaro_winkler_pairs(attrs[ii], attrs[jj])
+    assert np.allclose(got, want)
+    assert got[0] == 1.0  # self-pair

@@ -72,14 +72,14 @@ def customer_pairs_jw(sf_dir: str, threshold: float = 0.94) -> Dataset:
     key = c_nationkey, keep pairs with JW similarity ≥ threshold.
     Output (id_a, id_b, sim_bp) with the similarity in integer basis
     points (DuckDB-equal on ASCII; integers dodge float-hash issues)."""
-    from xlink_ray.functions.similarity import jaro_winkler_pairs
+    from xlink_ray.functions.similarity import JaroWinklerBlockScorer, jaro_winkler_pairs
 
     edges = block_score_pairs(
         _customers(sf_dir),
         key_cols="c_nationkey",
         id_col="c_custkey",
         attr_col="c_name",
-        scorer=jaro_winkler_pairs,
+        scorer=JaroWinklerBlockScorer(),
         keep=lambda s: s >= threshold,
         skew_cap=8192,  # exact hot-key splitting; output identical
     )
@@ -197,7 +197,7 @@ def customer_attach(
     """
     import pyarrow.compute as pc
 
-    from xlink_ray.functions.similarity import jaro_winkler_pairs
+    from xlink_ray.functions.similarity import JaroWinklerBlockScorer, jaro_winkler_pairs
     from xlink_ray.stages.attach import attach_to_clusters
 
     def _base(t: pa.Table) -> pa.Table:
@@ -223,7 +223,7 @@ def customer_attach(
         id_col="c_custkey",
         cluster_col="cluster_id",
         attr_col="c_name",
-        scorer=jaro_winkler_pairs,
+        scorer=JaroWinklerBlockScorer(),
         min_sim_bp=min_sim_bp,
         skew_cap=skew_cap,
     )
@@ -239,7 +239,7 @@ def customer_threshold_hierarchy(
     import numpy as np
     import pyarrow.compute as pc
 
-    from xlink_ray.functions.similarity import jaro_winkler_pairs
+    from xlink_ray.functions.similarity import JaroWinklerBlockScorer, jaro_winkler_pairs
     from xlink_ray.stages.clustering import threshold_hierarchy
 
     lo = thresholds[-1]
@@ -248,7 +248,7 @@ def customer_threshold_hierarchy(
         key_cols="c_nationkey",
         id_col="c_custkey",
         attr_col="c_name",
-        scorer=jaro_winkler_pairs,
+        scorer=JaroWinklerBlockScorer(),
         keep=lambda s: np.floor(s * 10000.0) >= lo,
         skew_cap=8192,
     )
@@ -281,7 +281,7 @@ def customer_one_to_one(sf_dir: str, min_sim_bp: int = 7000) -> Dataset:
     Jaro-Winkler match within the nation block."""
     import pyarrow.compute as pc
 
-    from xlink_ray.functions.similarity import jaro_winkler_pairs
+    from xlink_ray.functions.similarity import JaroWinklerBlockScorer, jaro_winkler_pairs
     from xlink_ray.stages.attach import mutual_best_pairs
 
     def _mod4(t: pa.Table):
@@ -302,7 +302,7 @@ def customer_one_to_one(sf_dir: str, min_sim_bp: int = 7000) -> Dataset:
         key_cols="c_nationkey",
         id_col="c_custkey",
         attr_col="c_name",
-        scorer=jaro_winkler_pairs,
+        scorer=JaroWinklerBlockScorer(),
         min_sim_bp=min_sim_bp,
         skew_cap=8192,
     )
@@ -1181,7 +1181,7 @@ def customer_meta_scored(sf_dir: str, max_block: int = 1024) -> Dataset:
     (id_a, id_b, w_e9, sim_bp) for every surviving candidate edge."""
     import numpy as np
 
-    from xlink_ray.functions.similarity import jaro_winkler_pairs
+    from xlink_ray.functions.similarity import JaroWinklerBlockScorer, jaro_winkler_pairs
     from xlink_ray.stages.survivor import stamp_cluster
 
     pairs = customer_meta_blocking(sf_dir, max_block=max_block).map_batches(

@@ -223,6 +223,9 @@ def attach_to_clusters(
         ids = group["__id"].to_numpy(zero_copy_only=False).astype(np.int64)
         clusters = group["__cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
         attrs = group["__attr"].to_numpy(zero_copy_only=False)
+        # grid-aware scorers encode the block's strings once (identical
+        # values; see JaroWinklerBlockScorer)
+        blk = scorer.for_block(attrs) if hasattr(scorer, "for_block") and len(attrs) else None
         n_idx = np.nonzero(side == 1)[0]
         b_idx = np.nonzero(side == 0)[0]
         if len(n_idx) == 0:
@@ -247,7 +250,11 @@ def attach_to_clusters(
                 for p0 in range(0, len(gi), _PAIR_CHUNK):
                     pgi = gi[p0 : p0 + _PAIR_CHUNK]
                     pgj = gj[p0 : p0 + _PAIR_CHUNK]
-                    sim = scorer(attrs[n_idx[pgi]], attrs[pgj])
+                    sim = (
+                        blk(n_idx[pgi], pgj)
+                        if blk is not None
+                        else scorer(attrs[n_idx[pgi]], attrs[pgj])
+                    )
                     sbp = np.floor(sim * 10000.0).astype(np.int64)
                     _merge_best(
                         best_sbp,
@@ -366,6 +373,7 @@ def mutual_best_pairs(
         side = group["side"].to_numpy(zero_copy_only=False)
         ids = group["__id"].to_numpy(zero_copy_only=False).astype(np.int64)
         attrs = group["__attr"].to_numpy(zero_copy_only=False)
+        blk = scorer.for_block(attrs) if hasattr(scorer, "for_block") and len(attrs) else None
         l_idx = np.nonzero(side == 1)[0]
         r_idx = np.nonzero(side == 0)[0]
         empty = pa.table(
@@ -395,7 +403,11 @@ def mutual_best_pairs(
                 for p0 in range(0, len(gi), _PAIR_CHUNK):
                     pgi = gi[p0 : p0 + _PAIR_CHUNK]
                     pgj = gj[p0 : p0 + _PAIR_CHUNK]
-                    sim = scorer(attrs[l_idx[pgi]], attrs[r_idx[pgj]])
+                    sim = (
+                        blk(l_idx[pgi], r_idx[pgj])
+                        if blk is not None
+                        else scorer(attrs[l_idx[pgi]], attrs[r_idx[pgj]])
+                    )
                     sbp = np.floor(sim * 10000.0).astype(np.int64)
                     z = np.zeros(len(pgi), dtype=np.int64)
                     _merge_best(bl_sbp, bl_bid, bl_dummy, pgi, sbp, ids[r_idx[pgj]], z)

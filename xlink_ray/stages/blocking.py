@@ -71,6 +71,9 @@ def _pairs_of_group(
     attrs = group[attr_col].to_numpy(zero_copy_only=False)
     n = len(ids)
     key_val = "|".join(str(group[k][0].as_py()) for k in key_cols) if n else ""
+    # grid-aware scorers (e.g. JaroWinklerBlockScorer) encode the
+    # block's strings once and score index pairs — identical values
+    blk = scorer.for_block(attrs) if hasattr(scorer, "for_block") and n else None
 
     out_a: list[np.ndarray] = []
     out_b: list[np.ndarray] = []
@@ -107,7 +110,7 @@ def _pairs_of_group(
                 if pair_cap is not None and emitted >= pair_cap:
                     dropped += len(pii)
                     continue
-                scores = scorer(attrs[pii], attrs[pjj])
+                scores = blk(pii, pjj) if blk is not None else scorer(attrs[pii], attrs[pjj])
                 mask = keep(scores)
                 ka, kb, ks = pii[mask], pjj[mask], scores[mask]
                 if pair_cap is not None and emitted + len(ka) > pair_cap:
@@ -154,6 +157,7 @@ def _bipartite_pairs_of_group(
     ids = group[id_col].to_numpy(zero_copy_only=False)
     attrs = group[attr_col].to_numpy(zero_copy_only=False)
     key_val = "|".join(str(group[k][0].as_py()) for k in key_cols) if len(ids) else ""
+    blk = scorer.for_block(attrs) if hasattr(scorer, "for_block") and len(ids) else None
 
     out_a, out_b, out_s = [], [], []
     emitted = 0
@@ -175,7 +179,7 @@ def _bipartite_pairs_of_group(
                 if pair_cap is not None and emitted >= pair_cap:
                     dropped += len(pgi)
                     continue
-                scores = scorer(attrs[pgi], attrs[pgj])
+                scores = blk(pgi, pgj) if blk is not None else scorer(attrs[pgi], attrs[pgj])
                 mask = keep(scores)
                 ka, kb, ks = pgi[mask], pgj[mask], scores[mask]
                 if pair_cap is not None and emitted + len(ka) > pair_cap:
