@@ -220,3 +220,57 @@ def test_nil_attach_equals_nil_clusters_and_reuses_scan(ray_session):
     )
     assert (base["member_id"] == got["member_id"]).all()
     assert (base["cluster_id"] == got["cluster_id"]).all()
+
+
+def test_links_partitioned_mixed_hot_cold_salting(ray_session, sf_small):
+    """Mid-range cap: SOME mentions exceed it (salted mkeys) while the
+    rest stay plain — the mixed regime where salted occurrence rows,
+    replicated candidates and unsalted rows share buckets. Pinned equal
+    to the broadcast path."""
+    import numpy as np
+
+    from xlink_ray.pipelines import flagship
+
+    from xlink_ray.pipelines import dictbuild
+
+    key = ["doc_id", "offset"]
+    a = flagship.links(sf_small).to_pandas().sort_values(key).reset_index(drop=True)
+    # pick the cap BETWEEN the min and max corpus frequencies so the
+    # mention set genuinely splits into hot and cold subsets
+    freqs = sorted(dictbuild.freq_m(sf_small).to_pandas()["freq"])
+    cap = int(freqs[len(freqs) // 2])
+    assert freqs[0] <= cap < freqs[-1]  # both regimes exist
+    b = (
+        flagship.links_partitioned(sf_small, hot_mention_cap=cap)
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b)
+    for c in ["doc_id", "offset", "mention", "entity_id", "context"]:
+        assert (a[c] == b[c]).all(), c
+    assert np.allclose(a["believe"], b["believe"], atol=1e-12)
+
+
+def test_nil_attach_degenerate_single_salt(ray_session):
+    """nsalt=1 collapses stage 1 to one sub-group per mention — must
+    still equal the default clustering."""
+    from xlink_ray.pipelines import flagship
+
+    sf = "/root/testdata/sf0.001"
+    base = (
+        flagship.nil_clusters(sf)
+        .to_pandas()
+        .sort_values("member_id")
+        .reset_index(drop=True)
+    )
+    nil = flagship.nil_mentions(sf, believe_th=0.5)
+    _, _, emb_ref = flagship._raw_scan(sf, 1)
+    got = (
+        flagship.nil_attach(nil, emb_ref, nsalt=1)
+        .to_pandas()
+        .sort_values("member_id")
+        .reset_index(drop=True)
+    )
+    assert (base["member_id"] == got["member_id"]).all()
+    assert (base["cluster_id"] == got["cluster_id"]).all()
