@@ -30,7 +30,11 @@ LEV_THRESHOLD = 1
 
 
 def _customers(sf_dir: str) -> Dataset:
-    return read_pq(
+    from xlink_ray.util import read_pq_grouped
+
+    # grouped-consumer read sizing: every customer_* pipeline feeds a
+    # groupby(...).map_groups grid — see util.read_pq_grouped
+    return read_pq_grouped(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_name", "c_nationkey"],
     )

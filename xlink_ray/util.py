@@ -35,6 +35,35 @@ def read_pq(path, *, columns=None, **kw):
         return ds.map_batches(_strip_schema_meta, batch_format="pyarrow")
 
 
+def read_pq_grouped(path, *, columns=None, **kw):
+    """``read_pq`` sized for groupby/map_groups consumers.
+
+    Ray's default read over-splits small files (~2 blocks per CPU), and
+    a sort-based groupby pays per-block fixed cost in SortMap AND sizes
+    its output partitions — the grouped-map task count — from the input
+    block count: a 15 k-row table read as 128 tiny blocks made the
+    whole ER grid chain 2-4× slower than the same read at ~1 block per
+    CPU (measured: er_one_to_one 5.9 → 2.9 s, er_clusters 1.7 → 1.2 s
+    at sf0.1). Small files (< ncpu × 16 MB) clamp to one block per
+    CPU — still ≥ the useful grouped parallelism; larger files keep
+    Ray's own row-group splitting untouched."""
+    import os
+
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        size = None
+    if size is not None and "override_num_blocks" not in kw:
+        import ray
+
+        ncpu = 32
+        if ray.is_initialized():
+            ncpu = int(ray.cluster_resources().get("CPU", 32)) or 32
+        if size < ncpu * 16_000_000:
+            kw["override_num_blocks"] = ncpu
+    return read_pq(path, columns=columns, **kw)
+
+
 def dict_guard_max_bytes() -> float:
     """The ONE broadcast-size knob: ``XLINK_DICT_MAX_MB`` in MB
     (1 MB = 1e6 bytes), default 8192. Every stage that collects a
