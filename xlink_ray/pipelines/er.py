@@ -17,7 +17,7 @@ import pyarrow as pa
 
 import ray.data as rd
 
-from xlink_ray.util import read_pq
+from xlink_ray.util import read_pq_grouped as read_pq
 from ray.data import Dataset
 
 from xlink_ray.functions.similarity import levenshtein_pairs
@@ -30,11 +30,10 @@ LEV_THRESHOLD = 1
 
 
 def _customers(sf_dir: str) -> Dataset:
-    from xlink_ray.util import read_pq_grouped
-
-    # grouped-consumer read sizing: every customer_* pipeline feeds a
-    # groupby(...).map_groups grid — see util.read_pq_grouped
-    return read_pq_grouped(
+    # grouped-consumer read sizing (module-wide: read_pq here is
+    # util.read_pq_grouped) — every customer_* pipeline feeds a
+    # groupby(...).map_groups grid; see util.read_pq_grouped
+    return read_pq(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_name", "c_nationkey"],
     )
